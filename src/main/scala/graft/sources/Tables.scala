@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated fixtures (TESTDATA.md).
+  *
+  * Parquet is self-describing, so no schema is forced on read — Catalyst
+  * gets full pushdown + pruning on the scan (`PushedFilters`/`ReadSchema`
+  * in explain). At 100 TB these would be partitioned tables behind a
+  * catalog; the single-file layout here is the fixture shape only, and
+  * nothing below assumes a row count or a single partition.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Headerless TSV ratings reader matching the reference's input shape
+    * (SVDMovieLensSparkJava.java:191,195-197 — tab-split, positional int
+    * columns; the 4th MovieLens column is a timestamp the reference drops,
+    * we keep it). Used by the recommender pipeline when fed real
+    * MovieLens-format files.
+    */
+  def ratingsTsv(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", IntegerType, nullable = false),
+      StructField("item_id", IntegerType, nullable = false),
+      StructField("rating", IntegerType, nullable = false),
+      StructField("ts", LongType, nullable = true)))
+    s.read.schema(schema).option("sep", "\t").csv(path)
+  }
+}
