@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -30,8 +31,8 @@ object Relational {
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
        FROM lineitem
        GROUP BY l_returnflag, l_linestatus
@@ -43,11 +44,313 @@ object Relational {
         sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("sum_disc_price"),
-        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
-        round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[GQuery] = Seq(q01)
+  /** q02 — filtered scan with pushdown (the filter operator the reference
+    * lacks entirely, SURVEY.md §2.2 row 1). All predicates + the 4-column
+    * projection reach the parquet scan (PushedFilters/ReadSchema).
+    */
+  val q02 = oracled(
+    "q02_filtered_scan",
+    "conjunctive predicates + projection, pushed to the parquet scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 10
+       ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q03 — per-customer order stats (A1+A2+A5+J1 descendant): the
+    * reference's count+sum+join triple (SVDMovieLensSparkJava.java:196-203)
+    * as ONE hash aggregate, plus the Bayesian pseudo-average
+    * (Movie.java:38-41) as a column expression.
+    */
+  val q03 = oracled(
+    "q03_customer_order_stats",
+    "per-key count/sum/avg/pseudo_avg in a single shuffle",
+    """SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       (3.23*25 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) / (25.0 + COUNT(*)) AS pseudo_avg
+       FROM orders
+       GROUP BY o_custkey
+       ORDER BY o_custkey""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"),
+        (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        pseudoAvg(sum(dec2(col("o_totalprice"))).cast("double"), count(lit(1)))
+          .as("pseudo_avg"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q04 — star-schema revenue rollup: fact ⋈ three dims. The dims are
+    * broadcast (auto under the 10MB threshold; nation/region always tiny),
+    * so the only shuffle is the final aggregation — the shape that holds
+    * at 100 TB with a multi-TB orders table.
+    */
+  val q04 = oracled(
+    "q04_revenue_by_nation",
+    "multi-way dimension join + aggregate (broadcast dims)",
+    """SELECT r_name, n_name,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r_name, n_name
+       ORDER BY r_name, n_name""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q05 — left outer join coverage: nations with zero suppliers survive
+    * with count 0 (outer-join surface absent from the reference,
+    * SURVEY.md §2.2 row 2).
+    */
+  val q05 = oracled(
+    "q05_left_join_coverage",
+    "left outer join + null-safe aggregates over the unmatched side",
+    """SELECT n_name,
+       COUNT(s_suppkey) AS n_suppliers,
+       CAST(COALESCE(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bal
+       FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+       GROUP BY n_name
+       ORDER BY n_name""") { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(Tables.supplier(s, dir), col("n_nationkey") === col("s_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        coalesce(sum(dec2(col("s_acctbal"))), lit(0)).cast("double").as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q06 — full outer join of two per-nation aggregates, unmatched sides
+    * coalesced to zero.
+    */
+  val q06 = oracled(
+    "q06_full_outer_counts",
+    "full outer join of two aggregates with coalesced keys",
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+       ON c.k = s.k
+       ORDER BY nationkey""") { (s, dir) =>
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q07 — left-semi join (EXISTS): customers having at least one
+    * high-value order. Semi joins never duplicate the probe side — at
+    * scale this is a broadcast/shuffled semi, not a join+distinct.
+    */
+  val q07 = oracled(
+    "q07_semi_join_exists",
+    "left-semi join == EXISTS subquery",
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q08 — left-anti join (NOT EXISTS): customers with no orders at all. */
+  val q08 = oracled(
+    "q08_anti_join_not_exists",
+    "left-anti join == NOT EXISTS subquery",
+    """SELECT c_custkey, c_mktsegment
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q09 — explicit broadcast-hash join of fact against the part dim
+    * (J2's hand-rolled broadcast lookup, SVDMovieLensSparkJava.java:447-448,
+    * :504, done the Spark way with a `broadcast()` hint).
+    */
+  val q09 = oracled(
+    "q09_broadcast_brand_agg",
+    "broadcast-hint join + aggregate over the fact side",
+    """SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue,
+       MIN(p_retailprice) AS min_retail,
+       MAX(p_retailprice) AS max_retail
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand
+       ORDER BY p_brand""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("brand_revenue"),
+        min(col("p_retailprice")).as("min_retail"),
+        max(col("p_retailprice")).as("max_retail"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q10 — global aggregates in one pass (A3 `count()` + A4 global sum,
+    * SVDMovieLensSparkJava.java:465-467, without the reference's triple
+    * lineage recomputation — one job, one partial+final agg).
+    */
+  val q10 = oracled(
+    "q10_global_agg",
+    "single-row global aggregate (count/distinct/sum/min/max)",
+    """SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+       CAST(MAX(l_shipdate) AS DATE) AS max_ship
+       FROM lineitem""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        min(col("l_shipdate")).cast("date").as("min_ship"),
+        max(col("l_shipdate")).cast("date").as("max_ship"))
+  }
+
+  /** q11 — global top-k: planned as TakeOrderedAndProject (no full sort,
+    * per-partition heaps + driver merge of k rows — the 100 TB-safe shape).
+    */
+  val q11 = oracled(
+    "q11_top_orders",
+    "ORDER BY ... LIMIT k == TakeOrderedAndProject",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 20""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q12 — top-k per group via ranking window (the per-group analogue the
+    * reference has no way to express; SURVEY.md §2.2 sorts/limits row).
+    */
+  val q12 = oracled(
+    "q12_topk_per_segment",
+    "row_number window + filter == top-k per group",
+    """SELECT * FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) t
+       WHERE rn <= 3
+       ORDER BY c_mktsegment, rn""") { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** q13 — ranking + analytic window functions (rank/dense_rank/lag/lead)
+    * over each customer's order history.
+    */
+  val q13 = oracled(
+    "q13_window_rank_lag",
+    "rank/dense_rank/lag/lead over a per-key ordered window",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, rnk""") { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** q14 — window frames: running total (unbounded preceding) and a
+    * 3-row sliding average per customer, ordered by order date.
+    */
+  val q14 = oracled(
+    "q14_running_window_frames",
+    "cumulative + sliding window frames with exact decimal running sums",
+    """SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg
+       FROM orders
+       ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val base = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slide = base.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(cum).cast("double").as("running_total"),
+        (sum(dec2(col("o_totalprice"))).over(slide).cast("double")
+          / count(lit(1)).over(slide)).as("sliding_avg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14)
 }
