@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Scalar-function surface (SURVEY.md §2.2 "String / date / math / array /
+  * map / JSON scalars"): the reference computes only split/parseInt/abs/
+  * sqrt/clamp in Java loops (F1-F3); here the full built-in function
+  * families run as codegen'd Catalyst expressions — no UDFs anywhere.
+  *
+  * Parity notes baked into the oracle SQL: transcendental funcs (ln/exp)
+  * are rounded to 6dp (Java Math and libm are not both correctly-rounded);
+  * sqrt/abs/floor/ceil are IEEE-exact so left raw; timestamps are emitted
+  * as formatted strings to dodge timezone-encoding differences.
+  */
+object Scalars {
+
+  /** q20 — string functions over the part dimension. */
+  val q20 = oracled(
+    "q20_string_funcs",
+    "lower/upper/length/substr/replace/concat/lpad/trim + LIKE",
+    """SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       p_brand || ':' || p_type AS brand_type,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       TRIM(p_name) AS name_trim
+       FROM part
+       WHERE p_name LIKE '%a%' AND p_partkey < 100
+       ORDER BY p_partkey""") { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%a%") && col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        trim(col("p_name")).as("name_trim"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q21 — date/time functions over the events stream table: truncation,
+    * field extraction, formatted output. The reference discards its
+    * timestamp column entirely (SURVEY.md §1.3); here time is first-class.
+    */
+  val q21 = oracled(
+    "q21_date_funcs",
+    "date_trunc + year/month/day extraction + per-day aggregation",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       YEAR(MIN(ts)) AS y,
+       MONTH(MIN(ts)) AS m,
+       DAY(MIN(ts)) AS d,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY 1
+       ORDER BY 1""") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        year(min(col("ts"))).cast("long").as("y"),
+        month(min(col("ts"))).cast("long").as("m"),
+        dayofmonth(min(col("ts"))).cast("long").as("d"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** q22 — math functions over lineitem measures. */
+  val q22 = oracled(
+    "q22_math_funcs",
+    "abs/sqrt/ln/exp/ceil/floor/sign/greatest/least",
+    """SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS abs_disc,
+       SQRT(l_quantity) AS sqrt_qty,
+       ROUND(LN(l_extendedprice), 6) AS ln_price,
+       ROUND(EXP(l_discount), 6) AS exp_disc,
+       CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       GREATEST(l_tax, l_discount) AS max_rate,
+       LEAST(l_tax, l_discount) AS min_rate
+       FROM lineitem
+       WHERE l_orderkey < 200
+       ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        floor(col("l_quantity") / 10).as("qty_decile"),
+        signum(col("l_discount") - 0.05).as("disc_sign"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q23 — JSON extraction from the semi-structured events.props column
+    * (get_json_object stays inside codegen; no UDF).
+    */
+  val q23 = oracled(
+    "q23_json_extract",
+    "get_json_object over a JSON string column + aggregation",
+    """SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""") { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q24 — array (higher-order) functions over the 64-dim embedding
+    * column: size, element access, sequential fold for the squared norm.
+    * Spark's `aggregate` and DuckDB's `list_reduce` are both defined as
+    * left-to-right folds, so double sums match bit-exactly.
+    */
+  val q24 = oracled(
+    "q24_array_ops",
+    "size/element_at/sort + aggregate() fold over ARRAY<FLOAT>",
+    """SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(list_sort(embedding)[1] AS DOUBLE) AS min_val,
+       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS norm_sq
+       FROM embeddings
+       WHERE vec_id < 100
+       ORDER BY vec_id""") { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(sort_array(col("embedding")), 1).cast("double").as("min_val"),
+        normSq(col("embedding")).as("norm_sq"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24)
+}
