@@ -1,0 +1,264 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.{oracled, rowsOnly}
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** The reference's whole pipeline — ingest → per-entity stats → factor
+  * model → scoring join → MAE/RMSE evaluation → predictions sink
+  * (SURVEY.md §3 entry points 1-3) — re-expressed Spark-first.
+  *
+  * Training is MLlib ALS (`spark_approach` per BASELINE.json), replacing
+  * both the serial driver-only SGD (CalcFeatures,
+  * SVDMovieLensSparkJava.java:409-449) and the dead accumulator-based
+  * distributed twin (spark_CalcFeatures :366-406). The oracle-checked
+  * queries use a *deterministic rational factor matrix* instead of
+  * learned factors, so the scoring join + fold + clamp + metric math is
+  * verified bit-exactly in DuckDB while ALS itself is covered by the
+  * ScalaTest spec (fixed seed, beats the pseudo-avg baseline).
+  *
+  * The ratings table is derived deterministically from the events
+  * fixture (MovieLens itself is not shipped): user = events.user_id,
+  * item = event_id % 100, rating = floor(value) % 5 + 1 — identical
+  * arithmetic in Spark and DuckDB.
+  */
+object Recommender {
+
+  val NumItems = 100
+  val Rank = 8
+
+  /** Shared SQL fragment for the derived ratings relation. */
+  val ratingsSql: String =
+    """(SELECT user_id,
+        event_id % 100 AS item_id,
+        CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating
+        FROM events)"""
+
+  def ratings(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id"),
+      (col("event_id") % NumItems).as("item_id"),
+      (pmod(floor(col("value")).cast("long"), lit(5L)) + 1L).as("rating"))
+
+  /** Deterministic rank-8 factor entry for entity `id`, feature `f`:
+    * ((id*a + f*b) mod 97)/97 - 0.5 ∈ [-0.5, 0.5). Pure integer + one
+    * IEEE division — bit-identical in any engine, stands in for learned
+    * factors in the oracle-checked scoring queries.
+    */
+  private def factor(id: Column, f: Column, a: Int, b: Int): Column =
+    pmod(id * a + f * b, lit(97)).cast("double") / 97.0 - 0.5
+
+  private def factorSql(id: String, f: String, a: Int, b: Int): String =
+    s"(CAST(($id*$a + $f*$b) % 97 AS DOUBLE)/97.0 - 0.5)"
+
+  /** q30 — per-user rating stats: the reference's Customer table
+    * (Customer.java:7-8, built SVDMovieLensSparkJava.java:196-203 via
+    * two reduceByKeys + a join) as ONE aggregate.
+    */
+  val q30 = oracled(
+    "q30_user_rating_stats",
+    "per-user RatingCount/RatingSum/RatingAvg in one hash aggregate",
+    s"""SELECT user_id,
+        COUNT(*) AS rating_count,
+        CAST(SUM(rating) AS BIGINT) AS rating_sum,
+        CAST(SUM(rating) AS DOUBLE) / COUNT(*) AS rating_avg
+        FROM $ratingsSql AS r
+        GROUP BY user_id
+        ORDER BY user_id""") { (s, dir) =>
+    ratings(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("rating_count"),
+        sum(col("rating")).as("rating_sum"),
+        (sum(col("rating")).cast("double") / count(lit(1))).as("rating_avg"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q31 — per-item stats incl. the Bayesian-smoothed pseudo average
+    * (Movie.java:34-41: RatingAvg = sum/count, PseudoAvg =
+    * (3.23*25+sum)/(25.0+count)).
+    */
+  val q31 = oracled(
+    "q31_item_rating_stats",
+    "per-item RatingCount/RatingSum/RatingAvg/PseudoAvg",
+    s"""SELECT item_id,
+        COUNT(*) AS rating_count,
+        CAST(SUM(rating) AS BIGINT) AS rating_sum,
+        CAST(SUM(rating) AS DOUBLE) / COUNT(*) AS rating_avg,
+        (3.23*25 + CAST(SUM(rating) AS DOUBLE)) / (25.0 + COUNT(*)) AS pseudo_avg
+        FROM $ratingsSql AS r
+        GROUP BY item_id
+        ORDER BY item_id""") { (s, dir) =>
+    ratings(s, dir)
+      .groupBy(col("item_id"))
+      .agg(
+        count(lit(1)).as("rating_count"),
+        sum(col("rating")).as("rating_sum"),
+        (sum(col("rating")).cast("double") / count(lit(1))).as("rating_avg"),
+        pseudoAvg(sum(col("rating")).cast("double"), count(lit(1))).as("pseudo_avg"))
+      .orderBy(col("item_id"))
+  }
+
+  /** q32 — baseline predictor + evaluation (O5/O6/A7): predict every
+    * rating with the item's pseudo-average (clamped to [1,5]) and compute
+    * global MAE + RMSE. Error terms go through DECIMAL(18,9) before the
+    * global sum so the aggregate is order-independent and bit-exact —
+    * the discipline the reference's accumulators lacked (A6 note:
+    * accumulator-in-transformation is not even exactly-once).
+    */
+  val q32 = oracled(
+    "q32_baseline_eval_mae",
+    "pseudo-avg baseline scoring join + exact-decimal MAE/RMSE",
+    s"""WITH stats AS (
+          SELECT item_id,
+            LEAST(GREATEST((3.23*25 + CAST(SUM(rating) AS DOUBLE)) / (25.0 + COUNT(*)), 1.0), 5.0) AS pred
+          FROM $ratingsSql AS r GROUP BY item_id)
+        SELECT COUNT(*) AS n_predictions,
+        CAST(SUM(CAST(ABS(r2.rating - stats.pred) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mae,
+        SQRT(CAST(SUM(CAST((r2.rating - stats.pred)*(r2.rating - stats.pred) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)) AS rmse
+        FROM $ratingsSql AS r2 JOIN stats ON r2.item_id = stats.item_id""") { (s, dir) =>
+    val r = ratings(s, dir)
+    val stats = r.groupBy(col("item_id"))
+      .agg(clamp(pseudoAvg(sum(col("rating")).cast("double"), count(lit(1))), 1.0, 5.0).as("pred"))
+    r.join(broadcast(stats), "item_id")
+      .agg(
+        count(lit(1)).as("n_predictions"),
+        (sum(abs(col("rating") - col("pred")).cast("decimal(18,9)")).cast("double")
+          / count(lit(1))).as("mae"),
+        sqrt(sum(((col("rating") - col("pred")) * (col("rating") - col("pred")))
+          .cast("decimal(18,9)")).cast("double") / count(lit(1))).as("rmse"))
+  }
+
+  /** q33 — factor scoring join (J2 + O4 idiomatic form): dot product of
+    * rank-8 deterministic factor vectors, computed as a sequential
+    * `aggregate()` fold (bit-identical to DuckDB's `list_reduce`),
+    * clamped once at the end, evaluated with exact-decimal MAE.
+    */
+  val q33 = oracled(
+    "q33_factor_scoring_dot",
+    "rank-8 factor dot-product scoring + clamp + exact-decimal MAE",
+    s"""WITH scored AS (
+          SELECT rating,
+            LEAST(GREATEST(1.0 + list_reduce(
+              list_transform(range(0, 8), f ->
+                ${factorSql("user_id", "f", 31, 17)} * ${factorSql("item_id", "f", 23, 29)}),
+              (a, b) -> a + b), 1.0), 5.0) AS pred
+          FROM $ratingsSql AS r)
+        SELECT COUNT(*) AS n_predictions,
+        CAST(SUM(CAST(ABS(rating - pred) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mae
+        FROM scored""") { (s, dir) =>
+    val terms = transform(sequence(lit(0), lit(Rank - 1)),
+      f => factor(col("user_id"), f, 31, 17) * factor(col("item_id"), f, 23, 29))
+    val pred = clamp(lit(1.0) + aggregate(terms, lit(0.0), (acc, t) => acc + t), 1.0, 5.0)
+    ratings(s, dir)
+      .select(col("rating"), pred.as("pred"))
+      .agg(
+        count(lit(1)).as("n_predictions"),
+        (sum(abs(col("rating") - col("pred")).cast("decimal(18,9)")).cast("double")
+          / count(lit(1))).as("mae"))
+  }
+
+  /** q34 — reference-fidelity clamped-fold scorer (O4,
+    * SVDMovieLensSparkJava.java:499-513): clamp into [1,5] after EVERY
+    * feature term — order-dependent on purpose. The DuckDB oracle
+    * reproduces the exact fold with list_reduce over a 1.0-prepended
+    * term list, proving the nonstandard semantics are preserved.
+    */
+  val q34 = oracled(
+    "q34_fidelity_clamped_fold",
+    "clamp-after-every-feature scorer, bit-exact vs sequential-fold oracle",
+    s"""SELECT user_id, item_id, rating,
+        list_reduce(
+          list_prepend(1.0, list_transform(range(0, 8), f ->
+            ${factorSql("user_id", "f", 31, 17)} * ${factorSql("item_id", "f", 23, 29)})),
+          (acc, t) -> LEAST(GREATEST(acc + t, 1.0), 5.0)) AS pred
+        FROM $ratingsSql AS r
+        WHERE user_id < 20
+        ORDER BY user_id, item_id, rating""") { (s, dir) =>
+    val terms = transform(sequence(lit(0), lit(Rank - 1)),
+      f => factor(col("user_id"), f, 31, 17) * factor(col("item_id"), f, 23, 29))
+    val pred = aggregate(terms, lit(1.0),
+      (acc, t) => least(greatest(acc + t, lit(1.0)), lit(5.0)))
+    ratings(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("item_id"), col("rating"), pred.as("pred"))
+      .orderBy(col("user_id"), col("item_id"), col("rating"))
+  }
+
+  /** q35 — predictions TSV sink format (S4, TestingData.java:34-36:
+    * custId \t movieId \t rating \t predictRating \t absdiff), emitted
+    * as one formatted line column; predictions fixed to DECIMAL(8,4)
+    * so both engines print identical digits.
+    */
+  val q35 = oracled(
+    "q35_predictions_tsv_format",
+    "golden predictions sink line format (S4)",
+    s"""WITH scored AS (
+          SELECT user_id, item_id, rating,
+            CAST(LEAST(GREATEST(1.0 + list_reduce(
+              list_transform(range(0, 8), f ->
+                ${factorSql("user_id", "f", 31, 17)} * ${factorSql("item_id", "f", 23, 29)}),
+              (a, b) -> a + b), 1.0), 5.0) AS DECIMAL(8,4)) AS pred
+          FROM $ratingsSql AS r)
+        SELECT user_id, item_id,
+          user_id || CHR(9) || item_id || CHR(9) || rating || CHR(9) || pred
+            || CHR(9) || CAST(ABS(rating - pred) AS DECIMAL(8,4)) AS line
+        FROM scored
+        WHERE user_id < 10
+        ORDER BY user_id, item_id, line""") { (s, dir) =>
+    val terms = transform(sequence(lit(0), lit(Rank - 1)),
+      f => factor(col("user_id"), f, 31, 17) * factor(col("item_id"), f, 23, 29))
+    val pred = clamp(lit(1.0) + aggregate(terms, lit(0.0), (acc, t) => acc + t), 1.0, 5.0)
+      .cast("decimal(8,4)")
+    ratings(s, dir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("item_id"), col("rating"), pred.as("pred"))
+      .select(col("user_id"), col("item_id"),
+        concat_ws("\t",
+          col("user_id"), col("item_id"), col("rating"), col("pred"),
+          abs(col("rating") - col("pred")).cast("decimal(8,4)")).as("line"))
+      .orderBy(col("user_id"), col("item_id"), col("line"))
+  }
+
+  /** q36 — ALS train + score (O2/O3 replaced by
+    * org.apache.spark.ml.recommendation.ALS): rank 8, regParam 0.015
+    * (the reference's K, SVDMovieLensSparkJava.java:43), fixed seed.
+    * Factor init depends on block partitioning, so results are seed-
+    * stable only for a fixed parallelism — rows-only for the driver;
+    * the ScalaTest spec asserts holdout MAE beats the q32 baseline.
+    */
+  val q36 = rowsOnly(
+    "q36_als_recommender",
+    "MLlib ALS rank-8 train + broadcast-scored predictions + MAE") { (s, dir) =>
+    import org.apache.spark.ml.recommendation.ALS
+    val r = ratings(s, dir)
+      .select(col("user_id").cast("int").as("user"),
+        col("item_id").cast("int").as("item"),
+        col("rating").cast("float").as("rating"))
+      .cache()
+    val als = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(Rank).setRegParam(0.015).setMaxIter(10).setSeed(42L)
+      .setColdStartStrategy("drop")
+    val model = als.fit(r)
+    model.transform(r)
+      .agg(
+        count(lit(1)).as("n_predictions"),
+        avg(abs(col("rating") - clamp(col("prediction"), 1.0, 5.0))).as("mae"))
+  }
+
+  /** Predictions TSV sink (S4): writes the exact reference line format
+    * (TestingData.toString, TestingData.java:34-36) as text.
+    */
+  def writePredictionsTsv(scored: DataFrame, path: String): Unit =
+    scored.select(concat_ws("\t",
+        col("user_id"), col("item_id"), col("rating"),
+        col("pred").cast("decimal(8,4)"),
+        abs(col("rating") - col("pred")).cast("decimal(8,4)")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+import graft.ml.Recommender
+
+/** Non-oracle coverage of the recommender pipeline (SURVEY.md §5 items
+  * 3-5): ALS quality vs the pseudo-avg baseline (the reference's only
+  * correctness criterion, SVDMovieLensSparkJava.java:470), clamp-range
+  * properties of the fidelity scorer, and the S4 predictions sink
+  * golden line format (TestingData.java:34-36).
+  */
+class RecommenderSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ALS with fixed seed beats the pseudo-avg baseline MAE") {
+    val baselineMae = Recommender.q32.run(spark, sfDir)
+      .select(col("mae")).head().getDouble(0)
+    val alsMae = Recommender.q36.run(spark, sfDir)
+      .select(col("mae")).head().getDouble(0)
+    assert(alsMae > 0.0)
+    assert(alsMae < baselineMae,
+      s"ALS MAE $alsMae should beat baseline MAE $baselineMae")
+  }
+
+  test("clamped-fold scorer stays within [1,5] for every row (F2 property)") {
+    val scored = Recommender.q34.run(spark, sfDir)
+    val outOfRange = scored.filter(col("pred") < 1.0 || col("pred") > 5.0).count()
+    assert(outOfRange === 0)
+    assert(scored.count() > 0)
+  }
+
+  test("pseudo-avg lies between the prior (3.23) and the sample mean") {
+    val rows = Recommender.q31.run(spark, sfDir)
+      .select(col("rating_avg"), col("pseudo_avg")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avg, pseudo) = (r.getDouble(0), r.getDouble(1))
+      val (lo, hi) = if (avg < PseudoAvgPrior) (avg, PseudoAvgPrior) else (PseudoAvgPrior, avg)
+      assert(pseudo >= lo - 1e-12 && pseudo <= hi + 1e-12,
+        s"pseudo_avg $pseudo outside [$lo, $hi]")
+    }
+  }
+
+  test("predictions TSV sink writes the reference's 5-field line format") {
+    val terms = transform(sequence(lit(0), lit(Recommender.Rank - 1)),
+      f => lit(0.01) * f)
+    val scored = Recommender.ratings(spark, sfDir)
+      .filter(col("user_id") < 3)
+      .withColumn("pred", clamp(lit(1.0) + aggregate(terms, lit(0.0), _ + _), 1.0, 5.0))
+    val out = java.nio.file.Files.createTempDirectory("preds").toString + "/tsv"
+    Recommender.writePredictionsTsv(scored, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    lines.foreach { l =>
+      val fields = l.split("\t", -1)
+      assert(fields.length === 5, s"expected 5 TSV fields in '$l'")
+      assert(fields(0).toLong >= 0 && fields(1).toLong >= 0)
+      val (rating, pred, diff) = (fields(2).toDouble, fields(3).toDouble, fields(4).toDouble)
+      assert(math.abs(math.abs(rating - pred) - diff) < 1e-3)
+    }
+  }
+}
