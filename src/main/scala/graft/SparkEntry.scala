@@ -8,7 +8,8 @@ object SparkEntry {
   /** Every implemented engine query, module by module (SURVEY.md §2). */
   def registry: Seq[GQuery] =
     operators.Relational.all ++ operators.SetOps.all ++
-      operators.Scalars.all ++ operators.Olap.all ++ ml.Recommender.all
+      operators.Scalars.all ++ operators.Olap.all ++ ml.Recommender.all ++
+      operators.TextOps.all ++ operators.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

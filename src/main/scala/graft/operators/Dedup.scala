@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+import graft.functions.RollingHash
+
+/** Deduplication operators for a training-data pipeline (north-star set):
+  * exact, MinHash-LSH, SimHash, and n-gram Jaccard — each as an
+  * oracle-checked query over `documents`.
+  *
+  * Scale design: nothing here is O(n²) on the Spark side. Exact dedup is
+  * a hash aggregate; MinHash pairs come from band-bucket equi-joins;
+  * SimHash pairs come from a pigeonhole chunk-join (T+1 chunks guarantee
+  * a clean chunk at Hamming distance ≤ T, so the band join is *exactly*
+  * equivalent to the brute-force O(n²) scan the DuckDB oracle runs);
+  * Jaccard is blocked on (lang, source). At 100 TB each stage is a plain
+  * shuffle on a bounded key space.
+  */
+object Dedup {
+
+  private val P = RollingHash.DefaultMod // 1000000007
+
+  /** q44 — exact dedup: corpus-level duplicate accounting via distinct
+    * text (the `dropDuplicates` operator expressed as its aggregate
+    * equivalent so DuckDB can check it).
+    */
+  val q44 = oracled(
+    "q44_dedup_exact",
+    "exact duplicate accounting (count vs distinct text)",
+    """SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_distinct_texts,
+       COUNT(*) - COUNT(DISTINCT text) AS n_duplicate_docs,
+       COUNT(DISTINCT lang) AS n_langs
+       FROM documents""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_duplicate_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  private def permA(i: Int): Long = 17L + 2L * i
+  private def permB(i: Int): Long = 91L + 5L * i
+
+  /** Per-doc MinHash signature columns mh0..mh15 over distinct-token
+    * rolling hashes.
+    */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), " "))).as("tok"))
+      .withColumn("h", RollingHash.rollingHash(col("tok")))
+    tok.groupBy(col("doc_id"))
+      .agg(
+        min(pmod(col("h") * permA(0) + permB(0), lit(P))).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(pmod(col("h") * permA(i) + permB(i), lit(P))).as(s"mh$i")): _*)
+  }
+
+  private def minhashSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN((h*${permA(i)} + ${permB(i)}) % $P) AS mh$i").mkString(",\n           ")
+    val sigs = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(j => s"mh${b * BandSize + j}")
+      s"CONCAT(${cols.mkString(", '-', ")}) AS sig$b"
+    }.mkString(",\n           ")
+    val bandJoins = (0 until NumBands).map { b =>
+      s"""SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM sig x JOIN sig y ON x.sig$b = y.sig$b AND x.doc_id < y.doc_id"""
+    }.mkString("\n          UNION\n          ")
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         FROM documents),
+       th AS (SELECT doc_id, ${RollingHash.duckSql("tok")} AS h FROM tok),
+       mh AS (SELECT doc_id,
+           $mins
+         FROM th GROUP BY doc_id),
+       sig AS (SELECT doc_id,
+           $sigs
+         FROM mh),
+       pairs AS (
+          $bandJoins)
+       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""
+  }
+
+  /** q45 — MinHash-LSH near-dup candidates: shingle→minhash→band→
+    * bucket-join. 16 hashes, 4 bands × 4 rows (candidate threshold
+    * j ≈ (1/4)^(1/4) ≈ 0.7). The Spark plan only ever joins on band
+    * signature equality — no cross product at any scale.
+    */
+  val q45 = oracled(
+    "q45_dedup_minhash_lsh",
+    "MinHash-LSH banding candidate pairs (16 hashes, 4 bands)",
+    minhashSql) { (s, dir) =>
+    val mh = minhashSignatures(Tables.documents(s, dir))
+    val sigs = mh.select(col("doc_id") +:
+      (0 until NumBands).map { b =>
+        concat_ws("-", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*)
+          .as(s"sig$b")
+      }: _*)
+    val pairs = (0 until NumBands).map { b =>
+      val x = sigs.alias("x")
+      val y = sigs.alias("y")
+      x.join(y, col(s"x.sig$b") === col(s"y.sig$b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }.reduce(_ union _).distinct()
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  private val SimBits = 48
+
+  /** Per-doc 48-bit SimHash from token-frequency bit votes. */
+  private def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("tok"))
+      .withColumn("h",
+        RollingHash.rollingHash(col("tok"), RollingHash.WideBase, RollingHash.WideMod))
+    val votes = tok.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until SimBits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")): _*)
+    votes.select(col("doc_id"),
+      (0 until SimBits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  private def simhashCte: String = {
+    val sums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n           ")
+    val simExpr = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       th AS (SELECT doc_id,
+         ${RollingHash.duckSql("tok", RollingHash.WideBase, RollingHash.WideMod)} AS h
+         FROM tok),
+       votes AS (SELECT doc_id,
+           $sums
+         FROM th GROUP BY doc_id),
+       sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  /** q46 — per-document SimHash fingerprint (oracle recomputes the full
+    * 48-bit vote construction independently).
+    */
+  val q46 = oracled(
+    "q46_simhash_fingerprint",
+    "48-bit SimHash document fingerprints",
+    s"""WITH $simhashCte
+       SELECT doc_id, simhash FROM sim ORDER BY doc_id""") { (s, dir) =>
+    simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** q47 — SimHash near-dup pairs at Hamming distance ≤ 3. The Spark
+    * side uses pigeonhole banding: split 48 bits into 4 chunks of 12;
+    * distance ≤ 3 guarantees at least one identical chunk, so joining on
+    * chunk equality then exact-filtering is *provably identical* to the
+    * O(n²) scan — which is what the DuckDB oracle runs. That equivalence
+    * is the 100 TB design: candidate generation is an equi-join.
+    */
+  val q47 = {
+    val HamT = 3
+    val chunks = HamT + 1            // 4 chunks of 12 bits
+    val chunkBits = SimBits / chunks
+    oracled(
+      "q47_simhash_near_dup",
+      "SimHash pairs at Hamming ≤ 3 via pigeonhole chunk join",
+      s"""WITH $simhashCte
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT
+         ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sim = simhashes(Tables.documents(s, dir))
+      val withChunks = sim.select(col("doc_id") +: col("simhash") +:
+        (0 until chunks).map(c =>
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1).as(s"c$c")): _*)
+      val candidates = (0 until chunks).map { c =>
+        val x = withChunks.alias("x")
+        val y = withChunks.alias("y")
+        x.join(y, col(s"x.c$c") === col(s"y.c$c") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      }.reduce(_ union _).distinct()
+      candidates
+        .withColumn("dist",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("dist") <= HamT)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  /** q48 — word-bigram (shingle) Jaccard near-dups, blocked on
+    * (lang, source). Spark computes set overlap natively with
+    * array_intersect; the oracle derives the same sets relationally —
+    * two independent constructions agreeing on every pair.
+    */
+  val q48 = oracled(
+    "q48_ngram_jaccard",
+    "bigram-shingle Jaccard ≥ 0.1 within (lang, source) blocks",
+    """WITH t AS (
+         SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+         FROM documents),
+       bg AS (
+         SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1])) AS sh
+         FROM t)
+       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+       FROM bg x JOIN bg y
+         ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+       WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.1
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val toks = split(trim(col("text")), " ")
+    val bigrams = array_distinct(
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), bigrams.as("sh"))
+    val x = bg.alias("x")
+    val y = bg.alias("y")
+    val inter = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
+    val jac = inter / (size(col("x.sh")) + size(col("y.sh")) - inter)
+    x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48)
+}

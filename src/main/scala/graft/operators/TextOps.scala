@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+import graft.functions.RollingHash.{duckSql, rollingHash}
+
+/** Text-analysis operators for a training-data pipeline (north-star set:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting), all over the `documents` fixture table. Everything is
+  * a codegen'd column expression over one scan — per-document work with
+  * no shuffle at all except the final presentation sort, which is the
+  * shape that holds on a 100 TB corpus.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def stopwordsSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** q40 — token counting: whitespace tokens, word-regex tokens (the
+    * BPE-ish `[a-z]+` pass), distinct tokens, mean token length.
+    */
+  val q40 = oracled(
+    "q40_token_stats",
+    "whitespace + regex tokenization, distinct counts, mean token length",
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_distinct,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(regexp_extract_all(text, '[a-z]+')) AS mean_token_len
+       FROM documents
+       ORDER BY doc_id""") { (s, dir) =>
+    val words = regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(words).cast("long").as("n_word_tokens"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(words))
+          .as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q41 — quality scoring: stopword ratio, length stats, repetition
+    * ratio (distinct/total) — the heuristics an LLM-data pipeline uses to
+    * filter a crawl. Composite score = weighted sum of the ratios.
+    */
+  val q41 = oracled(
+    "q41_quality_score",
+    "stopword/length/repetition ratios + composite quality score",
+    s"""SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS distinct_ratio,
+       CAST(length(text) AS DOUBLE) / 256.0 AS len_score,
+       0.4 * (CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+         + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+         + 0.2 * LEAST(CAST(length(text) AS DOUBLE) / 256.0, 1.0) AS quality
+       FROM documents
+       ORDER BY doc_id""") { (s, dir) =>
+    val stopArr = typedLit(stopwords)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nToks = size(toks)
+    val stopRatio = nStop.cast("double") / nToks
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
+    val lenScore = length(col("text")).cast("double") / 256.0
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        nStop.cast("long").as("n_stopwords"),
+        stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        lenScore.as("len_score"),
+        (lit(0.4) * stopRatio + lit(0.4) * distinctRatio
+          + lit(0.2) * least(lenScore, lit(1.0))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q42 — language-ID heuristic: marker-word votes per language with a
+    * deterministic argmax (fixed tie-break order). The fixture text is
+    * synthetic, so accuracy is meaningless — the operator shape
+    * (vote columns + deterministic argmax cascade) is what's exercised.
+    */
+  val q42 = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "die", "und"),
+      "es" -> Seq("el", "la", "que"),
+      "fr" -> Seq("le", "les", "et"))
+    def scoreSql(ws: Seq[String]) = {
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t)))"
+    }
+    val caseSql = {
+      val s = markers.map { case (l, _) => l -> s"s_$l" }.toMap
+      s"""CASE WHEN ${s("en")} > 0 AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("fr")} THEN 'en'
+          WHEN ${s("de")} > 0 AND ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")} THEN 'de'
+          WHEN ${s("es")} > 0 AND ${s("es")} >= ${s("fr")} THEN 'es'
+          WHEN ${s("fr")} > 0 THEN 'fr'
+          ELSE 'unknown' END"""
+    }
+    oracled(
+      "q42_lang_id",
+      "marker-word language-ID votes + deterministic argmax",
+      s"""WITH scored AS (
+           SELECT doc_id, lang,
+             ${markers.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n             ")}
+           FROM documents)
+         SELECT doc_id, lang, $caseSql AS pred_lang,
+           (lang = $caseSql) AS is_correct
+         FROM scored
+         ORDER BY doc_id""") { (s, dir) =>
+      def score(ws: Seq[String]): Column =
+        size(filter(toks, t => array_contains(typedLit(ws), t)))
+      val sc = markers.map { case (l, ws) => l -> score(ws) }.toMap
+      val pred =
+        when(sc("en") > 0 && sc("en") >= sc("de") && sc("en") >= sc("es") && sc("en") >= sc("fr"), "en")
+          .when(sc("de") > 0 && sc("de") >= sc("es") && sc("de") >= sc("fr"), "de")
+          .when(sc("es") > 0 && sc("es") >= sc("fr"), "es")
+          .when(sc("fr") > 0, "fr")
+          .otherwise("unknown")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          (col("lang") === pred).as("is_correct"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q43 — document fingerprinting with the native codegen'd RollingHash
+    * expression; the DuckDB oracle recomputes the identical polynomial
+    * fold with list_reduce, cross-checking the generated Java against an
+    * independent implementation.
+    */
+  val q43 = oracled(
+    "q43_fingerprint",
+    "rolling-hash document fingerprint (native Catalyst expression)",
+    s"""SELECT doc_id, ${duckSql("text")} AS fingerprint
+       FROM documents
+       ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rollingHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43)
+}
