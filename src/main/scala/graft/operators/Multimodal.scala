@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.{oracled, rowsOnly}
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star set): media as opaque BINARY
+  * payloads with typed metadata, processed partition-wise.
+  *
+  * The container ships no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (see [[DecodeStub]]) — but the
+  * Spark-side plumbing is real: schema, binary payload handling,
+  * partition-wise batch iteration (`mapPartitions` over a typed Dataset,
+  * the Scala analogue of `mapInPandas` batches), and the feature-table
+  * output shape a real decoder would produce. Swapping the stub for a
+  * JNI/codec call changes one function, not the pipeline.
+  */
+object Multimodal {
+
+  /** Typed media row: payload is an opaque blob; kind discriminates the
+    * decoder; meta carries source-side hints (content type, declared
+    * dims). At 100 TB payloads live in parquet binary columns exactly
+    * like this.
+    */
+  final case class MediaBlob(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      declared_len: Long)
+
+  /** Decoded feature row a real image/audio decoder would emit. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** ??? real decoder goes here ??? — the container has no image/audio
+    * libraries, so this computes deterministic pseudo-features from the
+    * payload bytes: checksum = polynomial byte fold, width/height/frames
+    * derived from it. Signature and batch shape match a real decoder
+    * (bytes in, fixed-schema features out, called per partition batch).
+    */
+  object DecodeStub {
+    def decode(b: MediaBlob): MediaFeatures = {
+      var h = 0L
+      var i = 0
+      while (i < b.payload.length) {
+        h = (h * 31 + (b.payload(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      MediaFeatures(
+        media_id = b.media_id,
+        kind = b.kind,
+        n_bytes = b.payload.length.toLong,
+        checksum = h,
+        width = (h % 1920).toInt + 1,
+        height = (h % 1080).toInt + 1,
+        n_frames = if (b.kind == "video") (h % 240).toInt + 1 else 1)
+    }
+  }
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes of
+    * the text (deterministic stand-in for real image/audio bytes), kind
+    * assigned round-robin.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("n_chars").as("declared_len"))
+
+  /** The partition-wise decode pipeline: typed Dataset → mapPartitions
+    * (one stub-decoder instance per partition, amortized like a model
+    * handle in a Pandas UDF) → feature DataFrame.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaBlob] = media.as[MediaBlob]
+    ds.mapPartitions { it =>
+      // per-partition setup happens here (codec init in a real decoder)
+      it.map(DecodeStub.decode)
+    }.toDF()
+  }
+
+  /** q52 — binary-column metadata extraction, pure column expressions
+    * (octet length + md5 digest of the payload): the part of multimodal
+    * processing that never needs a decoder, oracle-checked.
+    */
+  val q52 = oracled(
+    "q52_multimodal_binary_meta",
+    "opaque-binary payload metadata: byte length + md5 digest",
+    """SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       ascii(substr(text, 1, 1)) AS first_byte
+       FROM documents
+       ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53 — the full stub decode pipeline (rows-only: mapPartitions over
+    * a typed Dataset is not SQL-expressible; MultimodalSpec asserts the
+    * deterministic feature values instead).
+    */
+  val q53 = rowsOnly(
+    "q53_multimodal_decode_stub",
+    "partition-wise media decode (stub) -> per-kind feature aggregates") { (s, dir) =>
+    decodeFeatures(mediaTable(s, dir))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("checksum")).as("n_distinct_payloads"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy(col("kind"))
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53)
+}

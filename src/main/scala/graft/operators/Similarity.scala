@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.{oracled, rowsOnly}
+import graft.sources.Tables
+import graft.functions.GraftFunctions.{cosine, dotProduct, normSq}
+
+/** Similarity search over the `embeddings` table (north-star set):
+  * brute-force cosine as the verifiable baseline, sign-LSH bucketing as
+  * the scale path.
+  *
+  * The DuckDB fold (`list_reduce`) and Spark's `aggregate()` HOF are
+  * both sequential left folds, so cosine values match bit-for-bit and
+  * threshold filters select identical row sets.
+  */
+object Similarity {
+
+  /** DuckDB fragment: sequential-fold dot product of two list columns. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (u, v) -> u + v)"""
+
+  private def duckCos(x: String, y: String): String =
+    s"""(${duckDot(s"$x.embedding", s"$y.embedding")}
+        / (sqrt(${duckDot(s"$x.embedding", s"$x.embedding")})
+         * sqrt(${duckDot(s"$y.embedding", s"$y.embedding")})))"""
+
+  /** q49 — embedding-cosine near-duplicate pairs (threshold 0.45). The
+    * fixture is small enough for the all-pairs join; the 100 TB path is
+    * q51's LSH bucketing (this query is its recall oracle).
+    */
+  val q49 = oracled(
+    "q49_cosine_near_dup",
+    "all-pairs cosine >= 0.45 near-duplicate detection",
+    s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         ${duckCos("x", "y")} AS cos_sim
+       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       WHERE ${duckCos("x", "y")} >= 0.45
+       ORDER BY vec_a, vec_b""") { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val x = e.alias("x")
+    val y = e.alias("y")
+    x.join(y, col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q50 — brute-force top-k cosine neighbors for a bounded query set
+    * (vec_id < 10): ranked window over the scored join. Ties broken on
+    * vec_b for total determinism.
+    */
+  val q50 = oracled(
+    "q50_cosine_topk",
+    "top-5 cosine neighbors per query vector (brute force + window)",
+    s"""SELECT * FROM (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+         FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+         WHERE x.vec_id < 10) t
+       WHERE rn <= 5
+       ORDER BY query_id, rn""") { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10).alias("x")
+    val y = e.alias("y")
+    val scored = q.join(y, col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Deterministic rational hyperplane entry for sign-LSH: plane j,
+    * dimension d ↦ ((j*53 + d*67) mod 19)/19 - 0.45 — pseudo-random in
+    * [-0.45, 0.5), identical in any engine.
+    */
+  private def planeVal(j: Int, d: Column): Column =
+    pmod(lit(j) * 53 + d * 67, lit(19)).cast("double") / 19.0 - 0.45
+
+  /** q51 — sign-LSH bucketed ANN (the 100 TB path): 8 deterministic
+    * hyperplanes -> 8-bit bucket, candidates restricted to same-bucket
+    * vectors, top-5 by cosine within the bucket. Rows-only for the
+    * driver (approximate by construction); SimilaritySpec measures its
+    * recall against q50's exact top-k.
+    */
+  val q51 = rowsOnly(
+    "q51_ann_lsh_bucketed",
+    "sign-LSH (8 hyperplanes) bucketed approximate top-5 neighbors") { (s, dir) =>
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // bucket bit j = sign(dot(embedding, plane_j)): fold over dims 1..64
+    val bucket = (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(1), lit(64)),
+          (x, d) => x.cast("double") * planeVal(j, d)),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < 10).alias("x")
+    val y = b.alias("y")
+    val scored = q.join(y,
+        col("x.bucket") === col("y.bucket") && col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51)
+}
