@@ -68,11 +68,13 @@ object RollingHash {
     GraftSqlBridge.toColumn(RollingHash(GraftSqlBridge.toExpression(c), base, mod))
 
   /** The equivalent DuckDB SQL fragment (char-based fold; identical to the
-    * byte fold for ASCII input).
+    * byte fold for ASCII input). `sfx` de-collides lambda variable names
+    * when this fragment is nested inside another DuckDB lambda.
     */
-  def duckSql(expr: String, base: Long = DefaultBase, mod: Long = DefaultMod): String =
+  def duckSql(expr: String, base: Long = DefaultBase, mod: Long = DefaultMod,
+      sfx: String = ""): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        list_transform(range(1, length($expr)+1),
-         i -> CAST(ascii(substr($expr, CAST(i AS INT), 1)) AS BIGINT))),
-       (a, b) -> (a*$base + b) % $mod)"""
+         i$sfx -> CAST(ascii(substr($expr, CAST(i$sfx AS INT), 1)) AS BIGINT))),
+       (a$sfx, b$sfx) -> (a$sfx*$base + b$sfx) % $mod)"""
 }

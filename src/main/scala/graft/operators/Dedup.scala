@@ -101,18 +101,23 @@ object Dedup {
     "MinHash-LSH banding candidate pairs (16 hashes, 4 bands)",
     minhashSql) { (s, dir) =>
     val mh = minhashSignatures(Tables.documents(s, dir))
-    val sigs = mh.select(col("doc_id") +:
-      (0 until NumBands).map { b =>
+    // one (band, signature) equi-join instead of NumBands self-joins:
+    // band id is folded into the join key via posexplode, so candidate
+    // generation is a single shuffle whatever the band count. The tiny
+    // signature table (one row per doc per band) is cached across the
+    // self-join's two sides.
+    val bandSigs = mh.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
         concat_ws("-", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*)
-          .as(s"sig$b")
-      }: _*)
-    val pairs = (0 until NumBands).map { b =>
-      val x = sigs.alias("x")
-      val y = sigs.alias("y")
-      x.join(y, col(s"x.sig$b") === col(s"y.sig$b") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    }.reduce(_ union _).distinct()
-    pairs.orderBy(col("doc_a"), col("doc_b"))
+      }: _*)).as(Seq("band", "sig")))
+      .cache()
+    val x = bandSigs.alias("x")
+    val y = bandSigs.alias("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -183,64 +188,84 @@ object Dedup {
          WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT
          ORDER BY doc_a, doc_b""") { (s, dir) =>
       val sim = simhashes(Tables.documents(s, dir))
-      val withChunks = sim.select(col("doc_id") +: col("simhash") +:
-        (0 until chunks).map(c =>
+      // chunk id folded into the join key (posexplode) -> ONE equi-join
+      // for all pigeonhole chunks; the per-doc chunk table is cached
+      // across the self-join sides.
+      val chunked = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until chunks).map(c =>
           shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND((1L << chunkBits) - 1).as(s"c$c")): _*)
-      val candidates = (0 until chunks).map { c =>
-        val x = withChunks.alias("x")
-        val y = withChunks.alias("y")
-        x.join(y, col(s"x.c$c") === col(s"y.c$c") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      }.reduce(_ union _).distinct()
-      candidates
-        .withColumn("dist",
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+            .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
+        .cache()
+      val x = chunked.alias("x")
+      val y = chunked.alias("y")
+      val candidates = x.join(y,
+          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
+        // cheap bit-count filter BEFORE the distinct so the dedup shuffle
+        // only carries true near-dup pairs, not every chunk collision
         .filter(col("dist") <= HamT)
+        .distinct()
+      candidates
         .select(col("doc_a"), col("doc_b"), col("dist"))
         .orderBy(col("doc_a"), col("doc_b"))
     }
   }
 
   /** q48 — word-bigram (shingle) Jaccard near-dups, blocked on
-    * (lang, source). Spark computes set overlap natively with
-    * array_intersect; the oracle derives the same sets relationally —
-    * two independent constructions agreeing on every pair.
+    * (lang, source). Shingles are rolling-hashed to BIGINT and sorted
+    * once per document; the per-pair cost is then a single codegen'd
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]]) —
+    * O(|A|+|B|) with no per-pair hashing or allocation. The oracle uses
+    * the identical hashed formulation (nested list_reduce), so both
+    * engines agree bit-for-bit including in the (negligible-probability)
+    * event of a hash collision.
     */
-  val q48 = oracled(
-    "q48_ngram_jaccard",
-    "bigram-shingle Jaccard ≥ 0.1 within (lang, source) blocks",
-    """WITH t AS (
-         SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
-         FROM documents),
-       bg AS (
-         SELECT doc_id, lang, source,
-           list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1])) AS sh
-         FROM t)
-       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-       FROM bg x JOIN bg y
-         ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-       WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.1
-       ORDER BY doc_a, doc_b""") { (s, dir) =>
-    val toks = split(trim(col("text")), " ")
-    val bigrams = array_distinct(
-      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit("_"), b)))
-    val bg = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), bigrams.as("sh"))
-    val x = bg.alias("x")
-    val y = bg.alias("y")
-    val inter = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
-    val jac = inter / (size(col("x.sh")) + size(col("y.sh")) - inter)
-    x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), jac.as("jaccard"))
-      .filter(col("jaccard") >= 0.1)
-      .orderBy(col("doc_a"), col("doc_b"))
+  val q48 = {
+    val hashSql = RollingHash.duckSql("b", sfx = "2")
+    oracled(
+      "q48_ngram_jaccard",
+      "bigram-shingle Jaccard ≥ 0.1 within (lang, source) blocks",
+      s"""WITH t AS (
+           SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang, source,
+             list_sort(list_distinct(list_transform(
+               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               b -> $hashSql))) AS sh
+           FROM t)
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+         FROM bg x JOIN bg y
+           ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.1
+         ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import graft.functions.SortedIntersectCount.sortedIntersectCount
+      val toks = split(trim(col("text")), " ")
+      val bigrams =
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit("_"), b))
+      val hashed = array_sort(array_distinct(
+        transform(bigrams, b => RollingHash.rollingHash(b))))
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), hashed.as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val x = bg.alias("x")
+      val y = bg.alias("y")
+      x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          sortedIntersectCount(col("x.sh"), col("y.sh")).cast("double").as("inter"),
+          (col("x.n_sh") + col("y.n_sh")).as("sz"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter") / (col("sz") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48)

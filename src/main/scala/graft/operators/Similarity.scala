@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.{oracled, rowsOnly}
 import graft.sources.Tables
-import graft.functions.GraftFunctions.{cosine, dotProduct, normSq}
+import graft.functions.VecOps.{dotF, l2Norm}
 
 /** Similarity search over the `embeddings` table (north-star set):
   * brute-force cosine as the verifiable baseline, sign-LSH bucketing as
@@ -40,12 +40,17 @@ object Similarity {
        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
        WHERE ${duckCos("x", "y")} >= 0.45
        ORDER BY vec_a, vec_b""") { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // norms are computed ONCE per vector before the join (2k rows), not
+    // per pair (2M); the pair side is a single codegen'd dot + divide.
+    // Values are bit-identical to the per-pair oracle formula.
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     val x = e.alias("x")
     val y = e.alias("y")
     x.join(y, col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -66,12 +71,14 @@ object Similarity {
          WHERE x.vec_id < 10) t
        WHERE rn <= 5
        ORDER BY query_id, rn""") { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 10).alias("x")
     val y = e.alias("y")
     val scored = q.join(y, col("y.vec_id") =!= col("x.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_b"))
     scored.withColumn("rn", row_number().over(w))
@@ -79,12 +86,13 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** Deterministic rational hyperplane entry for sign-LSH: plane j,
-    * dimension d ↦ ((j*53 + d*67) mod 19)/19 - 0.45 — pseudo-random in
-    * [-0.45, 0.5), identical in any engine.
+  /** Deterministic rational hyperplane for sign-LSH: plane j, dimension
+    * d (1-based) ↦ ((j*53 + d*67) mod 19)/19 - 0.45 — pseudo-random in
+    * [-0.45, 0.5), materialized as a literal array so the projection is
+    * one codegen'd dot product per plane.
     */
-  private def planeVal(j: Int, d: Column): Column =
-    pmod(lit(j) * 53 + d * 67, lit(19)).cast("double") / 19.0 - 0.45
+  private def plane(j: Int): Column =
+    typedLit(Seq.tabulate(64)(d => ((j * 53 + (d + 1) * 67) % 19) / 19.0 - 0.45))
 
   /** q51 — sign-LSH bucketed ANN (the 100 TB path): 8 deterministic
     * hyperplanes -> 8-bit bucket, candidates restricted to same-bucket
@@ -95,14 +103,11 @@ object Similarity {
   val q51 = rowsOnly(
     "q51_ann_lsh_bucketed",
     "sign-LSH (8 hyperplanes) bucketed approximate top-5 neighbors") { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // bucket bit j = sign(dot(embedding, plane_j)): fold over dims 1..64
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    // bucket bit j = sign(dot(embedding, plane_j)) — 8 codegen'd dots
     val bucket = (0 until 8).map { j =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(1), lit(64)),
-          (x, d) => x.cast("double") * planeVal(j, d)),
-        lit(0.0), (acc, t) => acc + t)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotF(col("embedding"), plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.withColumn("bucket", bucket)
     val q = b.filter(col("vec_id") < 10).alias("x")
@@ -110,7 +115,8 @@ object Similarity {
     val scored = q.join(y,
         col("x.bucket") === col("y.bucket") && col("y.vec_id") =!= col("x.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_b"))
     scored.withColumn("rn", row_number().over(w))
