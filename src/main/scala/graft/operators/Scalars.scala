@@ -164,5 +164,60 @@ object Scalars {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24)
+  /** q54 — range (theta) join: events banded by value against a small
+    * in-memory band dimension. Planned as a broadcast nested-loop join —
+    * the right physical choice when one side is a handful of rows; the
+    * non-equi join surface the reference lacks (SURVEY.md §2.2 row 2).
+    */
+  val q54 = oracled(
+    "q54_range_band_join",
+    "non-equi (BETWEEN) join against a broadcast band dimension",
+    """WITH bands(band, lo, hi) AS (
+         VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0))
+       SELECT band,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events JOIN bands ON value >= lo AND value < hi
+       GROUP BY band
+       ORDER BY band""") { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0))
+      .toDF("band", "lo", "hi")
+    Tables.events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  /** q55 — semi-structured props as a real MAP type: from_json to
+    * MAP<STRING,BIGINT>, map functions, explode of entries.
+    */
+  val q55 = oracled(
+    "q55_json_map_ops",
+    "from_json -> MAP column -> map_keys/values + entry explode",
+    """SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_keys
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""") { (s, dir) =>
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(s, dir)
+      .select(col("event_type"), m.as("props_map"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(element_at(col("props_map"), "k").isNotNull, 1L).otherwise(0L)).as("n_with_k"),
+        sum(element_at(col("props_map"), "k")).as("sum_k"),
+        max(size(map_keys(col("props_map")))).cast("long").as("max_keys"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55)
 }

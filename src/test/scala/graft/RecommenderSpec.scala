@@ -53,6 +53,20 @@ class RecommenderSpec extends AnyFunSuite {
     }
   }
 
+  test("headerless TSV ratings reader parses MovieLens-format lines (S1/S2)") {
+    val dir = java.nio.file.Files.createTempDirectory("ratings_tsv")
+    val f = dir.resolve("u.data")
+    // the reference's input shape: user \t item \t rating \t epoch
+    java.nio.file.Files.writeString(f,
+      "196\t242\t3\t881250949\n186\t302\t3\t891717742\n22\t377\t1\t878887116\n")
+    val df = graft.sources.Tables.ratingsTsv(spark, f.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("user_id", "item_id", "rating", "ts"))
+    val rows = df.orderBy(col("user_id")).collect()
+    assert(rows.length === 3)
+    assert(rows.head.getInt(0) === 22 && rows.head.getInt(2) === 1)
+    assert(rows.last.getLong(3) === 881250949L)
+  }
+
   test("predictions TSV sink writes the reference's 5-field line format") {
     val terms = transform(sequence(lit(0), lit(Recommender.Rank - 1)),
       f => lit(0.01) * f)
