@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.SetOps.all ++
       operators.Scalars.all ++ operators.Olap.all ++ ml.Recommender.all ++
       operators.TextOps.all ++ operators.Dedup.all ++
-      operators.Similarity.all ++ operators.Multimodal.all
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Temporal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+import graft.functions.GraftFunctions.dec2
+
+/** Temporal / ordered-data operators beyond plain windows: the as-of
+  * join (match each fact to the latest earlier event in another stream)
+  * and generator (explode) coverage.
+  */
+object Temporal {
+
+  /** q56 — AS-OF JOIN: each purchase matched to the same user's most
+    * recent click at-or-before it.
+    *
+    * Spark has no asof-join operator; rather than a custom SparkPlan,
+    * this composes it scale-correctly as ONE shuffle: union both streams,
+    * per-user window ordered by (ts, click-before-purchase, event_id),
+    * running `last(click_ts, ignoreNulls)` — O(n log n) per user
+    * partition, no join at all, no state larger than a row. The DuckDB
+    * oracle uses its native ASOF JOIN operator, so the composition is
+    * cross-validated against an independent first-class implementation.
+    */
+  val q56 = oracled(
+    "q56_asof_join",
+    "as-of join (purchase -> latest preceding click) as one window pass",
+    """SELECT p.event_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // clicks sort before purchases at equal ts so ties match ASOF's >=
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts_raw",
+        when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click", last(col("click_ts_raw"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("last_click"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q57 — generator/flatten coverage: explode tokens, global top-10 by
+    * frequency (explode → hash agg → TakeOrderedAndProject).
+    */
+  val q57 = oracled(
+    "q57_token_explode_topk",
+    "explode(split) -> token frequency -> top-10",
+    """SELECT tok, COUNT(*) AS n
+       FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+       GROUP BY tok
+       ORDER BY n DESC, tok
+       LIMIT 10""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(10)
+  }
+
+  /** q58 — exact interpolated percentiles per group (median + p90 of
+    * customer balances). Spark `percentile` and DuckDB `quantile_cont`
+    * both use the (n-1)*p linear-interpolation definition.
+    */
+  val q58 = oracled(
+    "q58_percentiles",
+    "exact interpolated median/p90 per segment",
+    """SELECT c_mktsegment,
+       COUNT(*) AS n,
+       quantile_cont(c_acctbal, 0.5) AS median_bal,
+       quantile_cont(c_acctbal, 0.9) AS p90_bal
+       FROM customer
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment""") { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("c_acctbal"), lit(0.5)).as("median_bal"),
+        percentile(col("c_acctbal"), lit(0.9)).as("p90_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58)
+}

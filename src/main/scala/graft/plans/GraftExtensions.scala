@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, RollingHash, SortedIntersectCount}
+
+/** Registers graft's native Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT rolling_hash(text) ...")` works alongside the
+  * Column API.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for `SparkSession.builder().withExtensions(...)`
+  *    (the production path — survives into every session derived from
+  *    the builder);
+  *  - [[GraftExtensions.register]] for an already-running session (the
+  *    test/REPL path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val descriptions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - polynomial byte-fold fingerprint"),
+      (es: Seq[Expression]) =>
+        RollingHash(es.head, RollingHash.DefaultBase, RollingHash.DefaultMod)),
+    ("dot_product",
+      info("dot_product", "dot_product(arr, arr) - codegen'd double dot product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count",
+        "sorted_intersect_count(arr, arr) - overlap count of sorted bigint arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+
+  /** Register on a live session (functionRegistry path). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

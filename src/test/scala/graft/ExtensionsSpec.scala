@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+import graft.streaming.UserActivityState
+
+/** SQL-function registration of the native expressions + custom stateful
+  * streaming (mapGroupsWithState).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('hello') AS h,
+                dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c""")
+      .head()
+    // independent reference: ((...(0*31+'h')%p ...) over bytes of "hello"
+    val expected = "hello".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(r.getLong(0) === expected)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getInt(2) === 2)
+  }
+
+  test("SQL rolling_hash matches the Column-API expression over real data") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql("SELECT doc_id, rolling_hash(text) AS fp FROM docs_ext ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.RollingHash.rollingHash(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
+  test("mapGroupsWithState per-user profiles equal batch aggregates after drain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
+    val profiles = UserActivityState.profiles(
+      UserActivityState.fromRaw(spark, dir.toString))
+    val q = profiles.toDF().writeStream
+      .outputMode("update").format("memory").queryName("profiles_test").start()
+    try {
+      q.processAllAvailable()
+      // Update mode: keep the latest row per user
+      val streamed = spark.sql(
+        """SELECT user_id, n_events, n_purchases FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM profiles_test) WHERE rn = 1""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
