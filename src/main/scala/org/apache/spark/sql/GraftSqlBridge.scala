@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for planting custom logical
+    * nodes like graft.plans.AsOfJoinPlan).
+    */
+  def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Build a DataFrame from a logical plan (classic-mode Dataset.ofRows). */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
