@@ -168,5 +168,35 @@ object Olap {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q25, q26, q27, q28, q29)
+  /** q59 — sliding window (12h length, 6h slide): each event lands in
+    * exactly two overlapping windows. The oracle materializes the same
+    * two window starts per event with a UNION ALL of shifted
+    * epoch-floors — an independent derivation of `window()`'s overlap
+    * semantics.
+    */
+  val q59 = oracled(
+    "q59_time_window_sliding",
+    "12h/6h sliding window aggregation (overlap factor 2)",
+    """WITH slid AS (
+         SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS ws, value FROM events
+         UNION ALL
+         SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 - 21600) AS TIMESTAMP) AS ws, value FROM events)
+       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM slid
+       GROUP BY 1
+       ORDER BY 1""") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"))
+  }
+
+  val all: Seq[GQuery] = Seq(q25, q26, q27, q28, q29, q59)
 }
