@@ -260,5 +260,44 @@ object Recommender {
         abs(col("rating") - col("pred")).cast("decimal(8,4)")).as("value"))
       .write.mode("overwrite").text(path)
 
-  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  /** q37 — holdout evaluation, the reference's actual protocol (train on
+    * u.data, score u1.test — SVDMovieLensSparkJava.java:452-471): a
+    * deterministic 80/20 split (event_id % 5), item stats fitted on the
+    * TRAIN side only, pseudo-avg predictions scored on the TEST side.
+    * Items unseen in training fall back to the global prior (3.23) —
+    * the cold-start rule the Bayesian smoothing implies.
+    */
+  val q37 = oracled(
+    "q37_holdout_eval",
+    "80/20 holdout: train-side pseudo-avg scored on the test side + MAE",
+    s"""WITH r AS (SELECT user_id,
+          event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating,
+          event_id % 5 AS fold
+          FROM events),
+        train_stats AS (
+          SELECT item_id,
+            LEAST(GREATEST((3.23*25 + CAST(SUM(rating) AS DOUBLE)) / (25.0 + COUNT(*)), 1.0), 5.0) AS pred
+          FROM r WHERE fold <> 0 GROUP BY item_id)
+        SELECT COUNT(*) AS n_test,
+        CAST(SUM(CAST(ABS(t.rating - COALESCE(s.pred, 3.23)) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mae
+        FROM (SELECT * FROM r WHERE fold = 0) t
+        LEFT JOIN train_stats s ON t.item_id = s.item_id""") { (s, dir) =>
+    val r = Tables.events(s, dir).select(
+      col("user_id"),
+      (col("event_id") % NumItems).as("item_id"),
+      (pmod(floor(col("value")).cast("long"), lit(5L)) + 1L).as("rating"),
+      (col("event_id") % 5).as("fold"))
+    val trainStats = r.filter(col("fold") =!= 0)
+      .groupBy(col("item_id"))
+      .agg(clamp(pseudoAvg(sum(col("rating")).cast("double"), count(lit(1))), 1.0, 5.0).as("pred"))
+    r.filter(col("fold") === 0)
+      .join(broadcast(trainStats), Seq("item_id"), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        (sum(abs(col("rating") - coalesce(col("pred"), lit(PseudoAvgPrior)))
+          .cast("decimal(18,9)")).cast("double") / count(lit(1))).as("mae"))
+  }
+
+  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }

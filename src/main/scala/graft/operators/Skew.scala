@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot aggregation keys: two-stage salted
+  * aggregation. Stage 1 aggregates on (key, salt) — the hot key's rows
+  * spread across `saltBuckets` reducers — stage 2 merges the partials on
+  * the key alone, handling at most `saltBuckets` rows per key.
+  *
+  * At 100 TB this is the difference between one straggler reducer
+  * holding a zipf-head key's terabyte and 32 reducers each holding a
+  * 32nd of it. AQE's skew-join handling covers joins; salting covers
+  * aggregations (AQE does not re-balance a skewed groupBy key).
+  *
+  * The salt is derived from stable row content (not rand()) so results
+  * are deterministic and retries are safe.
+  */
+object Skew {
+
+  /** Salted count+sum aggregation over one key column.
+    *
+    * @param saltSource any column with per-row variety (an id, a hash)
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltSource: Column,
+      saltBuckets: Int = 32): DataFrame = {
+    val partial = df
+      .groupBy(key.as("k"), pmod(saltSource, lit(saltBuckets)).as("salt"))
+      .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
+    partial
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+  }
+}
