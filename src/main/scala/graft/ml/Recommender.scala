@@ -299,5 +299,30 @@ object Recommender {
           .cast("decimal(18,9)")).cast("double") / count(lit(1))).as("mae"))
   }
 
-  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** q38 — the recommender's end product: top-5 item recommendations per
+    * user from the ALS model (`recommendForAllUsers` — blocked cross
+    * product of factor matrices with per-user top-k, the scalable
+    * serving-side batch job). Rows-only (factor values are seed+
+    * partitioning dependent); the count contract is n_users × 5.
+    */
+  val q38 = rowsOnly(
+    "q38_als_recommendations",
+    "ALS recommendForAllUsers top-5 per user") { (s, dir) =>
+    import org.apache.spark.ml.recommendation.ALS
+    val r = ratings(s, dir)
+      .select(col("user_id").cast("int").as("user"),
+        col("item_id").cast("int").as("item"),
+        col("rating").cast("float").as("rating"))
+      .cache()
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(Rank).setRegParam(0.015).setMaxIter(5).setSeed(42L)
+      .fit(r)
+    model.recommendForAllUsers(5)
+      .select(col("user"), posexplode(col("recommendations")).as(Seq("rank", "rec")))
+      .select(col("user"), (col("rank") + 1).as("rank"), col("rec.item").as("item"))
+      .orderBy(col("user"), col("rank"))
+  }
+
+  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHash.rollingHash
+import graft.functions.VecOps.dotF
+import graft.functions.SortedIntersectCount.sortedIntersectCount
+
+/** Edge cases of the native Catalyst expressions — null propagation,
+  * empty arrays, length mismatch — exercised through both the
+  * interpreted (eval) and codegen paths (collect on a real plan uses
+  * whole-stage codegen; the literal-only rows below also hit constant
+  * folding's interpreted eval).
+  */
+class ExpressionEdgeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("null inputs propagate null (never crash, never fake a value)") {
+    import spark.implicits._
+    val df = Seq(("a", Some("abc")), ("b", None)).toDF("id", "s")
+    val out = df.select(col("id"), rollingHash(col("s")).as("h"))
+      .orderBy(col("id")).collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1))
+  }
+
+  test("empty string hashes to 0; empty arrays dot to 0.0 and intersect to 0") {
+    import spark.implicits._
+    val r = Seq(1).toDF("x").select(
+      rollingHash(lit("")).as("h"),
+      dotF(typedLit(Seq.empty[Double]), typedLit(Seq.empty[Double])).as("d"),
+      sortedIntersectCount(typedLit(Seq.empty[Long]), typedLit(Seq.empty[Long])).as("c"))
+      .head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getInt(2) === 0)
+  }
+
+  test("mismatched array lengths: dot uses the common prefix (min length)") {
+    import spark.implicits._
+    val r = Seq(1).toDF("x").select(
+      dotF(typedLit(Seq(1.0, 2.0, 3.0)), typedLit(Seq(10.0, 10.0))).as("d"))
+      .head()
+    assert(r.getDouble(0) === 30.0)
+  }
+
+  test("codegen and interpreted paths agree on real data") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // force an interpreted evaluation by collecting through a plan where
+    // codegen is disabled, and compare against the default path
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val withCodegen = docs.select(col("doc_id"), rollingHash(col("text")).as("h"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = docs.select(col("doc_id"), rollingHash(col("text")).as("h"))
+        .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(withCodegen.toSeq === interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
