@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics proofs: partition pruning on a date-partitioned
+  * layout, and IVF-ANN recall vs the exact top-k.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("date-partitioned layout prunes partitions at plan time") {
+    import graft.sources.Tables
+    val out = java.nio.file.Files.createTempDirectory("events_part").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+
+    val pruned = spark.read.parquet(out).filter(col("day") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter should be a partition filter:\n$plan")
+    // the filter must NOT appear as a post-scan data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"),
+      "partition column leaked into data filters")
+    val n = pruned.count()
+    val expected = Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-03").count()
+    assert(n === expected && n > 0)
+  }
+
+  test("IVF (k-means cells) ANN overlaps the exact top-5 measurably") {
+    import graft.operators.{Advanced, Similarity}
+    val exact = Similarity.q50.run(spark, sfDir)
+      .select(col("query_id"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Advanced.q63.run(spark, sfDir)
+      .select(col("query_id"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.05, s"IVF recall $recall degenerate")
+  }
+}
