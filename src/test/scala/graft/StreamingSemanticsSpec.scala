@@ -55,6 +55,41 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions close by gap AND by event-time timeout") {
+    import spark.implicits._
+    import graft.streaming.SessionTracker
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = SessionTracker.track(
+      input.toDF().toDF("user_id", "ts").as[SessionTracker.Ev], gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_test").start()
+    try {
+      // user 1: two bursts separated by > gap inside one batch (gap close);
+      // user 2: one event, left open
+      input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+        (1L, ts("2024-01-01 01:00:00")), (2L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough that both remaining open
+      // sessions time out
+      input.addData((3L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT user_id, start_us, end_us, n_events FROM sessions_test ORDER BY user_id, start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(s: String) = ts(s).getTime * 1000L
+      // user 1's first burst closed by the in-batch gap
+      assert(rows.contains((1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00"), 2L)),
+        s"gap-closed session missing: ${rows.mkString(", ")}")
+      // user 1's second burst and user 2's singleton closed by timeout
+      assert(rows.contains((1L, us("2024-01-01 01:00:00"), us("2024-01-01 01:00:00"), 1L)))
+      assert(rows.contains((2L, us("2024-01-01 01:00:00"), us("2024-01-01 01:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("salted aggregation equals the plain aggregation (skew path)") {
     import graft.sources.Tables
     val sfDir = "/root/testdata/sf0.001"
