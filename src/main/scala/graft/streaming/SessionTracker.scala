@@ -22,10 +22,14 @@ object SessionTracker {
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  def track(events: Dataset[Ev], gapMinutes: Int): Dataset[ClosedSession] = {
+  def track(events: Dataset[Ev], gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+
+    // full microsecond precision: Timestamp.getTime is millis-only
+    def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000L
 
     def update(userId: Long, batch: Iterator[Ev],
         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
@@ -34,7 +38,7 @@ object SessionTracker {
         state.remove()
         return Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.n))
       }
-      val sorted = batch.map(e => e.ts.getTime * 1000L).toArray.sorted
+      val sorted = batch.map(e => toUs(e.ts)).toArray.sorted
       var open = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
       sorted.foreach { t =>
@@ -42,8 +46,16 @@ object SessionTracker {
           case Some(s) if t - s.lastUs > gapUs =>
             closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
             open = Some(OpenSession(t, t, 1))
+          case Some(s) if t < s.startUs - gapUs =>
+            // cross-batch straggler (allowed by the watermark) that falls
+            // more than a gap BEFORE the open session: its own session,
+            // closed immediately — never silently merged
+            closed += ClosedSession(userId, t, t, 1)
           case Some(s) =>
-            open = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+            open = Some(s.copy(
+              startUs = math.min(s.startUs, t),
+              lastUs = math.max(s.lastUs, t),
+              n = s.n + 1))
           case None =>
             open = Some(OpenSession(t, t, 1))
         }
@@ -51,13 +63,13 @@ object SessionTracker {
       open.foreach { s =>
         state.update(s)
         // close via watermark once event time moves past last + gap
-        state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
       }
       closed.result().iterator
     }
 
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
