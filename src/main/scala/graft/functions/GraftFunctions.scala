@@ -35,22 +35,12 @@ object GraftFunctions {
   def r4(c: Column): Column = round(c.cast("double"), 4)
   def r6(c: Column): Column = round(c.cast("double"), 6)
 
-  /** Dot product of two ARRAY<FLOAT/DOUBLE> columns via higher-order
-    * functions — stays inside codegen, no UDF, no explode/shuffle.
+  /** Squared L2 norm via a sequential HOF fold (kept for q24's oracle
+    * parity with DuckDB's list_reduce; hot paths use the codegen'd
+    * graft.functions.VecOps.dotF instead — HOF lambdas are interpreted).
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
-
-  /** Squared L2 norm of an ARRAY<numeric> column. */
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-
-  /** Cosine similarity of two embedding columns. */
-  def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Reference-fidelity scorer (O4, SVDMovieLensSparkJava.java:499-513):
     * start at 1.0, add u(f)*i(f) one feature at a time, clamping into

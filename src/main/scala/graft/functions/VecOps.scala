@@ -22,6 +22,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // can produce NULL (length mismatch) even for non-null inputs
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -35,7 +37,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched dimensionality is data corruption: return NULL (the
+    // DuckDB oracle's out-of-range list access does the same) rather
+    // than a confidently wrong partial dot product
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${accessor(elemType(left), a, i)} * ${accessor(elemType(right), b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${accessor(elemType(left), a, i)} * ${accessor(elemType(right), b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -41,7 +41,9 @@ object Recommender {
     Tables.events(s, dir).select(
       col("user_id"),
       (col("event_id") % NumItems).as("item_id"),
-      (pmod(floor(col("value")).cast("long"), lit(5L)) + 1L).as("rating"))
+      // sign-preserving % (not pmod) — the one the oracle's DuckDB %
+      // computes; identical for the non-negative fixture domain either way
+      (floor(col("value")).cast("long") % 5L + 1L).as("rating"))
 
   /** Deterministic rank-8 factor entry for entity `id`, feature `f`:
     * ((id*a + f*b) mod 97)/97 - 0.5 ∈ [-0.5, 0.5). Pure integer + one
@@ -178,10 +180,11 @@ object Recommender {
         FROM $ratingsSql AS r
         WHERE user_id < 20
         ORDER BY user_id, item_id, rating""") { (s, dir) =>
-    val terms = transform(sequence(lit(0), lit(Rank - 1)),
-      f => factor(col("user_id"), f, 31, 17) * factor(col("item_id"), f, 23, 29))
-    val pred = aggregate(terms, lit(1.0),
-      (acc, t) => least(greatest(acc + t, lit(1.0)), lit(5.0)))
+    val userVec = transform(sequence(lit(0), lit(Rank - 1)),
+      f => factor(col("user_id"), f, 31, 17))
+    val itemVec = transform(sequence(lit(0), lit(Rank - 1)),
+      f => factor(col("item_id"), f, 23, 29))
+    val pred = clampedFoldScore(userVec, itemVec)
     ratings(s, dir)
       .filter(col("user_id") < 20)
       .select(col("user_id"), col("item_id"), col("rating"), pred.as("pred"))
@@ -286,7 +289,7 @@ object Recommender {
     val r = Tables.events(s, dir).select(
       col("user_id"),
       (col("event_id") % NumItems).as("item_id"),
-      (pmod(floor(col("value")).cast("long"), lit(5L)) + 1L).as("rating"),
+      (floor(col("value")).cast("long") % 5L + 1L).as("rating"),
       (col("event_id") % 5).as("fold"))
     val trainStats = r.filter(col("fold") =!= 0)
       .groupBy(col("item_id"))

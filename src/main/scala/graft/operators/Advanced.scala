@@ -29,7 +29,7 @@ object Advanced {
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(coalesce(count(lit(1)), lit(0L)))
+      .agg(count(lit(1)))
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy(col("o_orderpriority"))
   }
@@ -95,8 +95,7 @@ object Advanced {
     "IVF ANN: k-means cells (k=16, seeded) + top-5 within the probed cell") { (s, dir) =>
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VecOps.{dotF, l2Norm}
+    import graft.functions.VecOps.l2Norm
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
         array_to_vector(col("embedding")).as("features"))
@@ -104,18 +103,9 @@ object Advanced {
     val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(e)
     val cells = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
-    val q = cells.filter(col("vec_id") < 10).alias("x")
-    val y = cells.alias("y")
-    val scored = q.join(y,
-        col("x.cell") === col("y.cell") && col("y.vec_id") =!= col("x.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
-        (dotF(col("x.embedding"), col("y.embedding"))
-          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_b"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .orderBy(col("query_id"), col("rn"))
+    Similarity.topK(
+      Similarity.cosineScored(cells.filter(col("vec_id") < 10), cells,
+        col("x.cell") === col("y.cell")), 5)
   }
 
   val all: Seq[GQuery] = Seq(q60, q61, q62, q63)

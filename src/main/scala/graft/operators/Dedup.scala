@@ -236,13 +236,15 @@ object Dedup {
                list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
                b -> $hashSql))) AS sh
            FROM t)
-         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-         FROM bg x JOIN bg y
-           ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.1
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+               THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               ELSE NULL END AS jaccard
+           FROM bg x JOIN bg y
+             ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
+         WHERE jaccard >= 0.1
          ORDER BY doc_a, doc_b""") { (s, dir) =>
       import graft.functions.SortedIntersectCount.sortedIntersectCount
       val toks = split(trim(col("text")), " ")
@@ -262,7 +264,10 @@ object Dedup {
           sortedIntersectCount(col("x.sh"), col("y.sh")).cast("double").as("inter"),
           (col("x.n_sh") + col("y.n_sh")).as("sz"))
         .select(col("doc_a"), col("doc_b"),
-          (col("inter") / (col("sz") - col("inter"))).as("jaccard"))
+          // 0/0 (two shingle-less docs) must be NULL-and-dropped like the
+          // oracle, not an ANSI DIVIDE_BY_ZERO failure
+          when(col("sz") - col("inter") > 0,
+            col("inter") / (col("sz") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
         .orderBy(col("doc_a"), col("doc_b"))
     }

@@ -48,10 +48,11 @@ object Multimodal {
     */
   object DecodeStub {
     def decode(b: MediaBlob): MediaFeatures = {
+      import graft.functions.RollingHash.{DefaultBase, DefaultMod}
       var h = 0L
       var i = 0
       while (i < b.payload.length) {
-        h = (h * 31 + (b.payload(i) & 0xff)) % 1000000007L
+        h = (h * DefaultBase + (b.payload(i) & 0xff)) % DefaultMod
         i += 1
       }
       MediaFeatures(

@@ -55,6 +55,31 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embeddings with the L2 norm precomputed once per vector. */
+  private[operators] def withNorm(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+
+  /** Score x-aliased queries against y-aliased candidates under an extra
+    * join predicate: one codegen'd dot per pair, norms from the inputs.
+    */
+  private[operators] def cosineScored(
+      q: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+      extraCond: Column): org.apache.spark.sql.DataFrame =
+    q.alias("x").join(y.alias("y"),
+        extraCond && col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
+
+  /** Per-query top-k of a (query_id, vec_b, cos_sim) relation. */
+  private[operators] def topK(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** q50 — brute-force top-k cosine neighbors for a bounded query set
     * (vec_id < 10): ranked window over the scored join. Ties broken on
     * vec_b for total determinism.
@@ -71,19 +96,8 @@ object Similarity {
          WHERE x.vec_id < 10) t
        WHERE rn <= 5
        ORDER BY query_id, rn""") { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") < 10).alias("x")
-    val y = e.alias("y")
-    val scored = q.join(y, col("y.vec_id") =!= col("x.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
-        (dotF(col("x.embedding"), col("y.embedding"))
-          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_b"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .orderBy(col("query_id"), col("rn"))
+    val e = withNorm(Tables.embeddings(s, dir))
+    topK(cosineScored(e.filter(col("vec_id") < 10), e, lit(true)), 5)
   }
 
   /** Deterministic rational hyperplane for sign-LSH: plane j, dimension
@@ -103,25 +117,14 @@ object Similarity {
   val q51 = rowsOnly(
     "q51_ann_lsh_bucketed",
     "sign-LSH (8 hyperplanes) bucketed approximate top-5 neighbors") { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
+    val e = withNorm(Tables.embeddings(s, dir))
     // bucket bit j = sign(dot(embedding, plane_j)) — 8 codegen'd dots
     val bucket = (0 until 8).map { j =>
       when(dotF(col("embedding"), plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = e.withColumn("bucket", bucket)
-    val q = b.filter(col("vec_id") < 10).alias("x")
-    val y = b.alias("y")
-    val scored = q.join(y,
-        col("x.bucket") === col("y.bucket") && col("y.vec_id") =!= col("x.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
-        (dotF(col("x.embedding"), col("y.embedding"))
-          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_b"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .orderBy(col("query_id"), col("rn"))
+    topK(cosineScored(b.filter(col("vec_id") < 10), b,
+      col("x.bucket") === col("y.bucket")), 5)
   }
 
   val all: Seq[GQuery] = Seq(q49, q50, q51)

@@ -31,8 +31,10 @@ object TextOps {
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
        CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_distinct,
-       CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         / len(regexp_extract_all(text, '[a-z]+')) AS mean_token_len
+       CASE WHEN len(regexp_extract_all(text, '[a-z]+')) > 0
+         THEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(regexp_extract_all(text, '[a-z]+'))
+         ELSE NULL END AS mean_token_len
        FROM documents
        ORDER BY doc_id""") { (s, dir) =>
     val words = regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))
@@ -42,7 +44,8 @@ object TextOps {
         size(toks).cast("long").as("n_ws_tokens"),
         size(words).cast("long").as("n_word_tokens"),
         size(array_distinct(words)).cast("long").as("n_distinct"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(words))
+        when(size(words) > 0,
+          length(regexp_replace(col("text"), " ", "")).cast("double") / size(words))
           .as("mean_token_len"))
       .orderBy(col("doc_id"))
   }

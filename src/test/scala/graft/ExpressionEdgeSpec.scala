@@ -44,12 +44,12 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(r.getInt(2) === 0)
   }
 
-  test("mismatched array lengths: dot uses the common prefix (min length)") {
+  test("mismatched array lengths yield NULL (corruption, not a partial dot)") {
     import spark.implicits._
     val r = Seq(1).toDF("x").select(
       dotF(typedLit(Seq(1.0, 2.0, 3.0)), typedLit(Seq(10.0, 10.0))).as("d"))
       .head()
-    assert(r.getDouble(0) === 30.0)
+    assert(r.isNullAt(0))
   }
 
   test("codegen and interpreted paths agree on real data") {
