@@ -258,7 +258,8 @@ object Recommender {
     */
   def writePredictionsTsv(scored: DataFrame, path: String): Unit =
     scored.select(concat_ws("\t",
-        col("user_id"), col("item_id"), col("rating"),
+        col("user_id"), col("item_id"),
+        col("rating").cast("long"), // reference prints the int rating (TestingData.java:35)
         col("pred").cast("decimal(8,4)"),
         abs(col("rating") - col("pred")).cast("decimal(8,4)")).as("value"))
       .write.mode("overwrite").text(path)

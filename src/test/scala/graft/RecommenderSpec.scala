@@ -53,6 +53,34 @@ class RecommenderSpec extends AnyFunSuite {
     }
   }
 
+  test("drop-in pipeline: TSV train -> ALS -> TSV test -> predictions + MAE") {
+    import graft.ml.RecommenderPipeline
+    val dir = java.nio.file.Files.createTempDirectory("pipeline")
+    val (tr, te) = (dir.resolve("u.data"), dir.resolve("u1.test"))
+    val trW = java.nio.file.Files.newBufferedWriter(tr)
+    val teW = java.nio.file.Files.newBufferedWriter(te)
+    var n = 0
+    for (u <- 1 to 60; k <- 1 to 20) {
+      val i = (u * 13 + k * 29) % 50 + 1
+      val r = 1 + (u * 3 + i * 7) % 5
+      val line = s"$u\t$i\t$r\t${880000000 + n}\n"
+      if (n % 6 == 0) teW.write(line) else trW.write(line)
+      n += 1
+    }
+    trW.close(); teW.close()
+    val out = dir.resolve("preds").toString
+    val res = RecommenderPipeline.run(spark, tr.toString, te.toString, out,
+      rank = 8, maxIter = 5)
+    assert(res.nPredictions === 200)
+    assert(res.mae > 0.0 && res.mae < 1.2,
+      s"pipeline MAE ${res.mae} should beat a random predictor")
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length === 200)
+    assert(lines.forall(_.split("\t", -1).length == 5))
+    // rating field is the integer form, as the reference prints it
+    assert(lines.forall(l => !l.split("\t")(2).contains(".")))
+  }
+
   test("headerless TSV ratings reader parses MovieLens-format lines (S1/S2)") {
     val dir = java.nio.file.Files.createTempDirectory("ratings_tsv")
     val f = dir.resolve("u.data")
