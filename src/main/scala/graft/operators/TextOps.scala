@@ -155,5 +155,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43)
+  /** q64 — TF-IDF: term frequency per doc × smoothed inverse document
+    * frequency, top-3 most characteristic terms per document. Two hash
+    * aggregates + a broadcast-sized DF table — the fully distributed
+    * TF-IDF shape (no vocabulary collected to the driver).
+    */
+  val q64 = oracled(
+    "q64_tfidf",
+    "distributed TF-IDF, top-3 characteristic terms per doc",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+       df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.tok,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+       SELECT * FROM (
+         SELECT doc_id, tok, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+         FROM scored) t
+       WHERE rn <= 3 AND doc_id < 100
+       ORDER BY doc_id, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, dir).count()
+    val scored = tf.join(broadcast(df), "tok")
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log((lit(nDocs + 1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("doc_id") < 100)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64)
 }
