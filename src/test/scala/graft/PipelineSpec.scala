@@ -82,6 +82,28 @@ class PipelineSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("sliding-window streaming aggregation equals the batch q59 twin") {
+    val dir = stageRawEvents("events_slide")
+    val stream = EventsStreaming.readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("n_events"))
+    val q = EventsStreaming.runToMemorySink(stream, "slide_test")
+    try {
+      val streamed = spark.sql("SELECT ws, n_events FROM slide_test")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "12 hours", "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session streaming aggregation produces bounded per-user sessions") {
     val dir = stageRawEvents("events_sess")
     val q = EventsStreaming.runToMemorySink(
