@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** AS-OF JOIN as a first-class operator: logical node + planner strategy
@@ -67,6 +67,11 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // rows stay hash-clustered on the key — expose it so a downstream
+  // groupBy/join on the same key doesn't re-shuffle the result
+  override def outputPartitioning: Partitioning =
+    PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
@@ -82,21 +87,30 @@ case class AsOfJoinExec(
       var matchKey = 0L
 
       lIter.flatMap { l =>
-        val lk = lkB.eval(l).asInstanceOf[Long]
-        val lt = ltB.eval(l).asInstanceOf[Long]
+        val lkRaw = lkB.eval(l)
+        val ltRaw = ltB.eval(l)
+        if (lkRaw == null || ltRaw == null) Iterator.empty else {
+        val lk = lkRaw.asInstanceOf[Long]
+        val lt = ltRaw.asInstanceOf[Long]
         // advance the right side up to (key, time) <= (lk, lt)
         var continue = true
         while (continue && rBuf.hasNext) {
-          val rk = rkB.eval(rBuf.head).asInstanceOf[Long]
-          val rt = rtB.eval(rBuf.head).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rt <= lt)) {
-            val r = rBuf.next()
-            if (rk == lk) { matchRow = r.copy(); matchKey = rk }
-          } else continue = false
+          val rkRaw = rkB.eval(rBuf.head)
+          val rtRaw = rtB.eval(rBuf.head)
+          if (rkRaw == null || rtRaw == null) { rBuf.next() } // null keys never match
+          else {
+            val rk = rkRaw.asInstanceOf[Long]
+            val rt = rtRaw.asInstanceOf[Long]
+            if (rk < lk || (rk == lk && rt <= lt)) {
+              val r = rBuf.next()
+              if (rk == lk) { matchRow = r.copy(); matchKey = rk }
+            } else continue = false
+          }
         }
         if (matchRow != null && matchKey == lk) {
           Iterator.single(proj(joined(l, matchRow)))
         } else Iterator.empty
+        }
       }
     }
   }
@@ -121,11 +135,24 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    val lPlan = GraftSqlBridge.analyzedPlan(leftDf)
-    val rPlan = GraftSqlBridge.analyzedPlan(rightDf)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name)
-        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    // inner as-of semantics: NULL key/time rows can never match — drop
+    // them up front so the merge sees monotone non-null key sequences
+    import org.apache.spark.sql.functions.col
+    val lClean = leftDf.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val rClean = rightDf.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lPlan = GraftSqlBridge.analyzedPlan(lClean)
+    val rPlan = GraftSqlBridge.analyzedPlan(rClean)
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"asofJoin sides share attributes ${shared.mkString(", ")} — alias/select one side " +
+        "first (post-analysis planting bypasses DeduplicateRelations)")
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      // case-insensitive, matching Spark's default resolver
+      val hits = p.output.filter(_.name.equalsIgnoreCase(name))
+      require(hits.length == 1,
+        if (hits.isEmpty) s"no column $name" else s"ambiguous column $name")
+      hits.head
+    }
     GraftSqlBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
         attr(lPlan, leftKey), attr(rPlan, rightKey),

@@ -28,18 +28,25 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n, s"$name requires exactly $n argument(s), got ${es.length}")
+      f(es)
+    }
+
   val descriptions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial byte-fold fingerprint"),
-      (es: Seq[Expression]) =>
-        RollingHash(es.head, RollingHash.DefaultBase, RollingHash.DefaultMod)),
+      arity("rolling_hash", 1)(es =>
+        RollingHash(es.head, RollingHash.DefaultBase, RollingHash.DefaultMod))),
     ("dot_product",
       info("dot_product", "dot_product(arr, arr) - codegen'd double dot product"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      arity("dot_product", 2)(es => DotProduct(es(0), es(1)))),
     ("sorted_intersect_count",
       info("sorted_intersect_count",
         "sorted_intersect_count(arr, arr) - overlap count of sorted bigint arrays"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      arity("sorted_intersect_count", 2)(es => SortedIntersectCount(es(0), es(1)))))
 
   /** Register on a live session (functionRegistry path). */
   def register(spark: SparkSession): Unit =

@@ -70,10 +70,16 @@ object EventsStreaming {
     * currently-available input is processed (the synchronous harness for
     * tests; a production deployment points the same plan at a real sink
     * with a processing-time trigger).
+    *
+    * Output mode matters: "append" (the unbounded-stream posture) emits
+    * only watermark-finalized windows and lets state expire; "complete"
+    * replays everything and keeps all state — use it only for bounded
+    * replay comparisons against a batch twin (as the specs do).
     */
-  def runToMemorySink(agg: DataFrame, name: String): StreamingQuery = {
+  def runToMemorySink(agg: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()

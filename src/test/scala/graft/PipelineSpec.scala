@@ -59,7 +59,7 @@ class PipelineSpec extends AnyFunSuite {
 
     val stream = EventsStreaming.readEvents(spark, dir)
     val q = EventsStreaming.runToMemorySink(
-      EventsStreaming.windowedAgg(stream), "win_agg_test")
+      EventsStreaming.windowedAgg(stream), "win_agg_test", outputMode = "complete")
     try {
       val streamed = spark.sql(
         "SELECT window_start, event_type, n_events, sum_value FROM win_agg_test")
@@ -90,7 +90,7 @@ class PipelineSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_events"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("n_events"))
-    val q = EventsStreaming.runToMemorySink(stream, "slide_test")
+    val q = EventsStreaming.runToMemorySink(stream, "slide_test", outputMode = "complete")
     try {
       val streamed = spark.sql("SELECT ws, n_events FROM slide_test")
         .collect().map(_.toSeq).toSet
@@ -107,7 +107,7 @@ class PipelineSpec extends AnyFunSuite {
   test("session streaming aggregation produces bounded per-user sessions") {
     val dir = stageRawEvents("events_sess")
     val q = EventsStreaming.runToMemorySink(
-      EventsStreaming.sessionAgg(EventsStreaming.readEvents(spark, dir)), "sess_test")
+      EventsStreaming.sessionAgg(EventsStreaming.readEvents(spark, dir)), "sess_test", outputMode = "complete")
     try {
       val n = spark.sql("SELECT count(*) FROM sess_test").head().getLong(0)
       assert(n > 0)
