@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Scalars.all ++ operators.Olap.all ++ ml.Recommender.all ++
       operators.TextOps.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
-      operators.Temporal.all ++ operators.Advanced.all
+      operators.Temporal.all ++ operators.Advanced.all ++
+      operators.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

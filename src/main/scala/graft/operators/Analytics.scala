@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Third-ring analytics surface (round 2): statistical aggregates,
+  * distribution and value window functions, conditional aggregation,
+  * regexp scalars, unpivot, edit-distance near-dup, and deterministic
+  * hash sampling. The reference has none of these (SURVEY.md §2.2 —
+  * its only aggregates are count/sum, its only scalars split/parse/
+  * abs/sqrt/clamp); each is the Spark-first expression of a capability
+  * a complete engine at 100 TB needs.
+  *
+  * Scale notes per query are on the member Scaladoc; everything here is
+  * a single hash aggregate, a single window pass, or a blocked
+  * equi-join — no cross products, no driver-side materialization.
+  */
+object Analytics {
+
+  /** q65 — moment-based statistical aggregates per group: sample
+    * stddev/variance, covariance and Pearson correlation of quantity vs
+    * price. One pass, partial-aggregated (each is a merge of
+    * (n, Σx, Σx², Σxy…) moments, so map-side combine applies exactly as
+    * for sum/count). Doubles rounded 6dp: Spark's distributed moment
+    * merge and DuckDB's serial one differ in final ulps.
+    */
+  val q65 = oracled(
+    "q65_stat_aggregates",
+    "stddev/variance/covariance/correlation per returnflag, one pass",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q66 — distribution window functions: quartile bucket (ntile),
+    * percent_rank, cume_dist over customer balances within market
+    * segment. The ORDER BY includes the unique custkey so ntile's bucket
+    * assignment is total-order deterministic. One window pass = one
+    * shuffle on the partition key.
+    */
+  val q66 = oracled(
+    "q66_window_distribution",
+    "ntile/percent_rank/cume_dist per market segment",
+    """SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q67 — conditional / selective aggregation: count_if, bool_and /
+    * bool_or, and max_by / min_by (argmax over the unique orderkey so
+    * tie-breaking is well-defined). All are one-pass hash aggregates;
+    * the oracle spells count_if as SUM(CASE...) to stay ANSI.
+    */
+  val q67 = oracled(
+    "q67_conditional_agg",
+    "count_if / bool_and / bool_or / max_by / min_by per order status",
+    """SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       max_by(o_orderpriority, o_orderkey) AS latest_key_priority,
+       min_by(o_orderpriority, o_orderkey) AS earliest_key_priority
+       FROM orders
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_key_priority"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("earliest_key_priority"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q68 — regexp scalar functions: group extraction, replacement, full
+    * matching, and match counting. Patterns stick to character classes +
+    * anchors — the subset where Java regex (Spark) and RE2 (DuckDB)
+    * agree. All codegen'd scalar ops, fully pushdown-friendly.
+    */
+  val q68 = oracled(
+    "q68_regexp_funcs",
+    "regexp extract/replace/like/count over part names and brands",
+    """SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#([0-9]+)$', 1) AS BIGINT) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+       (p_name SIMILAR TO '[a-z]+ [a-z]+') AS two_words,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+       FROM part
+       WHERE regexp_matches(p_type, '^(ECONOMY|SMALL)$')
+       ORDER BY p_partkey""") { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_type").rlike("^(ECONOMY|SMALL)$"))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "#([0-9]+)$", 1).cast("long").as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("name_devoweled"),
+        col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("long").as("n_vowels"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q69 — unpivot (wide → long): per-returnflag measure columns melted
+    * into (measure, value) rows with the Dataset.unpivot operator — the
+    * inverse of q60's pivot. Planned as a single Expand over the
+    * aggregated (6-row) input; the oracle spells it as UNION ALL, the
+    * ANSI-portable equivalent.
+    */
+  val q69 = oracled(
+    "q69_unpivot",
+    "melt per-flag sum_qty/sum_price/n_rows measures into long form",
+    """WITH agg AS (
+         SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS DOUBLE) AS n_rows
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, measure, value FROM (
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM agg
+         UNION ALL
+         SELECT l_returnflag, 'n_rows', n_rows FROM agg)
+       ORDER BY l_returnflag, measure""") { (s, dir) =>
+    val agg = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dec2(sum(dec2(col("l_quantity")))).cast("double").as("sum_qty"),
+        dec2(sum(dec2(col("l_extendedprice")))).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** q70 — edit-distance near-dup: Levenshtein distance ≤ 8 between
+    * 40-char document prefixes, blocked on (lang, source) so the
+    * quadratic comparison only ever runs inside bounded blocks (the
+    * standard blocking discipline for fuzzy dedup at scale — the
+    * cross product never appears; block sizes are data-bounded and the
+    * pair generation is a plain equi-join shuffle).
+    */
+  val q70 = oracled(
+    "q70_edit_distance_near_dup",
+    "prefix Levenshtein <= 8 within (lang, source) blocks",
+    """WITH p AS (
+         SELECT doc_id, lang, source, substr(text, 1, 40) AS pfx
+         FROM documents)
+       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS dist
+       FROM p x JOIN p y
+         ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+       WHERE levenshtein(x.pfx, y.pfx) <= 8
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val p = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 40).as("pfx"))
+    val x = p.alias("x")
+    val y = p.alias("y")
+    x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        // banded DP: the threshold variant computes O(n·k) cells and
+        // returns -1 past the bound instead of the full O(n·m) distance
+        // (exact value whenever <= 8, which is all the query keeps)
+        levenshtein(col("x.pfx"), col("y.pfx"), 8).cast("long").as("dist"))
+      .filter(col("dist").between(0, 8))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q71 — value window functions over each customer's order history:
+    * first/last order price in the running frame and the second order's
+    * price (nth_value) over the full partition. Frames are explicit —
+    * last_value over the default frame is a famous footgun, so the
+    * full-partition frame is spelled out on both engines.
+    */
+  val q71 = oracled(
+    "q71_window_value_funcs",
+    "first_value/last_value/nth_value over per-customer order history",
+    """SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER wfull AS last_price,
+       nth_value(o_totalprice, 2) OVER wfull AS second_price
+       FROM orders
+       WINDOW
+         w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wfull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wfull).as("second_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q72 — deterministic hash sampling: a reproducible ~10% Bernoulli
+    * sample selected by pure integer arithmetic (Knuth multiplicative
+    * hash mod 2³²), not `TABLESAMPLE`/`rand()` — the discipline a
+    * training-data pipeline needs so a sample is stable across reruns,
+    * engines, and partitionings. The filter is a pushdown-able scalar
+    * predicate; at 100 TB it runs scan-side with zero shuffle.
+    */
+  val q72 = oracled(
+    "q72_hash_sample",
+    "reproducible 10% sample via multiplicative hash on doc_id",
+    """SELECT doc_id, lang, source
+       FROM documents
+       WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+       ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < lit(429496730L))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72)
+}

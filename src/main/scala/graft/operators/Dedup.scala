@@ -167,6 +167,37 @@ object Dedup {
     simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 
+  private val HamT = 3
+
+  /** SimHash near-dup pairs at Hamming ≤ [[HamT]] via pigeonhole chunk
+    * join (see q47). Shared by q47 (the pair list) and q73 (connected
+    * components over the pair graph).
+    */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val chunks = HamT + 1            // 4 chunks of 12 bits
+    val chunkBits = SimBits / chunks
+    val sim = simhashes(Tables.documents(s, dir))
+    // chunk id folded into the join key (posexplode) -> ONE equi-join
+    // for all pigeonhole chunks; the per-doc chunk table is cached
+    // across the self-join sides.
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
+      .cache()
+    val x = chunked.alias("x")
+    val y = chunked.alias("y")
+    x.join(y,
+        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
+      // cheap bit-count filter BEFORE the distinct so the dedup shuffle
+      // only carries true near-dup pairs, not every chunk collision
+      .filter(col("dist") <= HamT)
+      .distinct()
+  }
+
   /** q47 — SimHash near-dup pairs at Hamming distance ≤ 3. The Spark
     * side uses pigeonhole banding: split 48 bits into 4 chunks of 12;
     * distance ≤ 3 guarantees at least one identical chunk, so joining on
@@ -174,43 +205,110 @@ object Dedup {
     * O(n²) scan — which is what the DuckDB oracle runs. That equivalence
     * is the 100 TB design: candidate generation is an equi-join.
     */
-  val q47 = {
-    val HamT = 3
-    val chunks = HamT + 1            // 4 chunks of 12 bits
-    val chunkBits = SimBits / chunks
-    oracled(
-      "q47_simhash_near_dup",
-      "SimHash pairs at Hamming ≤ 3 via pigeonhole chunk join",
-      s"""WITH $simhashCte
-         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+  val q47 = oracled(
+    "q47_simhash_near_dup",
+    "SimHash pairs at Hamming ≤ 3 via pigeonhole chunk join",
+    s"""WITH $simhashCte
+       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+       FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+       WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    simhashPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q73 — near-duplicate CLUSTERS: connected components over the q47
+    * SimHash pair graph, each document labeled with its cluster
+    * representative (the component's minimum doc_id) plus the cluster
+    * size. This is the step that turns pairwise candidates into a
+    * keep-one-representative dedup decision — the shape every
+    * training-data pipeline needs after any near-dup detector.
+    *
+    * Spark side: iterative min-label propagation — per round, every node
+    * takes the min label over itself and its neighbors (two shuffles:
+    * one join edges⋈labels, one min-aggregate), converging in
+    * graph-diameter rounds; near-dup components are near-cliques, so
+    * 2-3 rounds in practice, with a fixed bound of 12 and early stop on
+    * a monotone convergence metric (sum of labels, strictly decreasing
+    * until fixpoint). Each round materializes via localCheckpoint so the
+    * plan/lineage stays O(1) per round instead of growing — the same
+    * discipline GraphX/GraphFrames CC uses at cluster scale. The DuckDB
+    * oracle computes the identical fixpoint declaratively with a
+    * recursive CTE (semi-naive label reachability + MIN).
+    */
+  val q73 = oracled(
+    "q73_dedup_clusters",
+    "connected-component dedup clusters over SimHash near-dup pairs",
+    s"""WITH RECURSIVE $simhashCte,
+       pairs AS (
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT
-         ORDER BY doc_a, doc_b""") { (s, dir) =>
-      val sim = simhashes(Tables.documents(s, dir))
-      // chunk id folded into the join key (posexplode) -> ONE equi-join
-      // for all pigeonhole chunks; the per-doc chunk table is cached
-      // across the self-join sides.
-      val chunked = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until chunks).map(c =>
-          shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
-        .cache()
-      val x = chunked.alias("x")
-      val y = chunked.alias("y")
-      val candidates = x.join(y,
-          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
-        // cheap bit-count filter BEFORE the distinct so the dedup shuffle
-        // only carries true near-dup pairs, not every chunk collision
-        .filter(col("dist") <= HamT)
-        .distinct()
-      candidates
-        .select(col("doc_a"), col("doc_b"), col("dist"))
-        .orderBy(col("doc_a"), col("doc_b"))
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL
+         SELECT doc_b, doc_a FROM pairs),
+       reach(node, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node)
+       SELECT doc_id, cluster,
+         CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+       FROM cc
+       ORDER BY doc_id""") { (s, dir) =>
+    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    // edges pre-partitioned on the iteration join key so every round's
+    // join reuses the same layout instead of re-shuffling the static side
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    // only nodes that appear in an edge iterate; singletons (the vast
+    // majority of a real corpus) never enter the loop state. Eagerly
+    // checkpointed: the singleton anti-join below must not re-derive the
+    // SimHash pipeline after the caches are released.
+    val connected = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(false) // lazy: materialized by this round's sum action
+    var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 12) {
+      val neighborMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      val stepped = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(coalesce(col("nbr_min"), col("cluster")), col("cluster")).as("cluster"))
+      // pointer doubling: also jump to the label OF the current label
+      // (cluster ids are themselves node ids), shortcutting chains so
+      // convergence is O(log diameter) rounds, not O(diameter) — one
+      // extra self-join per round buys chain-shaped components
+      val a = stepped.alias("a")
+      val b = stepped.alias("b")
+      val next = a.join(b, col("a.cluster") === col("b.doc_id"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(coalesce(col("b.cluster"), col("a.cluster")), col("a.cluster")).as("cluster"))
+        .localCheckpoint(false) // cut lineage: O(1) plan per round
+      val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
+      converged = nextSum == prevSum // min-propagation strictly decreases until fixpoint
+      prevSum = nextSum
+      labels = next
+      round += 1
     }
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(connected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    val out = labels.union(singletons)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster")))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist(); edges.unpersist()
+    out
   }
 
   /** q48 — word-bigram (shingle) Jaccard near-dups, blocked on
@@ -273,5 +371,5 @@ object Dedup {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48)
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 analytics surface: semantic checks the DuckDB oracle can't
+  * express (plan shape, internal invariants) plus a hand-built
+  * connected-components fixture where the expected clusters are known.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q66 ntile buckets are contiguous, balanced, and ordered by balance") {
+    val rows = operators.Analytics.q66.run(spark, sfDir)
+      .select(col("c_mktsegment"), col("quartile"), col("pct_rank"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (1 to 4).contains(r.getInt(1))))
+    assert(rows.forall { r => val p = r.getDouble(2); p >= 0.0 && p <= 1.0 })
+    // per segment: quartile sizes differ by at most 1 (ntile contract)
+    rows.groupBy(_.getString(0)).foreach { case (_, seg) =>
+      val sizes = seg.groupBy(_.getInt(1)).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("q69 unpivot emits one long row per (flag, measure), Expand-planned") {
+    val q = operators.Analytics.q69.run(spark, sfDir)
+    val flags = q.select(col("l_returnflag")).distinct().count()
+    assert(q.count() === flags * 3)
+    assert(q.queryExecution.executedPlan.toString.contains("Expand"),
+      "unpivot should plan as a single Expand")
+  }
+
+  test("q72 hash sample is reproducible and near the 10% target rate") {
+    val a = operators.Analytics.q72.run(spark, sfDir).collect().map(_.getLong(0))
+    val b = operators.Analytics.q72.run(spark, sfDir).collect().map(_.getLong(0))
+    assert(a.sameElements(b), "sample must be bit-stable across runs")
+    val total = sources.Tables.documents(spark, sfDir).count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.03 && rate < 0.25, s"sample rate $rate far from 10%")
+  }
+
+  test("q72 sampling predicate reaches the parquet scan as a data filter") {
+    val plan = operators.Analytics.q72.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the arithmetic itself isn't a parquet-pushable predicate, but it
+    // must sit directly on the scan (plans print top-down: nothing but
+    // the scan may appear below the Filter line)
+    val belowFilter = plan.substring(plan.indexOf("+- Filter"))
+    assert(belowFilter.contains("FileScan") && !belowFilter.contains("Exchange"),
+      s"filter must run scan-side, directly above the scan:\n$plan")
+    assert(plan.contains("DataFilters: [isnotnull(doc_id"),
+      s"sampling predicate missing from scan DataFilters:\n$plan")
+  }
+
+  test("connected components labels a known graph correctly") {
+    // clusters: {1,2,3,4} (path), {5,6} (edge), {7} (singleton)
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 12) {
+      val nbr = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("dst"), "left")
+        .select(labels("doc_id"),
+          least(coalesce(col("nbr_min"), col("cluster")), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val s2 = next.agg(sum("cluster")).head.getLong(0)
+      converged = s2 == prevSum; prevSum = s2; labels = next; round += 1
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 4-path has diameter 3: must need >1 round, must stop well under the bound
+    assert(round >= 2 && round <= 6, s"rounds=$round")
+  }
+
+  test("q73 clusters are consistent with q47 pairs (same-cluster iff connected)") {
+    val cc = operators.Dedup.q73.run(spark, sfDir)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.Dedup.q47.run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every near-dup pair must land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(cc(a) === cc(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster label must be the min doc_id of its members
+    cc.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl === members.map(_._1).min)
+    }
+  }
+}
