@@ -252,5 +252,39 @@ object Analytics {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72)
+  /** q75 — stratified deterministic sampling (the `sampleBy` operator
+    * made reproducible): per-stratum Bernoulli fractions — 50% for
+    * single-digit sources, 10% otherwise — selected by the same
+    * multiplicative hash as q72, so the sample is stable across runs,
+    * engines, and partitionings. Per-stratum thresholds are a CASE
+    * expression, i.e. still a single scan-side filter with no shuffle;
+    * the trailing aggregate reports realized rates per stratum.
+    */
+  val q75 = oracled(
+    "q75_stratified_sample",
+    "per-source stratified hash sampling with realized-rate audit",
+    """WITH sampled AS (
+         SELECT source,
+           (doc_id * 2654435761) % 4294967296 < CASE
+             WHEN source SIMILAR TO 'src[0-9]' THEN 2147483648
+             ELSE 429496730 END AS keep
+         FROM documents)
+       SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM sampled
+       GROUP BY source
+       ORDER BY source""") { (s, dir) =>
+    val keep = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) <
+      when(col("source").rlike("^src[0-9]$"), lit(2147483648L)).otherwise(lit(429496730L))
+    Tables.documents(s, dir)
+      .select(col("source"), keep.as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(col("keep")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75)
 }

@@ -127,5 +127,35 @@ object Similarity {
       col("x.bucket") === col("y.bucket")), 5)
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51)
+  /** q74 — per-label embedding centroids in long form (label, dim,
+    * centroid): posexplode → one partial-aggregated groupBy(label, dim).
+    * Element values go through DECIMAL(18,9) before the sum so the
+    * reduction is order-independent — the discipline that makes a
+    * distributed vector mean bit-reproducible (and DuckDB-checkable)
+    * at any partitioning. The long (label, dim) keyspace is what keeps
+    * this one flat shuffle at 100 TB — no per-label vector state, no
+    * collect, and re-assembly to ARRAY form is a downstream
+    * `collect_list` over at most rank rows per label.
+    */
+  val q74 = oracled(
+    "q74_embedding_centroids",
+    "per-label centroid of 64-dim embeddings, exact-decimal mean",
+    """SELECT label, CAST(t.i AS INT) AS dim,
+         CAST(SUM(CAST(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / COUNT(*) AS centroid
+       FROM embeddings CROSS JOIN range(0, 64) t(i)
+       GROUP BY label, t.i
+       ORDER BY label, dim""") { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      // float → double → decimal explicitly: the engines' direct
+      // float→decimal casts round differently (shortest-float repr vs
+      // double value); via double both see the identical operand
+      .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74)
 }

@@ -194,5 +194,45 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64)
+  /** q76 — bigram language-model counts: for every adjacent token pair,
+    * c(w1,w2) and the conditional probability c(w1,w2)/c(w1); top 20 by
+    * frequency. The unigram denominator joins back broadcast (the
+    * vocabulary is the bounded side at any corpus scale — token TYPES,
+    * not occurrences); both count passes are partial-aggregated
+    * explode→groupBy shuffles, the standard n-gram statistics job shape.
+    */
+  val q76 = oracled(
+    "q76_bigram_lm_counts",
+    "top-20 bigram counts with conditional probability P(w2|w1)",
+    """WITH t AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       bg AS (
+         SELECT w1, w2, COUNT(*) AS c12 FROM (
+           SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                  unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+           FROM t) GROUP BY w1, w2),
+       ug AS (
+         SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1)
+       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         CAST(c12 AS DOUBLE) / c1 AS cond_p
+       FROM bg JOIN ug USING (w1)
+       ORDER BY c12 DESC, w1, w2
+       LIMIT 20""") { (s, dir) =>
+    val toks = split(trim(col("text")), " ")
+    val pairs = Tables.documents(s, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ug = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bg.join(broadcast(ug), "w1")
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("c12").cast("double") / col("c1")).as("cond_p"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76)
 }

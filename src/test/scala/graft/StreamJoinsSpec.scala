@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamJoins
+
+/** Stream-stream join + watermark-scoped dedup semantics, driven
+  * deterministically through MemoryStream micro-batches.
+  */
+class StreamJoinsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream-stream inner join matches clicks within the 10-min window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoins.attributionInner(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("click_ad_id", "click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_inner").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:05:00")),  // inside window -> match
+        (2L, ts("2024-01-01 00:20:00")))  // 20 min late   -> no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id, latency_s FROM attr_inner")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 300L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("left-outer join emits null-click rows only after the window provably closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoins.attributionLeftOuter(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("click_ad_id", "click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      clicks.addData((1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // ad 2 is unmatched but its join window is still open: no row yet
+      val early = spark.sql("SELECT ad_id FROM attr_outer WHERE click_ts IS NULL").count()
+      assert(early === 0L, "outer row emitted before watermark closed the window")
+      // advance BOTH watermarks far past 00:10 so the unmatched row finalizes
+      imps.addData((9L, ts("2024-01-01 02:00:00")))
+      clicks.addData((9L, ts("2024-01-01 02:00:01")))
+      q.processAllAvailable()
+      imps.addData((8L, ts("2024-01-01 03:00:00")))
+      clicks.addData((8L, ts("2024-01-01 03:00:01")))
+      q.processAllAvailable()
+      val nullClicks = spark.sql("SELECT ad_id FROM attr_outer WHERE click_ts IS NULL")
+        .collect().map(_.getLong(0)).toSet
+      assert(nullClicks.contains(2L), "unmatched impression never emitted")
+      val matched = spark.sql("SELECT ad_id FROM attr_outer WHERE click_ts IS NOT NULL")
+        .collect().map(_.getLong(0)).toSet
+      assert(matched.contains(1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = StreamJoins.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "value"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm").start()
+    try {
+      // duplicate id 1 within one batch AND again across batches
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:00:30"), 1.0),
+        (2L, ts("2024-01-01 00:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:02:00"), 1.0),
+        (3L, ts("2024-01-01 00:03:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_wm")
+        .collect().map(_.getLong(0)).toList.sorted
+      assert(ids === List(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+}
