@@ -108,5 +108,127 @@ object Advanced {
         col("x.cell") === col("y.cell")), 5)
   }
 
-  val all: Seq[GQuery] = Seq(q60, q61, q62, q63)
+  /** q77 — null-safe equality join (`<=>`) + `unionByName`: two
+    * customer projections with DIFFERENT column orders are unioned by
+    * name (the positional union would silently mis-zip them — the
+    * classic schema-evolution bug), nation keys on both sides are
+    * nulled for one key value, and the join uses null-safe equality so
+    * null keys MATCH null keys (plain `=` would drop them). The output
+    * proves both: the null-bucket row exists, and every row appears
+    * twice (once per union branch).
+    */
+  val q77 = oracled(
+    "q77_nullsafe_join_union",
+    "unionByName + null-safe (<=>) join across nulled keys",
+    """WITH c AS (
+         SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer
+         UNION ALL
+         SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer),
+       n AS (SELECT NULLIF(n_nationkey, 3) AS nk, n_name FROM nation)
+       SELECT COALESCE(n.n_name, '<unmatched>') AS nation_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+       FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.nk
+       GROUP BY n.n_name
+       ORDER BY nation_name""") { (s, dir) =>
+    val base = Tables.customer(s, dir)
+    val d1 = base.select(col("c_custkey"),
+      nullif(col("c_nationkey"), lit(3)).as("k"))
+    val d2 = base.select(nullif(col("c_nationkey"), lit(3)).as("k"),
+      col("c_custkey")) // reversed column order on purpose
+    val c = d1.unionByName(d2)
+    val n = Tables.nation(s, dir)
+      .select(nullif(col("n_nationkey"), lit(3)).as("nk"), col("n_name"))
+    c.join(n, col("k") <=> col("nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .select(coalesce(col("n_name"), lit("<unmatched>")).as("nation_name"),
+        col("n_rows"), col("n_customers"))
+      .orderBy(col("nation_name"))
+  }
+
+  /** q78 — map higher-order functions: the events props JSON parsed to
+    * MAP<STRING,BIGINT>, run through transform_values / map_filter /
+    * map_concat, then exploded back to flat (key, value) rows so the
+    * result is engine-portable. Map HOFs are per-row operations — no
+    * shuffle beyond the final presentation sort.
+    */
+  val q78 = oracled(
+    "q78_map_hofs",
+    "transform_values/map_filter/map_concat over parsed JSON maps",
+    """WITH m AS (
+         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events WHERE event_id < 50)
+       SELECT event_id, mk AS key, mv AS value FROM (
+         SELECT event_id, 'k_scaled' AS mk, k_val * 10 AS mv FROM m
+         UNION ALL
+         SELECT event_id, 'k_orig', k_val FROM m WHERE k_val >= 50
+         UNION ALL
+         SELECT event_id, 'bonus', 7 FROM m)
+       ORDER BY event_id, key""") { (s, dir) =>
+    val m = Tables.events(s, dir)
+      .filter(col("event_id") < 50)
+      .select(col("event_id"),
+        map(lit("k_orig"), get_json_object(col("props"), "$.k").cast("long")).as("props_map"))
+    val built = m.select(col("event_id"),
+      map_concat(
+        // scaled copy of every entry, renamed via transform_keys
+        transform_keys(
+          transform_values(col("props_map"), (_, v) => v * 10),
+          (k, _) => concat(regexp_replace(k, "_orig", ""), lit("_scaled"))),
+        // original entries kept only when the value clears a threshold
+        map_filter(col("props_map"), (_, v) => v >= 50),
+        map(lit("bonus"), lit(7L))).as("m"))
+    built.select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+      .orderBy(col("event_id"), col("key"))
+  }
+
+  /** q79 — time-series gap fill: each customer's order-date span
+    * densified to one row per calendar day via `sequence()` + explode
+    * against the per-customer min/max, left-joined back to real daily
+    * totals with missing days zero-filled. The dates dimension is
+    * GENERATED per key (span-bounded), not cross-joined from a global
+    * calendar — the shape that survives when the key count is 10^9.
+    * Restricted to 3 customers for a bounded, fully-checkable output.
+    */
+  val q79 = oracled(
+    "q79_calendar_gap_fill",
+    "per-customer daily calendar densification with zero-fill",
+    """WITH o AS (
+         SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+         FROM orders WHERE o_custkey IN (1, 2, 3)),
+       daily AS (
+         SELECT o_custkey, d,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS day_total
+         FROM o GROUP BY o_custkey, d),
+       spans AS (
+         SELECT o_custkey, MIN(d) AS d0, MAX(d) AS d1 FROM o GROUP BY o_custkey),
+       cal AS (
+         SELECT o_custkey, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+         FROM spans)
+       SELECT cal.o_custkey, CAST(cal.d AS VARCHAR) AS day,
+         COALESCE(daily.day_total, 0.0) AS day_total,
+         (daily.day_total IS NULL) AS gap_filled
+       FROM cal LEFT JOIN daily ON cal.o_custkey = daily.o_custkey AND cal.d = daily.d
+       ORDER BY cal.o_custkey, day""") { (s, dir) =>
+    import graft.functions.GraftFunctions.dec2
+    val o = Tables.orders(s, dir)
+      .filter(col("o_custkey").isin(1, 2, 3))
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+    val daily = o.groupBy(col("o_custkey"), col("d"))
+      .agg(dec2(sum(dec2(col("o_totalprice")))).cast("double").as("day_total"))
+    val cal = o.groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("o_custkey"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"))
+    cal.join(daily, Seq("o_custkey", "d"), "left")
+      .select(col("o_custkey"), col("d").cast("string").as("day"),
+        coalesce(col("day_total"), lit(0.0)).as("day_total"),
+        col("day_total").isNull.as("gap_filled"))
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
+  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79)
 }
