@@ -124,19 +124,21 @@ object Dedup {
 
   private val SimBits = 48
 
-  /** Per-doc 48-bit SimHash from token-frequency bit votes. */
+  /** Per-doc 48-bit SimHash from token-frequency bit votes, computed by
+    * the native [[graft.functions.SimHashAgg]] — ONE partial-aggregated
+    * buffer per doc (a 48-int vote vector updated in a tight loop)
+    * instead of 48 SUM(CASE) aggregate slots each re-evaluating a
+    * shift/mask per row. Bit-identical to the SUM(CASE) formulation the
+    * DuckDB oracle runs ([[simhashCte]]).
+    */
   private def simhashes(docs: DataFrame): DataFrame = {
+    import graft.functions.SimHashAgg.simhashAgg
     val tok = docs.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("tok"))
       .withColumn("h",
         RollingHash.rollingHash(col("tok"), RollingHash.WideBase, RollingHash.WideMod))
-    val votes = tok.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until SimBits).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")): _*)
-    votes.select(col("doc_id"),
-      (0 until SimBits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    tok.groupBy(col("doc_id"))
+      .agg(simhashAgg(col("h"), SimBits).as("simhash"))
   }
 
   private def simhashCte: String = {

@@ -70,4 +70,25 @@ class ExpressionEdgeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("SimHashAgg equals the per-bit SUM(CASE) formulation across merges") {
+    import spark.implicits._
+    import graft.functions.SimHashAgg.simhashAgg
+    val bits = 16
+    // 10 partitions over 7 groups forces non-trivial partial buffers +
+    // merge() at the exchange; include a null hash (must be a no-op vote)
+    val rows = (1 to 200).map(i => (i % 7L, Option(i * 2654435761L))) :+ (0L, None)
+    val df = rows.toDF("g", "h").repartition(10)
+    val native = df.groupBy(col("g")).agg(simhashAgg(col("h"), bits).as("sim"))
+      .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val votes = df.filter(col("h").isNotNull).groupBy(col("g")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until bits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")): _*)
+    val expected = votes.select(col("g"),
+        (0 until bits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(native.toSeq === expected.toSeq)
+  }
 }
