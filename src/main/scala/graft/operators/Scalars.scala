@@ -219,5 +219,54 @@ object Scalars {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55)
+  /** q80 — array predicate higher-order functions (exists / forall /
+    * filter) over tokenized text: per-row lambdas, no shuffle, all
+    * evaluated inline on the scan side. The oracle spells them with
+    * list_filter cardinalities — the portable definition of both
+    * quantifiers.
+    */
+  val q80 = oracled(
+    "q80_array_predicates",
+    "exists/forall/filter array lambdas over tokenized documents",
+    """SELECT doc_id,
+       CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS n_long_tokens,
+       len(list_filter(toks, t -> t = 'spark')) > 0 AS has_spark,
+       len(list_filter(toks, t -> length(t) <= 2)) = 0 AS no_tiny_tokens
+       FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+       WHERE doc_id < 200
+       ORDER BY doc_id""") { (s, dir) =>
+    val toks = split(trim(col("text")), " ")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long_tokens"),
+        exists(toks, t => t === "spark").as("has_spark"),
+        forall(toks, t => length(t) > 2).as("no_tiny_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q81 — null-preserving flatten (`explode_outer`): each document's
+    * 'spark'/'join' token occurrences become rows, but documents with NO
+    * match survive as a single null-token row — the generator semantics
+    * plain `explode` silently loses. Oracle: LEFT JOIN LATERAL unnest.
+    */
+  val q81 = oracled(
+    "q81_explode_outer",
+    "explode_outer keeps match-less parents as null rows",
+    """SELECT d.doc_id, m.tok
+       FROM (SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), t -> t IN ('spark', 'join')) AS ms
+             FROM documents WHERE doc_id < 100) d
+       LEFT JOIN LATERAL (SELECT unnest(ms) AS tok) m ON true
+       ORDER BY doc_id, tok""") { (s, dir) =>
+    val toks = split(trim(col("text")), " ")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        filter(toks, t => t.isin("spark", "join")).as("ms"))
+      .select(col("doc_id"), explode_outer(col("ms")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
+  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81)
 }

@@ -35,4 +35,29 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
   }
+
+  /** Salted equi-join for a skewed LEFT side against a RIGHT side too
+    * large to broadcast but small enough to replicate `saltBuckets`
+    * times: left rows scatter across (key, salt) by stable content
+    * hash, right rows replicate to every salt, and the join runs on the
+    * widened key — the hot key's partition splits `saltBuckets` ways.
+    *
+    * This is the manual fallback for the cases AQE's skew-join split
+    * can't fix (e.g. a bucketed/pre-partitioned input AQE won't
+    * re-split, or an aggregation directly on the join output where the
+    * skewed exchange must be avoided up front). The salt comes from
+    * `saltSource` (stable row content), never `rand()` — deterministic
+    * under retries.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltSource: Column,
+      saltBuckets: Int = 32): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", pmod(saltSource, lit(saltBuckets)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
 }

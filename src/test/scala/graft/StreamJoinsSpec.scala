@@ -99,4 +99,36 @@ class StreamJoinsSpec extends AnyFunSuite {
       assert(ids === List(1L, 2L, 3L), s"got $ids")
     } finally q.stop()
   }
+
+  test("foreachBatch sink is idempotent under batch replay (batchId-keyed overwrite)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("fbsink").toString
+    val input = MemoryStream[Long]
+    // exactly-once discipline for a non-transactional sink: partition the
+    // output by batchId and OVERWRITE that partition — replaying a batch
+    // after a failure rewrites the same files instead of appending dupes
+    def writeBatch(df: org.apache.spark.sql.Dataset[Long], batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(s"$tmp/batch_id=$batchId")
+    val q = input.toDS().map(_ * 10)
+      .writeStream
+      .foreachBatch(writeBatch _)
+      .start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(s"$tmp/batch_id=0", s"$tmp/batch_id=1")
+      .collect().map(_.getLong(0)).sorted
+    assert(once.toSeq === Seq(10L, 20L, 30L))
+    // simulate a replay of batch 0 (same data, same id): no duplication
+    writeBatch(Seq(10L, 20L).toDS(), 0L)
+    val afterReplay = spark.read.parquet(s"$tmp/batch_id=0", s"$tmp/batch_id=1")
+      .collect().map(_.getLong(0)).sorted
+    assert(afterReplay.toSeq === Seq(10L, 20L, 30L), "replay duplicated rows")
+  }
 }

@@ -105,4 +105,22 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("salted join equals the plain join (skewed-side scatter, right replicate)") {
+    import graft.sources.Tables
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val parts = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val salted = Skew.saltedJoin(li, parts, "l_partkey", col("l_orderkey"), saltBuckets = 8)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val plain = li.join(parts, "l_partkey")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.toSeq === plain.toSeq)
+  }
 }
