@@ -51,18 +51,21 @@ object Dedup {
   private def permA(i: Int): Long = 17L + 2L * i
   private def permB(i: Int): Long = 91L + 5L * i
 
-  /** Per-doc MinHash signature columns mh0..mh15 over distinct-token
-    * rolling hashes.
+  /** Per-doc MinHash signature (ARRAY<BIGINT> of [[NumHashes]] mins)
+    * over distinct-token rolling hashes, computed by the native
+    * [[graft.functions.MinHashAgg]] — one aggregate buffer updating all
+    * permutations in a tight loop instead of [[NumHashes]] separate
+    * MIN(pmod(...)) slots. Bit-identical to the per-slot formulation
+    * the DuckDB oracle runs ([[minhashSql]]).
     */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.MinHashAgg.minhashAgg
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(trim(col("text")), " "))).as("tok"))
       .withColumn("h", RollingHash.rollingHash(col("tok")))
+    val perms = (0 until NumHashes).map(i => (permA(i), permB(i)))
     tok.groupBy(col("doc_id"))
-      .agg(
-        min(pmod(col("h") * permA(0) + permB(0), lit(P))).as("mh0"),
-        (1 until NumHashes).map(i =>
-          min(pmod(col("h") * permA(i) + permB(i), lit(P))).as(s"mh$i")): _*)
+      .agg(minhashAgg(col("h"), perms, P).as("mh"))
   }
 
   private def minhashSql: String = {
@@ -108,7 +111,8 @@ object Dedup {
     // self-join's two sides.
     val bandSigs = mh.select(col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
-        concat_ws("-", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*)
+        concat_ws("-", (0 until BandSize).map(j =>
+          element_at(col("mh"), b * BandSize + j + 1)): _*)
       }: _*)).as(Seq("band", "sig")))
       .cache()
     val x = bandSigs.alias("x")

@@ -91,4 +91,24 @@ class ExpressionEdgeSpec extends AnyFunSuite {
       .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(native.toSeq === expected.toSeq)
   }
+
+  test("MinHashAgg equals the per-permutation MIN(pmod) formulation across merges") {
+    import spark.implicits._
+    import graft.functions.MinHashAgg.minhashAgg
+    val perms = Seq((17L, 91L), (19L, 96L), (21L, 101L))
+    val mod = 1000000007L
+    val rows = (1 to 300).map(i => (i % 5L, i * 48271L))
+    val df = rows.toDF("g", "h").repartition(10)
+    val native = df.groupBy(col("g")).agg(minhashAgg(col("h"), perms, mod).as("mh"))
+      .select(col("g"), col("mh")).orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    val slots = df.groupBy(col("g")).agg(
+      min(pmod(col("h") * perms(0)._1 + perms(0)._2, lit(mod))).as("m0"),
+      perms.zipWithIndex.tail.map { case ((a, b), i) =>
+        min(pmod(col("h") * a + b, lit(mod))).as(s"m$i") }: _*)
+    val expected = slots.select(col("g"), array(col("m0"), col("m1"), col("m2")).as("mh"))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(native.toSeq === expected.toSeq)
+  }
 }
