@@ -286,5 +286,32 @@ object Analytics {
       .orderBy(col("source"))
   }
 
-  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75)
+  /** q82 — bitmap-based EXACT distinct counting: keys map to
+    * (bucket, bit position), per-(group, bucket) bitmaps build with
+    * `bitmap_construct_agg`, partial bitmaps OR-merge, and the distinct
+    * count is the sum of set bits. This is the scalable exact
+    * COUNT(DISTINCT) pattern — the shuffle carries fixed-size bitmaps
+    * per (group, bucket) instead of every distinct key, mergeable across
+    * any partitioning (unlike a naive distinct, whose shuffle width is
+    * the key cardinality). Verified against the naive COUNT(DISTINCT)
+    * oracle.
+    */
+  val q82 = oracled(
+    "q82_bitmap_distinct",
+    "exact distinct customers per order status via mergeable bitmaps",
+    """SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       FROM orders
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""") { (s, dir) =>
+    val perBucket = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), bitmap_bucket_number(col("o_custkey")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("o_custkey"))).as("bm"))
+    perBucket
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(bitmap_count(col("bm"))).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82)
 }

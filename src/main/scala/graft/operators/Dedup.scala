@@ -244,10 +244,12 @@ object Dedup {
     * oracle computes the identical fixpoint declaratively with a
     * recursive CTE (semi-naive label reachability + MIN).
     */
-  val q73 = oracled(
-    "q73_dedup_clusters",
-    "connected-component dedup clusters over SimHash near-dup pairs",
-    s"""WITH RECURSIVE $simhashCte,
+  /** Shared CTE chain for the recursive-CTE connected-components oracle
+    * (q73, q83): SimHash pairs → bidirectional edges → label
+    * reachability fixpoint → per-node component minimum.
+    */
+  private def ccOracleCte: String =
+    s"""$simhashCte,
        pairs AS (
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM sim x JOIN sim y ON x.doc_id < y.doc_id
@@ -260,11 +262,40 @@ object Dedup {
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-       cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node)
+       cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node)"""
+
+  val q73 = oracled(
+    "q73_dedup_clusters",
+    "connected-component dedup clusters over SimHash near-dup pairs",
+    s"""WITH RECURSIVE $ccOracleCte
        SELECT doc_id, cluster,
          CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
        FROM cc
        ORDER BY doc_id""") { (s, dir) =>
+    ccLabels(s, dir)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster")))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One CC computation per data dir: q73 (cluster listing) and q83
+    * (pipeline summary) share the converged label table — cluster once,
+    * consume many times, like the ALS fit in [[graft.ml.Recommender]].
+    * The memoized value is a localCheckpoint'd 2-column frame (one row
+    * per doc), so holding it costs O(corpus keys), not O(pipeline).
+    */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate(dir, computeCcLabels(s, dir))
+
+  /** Connected-component labels (doc_id, cluster = component min id) for
+    * every document — the Spark side of q73/q83; see q73 Scaladoc for
+    * the algorithm and its scale posture.
+    */
+  private def computeCcLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
     // edges pre-partitioned on the iteration join key so every round's
     // join reuses the same layout instead of re-shuffling the static side
@@ -309,12 +340,38 @@ object Dedup {
       .join(connected, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     val out = labels.union(singletons)
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster")))
-          .cast("long"))
-      .orderBy(col("doc_id"))
     pairs.unpersist(); edges.unpersist()
     out
+  }
+
+  /** q83 — the composed dedup pipeline end-to-end: detect (SimHash) →
+    * cluster (connected components) → keep one representative per
+    * cluster (its min doc_id) → report the corpus reduction in
+    * documents and tokens. This is the query a training-data pipeline
+    * actually ships: everything upstream of it (q46/q47/q73) is its
+    * observable intermediate state.
+    */
+  val q83 = oracled(
+    "q83_dedup_pipeline_summary",
+    "detect → cluster → keep-representative corpus reduction summary",
+    s"""WITH RECURSIVE $ccOracleCte,
+       toks AS (
+         SELECT doc_id, len(string_split(trim(text), ' ')) AS ntok FROM documents)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+         CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_docs_after,
+         CAST(SUM(ntok) AS BIGINT) AS tokens_before,
+         CAST(SUM(CASE WHEN cc.doc_id = cluster THEN ntok ELSE 0 END) AS BIGINT) AS tokens_after
+       FROM cc JOIN toks ON cc.doc_id = toks.doc_id""") { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+    ccLabels(s, dir).join(toks, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs_before"),
+        countDistinct(col("cluster")).as("n_docs_after"),
+        sum(col("ntok")).as("tokens_before"),
+        sum(when(col("doc_id") === col("cluster"), col("ntok")).otherwise(0L))
+          .as("tokens_after"))
   }
 
   /** q48 — word-bigram (shingle) Jaccard near-dups, blocked on
@@ -377,5 +434,5 @@ object Dedup {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73)
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83)
 }

@@ -131,4 +131,39 @@ class StreamJoinsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(afterReplay.toSeq === Seq(10L, 20L, 30L), "replay duplicated rows")
   }
+
+  test("transformWithState (state v2) keeps per-user count/max across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ValueTracker
+    // state v2 needs a multi-column-family store: RocksDB, not the
+    // default HDFS-backed provider (conf is read at query start)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[ValueTracker.In]
+    val q = ValueTracker.profiles(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("vt_profiles").start()
+    try {
+      input.addData(ValueTracker.In(1L, 5.0), ValueTracker.In(1L, 9.0),
+        ValueTracker.In(2L, 3.0))
+      q.processAllAvailable()
+      input.addData(ValueTracker.In(1L, 7.0)) // count grows, max stays 9
+      q.processAllAvailable()
+      val latest = spark.sql(
+          "SELECT user_id, n_events, max_value FROM vt_profiles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(latest(1L) === ((1L, 3L, 9.0)), s"got ${latest(1L)}")
+      assert(latest(2L) === ((2L, 1L, 3.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
