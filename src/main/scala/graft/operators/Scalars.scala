@@ -268,5 +268,62 @@ object Scalars {
       .orderBy(col("doc_id"), col("tok"))
   }
 
-  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81)
+  /** q84 — VARIANT semi-structured ingestion (Spark 4): JSON parsed
+    * once to the binary VARIANT encoding (`parse_json`), then fields
+    * pulled with typed `variant_get` path access — the columnar-friendly
+    * replacement for repeated string re-parsing that get_json_object
+    * does per call; `try_variant_get` yields null (not a failure) on a
+    * path/type miss. At 100 TB the parse cost is paid once at ingest
+    * and every downstream access is a binary field read. The oracle is
+    * the semantically-equal JSON path extraction.
+    */
+  val q84 = oracled(
+    "q84_variant_semistructured",
+    "parse_json VARIANT + typed variant_get access, per-type stats",
+    """SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""") { (s, dir) =>
+    val v = parse_json(col("props"))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "long").as("k"),
+        try_variant_get(v, "$.missing", "string").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count_if(col("missing").isNull).as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q85 — collation-aware grouping (Spark 4): a mixed-case column
+    * grouped under the UTF8_LCASE collation folds case INSIDE the hash
+    * aggregate — no lower() materialization, and the same collation
+    * drives joins/sorts/comparisons engine-wide. The oracle is the
+    * explicit lower() grouping; the output key is normalized via
+    * lower() so both engines print the same representative.
+    */
+  val q85 = oracled(
+    "q85_collated_grouping",
+    "UTF8_LCASE collated group-by over a mixed-case column",
+    """SELECT lower(mixed) AS type_norm, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END AS mixed
+             FROM part)
+       GROUP BY lower(mixed)
+       ORDER BY type_norm""") { (s, dir) =>
+    val mixed = when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+      .otherwise(col("p_type"))
+    Tables.part(s, dir)
+      .select(collate(mixed, "UTF8_LCASE").as("mixed"))
+      .groupBy(col("mixed"))
+      .agg(count(lit(1)).as("n"))
+      .select(collate(lower(col("mixed")), "UTF8_BINARY").as("type_norm"), col("n"))
+      .orderBy(col("type_norm"))
+  }
+
+  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85)
 }
