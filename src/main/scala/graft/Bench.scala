@@ -32,11 +32,14 @@ object Bench {
       spark.catalog.clearCache() // outside the timed window
       name -> (if (ok) elapsed else -1.0) // -1 marks a failed query, visibly
     }
-    // 3-decimal values keep the ONE output line compact enough for the
-    // driver's finite stdout-tail window (round 1's full-precision line
-    // was ~2.9 KB and failed to parse)
-    def fmt(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Keep the ONE output line compact enough for the driver's finite
+    // stdout-tail window (round 1's ~2.9 KB full-precision/full-name
+    // line failed to parse): 3-decimal values, and query keys shortened
+    // to their unique qNN prefix (full names are in CORRECTNESS/PLANS)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def shortName(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()

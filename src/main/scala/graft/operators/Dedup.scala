@@ -321,7 +321,9 @@ object Dedup {
     val connected = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
     var labels = connected.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(false) // lazy: materialized by this round's sum action
-    var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    // coalesce: an edge-free corpus gives an EMPTY label table, where
+    // sum() is null — the loop must converge on 0, not NPE
+    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head.getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < 12) {
@@ -341,7 +343,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc_id"),
           least(coalesce(col("b.cluster"), col("a.cluster")), col("a.cluster")).as("cluster"))
         .localCheckpoint(false) // cut lineage: O(1) plan per round
-      val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("cluster")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum // min-propagation strictly decreases until fixpoint
       prevSum = nextSum
       labels = next
