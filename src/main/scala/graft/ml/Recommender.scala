@@ -360,5 +360,62 @@ object Recommender {
       .orderBy(col("user"), col("rank"))
   }
 
-  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** q86 — item-item collaborative similarity: cosine over the items'
+    * user-rating vectors, computed sparsely — self-join on the shared
+    * user (the only nonzero coordinates), one co-rating dot-product
+    * aggregate, norms joined back broadcast, per-item top-3 by window.
+    * Never materializes an item×item or item×user dense matrix; the
+    * user-key self-join + (item_a, item_b) aggregate is the standard
+    * co-occurrence shuffle pair, and per-user fanout is bounded by the
+    * user's rating count (cap heavy raters upstream at web scale).
+    * Integer ratings make every sum exact, so DuckDB matches
+    * bit-for-bit including the final IEEE cosine division.
+    */
+  val q86 = oracled(
+    "q86_item_item_similarity",
+    "sparse item-item cosine top-3 via shared-user co-rating join",
+    s"""WITH r AS (SELECT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        co AS (
+          SELECT a.item_id AS item_a, b.item_id AS item_b,
+            CAST(SUM(a.rating * b.rating) AS BIGINT) AS dot
+          FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+          GROUP BY a.item_id, b.item_id),
+        nrm AS (
+          SELECT item_id, sqrt(CAST(SUM(rating * rating) AS DOUBLE)) AS nrm
+          FROM r GROUP BY item_id),
+        scored AS (
+          SELECT item_a, item_b, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim
+          FROM co JOIN nrm na ON co.item_a = na.item_id
+                  JOIN nrm nb ON co.item_b = nb.item_id),
+        ranked AS (
+          SELECT item_a, item_b, cos_sim,
+            row_number() OVER (PARTITION BY item_a ORDER BY cos_sim DESC, item_b) AS rn
+          FROM scored)
+        SELECT item_a, CAST(rn AS INT) AS rn, item_b, cos_sim
+        FROM ranked WHERE rn <= 3 AND item_a < 20
+        ORDER BY item_a, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = ratings(s, dir)
+    val a = r.alias("a")
+    val b = r.alias("b")
+    val co = a.join(b,
+        col("a.user_id") === col("b.user_id") && col("a.item_id") =!= col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(sum(col("a.rating") * col("b.rating")).as("dot"))
+    val nrm = r.groupBy(col("item_id"))
+      .agg(sqrt(sum(col("rating") * col("rating")).cast("double")).as("nrm"))
+    val scored = co
+      .join(broadcast(nrm.select(col("item_id").as("item_a"), col("nrm").as("na"))), "item_a")
+      .join(broadcast(nrm.select(col("item_id").as("item_b"), col("nrm").as("nb"))), "item_b")
+      .select(col("item_a"), col("item_b"),
+        (col("dot").cast("double") / (col("na") * col("nb"))).as("cos_sim"))
+    val w = Window.partitionBy(col("item_a")).orderBy(col("cos_sim").desc, col("item_b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("item_a") < 20)
+      .select(col("item_a"), col("rn"), col("item_b"), col("cos_sim"))
+      .orderBy(col("item_a"), col("rn"))
+  }
+
+  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86)
 }

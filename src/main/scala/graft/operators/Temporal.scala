@@ -98,5 +98,49 @@ object Temporal {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58)
+  /** q87 — funnel analysis (view → click → purchase): per user, the
+    * earliest view, the earliest click AFTER that view, and the earliest
+    * purchase AFTER that click, counted per completed stage. Each stage
+    * is a conditional-min aggregate gated by the PREVIOUS stage's
+    * per-user scalar (one row per user, broadcast) — events join
+    * per-user thresholds, never other events, so every shuffle is
+    * O(events) or O(users) and nothing is O(events²). Timestamps
+    * compare as microsecond instants in both engines.
+    */
+  val q87 = oracled(
+    "q87_funnel_stages",
+    "view→click→purchase funnel completion counts, join-free",
+    """WITH v AS (
+         SELECT user_id, MIN(ts) AS t_view FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, MIN(e.ts) AS t_click
+         FROM events e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click' AND e.ts > v.t_view
+         GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS t_purchase
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         GROUP BY e.user_id)
+       SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+              CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+              CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after""") { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87)
 }
