@@ -325,5 +325,65 @@ object Scalars {
       .orderBy(col("type_norm"))
   }
 
-  val all: Seq[GQuery] = Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85)
+  /** q88 — error-safe (`try_`) arithmetic: Spark 4 runs ANSI mode by
+    * default, where x/0 and overflow FAIL the job; `try_divide` /
+    * `try_add` yield NULL instead — the per-expression opt-out a
+    * pipeline needs for dirty data without disabling ANSI globally.
+    * The oracle spells the same null semantics with CASE guards
+    * (DuckDB's / already nulls on 0 only for NULLIF-style guards).
+    */
+  val q88 = oracled(
+    "q88_try_arithmetic",
+    "try_divide/try_add null-on-error vs ANSI failure semantics",
+    """SELECT l_orderkey, l_linenumber,
+       CASE WHEN (l_quantity - 10.0) <> 0.0
+            THEN l_extendedprice / (l_quantity - 10.0) END AS price_per_excess,
+       CASE WHEN l_quantity <> 0.0
+            THEN l_extendedprice / l_quantity END AS unit_price
+       FROM lineitem
+       WHERE l_orderkey < 100
+       ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - 10.0)
+          .as("price_per_excess"),
+        try_divide(col("l_extendedprice"), col("l_quantity")).as("unit_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q89 — calendar arithmetic roundup: day diffs, month shifts,
+    * month-end, week truncation, date construction — the temporal
+    * scalar surface (the reference throws its timestamp column away;
+    * SURVEY §1.3). All codegen'd scalar ops; month-shift end-of-month
+    * clamping (Jan 31 + 1 month = Feb 28/29) agrees across engines.
+    */
+  val q89 = oracled(
+    "q89_date_arithmetic",
+    "datediff/add_months/last_day/trunc-week/make_date scalars",
+    """SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+       make_date(2030, CAST(month(o_orderdate) AS INT), 1) AS anniversary
+       FROM orders
+       WHERE o_orderkey < 200
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        d.as("d"),
+        datediff(d, to_date(lit("2024-01-01"))).cast("long").as("days_since_2024"),
+        add_months(d, 3).as("plus_3mo"),
+        last_day(d).as("month_end"),
+        date_trunc("week", d).cast("date").as("week_start"),
+        make_date(lit(2030), month(col("o_orderdate")), lit(1)).as("anniversary"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89)
 }

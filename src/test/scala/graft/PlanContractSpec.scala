@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the load-bearing plan shapes behind the
+  * 100 TB design claims, asserted so a refactor that silently
+  * de-optimizes a query (drops a broadcast, loses pushdown, widens a
+  * shuffle) fails CI instead of shipping. Companion to PLAN_NOTES.md.
+  */
+class PlanContractSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(q: GQuery): String =
+    q.run(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: every predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan(operators.Relational.q02)
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    assert(!p.replaceAll("ReadSchema: [^\n]*", "").contains("l_tax"),
+      "projection pruning lost: untouched column read\n" + p)
+  }
+
+  test("q04: dimensions broadcast, facts never build side") {
+    val p = plan(operators.Relational.q04)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "star-join dimensions must broadcast, not sort-merge\n" + p)
+  }
+
+  test("q11: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(operators.Relational.q11)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q38: serving top-k prunes map-side via WindowGroupLimit") {
+    val p = plan(ml.Recommender.q38)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"),
+      "map-side (Partial) WindowGroupLimit missing: shuffle carries all pairs\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "item factors must broadcast\n" + p)
+  }
+
+  test("q45: LSH candidate generation is an equi-join, never a cross product") {
+    val p = plan(operators.Dedup.q45)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band join degenerated to a cross product\n" + p)
+  }
+
+  test("q82: bitmap distinct is two aggregate levels, both partial-aggregated") {
+    val p = plan(operators.Analytics.q82)
+    assert(p.contains("bitmap_construct_agg"), p)
+    assert(p.contains("partial_bitmap_construct_agg") || p.contains("Partial"),
+      "level-1 bitmap aggregate lost its partial phase\n" + p)
+    assert(p.contains("partial_sum"),
+      "level-2 sum-of-bitcounts lost its partial phase\n" + p)
+  }
+
+  test("q72: sampling filter sits directly on the scan") {
+    val p = plan(operators.Analytics.q72)
+    val below = p.substring(p.indexOf("+- Filter"))
+    assert(below.contains("FileScan") && !below.contains("Exchange"), p)
+  }
+}
