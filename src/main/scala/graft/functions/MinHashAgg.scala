@@ -32,7 +32,10 @@ case class MinHashAgg(
 
   override def prettyName: String = "minhash_agg"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  // null when the group had no non-null input — the same contract as
+  // built-in MIN (every signature value is < mod, so the untouched
+  // MaxValue sentinel is unambiguous)
+  override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
 
   private val as: Array[Long] = perms.map(_._1).toArray
@@ -63,7 +66,9 @@ case class MinHashAgg(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length > 0 && buf(0) == Long.MaxValue) null // no valid input seen
+    else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * buf.length)

@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Semantics (bit j set iff strictly more 1-votes than 0-votes) are
   * identical to the SUM(CASE) formulation and to the DuckDB oracle in
-  * [[graft.operators.Dedup]].
+  * [[graft.operators.Dedup]] for non-null inputs. NULL hashes are
+  * IGNORED (a no-op vote), the standard Spark aggregate contract —
+  * whereas the SUM(CASE) spelling would count a null as a -1 vote on
+  * every bit (its ELSE branch). The tokenize→hash pipeline never
+  * produces null hashes, and the equivalence spec pins the skip
+  * behavior explicitly.
   */
 case class SimHashAgg(
     child: Expression,

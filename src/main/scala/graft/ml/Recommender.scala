@@ -32,15 +32,16 @@ object Recommender {
 
   /** One ALS fit per (sfDir) — q36 (train+evaluate) and q38 (serve) share
     * the trained model instead of re-fitting, the same way a production
-    * pipeline trains once and serves many. The cache key is the data dir;
-    * hyperparameters are fixed per SURVEY §2 O3 (rank 8 = the reference's
-    * feature count scaled to fixture size, regParam = the reference's K).
+    * pipeline trains once and serves many. The cache key is
+    * (SparkContext, data dir) — see [[graft.Memo]]; hyperparameters are
+    * fixed per SURVEY §2 O3 (rank 8 = the reference's feature count
+    * scaled to fixture size, regParam = the reference's K).
     */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.recommendation.ALSModel]
 
   private[graft] def alsModel(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
-    modelCache.getOrElseUpdate(dir, {
+    modelCache.getOrElseUpdate(graft.Memo.key(s, dir), {
       import org.apache.spark.ml.recommendation.ALS
       val r = trainInput(s, dir).cache()
       try

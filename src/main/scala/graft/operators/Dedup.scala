@@ -145,7 +145,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def simhashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(dir, {
+    simhashCache.getOrElseUpdate(graft.Memo.key(s, dir), {
       import graft.functions.SimHashAgg.simhashAgg
       val tok = Tables.documents(s, dir).select(col("doc_id"),
         explode(split(trim(col("text")), " ")).as("tok"))
@@ -187,33 +187,42 @@ object Dedup {
   private val HamT = 3
 
   /** SimHash near-dup pairs at Hamming ≤ [[HamT]] via pigeonhole chunk
-    * join (see q47). Shared by q47 (the pair list) and q73 (connected
-    * components over the pair graph).
+    * join (see q47). Shared by q47 (the pair list) and q73/q83
+    * (clustering) — materialized once per (context, dir) like the
+    * fingerprints, with the chunk table's working cache released after
+    * the pair table is checkpointed.
     */
-  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val chunks = HamT + 1            // 4 chunks of 12 bits
-    val chunkBits = SimBits / chunks
-    val sim = simhashes(s, dir)
-    // chunk id folded into the join key (posexplode) -> ONE equi-join
-    // for all pigeonhole chunks; the per-doc chunk table is cached
-    // across the self-join sides.
-    val chunked = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
-      .cache()
-    val x = chunked.alias("x")
-    val y = chunked.alias("y")
-    x.join(y,
-        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
-      // cheap bit-count filter BEFORE the distinct so the dedup shuffle
-      // only carries true near-dup pairs, not every chunk collision
-      .filter(col("dist") <= HamT)
-      .distinct()
-  }
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      val chunks = HamT + 1            // 4 chunks of 12 bits
+      val chunkBits = SimBits / chunks
+      val sim = simhashes(s, dir)
+      // chunk id folded into the join key (posexplode) -> ONE equi-join
+      // for all pigeonhole chunks; the per-doc chunk table is cached
+      // across the self-join sides.
+      val chunked = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
+        .cache()
+      val x = chunked.alias("x")
+      val y = chunked.alias("y")
+      val pairs = x.join(y,
+          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
+        // cheap bit-count filter BEFORE the distinct so the dedup shuffle
+        // only carries true near-dup pairs, not every chunk collision
+        .filter(col("dist") <= HamT)
+        .distinct()
+        .localCheckpoint() // eager: lets the chunk cache release below
+      chunked.unpersist()
+      pairs
+    })
 
   /** q47 — SimHash near-dup pairs at Hamming distance ≤ 3. The Spark
     * side uses pigeonhole banding: split 48 bits into 4 chunks of 12;
@@ -300,14 +309,22 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate(dir, computeCcLabels(s, dir))
+    ccCache.getOrElseUpdate(graft.Memo.key(s, dir),
+      connectedComponents(
+        Tables.documents(s, dir).select(col("doc_id")),
+        simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
 
   /** Connected-component labels (doc_id, cluster = component min id) for
-    * every document — the Spark side of q73/q83; see q73 Scaladoc for
-    * the algorithm and its scale posture.
+    * every node — the engine's general CC operator (exercised directly
+    * by AnalyticsSpec on a known graph; q73/q83 feed it the SimHash
+    * near-dup pair graph). See q73 Scaladoc for the algorithm and its
+    * scale posture.
+    *
+    * @param nodes single-column (doc_id) node set
+    * @param pairList undirected edges as (doc_a, doc_b) rows
     */
-  private def computeCcLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
+  private[graft] def connectedComponents(nodes: DataFrame, pairList: DataFrame): DataFrame = {
+    val pairs = pairList.cache()
     // edges pre-partitioned on the iteration join key so every round's
     // join reuses the same layout instead of re-shuffling the static side
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -317,7 +334,7 @@ object Dedup {
     // only nodes that appear in an edge iterate; singletons (the vast
     // majority of a real corpus) never enter the loop state. Eagerly
     // checkpointed: the singleton anti-join below must not re-derive the
-    // SimHash pipeline after the caches are released.
+    // upstream pair pipeline after the caches are released.
     val connected = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
     var labels = connected.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(false) // lazy: materialized by this round's sum action
@@ -349,7 +366,7 @@ object Dedup {
       labels = next
       round += 1
     }
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+    val singletons = nodes
       .join(connected, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     val out = labels.union(singletons)

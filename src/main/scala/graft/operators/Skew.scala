@@ -55,7 +55,11 @@ object Skew {
       key: String,
       saltSource: Column,
       saltBuckets: Int = 32): DataFrame = {
-    val saltedLeft = left.withColumn("__salt", pmod(saltSource, lit(saltBuckets)))
+    // null saltSource must still land in SOME bucket (salt 0), or the
+    // equi-join on __salt would silently drop rows the unsalted join
+    // keeps — the salt column must never introduce its own null semantics
+    val saltedLeft = left.withColumn("__salt",
+      coalesce(pmod(saltSource, lit(saltBuckets)), lit(0)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

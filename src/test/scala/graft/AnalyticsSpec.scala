@@ -51,44 +51,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rate > 0.03 && rate < 0.25, s"sample rate $rate far from 10%")
   }
 
-  test("q72 sampling predicate reaches the parquet scan as a data filter") {
-    val plan = operators.Analytics.q72.run(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    // the arithmetic itself isn't a parquet-pushable predicate, but it
-    // must sit directly on the scan (plans print top-down: nothing but
-    // the scan may appear below the Filter line)
-    val belowFilter = plan.substring(plan.indexOf("+- Filter"))
-    assert(belowFilter.contains("FileScan") && !belowFilter.contains("Exchange"),
-      s"filter must run scan-side, directly above the scan:\n$plan")
-    assert(plan.contains("DataFilters: [isnotnull(doc_id"),
-      s"sampling predicate missing from scan DataFilters:\n$plan")
-  }
-
-  test("connected components labels a known graph correctly") {
-    // clusters: {1,2,3,4} (path), {5,6} (edge), {7} (singleton)
+  test("connectedComponents labels a known graph correctly (production operator)") {
+    // clusters: {1,2,3,4} (path — exercises multi-round propagation +
+    // pointer doubling), {5,6} (edge), {7} (singleton skips the loop)
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
-    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
-    var converged = false
-    var round = 0
-    while (!converged && round < 12) {
-      val nbr = edges.join(labels, col("src") === col("doc_id"))
-        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbr, labels("doc_id") === nbr("dst"), "left")
-        .select(labels("doc_id"),
-          least(coalesce(col("nbr_min"), col("cluster")), col("cluster")).as("cluster"))
-        .localCheckpoint()
-      val s2 = next.agg(sum("cluster")).head.getLong(0)
-      converged = s2 == prevSum; prevSum = s2; labels = next; round += 1
-    }
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.Dedup.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
-    // a 4-path has diameter 3: must need >1 round, must stop well under the bound
-    assert(round >= 2 && round <= 6, s"rounds=$round")
+  }
+
+  test("connectedComponents on an edge-free graph returns every node as its own cluster") {
+    import spark.implicits._
+    val docs = Seq(10L, 11L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = operators.Dedup.connectedComponents(docs, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 11L))
   }
 
   test("q73 clusters are consistent with q47 pairs (same-cluster iff connected)") {

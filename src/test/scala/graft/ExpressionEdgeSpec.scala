@@ -81,6 +81,9 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     val df = rows.toDF("g", "h").repartition(10)
     val native = df.groupBy(col("g")).agg(simhashAgg(col("h"), bits).as("sim"))
       .orderBy(col("g")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // CONTRACT: null hashes are ignored (no vote) — standard aggregate
+    // semantics — so the expected side drops them before the SUM(CASE)
+    // spelling, whose ELSE branch would otherwise count null as -1
     val votes = df.filter(col("h").isNotNull).groupBy(col("g")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("s0"),
       (1 until bits).map(j =>
@@ -110,5 +113,17 @@ class ExpressionEdgeSpec extends AnyFunSuite {
       .orderBy(col("g"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
     assert(native.toSeq === expected.toSeq)
+  }
+
+  test("MinHashAgg yields NULL for a group with no valid input (MIN contract)") {
+    import spark.implicits._
+    import graft.functions.MinHashAgg.minhashAgg
+    val df = Seq((1L, Option(42L)), (2L, Option.empty[Long]))
+      .toDF("g", "h")
+    val rows = df.groupBy(col("g"))
+      .agg(minhashAgg(col("h"), Seq((17L, 91L)), 1000000007L).as("mh"))
+      .orderBy(col("g")).collect()
+    assert(!rows(0).isNullAt(1), "group with data must get a signature")
+    assert(rows(1).isNullAt(1), "all-null group must yield NULL, not a sentinel")
   }
 }
