@@ -313,5 +313,67 @@ object Analytics {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[GQuery] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82)
+  /** q90 — ordered string aggregation: per-nation roster of its three
+    * richest customers as one delimited string. `collect_list` has no
+    * deterministic order (partition race), so the contract is
+    * sort-then-join — `array_join(sort_array(...))` — mirrored by the
+    * oracle's `string_agg(... ORDER BY ...)`. The top-3 cut happens in a
+    * ranking window BEFORE the collect, so the aggregate state is
+    * bounded per group no matter the group's size.
+    */
+  val q90 = oracled(
+    "q90_string_agg",
+    "per-nation ordered roster string of top-3 customers by balance",
+    """WITH ranked AS (
+         SELECT c_nationkey, c_name,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer)
+       SELECT c_nationkey,
+         string_agg(c_name, '|' ORDER BY c_name) AS roster
+       FROM ranked WHERE rn <= 3
+       GROUP BY c_nationkey
+       ORDER BY c_nationkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(sort_array(collect_list(col("c_name"))), "|").as("roster"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q91 — histogram by arithmetic bucketing: order totals bucketed into
+    * fixed-width bins with pure integer math (floor(x/width)), counts
+    * and bin bounds per bin. One hash aggregate over a derived key; at
+    * 100 TB this is the profile query that runs scan→agg with no sort
+    * until the bounded bin list.
+    */
+  val q91 = oracled(
+    "q91_histogram",
+    "fixed-width histogram of order totals (arithmetic bucketing)",
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+       CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_in_bin,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_in_bin
+       FROM orders
+       GROUP BY 1
+       ORDER BY bin""") { (s, dir) =>
+    val bin = floor(col("o_totalprice") / 50000.0).cast("long")
+    Tables.orders(s, dir)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(dec2(col("o_totalprice"))).cast("double").as("min_in_bin"),
+        max(dec2(col("o_totalprice"))).cast("double").as("max_in_bin"))
+      .select(col("bin"), (col("bin") * 50000.0).as("bin_lo"),
+        col("n"), col("min_in_bin"), col("max_in_bin"))
+      .orderBy(col("bin"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91)
 }
