@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events fixture is TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, executor threads) AND the bench sfDir's

@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * snapshot/version instead.
   */
 object Memo {
-  def key(s: SparkSession, dir: String): String =
-    java.lang.System.identityHashCode(s.sparkContext).toHexString + ":" + dir
+  /** applicationId + startTime is unique per SparkContext for the life of
+    * the JVM (identityHashCode is not: a GC'd context's hash can be
+    * reused, which would serve dead localCheckpoint-backed artifacts to a
+    * restarted context).
+    */
+  def key(s: SparkSession, dir: String): String = {
+    val sc = s.sparkContext
+    sc.applicationId + "-" + sc.startTime + ":" + dir
+  }
 }

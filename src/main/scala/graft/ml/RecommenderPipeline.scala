@@ -79,6 +79,7 @@ object RecommenderPipeline {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events fixture is TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, trainPath, testPath, outPath)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -247,10 +248,20 @@ object Analytics {
        WHERE (doc_id * 2654435761) % 4294967296 < 429496730
        ORDER BY doc_id""") { (s, dir) =>
     Tables.documents(s, dir)
-      .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < lit(429496730L))
+      .filter(knuthHashMod < lit(429496730L))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id * 2654435761) mod 2^32 computed in DECIMAL(38,0) so the
+    * multiply stays total over the full BIGINT id range — the BIGINT
+    * form overflows (ANSI ArithmeticException) once doc_id exceeds
+    * ~3.4e9, which contradicts the scan-side-at-100TB posture. Identical
+    * values to the BIGINT form wherever that form is defined, so the
+    * DuckDB oracle keeps the plain integer expression.
+    */
+  private def knuthHashMod: Column =
+    (col("doc_id").cast("decimal(20,0)") * lit(2654435761L)) % lit(4294967296L)
 
   /** q75 — stratified deterministic sampling (the `sampleBy` operator
     * made reproducible): per-stratum Bernoulli fractions — 50% for
@@ -275,7 +286,7 @@ object Analytics {
        FROM sampled
        GROUP BY source
        ORDER BY source""") { (s, dir) =>
-    val keep = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) <
+    val keep = knuthHashMod <
       when(col("source").rlike("^src[0-9]$"), lit(2147483648L)).otherwise(lit(429496730L))
     Tables.documents(s, dir)
       .select(col("source"), keep.as("keep"))

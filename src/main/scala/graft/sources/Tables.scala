@@ -29,6 +29,12 @@ object Tables {
     * reader rejects outright — read it as raw nanos (legacy conf) and
     * floor-divide to microseconds, matching DuckDB's own nanos→micros
     * truncation so both engines see the identical instant.
+    *
+    * Contract: sessions reading events should set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in their builder (the
+    * repo's mains and specs do); the set below is a defensive no-op in
+    * that case, kept so a caller-supplied session that missed the conf
+    * still reads the fixture encoding instead of failing.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

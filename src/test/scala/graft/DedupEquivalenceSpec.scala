@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHash
+import graft.operators.Dedup
+
+/** q48's equivalence theorem, executed: the inverted-index set-similarity
+  * join must produce EXACTLY the brute-force all-pairs result at any
+  * positive threshold (Jaccard ≥ t > 0 ⟹ |A∩B| ≥ 1 ⟹ the pair
+  * co-occurs in the index; the co-occurrence count is the exact |A∩B|).
+  * Checked against an in-Spark brute force — built on the codegen'd
+  * [[graft.functions.SortedIntersectCount]] two-pointer merge, the
+  * verifier the all-pairs form used — on the fixture corpus and on an
+  * adversarial synthetic corpus (identical docs, subsets, empty and
+  * one-token docs, cross-block twins, a hot shingle).
+  */
+class DedupEquivalenceSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The previous all-pairs formulation, kept as the executable oracle:
+    * block self-join + sorted-merge intersection per pair.
+    */
+  private def bruteForce(docs: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val toks = split(trim(col("text")), " ")
+    val bigrams =
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b))
+    val hashed = array_sort(array_distinct(
+      transform(bigrams, b => RollingHash.rollingHash(b))))
+    val bg = docs
+      .select(col("doc_id"), col("lang"), col("source"), hashed.as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val x = bg.alias("x")
+    val y = bg.alias("y")
+    x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        sortedIntersectCount(col("x.sh"), col("y.sh")).cast("double").as("inter"),
+        (col("x.n_sh") + col("y.n_sh")).as("sz"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("sz") - col("inter") > 0,
+          col("inter") / (col("sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("inverted-index join == brute force on the fixture corpus (several thresholds)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    for (t <- Seq(0.05, 0.1, 0.5)) {
+      val fast = asSet(Dedup.ngramJaccardPairs(Dedup.tokensOf(docs), t))
+      val slow = asSet(bruteForce(docs, t))
+      assert(fast === slow, s"mismatch at threshold $t")
+    }
+  }
+
+  test("inverted-index join == brute force on an adversarial synthetic corpus") {
+    val rows = Seq(
+      // identical pair (Jaccard 1.0) and a near-identical third
+      (1L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+      (3L, "en", "web", "alpha beta gamma delta epsilon eta"),
+      // subset relationship
+      (4L, "en", "web", "alpha beta gamma"),
+      // disjoint doc in the same block
+      (5L, "en", "web", "omicron pi rho sigma tau"),
+      // identical text, DIFFERENT block (must never pair)
+      (6L, "fr", "web", "alpha beta gamma delta epsilon zeta"),
+      (7L, "en", "cc", "alpha beta gamma delta epsilon zeta"),
+      // empty + one-token docs: zero bigrams, never candidates
+      (8L, "en", "web", ""),
+      (9L, "en", "web", "solo"),
+      (10L, "en", "web", "   "),
+      // hot shingle: "hot spot" appears in many otherwise-unrelated docs
+      (11L, "en", "web", "hot spot aa bb cc dd ee ff gg hh"),
+      (12L, "en", "web", "hot spot ii jj kk ll mm nn oo pp"),
+      (13L, "en", "web", "hot spot qq rr ss tt uu vv ww xx"),
+      // chain: 14~15 overlap, 15~16 overlap, 14-16 nearly disjoint
+      (14L, "en", "web", "one two three four five six"),
+      (15L, "en", "web", "four five six seven eight nine"),
+      (16L, "en", "web", "seven eight nine ten eleven twelve"))
+    val docs = spark.createDataFrame(rows)
+      .toDF("doc_id", "lang", "source", "text")
+    for (t <- Seq(0.01, 0.1, 0.3, 1.0)) {
+      val fast = asSet(Dedup.ngramJaccardPairs(Dedup.tokensOf(docs), t))
+      val slow = asSet(bruteForce(docs, t))
+      assert(fast === slow, s"mismatch at threshold $t")
+    }
+    // sanity: the corpus actually exercises the interesting cases
+    val all = asSet(bruteForce(docs, 0.01))
+    assert(all.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 },
+      "identical pair missing")
+    assert(!all.exists { case (a, b, _) => Set(a, b).intersect(Set(6L, 7L)).nonEmpty },
+      "cross-block pair leaked")
+    assert(!all.exists { case (a, b, _) => Set(a, b).intersect(Set(8L, 9L, 10L)).nonEmpty },
+      "bigram-less doc paired")
+  }
+
+  test("q48 registered query still runs end-to-end and is ordered") {
+    val out = Dedup.q48.run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sameElements(out.sortBy(identity)), "output must be ordered by (doc_a, doc_b)")
+  }
+}

@@ -68,6 +68,9 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("q72: sampling filter sits directly on the scan") {
     val p = plan(operators.Analytics.q72)
+    // guard before substring: a missing Filter must fail with the plan,
+    // not a StringIndexOutOfBoundsException masking the regression
+    assert(p.contains("+- Filter"), s"no Filter node in plan:\n$p")
     val below = p.substring(p.indexOf("+- Filter"))
     assert(below.contains("FileScan") && !below.contains("Exchange"), p)
   }
