@@ -58,7 +58,7 @@ object Recommender {
       finally r.unpersist()
     })
 
-  private def trainInput(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trainInput(s: SparkSession, dir: String): DataFrame =
     ratings(s, dir)
       .select(col("user_id").cast("int").as("user"),
         col("item_id").cast("int").as("item"),

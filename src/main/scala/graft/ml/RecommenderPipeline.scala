@@ -21,6 +21,53 @@ object RecommenderPipeline {
 
   final case class Result(nPredictions: Long, mae: Double)
 
+  /** One point of the training convergence curve: the reference printed
+    * per-epoch `rmse_last - rmse` (SVDMovieLensSparkJava.java:393-397);
+    * `delta` is that observable (NaN for the first iteration).
+    */
+  final case class IterationMetric(iter: Int, rmse: Double, delta: Double)
+
+  /** Convergence telemetry for the ALS fit. MLlib ALS exposes no mid-fit
+    * hook, but with a FIXED seed the fit is deterministic given (data,
+    * params, blocks): the model fitted at `maxIter = i` IS the state
+    * after i iterations of the same trajectory. Refitting at 1..maxIter
+    * therefore reconstructs the exact per-epoch RMSE curve the
+    * reference's training loop printed. Cost is maxIter small fits —
+    * appropriate for a telemetry/diagnostic API at fixture scale; a
+    * 100 TB pipeline would checkpoint factor matrices per iteration and
+    * evaluate those instead (same observable, amortized cost).
+    *
+    * Returns the metric sequence and the final-iteration model (so the
+    * caller can verify the curve's endpoint matches a production fit
+    * with the same hyperparameters — RecommenderSpec ties it to q36).
+    */
+  def trainingCurve(spark: SparkSession, train: DataFrame, rank: Int = 8,
+      regParam: Double = 0.015, maxIter: Int = 10, seed: Long = 42L,
+      numBlocks: Int = 8): (Seq[IterationMetric], org.apache.spark.ml.recommendation.ALSModel) = {
+    import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+    val t = train.cache()
+    try {
+      var prev = Double.NaN
+      var lastModel: ALSModel = null
+      val metrics = (1 to maxIter).map { i =>
+        val m = new ALS()
+          .setUserCol("user").setItemCol("item").setRatingCol("rating")
+          .setRank(rank).setRegParam(regParam).setMaxIter(i).setSeed(seed)
+          .setNumUserBlocks(numBlocks).setNumItemBlocks(numBlocks)
+          .setColdStartStrategy("drop")
+          .fit(t)
+        val rmse = m.transform(t)
+          .agg(sqrt(avg(pow(col("rating") - col("prediction"), 2)))).head().getDouble(0)
+        val d = prev - rmse
+        prev = rmse
+        lastModel = m
+        println(f"[als] iter $i%2d rmse $rmse%.6f delta $d%.6f") // the reference's printout shape
+        IterationMetric(i, rmse, d)
+      }
+      (metrics, lastModel)
+    } finally t.unpersist()
+  }
+
   def run(spark: SparkSession, trainPath: String, testPath: String,
       outPath: String, rank: Int = 64, maxIter: Int = 10): Result = {
     import org.apache.spark.ml.recommendation.ALS

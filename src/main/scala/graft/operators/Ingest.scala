@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+
+/** Malformed-input ingest accounting (SURVEY.md §1.3): the reference
+  * throws on any bad line (`SVDMovieLensSparkJava.java` parses with
+  * unchecked `Integer.parseInt`), killing the whole job at the first
+  * corrupt record — unacceptable for a 100 TB ingest where some bad
+  * records are a statistical certainty. The engine's ingest path reads
+  * PERMISSIVE with a corrupt-record column and ACCOUNTS for bad rows
+  * instead of dying; FAILFAST remains available when a pipeline wants
+  * the reference's semantics (IngestSpec proves both).
+  */
+object Ingest {
+
+  /** Ratings-TSV schema + the corrupt-record capture column. */
+  private val dirtySchema = StructType(Seq(
+    StructField("user_id", IntegerType, nullable = true),
+    StructField("item_id", IntegerType, nullable = true),
+    StructField("rating", IntegerType, nullable = true),
+    StructField("ts", LongType, nullable = true),
+    StructField("_corrupt_record", StringType, nullable = true)))
+
+  /** Writes the deterministic dirty TSV derived from `documents` (one
+    * line per doc; corruption is a pure function of doc_id, so the
+    * DuckDB oracle can compute the expected accounting from the clean
+    * table): doc_id ≡ 3 (mod 7) gets an unparseable rating, doc_id ≡ 5
+    * (mod 11) an unparseable timestamp. Written distributed (no
+    * collect) under java.io.tmpdir, keyed by the data dir.
+    */
+  private[graft] def writeDirtyTsv(s: SparkSession, dir: String): String = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_q92_dirty_${Integer.toHexString(dir.hashCode)}"
+    Tables.documents(s, dir).select(
+      concat_ws("\t",
+        col("doc_id"),
+        col("doc_id") % 100,
+        when(col("doc_id") % 7 === 3, lit("bad"))
+          .otherwise((col("doc_id") % 5 + 1).cast("string")),
+        when(col("doc_id") % 11 === 5, lit("9.9.9"))
+          .otherwise((lit(1700000000L) + col("doc_id")).cast("string"))).as("value"))
+      .write.mode("overwrite").text(out)
+    out
+  }
+
+  /** PERMISSIVE read of a ratings TSV with corrupt-record accounting —
+    * the resilient twin of [[graft.sources.Tables.ratingsTsv]].
+    */
+  private[graft] def readDirtyTsv(s: SparkSession, path: String): DataFrame =
+    s.read.schema(dirtySchema)
+      .option("sep", "\t")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      // cache: Spark disallows queries that touch ONLY the internal
+      // corrupt-record column of a raw CSV scan; materializing first is
+      // the documented contract for corrupt-record analytics
+      .cache()
+
+  /** q92 — dirty-ingest accounting: write the deterministic dirty TSV,
+    * read it PERMISSIVE, and report total/good/bad line counts plus a
+    * checksum aggregate over the successfully-parsed rows. The oracle
+    * recomputes the expected accounting from `documents` via the same
+    * doc_id corruption rule — so a parser that silently dropped or
+    * mis-flagged rows would hash-mismatch.
+    */
+  val q92 = oracled(
+    "q92_dirty_ingest",
+    "PERMISSIVE TSV ingest with corrupt-record accounting (reference would throw)",
+    """WITH d AS (
+         SELECT doc_id,
+           (doc_id % 7 = 3) OR (doc_id % 11 = 5) AS bad
+         FROM documents)
+       SELECT COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         CAST(SUM(CASE WHEN NOT bad THEN doc_id % 5 + 1 END) AS BIGINT) AS sum_good_rating
+       FROM d""") { (s, dir) =>
+    val parsed = readDirtyTsv(s, writeDirtyTsv(s, dir))
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count_if(col("_corrupt_record").isNull).as("n_good"),
+      count_if(col("_corrupt_record").isNotNull).as("n_bad"),
+      sum(when(col("_corrupt_record").isNull, col("rating"))).as("sum_good_rating"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92)
+}

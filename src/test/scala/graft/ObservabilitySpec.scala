@@ -41,6 +41,26 @@ class ObservabilitySpec extends AnyFunSuite {
       s"HLL estimate $merged vs exact $exact drifted > 5%")
   }
 
+  test("approx_count_distinct stays within HLL++ published error bounds") {
+    // q19 is no_oracle forever (sketches aren't portable across engines),
+    // so BOUND it instead: HLL++'s standard error is rsd; |est - n|/n
+    // beyond 4·rsd at any tested cardinality means the sketch (or our
+    // use of it) is broken, not unlucky.
+    for ((n, rsd) <- Seq((1000L, 0.05), (100000L, 0.05), (1000000L, 0.05),
+        (100000L, 0.02))) {
+      val approx = spark.range(n)
+        .agg(approx_count_distinct(col("id"), rsd).as("a")).head.getLong(0)
+      val rel = math.abs(approx - n).toDouble / n
+      assert(rel <= 4 * rsd, s"n=$n rsd=$rsd approx=$approx rel=$rel")
+    }
+    // and on q19's own output shape: per-group approx vs exact
+    graft.operators.SetOps.q19.run(spark, sfDir).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 4 * 0.05,
+        s"group ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("observe() collects pipeline metrics without a second pass") {
     import graft.sources.Tables
     val obs = Observation("li_metrics")

@@ -113,4 +113,25 @@ class RecommenderSpec extends AnyFunSuite {
       assert(math.abs(math.abs(rating - pred) - diff) < 1e-3)
     }
   }
+
+  test("training telemetry reconstructs the convergence curve; endpoint matches q36's fit") {
+    import graft.ml.RecommenderPipeline
+    val train = Recommender.trainInput(spark, sfDir)
+    val (curve, model) = RecommenderPipeline.trainingCurve(spark, train, maxIter = 10)
+    assert(curve.map(_.iter) === (1 to 10))
+    assert(curve.forall(m => m.rmse > 0 && java.lang.Double.isFinite(m.rmse)))
+    assert(curve.last.rmse < curve.head.rmse,
+      s"ALS train RMSE should improve: ${curve.head.rmse} -> ${curve.last.rmse}")
+    assert(curve.head.delta.isNaN)
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(math.abs(b.delta - (a.rmse - b.rmse)) < 1e-12, s"delta inconsistent at iter ${b.iter}")
+    }
+    // same seed + params + blocks => the 10-iter refit is the SAME
+    // trajectory as q36's memoized production fit
+    val q36mae = Recommender.q36.run(spark, sfDir).select(col("mae")).head().getDouble(0)
+    val mae = model.transform(train)
+      .agg(avg(abs(col("rating") - clamp(col("prediction"), 1.0, 5.0)))).head().getDouble(0)
+    assert(math.abs(mae - q36mae) < 1e-9,
+      s"telemetry endpoint MAE $mae != q36 MAE $q36mae")
+  }
 }

@@ -39,6 +39,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(n === expected && n > 0)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions (S4 at scale)") {
+    import graft.sources.Tables
+    val out = java.nio.file.Files.createTempDirectory("events_dpo").toString
+    val days = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    days.write.mode("overwrite").partitionBy("day").parquet(out)
+    // partition-column type inference reads day back as DATE — compare
+    // via toString on both snapshots
+    val before = spark.read.parquet(out).groupBy(col("day")).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(before.size > 1, "need several partitions for the test to mean anything")
+    val target = before.keys.min
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite ONE day (values zeroed so the replacement is observable);
+      // static mode would instead drop every other partition
+      days.filter(col("day") === target).withColumn("value", lit(0.0))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(out).groupBy(col("day")).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(after === before, "untouched partitions must survive the overwrite")
+    val zeroed = spark.read.parquet(out).filter(col("day") === target)
+      .agg(sum(abs(col("value")))).head.getDouble(0)
+    assert(zeroed === 0.0, "target partition must hold the rewritten rows")
+    val untouched = spark.read.parquet(out).filter(col("day") =!= target)
+      .agg(sum(abs(col("value")))).head.getDouble(0)
+    assert(untouched > 0.0, "other partitions must hold the original rows")
+  }
+
   test("IVF (k-means cells) ANN overlaps the exact top-5 measurably") {
     import graft.operators.{Advanced, Similarity}
     val exact = Similarity.q50.run(spark, sfDir)
