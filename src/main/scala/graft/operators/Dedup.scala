@@ -404,17 +404,18 @@ object Dedup {
         .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
         .select(labels("doc_id"),
           least(coalesce(col("nbr_min"), col("cluster")), col("cluster")).as("cluster"))
-        // materialized once: the pointer-doubling self-join below aliases
-        // this plan on BOTH sides, and without a checkpoint each round
-        // could execute the neighbor-min join twice (exchange reuse is an
-        // optimizer courtesy, not a contract)
-        .localCheckpoint(false)
-      // pointer doubling: also jump to the label OF the current label
-      // (cluster ids are themselves node ids), shortcutting chains so
-      // convergence is O(log diameter) rounds, not O(diameter) — one
-      // extra self-join per round buys chain-shaped components
+      // pointer doubling: also jump to the label OF the node named by the
+      // new label, shortcutting chains so convergence is O(log diameter)
+      // rounds, not O(diameter). The jump side is the PREVIOUS round's
+      // label table — already checkpointed, so the propagation step above
+      // executes exactly once per round (self-joining `stepped` would
+      // alias its uncached plan on both sides) and each round stays ONE
+      // materialization. Jumping via the old table is the classic
+      // shortcut-with-old-pointers variant: still monotone, same
+      // fixpoint (at convergence no neighbor improves any label, which
+      // is exactly the component-min condition).
       val a = stepped.alias("a")
-      val b = stepped.alias("b")
+      val b = labels.alias("b")
       val next = a.join(b, col("a.cluster") === col("b.doc_id"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(coalesce(col("b.cluster"), col("a.cluster")), col("a.cluster")).as("cluster"))

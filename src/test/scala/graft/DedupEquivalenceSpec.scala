@@ -110,6 +110,30 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       "bigram-less doc paired")
   }
 
+  test("q45 two-level LSH banding == one-level band join (same candidate set)") {
+    import graft.functions.{MinHashAgg, RollingHash => RH}
+    val tok = Dedup.tokensOf(graft.sources.Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .withColumn("h", RH.rollingHash(col("tok")))
+    val perms = (0 until 16).map(i => (17L + 2L * i, 91L + 5L * i))
+    val mh = tok.groupBy(col("doc_id"))
+      .agg(MinHashAgg.minhashAgg(col("h"), perms, 1000000007L).as("mh"))
+    val bandSigs = mh.select(col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        concat_ws("-", (0 until 4).map(j => element_at(col("mh"), b * 4 + j + 1)): _*)
+      }: _*)).as(Seq("band", "sig")))
+    val oneLevel = bandSigs.alias("x").join(bandSigs.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoLevel = Dedup.q45.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoLevel === oneLevel,
+      s"two-level banding changed the candidate set: ${
+        (twoLevel diff oneLevel).take(5)} extra, ${(oneLevel diff twoLevel).take(5)} missing")
+  }
+
   test("q48 registered query still runs end-to-end and is ordered") {
     val out = Dedup.q48.run(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
