@@ -29,6 +29,14 @@ object Recommender {
 
   val NumItems = 100
   val Rank = 8
+  // the fixture-scale ALS hyperparameters — referenced by BOTH the
+  // production fit below and RecommenderPipeline.trainingCurve's
+  // defaults, so the "telemetry endpoint == q36 trajectory" claim can't
+  // silently drift when one side is tuned
+  val RegParam = 0.015
+  val MaxIter = 10
+  val Seed = 42L
+  val NumBlocks = 8
 
   /** One ALS fit per (sfDir) — q36 (train+evaluate) and q38 (serve) share
     * the trained model instead of re-fitting, the same way a production
@@ -47,12 +55,12 @@ object Recommender {
       try
         new ALS()
           .setUserCol("user").setItemCol("item").setRatingCol("rating")
-          .setRank(Rank).setRegParam(0.015).setMaxIter(10).setSeed(42L)
+          .setRank(Rank).setRegParam(RegParam).setMaxIter(MaxIter).setSeed(Seed)
           // bounded block count: on 60K-row fixtures the default
           // (defaultParallelism = 32) spends more time scheduling 32-block
           // shuffles per iteration than computing; at cluster scale this
           // would be sized to executors, not hard-coded
-          .setNumUserBlocks(8).setNumItemBlocks(8)
+          .setNumUserBlocks(NumBlocks).setNumItemBlocks(NumBlocks)
           .setColdStartStrategy("drop")
           .fit(r)
       finally r.unpersist()

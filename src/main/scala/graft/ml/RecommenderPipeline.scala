@@ -41,9 +41,11 @@ object RecommenderPipeline {
     * caller can verify the curve's endpoint matches a production fit
     * with the same hyperparameters — RecommenderSpec ties it to q36).
     */
-  def trainingCurve(spark: SparkSession, train: DataFrame, rank: Int = 8,
-      regParam: Double = 0.015, maxIter: Int = 10, seed: Long = 42L,
-      numBlocks: Int = 8): (Seq[IterationMetric], org.apache.spark.ml.recommendation.ALSModel) = {
+  def trainingCurve(spark: SparkSession, train: DataFrame,
+      rank: Int = Recommender.Rank, regParam: Double = Recommender.RegParam,
+      maxIter: Int = Recommender.MaxIter, seed: Long = Recommender.Seed,
+      numBlocks: Int = Recommender.NumBlocks)
+      : (Seq[IterationMetric], org.apache.spark.ml.recommendation.ALSModel) = {
     import org.apache.spark.ml.recommendation.{ALS, ALSModel}
     val t = train.cache()
     try {

@@ -21,7 +21,7 @@ import graft.functions.RollingHash
   */
 object Dedup {
 
-  private val P = RollingHash.DefaultMod // 1000000007
+  private[graft] val P = RollingHash.DefaultMod // 1000000007
 
   /** q44 — exact dedup: corpus-level duplicate accounting via distinct
     * text (the `dropDuplicates` operator expressed as its aggregate
@@ -71,11 +71,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  private val NumHashes = 16
-  private val BandSize = 4
-  private val NumBands = NumHashes / BandSize
-  private def permA(i: Int): Long = 17L + 2L * i
-  private def permB(i: Int): Long = 91L + 5L * i
+  // exposed to graft so equivalence specs verify against the SAME LSH
+  // scheme instead of re-deriving these constants
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4
+  private[graft] val NumBands = NumHashes / BandSize
+  private[graft] def permA(i: Int): Long = 17L + 2L * i
+  private[graft] def permB(i: Int): Long = 91L + 5L * i
 
   /** Per-doc MinHash signature (ARRAY<BIGINT> of [[NumHashes]] mins)
     * over distinct-token rolling hashes, computed by the native
@@ -397,7 +399,11 @@ object Dedup {
     var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head.getLong(0)
     var converged = false
     var round = 0
-    while (!converged && round < 12) {
+    // pointer doubling reaches diameter ~2^rounds: 48 rounds covers any
+    // graph that fits in storage; if the cap is ever hit, FAIL loudly
+    // below rather than return non-minimal labels as if converged
+    val maxRounds = 48
+    while (!converged && round < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       val stepped = labels
@@ -426,6 +432,9 @@ object Dedup {
       labels = next
       round += 1
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "labels would be non-minimal; investigate the edge set")
     val singletons = nodes
       .join(connected, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))

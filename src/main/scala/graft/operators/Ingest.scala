@@ -34,8 +34,12 @@ object Ingest {
     * collect) under java.io.tmpdir, keyed by the data dir.
     */
   private[graft] def writeDirtyTsv(s: SparkSession, dir: String): String = {
+    // path is unique per (process, SparkContext): two concurrent JVMs —
+    // or a restarted context in one JVM — must never race on the same
+    // overwrite target while a lazy read of it is still materializing
     val out = sys.props("java.io.tmpdir") +
-      s"/graft_q92_dirty_${Integer.toHexString(dir.hashCode)}"
+      s"/graft_q92_dirty_${ProcessHandle.current().pid()}_" +
+      s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
     Tables.documents(s, dir).select(
       concat_ws("\t",
         col("doc_id"),
@@ -57,9 +61,13 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      // cache: Spark disallows queries that touch ONLY the internal
-      // corrupt-record column of a raw CSV scan; materializing first is
-      // the documented contract for corrupt-record analytics
+      // LOAD-BEARING cache: corrupt-record accounting must parse EVERY
+      // schema column. Without materialization, Catalyst prunes columns
+      // the query doesn't reference (e.g. ts) out of the CSV parse, and
+      // a row whose corruption lives only in a pruned column is silently
+      // counted as good (observed: 71 of 110 bad rows flagged). The
+      // cache pins one parsed pass of the full schema; the Verify/Bench
+      // harnesses clear the catalog cache after each query.
       .cache()
 
   /** q92 — dirty-ingest accounting: write the deterministic dirty TSV,

@@ -110,25 +110,34 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       "bigram-less doc paired")
   }
 
-  test("q45 two-level LSH banding == one-level band join (same candidate set)") {
+  test("q45 two-level LSH banding == one-level band join (same candidate set, no dups)") {
     import graft.functions.{MinHashAgg, RollingHash => RH}
+    // one-level reference built from Dedup's OWN LSH constants, so a
+    // change to the permutations or band geometry can't desynchronize
+    // this spec from the query it guards
     val tok = Dedup.tokensOf(graft.sources.Tables.documents(spark, sfDir))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .withColumn("h", RH.rollingHash(col("tok")))
-    val perms = (0 until 16).map(i => (17L + 2L * i, 91L + 5L * i))
+    val perms = (0 until Dedup.NumHashes).map(i => (Dedup.permA(i), Dedup.permB(i)))
     val mh = tok.groupBy(col("doc_id"))
-      .agg(MinHashAgg.minhashAgg(col("h"), perms, 1000000007L).as("mh"))
+      .agg(MinHashAgg.minhashAgg(col("h"), perms, Dedup.P).as("mh"))
     val bandSigs = mh.select(col("doc_id"),
-      posexplode(array((0 until 4).map { b =>
-        concat_ws("-", (0 until 4).map(j => element_at(col("mh"), b * 4 + j + 1)): _*)
+      posexplode(array((0 until Dedup.NumBands).map { b =>
+        concat_ws("-", (0 until Dedup.BandSize).map(j =>
+          element_at(col("mh"), b * Dedup.BandSize + j + 1)): _*)
       }: _*)).as(Seq("band", "sig")))
     val oneLevel = bandSigs.alias("x").join(bandSigs.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val twoLevel = Dedup.q45.run(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoLevelSeq = Dedup.q45.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly-once generation is the invariant that justified dropping
+    // the one-level form's pair distinct() — assert it, don't assume it
+    assert(twoLevelSeq.distinct.length === twoLevelSeq.length,
+      "two-level expansion emitted duplicate pairs")
+    val twoLevel = twoLevelSeq.toSet
     assert(twoLevel === oneLevel,
       s"two-level banding changed the candidate set: ${
         (twoLevel diff oneLevel).take(5)} extra, ${(oneLevel diff twoLevel).take(5)} missing")

@@ -66,6 +66,14 @@ class PlanContractSpec extends AnyFunSuite {
       "level-2 sum-of-bitcounts lost its partial phase\n" + p)
   }
 
+  test("q48: inverted-index candidate generation is an equi-join on postings") {
+    val p = plan(operators.Dedup.q48)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "set-similarity join degenerated to a cross product\n" + p)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "co-occurrence count lost its partial (map-side) phase\n" + p)
+  }
+
   test("q72: sampling filter sits directly on the scan") {
     val p = plan(operators.Analytics.q72)
     // guard before substring: a missing Filter must fail with the plan,
