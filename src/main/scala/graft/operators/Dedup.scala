@@ -443,6 +443,48 @@ object Dedup {
     out
   }
 
+  /** q93 — DELTA near-dup detection: a batch of new arrivals (doc_id ≡ 0
+    * mod 10 stands in for "today's crawl") checked against the EXISTING
+    * corpus without ever re-pairing the corpus against itself. This is
+    * the shape an operating 100 TB pipeline actually runs daily: the
+    * corpus SimHash table is a persisted artifact (here: the
+    * [[simhashes]] memo the whole dedup family shares), the delta
+    * fingerprints once, and the pigeonhole chunk join runs
+    * delta × corpus only — candidate volume scales with |delta|, not
+    * |corpus|², and the corpus side never reshuffles beyond the chunk
+    * key. Same Hamming ≤ [[HamT]] guarantee as q47 (≥ 1 of T+1 chunks
+    * must match exactly), so the brute-force delta-vs-corpus oracle
+    * hash-matches; DedupEquivalenceSpec additionally proves q93 ==
+    * q47's pair set restricted to exactly-one-endpoint-in-delta.
+    */
+  val q93 = oracled(
+    "q93_delta_near_dup",
+    "delta-vs-corpus SimHash near-dups (Hamming ≤ 3) — corpus never self-joined",
+    s"""WITH $simhashCte
+       SELECT d.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+         CAST(bit_count(xor(d.simhash, c.simhash)) AS BIGINT) AS dist
+       FROM sim d JOIN sim c
+         ON d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         AND bit_count(xor(d.simhash, c.simhash)) <= $HamT
+       ORDER BY delta_doc, corpus_doc""") { (s, dir) =>
+    val chunks = HamT + 1
+    val chunkBits = SimBits / chunks
+    def chunked(df: DataFrame) = df.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
+    val sim = simhashes(s, dir)
+    val delta = chunked(sim.filter(col("doc_id") % 10 === 0)).alias("d")
+    val corpus = chunked(sim.filter(col("doc_id") % 10 =!= 0)).alias("c")
+    delta.join(corpus,
+        col("d.chunk_id") === col("c.chunk_id") && col("d.chunk") === col("c.chunk"))
+      .select(col("d.doc_id").as("delta_doc"), col("c.doc_id").as("corpus_doc"),
+        bit_count(col("d.simhash").bitwiseXOR(col("c.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= HamT)
+      .distinct()
+      .orderBy(col("delta_doc"), col("corpus_doc"))
+  }
+
   /** q83 — the composed dedup pipeline end-to-end: detect (SimHash) →
     * cluster (connected components) → keep one representative per
     * cluster (its min doc_id) → report the corpus reduction in
@@ -567,5 +609,5 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83)
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93)
 }

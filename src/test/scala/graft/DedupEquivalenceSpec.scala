@@ -143,6 +143,23 @@ class DedupEquivalenceSpec extends AnyFunSuite {
         (twoLevel diff oneLevel).take(5)} extra, ${(oneLevel diff twoLevel).take(5)} missing")
   }
 
+  test("q93 delta dedup == q47 pairs restricted to exactly-one-endpoint-in-delta") {
+    val q47pairs = Dedup.q47.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = q47pairs.flatMap { case (a, b, d) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b, d)) // a is the delta doc
+        case (false, true) => Some((b, a, d)) // reorient: delta first
+        case _ => None // delta-delta and corpus-corpus pairs excluded
+      }
+    }.toSet
+    val got = Dedup.q93.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"delta join diverged from the full pair set: ${(got diff expected).take(5)} extra, ${
+        (expected diff got).take(5)} missing")
+  }
+
   test("q48 registered query still runs end-to-end and is ordered") {
     val out = Dedup.q48.run(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
