@@ -31,6 +31,9 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // outside the timed window
+      // NB: forcing System.gc() here was tried (round 3) and REJECTED:
+      // it tightened run-to-run variance slightly but cost ~8% total —
+      // full GCs evict JIT/code-cache state the next query then rebuilds
       name -> (if (ok) elapsed else -1.0) // -1 marks a failed query, visibly
     }
     // Keep the ONE output line compact enough for the driver's finite
