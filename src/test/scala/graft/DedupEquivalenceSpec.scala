@@ -160,6 +160,29 @@ class DedupEquivalenceSpec extends AnyFunSuite {
         (expected diff got).take(5)} missing")
   }
 
+  test("inverted-index join == brute force on random corpora (seeded property sweep)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab + short docs force heavy natural adversaries: exact
+    // duplicates, subsets, empty/one-token docs and hot shingles all
+    // arise by chance across seeds
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpusGen = Gen.listOfN(12, Gen.zip(docGen, Gen.oneOf("en", "fr"), Gen.oneOf("w", "c")))
+    for (seed <- 0 until 8) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val rows = corpus.zipWithIndex.map { case ((words, lang, src), i) =>
+        (i.toLong, lang, src, words.mkString(" "))
+      }
+      val docs = spark.createDataFrame(rows).toDF("doc_id", "lang", "source", "text")
+      for (t <- Seq(0.01, 0.2, 0.5)) {
+        val fast = asSet(Dedup.ngramJaccardPairs(Dedup.tokensOf(docs), t))
+        val slow = asSet(bruteForce(docs, t))
+        assert(fast === slow, s"mismatch at seed=$seed threshold=$t corpus=$rows")
+      }
+    }
+  }
+
   test("q48 registered query still runs end-to-end and is ordered") {
     val out = Dedup.q48.run(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
