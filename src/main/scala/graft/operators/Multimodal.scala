@@ -131,5 +131,41 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53)
+  /** q94 — video frame sampling: every video expands to one row per
+    * sampled frame (stride 10 over its frame count), the row-explosion
+    * shape real frame extraction produces — a generated per-key range,
+    * NOT a join against a frames dimension, so it stays a single
+    * narrow Generate at any corpus size. The stub's frame count is a
+    * pure function of the payload's rolling-hash checksum
+    * ([[DecodeStub]]: checksum % 240 + 1), which DuckDB replicates
+    * exactly (same fold as q43), making the whole sampling pipeline
+    * oracle-checked end to end — metadata → frame count → sampled
+    * frame indices → timestamps at 25 fps.
+    */
+  val q94 = {
+    import graft.functions.RollingHash
+    oracled(
+      "q94_frame_sample",
+      "deterministic video frame sampling (stride 10) over stub frame counts",
+      s"""WITH v AS (
+           SELECT doc_id AS media_id, ${RollingHash.duckSql("text")} AS checksum
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT media_id, checksum % 240 + 1 AS n_frames FROM v)
+         SELECT media_id, CAST(u.i AS BIGINT) AS frame_idx,
+           CAST(u.i * 40 AS BIGINT) AS ts_ms
+         FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 10)) u(i)
+         ORDER BY media_id, frame_idx""") { (s, dir) =>
+      val nFrames = (RollingHash.rollingHash(col("text")) % 240L + 1L).as("n_frames")
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 2) // the kind = "video" slice of mediaTable
+        .select(col("doc_id").as("media_id"), nFrames)
+        .select(col("media_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L))).as("frame_idx"))
+        .select(col("media_id"), col("frame_idx"),
+          (col("frame_idx") * 40L).as("ts_ms")) // 25 fps → 40 ms per frame
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53, q94)
 }
