@@ -167,5 +167,48 @@ object Multimodal {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53, q94)
+  /** q95 — thumbnail resize planning: for every image, the target
+    * dimensions that fit a 256-px box preserving aspect ratio, plus the
+    * upscale flag a real pipeline uses to skip degrading enlargements.
+    * Pure integer metadata arithmetic (floor division) over the stub's
+    * checksum-derived dimensions — the planning half of a resize
+    * operator, which at 100 TB runs scan-side over the metadata columns
+    * and feeds only the selected (media, target-dims) pairs to the
+    * decode+scale executors. Bit-exact in DuckDB (integer `//` ==
+    * Spark `DIV`), so oracle-checked end to end.
+    */
+  val q95 = {
+    import graft.functions.RollingHash
+    oracled(
+      "q95_resize_plan",
+      "aspect-preserving 256-box thumbnail planning over stub image dims",
+      s"""WITH m AS (
+           SELECT doc_id AS media_id, ${RollingHash.duckSql("text")} AS checksum
+           FROM documents WHERE doc_id % 3 = 0),
+         dims AS (
+           SELECT media_id,
+             checksum % 1920 + 1 AS width,
+             checksum % 1080 + 1 AS height
+           FROM m)
+         SELECT media_id, width, height,
+           CAST((width * 256) // GREATEST(width, height) AS BIGINT) AS out_w,
+           CAST((height * 256) // GREATEST(width, height) AS BIGINT) AS out_h,
+           GREATEST(width, height) < 256 AS upscale
+         FROM dims
+         ORDER BY media_id""") { (s, dir) =>
+      val checksum = RollingHash.rollingHash(col("text"))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0) // the kind = "image" slice of mediaTable
+        .select(col("doc_id").as("media_id"),
+          (checksum % 1920L + 1L).as("width"),
+          (checksum % 1080L + 1L).as("height"))
+        .select(col("media_id"), col("width"), col("height"),
+          expr("(width * 256) DIV greatest(width, height)").as("out_w"),
+          expr("(height * 256) DIV greatest(width, height)").as("out_h"),
+          (greatest(col("width"), col("height")) < 256L).as("upscale"))
+        .orderBy(col("media_id"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53, q94, q95)
 }
