@@ -19,6 +19,8 @@ import graft.sources.Tables
   */
 object RecommenderPipeline {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Result(nPredictions: Long, mae: Double)
 
   /** One point of the training convergence curve: the reference printed
@@ -47,6 +49,7 @@ object RecommenderPipeline {
       numBlocks: Int = Recommender.NumBlocks)
       : (Seq[IterationMetric], org.apache.spark.ml.recommendation.ALSModel) = {
     import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val t = train.cache()
     try {
       var prev = Double.NaN
@@ -63,7 +66,7 @@ object RecommenderPipeline {
         val d = prev - rmse
         prev = rmse
         lastModel = m
-        println(f"[als] iter $i%2d rmse $rmse%.6f delta $d%.6f") // the reference's printout shape
+        log.info(f"[als] iter $i%2d rmse $rmse%.6f delta $d%.6f") // the reference's printout shape
         IterationMetric(i, rmse, d)
       }
       (metrics, lastModel)
