@@ -12,7 +12,8 @@ object SparkEntry {
       operators.TextOps.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Temporal.all ++ operators.Advanced.all ++
-      operators.Analytics.all ++ operators.Ingest.all
+      operators.Analytics.all ++ operators.Ingest.all ++
+      operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

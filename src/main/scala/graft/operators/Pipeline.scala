@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.functions.GraftFunctions.dec2
+import graft.sources.Tables
+
+/** Training-data pipeline operators beyond detection/dedup (north-star
+  * set, round 4): PII redaction, repetition scoring, sequence packing,
+  * benchmark decontamination, RAG-style chunking, domain-mixture
+  * reweighting, quantile length filtering, and a bloom-prefiltered
+  * semi-join (the runtime-filter shape made explicit).
+  *
+  * Scale notes per operator are on each query; the common theme is that
+  * every per-document metric here is SCAN-LOCAL (array/regexp expressions
+  * over the text column, no explode→shuffle unless an actual join is
+  * required), and every join carries a bounded side (eval shingles,
+  * per-lang weights, per-lang cutoffs, the bloom bitmap) that broadcasts.
+  */
+object Pipeline {
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  // ------------------------------------------------------------ PII redaction
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** q96 — PII redaction accounting: scrub email/phone patterns from the
+    * corpus and account for what was removed. The fixture text carries no
+    * PII, so a deterministic injection (pure function of doc_id, same
+    * arithmetic in the oracle — the q92 dirty-fixture trick) plants one
+    * email + one phone in every 13th doc; the query then counts matches
+    * and reports the redacted length per affected doc. Everything is
+    * scan-local regexp work — the 100 TB shape is a single pass, no
+    * shuffle before the final order.
+    */
+  val q96 = oracled(
+    "q96_pii_redaction",
+    "deterministic PII injection + regexp redaction accounting",
+    s"""WITH inj AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 2 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text END AS t
+         FROM documents),
+       red AS (
+         SELECT doc_id,
+           len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+           len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+           regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+                          '$PhoneRe', '<PHONE>', 'g') AS redacted
+         FROM inj)
+       SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         CAST(n_phones AS BIGINT) AS n_phones,
+         CAST(length(redacted) AS BIGINT) AS n_chars_redacted
+       FROM red WHERE n_emails + n_phones > 0 ORDER BY doc_id""") { (s, dir) =>
+    val inj = when(col("doc_id") % 13 === 2,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), inj.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).cast("long").as("n_chars_redacted"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- repetition scoring
+
+  /** q97 — repetition scoring: per-doc distinct-bigram ratio, the
+    * standard "is this document degenerate boilerplate" quality signal
+    * (a high share of repeated bigrams marks templated/spammy text).
+    * Bigrams are built with zip_with over two array slices and deduped
+    * with array_distinct — all inside the row, zero shuffle: at 100 TB
+    * this is a pure map pass whose cost is the scan itself.
+    */
+  val q97 = oracled(
+    "q97_repetition_ratio",
+    "per-doc repeated-bigram ratio (degenerate-text quality signal)",
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+       b AS (SELECT doc_id,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+         FROM t)
+       SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+         1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) AS rep_ratio
+       FROM b ORDER BY doc_id""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------- sequence packing
+
+  private val PackBudget = 512
+
+  /** q98 — sequence-packing plan: concatenate each language's token
+    * stream in doc_id order and cut it into fixed [[PackBudget]]-token
+    * training sequences — the standard LLM pretraining packing step.
+    * Each doc's chunk span falls out of a running token offset (one
+    * window shuffle per lang partition); the per-lang summary reports
+    * chunk counts, boundary-straddling docs, and fill ratio. At 100 TB
+    * the only data movement is the per-lang cumulative sum — and a real
+    * pipeline would run it per (lang, shard) to keep partitions bounded,
+    * which changes the partition key, not the operator.
+    */
+  val q98 = oracled(
+    "q98_sequence_packing",
+    s"per-lang $PackBudget-token sequence packing plan (offset, chunk spans, fill)",
+    s"""WITH t AS (SELECT doc_id, lang, len(string_split(trim(text),' ')) AS n_toks FROM documents),
+       o AS (SELECT doc_id, lang, n_toks,
+          SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) - n_toks AS off FROM t),
+       p AS (SELECT lang, n_toks, off // $PackBudget AS first_chunk,
+          (off + n_toks - 1) // $PackBudget AS last_chunk FROM o)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST((SUM(n_toks) + ${PackBudget - 1}) // $PackBudget AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         CAST(SUM(n_toks) AS DOUBLE) / (((SUM(n_toks) + ${PackBudget - 1}) // $PackBudget) * $PackBudget) AS fill_ratio
+       FROM p GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_toks"))
+      .withColumn("off", sum(col("n_toks")).over(w) - col("n_toks"))
+      .select(col("lang"), col("n_toks"),
+        expr(s"off div $PackBudget").as("first_chunk"),
+        expr(s"(off + n_toks - 1) div $PackBudget").as("last_chunk"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr(s"(sum(n_toks) + ${PackBudget - 1}) div $PackBudget").as("n_chunks"),
+        count_if(col("first_chunk") =!= col("last_chunk")).as("n_split_docs"),
+        (sum(col("n_toks")).cast("double") /
+          (expr(s"(sum(n_toks) + ${PackBudget - 1}) div $PackBudget") * PackBudget)).as("fill_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  // ----------------------------------------------------------- decontamination
+
+  /** q99 — benchmark decontamination: flag training docs sharing any
+    * 5-gram shingle with the held-out eval set (here the deterministic
+    * doc_id % 7 = 0 slice standing in for a benchmark). Shingles are
+    * built scan-local (transform over slices, deduped per doc); the eval
+    * side's DISTINCT shingle set is the bounded artifact — benchmarks
+    * are tiny next to a training corpus — so the contamination check is
+    * one broadcast hash join against the full corpus scan, the same
+    * shape at 100 TB.
+    */
+  val q99 = oracled(
+    "q99_decontamination",
+    "training docs sharing 5-gram shingles with the eval slice (broadcast join)",
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+       sh AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(toks)-3),
+            i -> array_to_string(toks[i:i+4], ' ')))) AS s
+         FROM t),
+       ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+       tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+       SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM tr JOIN ev ON tr.s = ev.s
+       GROUP BY tr.doc_id ORDER BY tr.doc_id""") { (s, dir) =>
+    val shingle5 = when(size(col("toks")) >= 5,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+        i => array_join(slice(col("toks"), i, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(shingle5).as("s"))
+    val ev = sh.filter(col("doc_id") % 7 === 0).select(col("s")).distinct()
+    sh.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(ev), "s")
+      // shingles are distinct per doc and the eval side is distinct, so
+      // plain COUNT is already the distinct shared-shingle count
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------- chunk + overlap
+
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** q100 — overlapping chunking (RAG/embedding prep): split each doc
+    * into [[ChunkTokens]]-token windows every [[ChunkStride]] tokens.
+    * Chunk starts come from `sequence()` + `explode` — rows multiply by
+    * ~n_toks/stride, the unavoidable output growth of chunking — and the
+    * chunk text itself is a scan-local array slice; there is no join and
+    * no shuffle before the final order. At 100 TB this is a map-side
+    * row-expansion whose output feeds the embedding stage directly.
+    */
+  val q100 = oracled(
+    "q100_chunk_overlap",
+    s"overlapping $ChunkTokens-token chunks every $ChunkStride tokens (RAG prep)",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+       c AS (SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS s FROM t)
+       SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+         CAST(least($ChunkTokens, len(toks) - s) AS BIGINT) AS chunk_tokens,
+         CAST(length(array_to_string(toks[s+1:s+$ChunkTokens], ' ')) AS BIGINT) AS chunk_chars
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))).as("s"))
+      .select(col("doc_id"),
+        expr(s"s div $ChunkStride").as("chunk_idx"),
+        least(lit(ChunkTokens), size(col("toks")) - col("s")).cast("long").as("chunk_tokens"),
+        length(array_join(slice(col("toks"), col("s") + 1, lit(ChunkTokens)), " "))
+          .cast("long").as("chunk_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // ------------------------------------------------------- domain reweighting
+
+  /** q101 — domain-mixture reweighting: compute per-lang keep-weights
+    * that flatten the corpus toward a uniform language mixture (the
+    * over-represented language is down-sampled, the rest kept whole),
+    * then count the docs a deterministic arithmetic hash would keep.
+    * The weight table is |langs| rows — broadcast — and the keep rule is
+    * scan-local arithmetic on doc_id (bounded before multiplication so
+    * ANSI overflow can't fire at any corpus size), so the 100 TB plan is
+    * scan → broadcast join → partial agg.
+    */
+  val q101 = oracled(
+    "q101_domain_mixture",
+    "uniform-mixture down-sampling weights per lang + deterministic keep counts",
+    """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t, COUNT(*) AS nl FROM cnt),
+       w AS (SELECT lang, n, least(1.0, t/(nl*n)) AS weight FROM cnt, tot)
+       SELECT w.lang, CAST(w.n AS BIGINT) AS n_docs, w.weight,
+         CAST(SUM(CASE WHEN CAST((d.doc_id % 100003) * 2654435761 % 1000000 AS DOUBLE)/1000000.0 < w.weight
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents d JOIN w ON d.lang = w.lang
+       GROUP BY w.lang, w.n, w.weight ORDER BY w.lang""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).cast("double").as("t"), count(lit(1)).as("nl"))
+    val w = cnt.crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("lang"), col("n"),
+        least(lit(1.0), col("t") / (col("nl") * col("n"))).as("weight"))
+    docs.join(broadcast(w), "lang")
+      .groupBy(col("lang"), col("n"), col("weight"))
+      .agg(count_if(
+        ((col("doc_id") % 100003) * 2654435761L % 1000000).cast("double") / 1000000.0
+          < col("weight")).as("n_kept"))
+      .select(col("lang"), col("n").as("n_docs"), col("weight"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  // -------------------------------------------------- quantile length filter
+
+  /** q102 — per-lang length-quantile filtering: drop the shortest 5% and
+    * longest 5% of docs per language, the routine outlier trim before
+    * training. Cutoffs are DISCRETE percentiles (the value at rank
+    * ⌈q·n⌉ — integer arithmetic, so both engines agree bit-exactly where
+    * interpolated percentiles could drift). One window pass ranks docs
+    * per lang; the |langs|-row cutoff table broadcasts back. A 100 TB
+    * run would swap the exact rank for approx_percentile and keep the
+    * identical join shape.
+    */
+  val q102 = oracled(
+    "q102_length_quantile_filter",
+    "per-lang p05/p95 discrete length cutoffs + kept-doc accounting",
+    """WITH r AS (SELECT lang, n_chars, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY lang) AS cnt FROM documents),
+       cut AS (SELECT lang,
+          MAX(CASE WHEN rn = CAST(ceil(0.05*cnt) AS BIGINT) THEN n_chars END) AS lo_cut,
+          MAX(CASE WHEN rn = CAST(ceil(0.95*cnt) AS BIGINT) THEN n_chars END) AS hi_cut
+         FROM r GROUP BY lang)
+       SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, c.lo_cut, c.hi_cut,
+         CAST(SUM(CASE WHEN d.n_chars BETWEEN c.lo_cut AND c.hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents d JOIN cut c ON d.lang = c.lang
+       GROUP BY d.lang, c.lo_cut, c.hi_cut ORDER BY d.lang""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val ranked = docs
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val cut = ranked.groupBy(col("lang")).agg(
+      max(when(col("rn") === ceil(lit(0.05) * col("cnt")).cast("long"), col("n_chars"))).as("lo_cut"),
+      max(when(col("rn") === ceil(lit(0.95) * col("cnt")).cast("long"), col("n_chars"))).as("hi_cut"))
+    docs.join(broadcast(cut), "lang")
+      .groupBy(col("lang"), col("lo_cut"), col("hi_cut"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("n_chars").between(col("lo_cut"), col("hi_cut"))).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("lo_cut"), col("hi_cut"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------------------------------------------- bloom-prefiltered join
+
+  /** q103 — bloom-prefiltered semi-join: Spark's runtime row-group
+    * filtering, made explicit. The bounded side (urgent orders) folds
+    * into ONE bloom bitmap via the engine's native BloomFilterAggregate
+    * (the scalar the planner's InjectRuntimeFilter rule builds); the
+    * bitmap — kilobytes, like a broadcast var — prefilters the fact scan
+    * with the codegen'd might_contain BEFORE the shuffle, and the exact
+    * semi-join then removes bloom false positives, so the result is
+    * bit-identical to the plain semi-join the oracle runs. At 100 TB
+    * the win is shuffling ~sel·|fact| rows instead of |fact|.
+    */
+  val q103 = oracled(
+    "q103_bloom_prefilter_join",
+    "bloom-prefiltered exact semi-join (native BloomFilterAggregate + might_contain)",
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // fold the bounded side into one bloom bitmap (a scalar artifact,
+    // like a broadcast variable — the driver holds bytes, never rows)
+    val bloomAgg = GraftSqlBridge.toColumn(
+      new BloomFilterAggregate(
+        GraftSqlBridge.toExpression(xxhash64(col("o_orderkey"))),
+        Literal(100000L)).toAggregateExpression())
+    val bloomBytes = urgent.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftSqlBridge.toColumn(
+      BloomFilterMightContain(Literal(bloomBytes),
+        GraftSqlBridge.toExpression(xxhash64(col("l_orderkey")))))
+    Tables.lineitem(s, dir)
+      .filter(mightContain) // scan-side prefilter: drops non-matching rows pre-shuffle
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi") // exactness
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[GQuery] = Seq(q96, q97, q98, q99, q100, q101, q102, q103)
+}

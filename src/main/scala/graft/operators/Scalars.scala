@@ -301,11 +301,20 @@ object Scalars {
   }
 
   /** q85 — collation-aware grouping (Spark 4): a mixed-case column
-    * grouped under the UTF8_LCASE collation folds case INSIDE the hash
+    * grouped under the UTF8_LCASE collation folds case INSIDE the
     * aggregate — no lower() materialization, and the same collation
     * drives joins/sorts/comparisons engine-wide. The oracle is the
     * explicit lower() grouping; the output key is normalized via
     * lower() so both engines print the same representative.
+    *
+    * TWO-LEVEL aggregation: collated grouping can't use codegen'd hash
+    * aggregation (ICU comparisons force a SortAggregate), so paying ICU
+    * per ROW is the wrong 100 TB shape. Level 1 groups by the raw binary
+    * string — codegen'd hash agg with map-side partials, the cheap pass
+    * over the full corpus; level 2 re-groups only the DISTINCT keys
+    * under UTF8_LCASE. Semantically identical (collation grouping is a
+    * coarsening of binary grouping), with ICU cost on |distinct keys|,
+    * not |rows|.
     */
   val q85 = oracled(
     "q85_collated_grouping",
@@ -318,9 +327,12 @@ object Scalars {
     val mixed = when(col("p_partkey") % 2 === 0, lower(col("p_type")))
       .otherwise(col("p_type"))
     Tables.part(s, dir)
-      .select(collate(mixed, "UTF8_LCASE").as("mixed"))
-      .groupBy(col("mixed"))
-      .agg(count(lit(1)).as("n"))
+      .select(mixed.as("mixed_bin"))
+      .groupBy(col("mixed_bin"))                       // codegen'd, binary keys
+      .agg(count(lit(1)).as("n0"))
+      .select(collate(col("mixed_bin"), "UTF8_LCASE").as("mixed"), col("n0"))
+      .groupBy(col("mixed"))                           // ICU on distinct keys only
+      .agg(sum(col("n0")).as("n"))
       .select(collate(lower(col("mixed")), "UTF8_BINARY").as("type_norm"), col("n"))
       .orderBy(col("type_norm"))
   }
