@@ -123,5 +123,39 @@ object Ingest {
       sum(when(col("_corrupt_record").isNull, col("rating"))).as("sum_good_rating"))
   }
 
-  val all: Seq[GQuery] = Seq(q92)
+  /** q105 — malformed-JSON accounting: the semi-structured twin of q92.
+    * A deterministic corruption (truncate the closing brace on every
+    * event_id ≡ 4 mod 9) stands in for the malformed payloads any 100 TB
+    * event feed carries; `try_parse_json` (Spark 4 VARIANT) nulls on the
+    * bad rows instead of failing the ANSI-mode job, and the query
+    * accounts for good/bad rows plus a checksum over the successfully
+    * extracted field. Scan-local expression work — no shuffle before the
+    * final 5-row aggregate.
+    */
+  val q105 = oracled(
+    "q105_json_dirty_accounting",
+    "try_parse_json accounting of deterministically corrupted JSON payloads",
+    """WITH c AS (
+         SELECT event_type,
+           CASE WHEN event_id % 9 = 4 THEN substring(props, 1, length(props)-1)
+                ELSE props END AS p
+         FROM events)
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         CAST(SUM(CASE WHEN json_valid(p) THEN CAST(p->>'k' AS BIGINT) END) AS BIGINT) AS sum_k
+       FROM c GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val p = when(col("event_id") % 9 === 4,
+      col("props").substr(lit(1), length(col("props")) - 1))
+      .otherwise(col("props"))
+    Tables.events(s, dir)
+      .select(col("event_type"), try_parse_json(p).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("v").isNull).as("n_bad"),
+        sum(variant_get(col("v"), "$.k", "bigint")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105)
 }

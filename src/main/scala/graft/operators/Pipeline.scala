@@ -357,5 +357,33 @@ object Pipeline {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[GQuery] = Seq(q96, q97, q98, q99, q100, q101, q102, q103)
+  // ------------------------------------------------------ salted aggregation
+
+  /** q104 — salted skew aggregation through the correctness gate: the
+    * two-stage (key, salt) → key aggregation [[Skew.saltedCountSum]]
+    * provides for hot keys, run on a 3-value key (every key is a zipf
+    * head) and proven equal to the plain GROUP BY the oracle runs. AQE
+    * re-splits skewed JOIN partitions but not a skewed groupBy — this
+    * two-stage shape is what caps per-reducer load at 1/saltBuckets of
+    * the hottest key at any scale.
+    */
+  val q104 = oracled(
+    "q104_salted_agg",
+    "two-stage salted aggregation over a hot 3-value key == plain GROUP BY",
+    """SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM (SELECT l_returnflag AS k, l_quantity FROM lineitem)
+       GROUP BY k ORDER BY k""") { (s, dir) =>
+    Skew.saltedCountSum(
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), dec2(col("l_quantity")).as("q"), col("l_orderkey")),
+      key = col("l_returnflag"),
+      value = col("q"),
+      saltSource = col("l_orderkey"))
+      .select(col("k"), col("n"), col("total").cast("double").as("total_qty"))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104)
 }

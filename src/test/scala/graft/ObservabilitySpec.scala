@@ -61,6 +61,27 @@ class ObservabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile stays within its rank-error contract") {
+    // The quantile sketch (Greenwald-Khanna style) guarantees the
+    // returned value's TRUE rank is within n/accuracy of the target
+    // rank. Check against exactly-ranked fixture data at two accuracies
+    // — beyond bound means broken use, not bad luck (the sketch is
+    // deterministic for a fixed input order at local[4]).
+    val vals = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    for (accuracy <- Seq(100, 10000); p <- Seq(0.05, 0.5, 0.95)) {
+      val approx = graft.sources.Tables.lineitem(spark, sfDir)
+        .agg(percentile_approx(col("l_extendedprice"), lit(p), lit(accuracy)))
+        .head.getDouble(0)
+      // true rank of the returned value in the exact sorted data
+      val rank = vals.count(_ <= approx)
+      val err = math.abs(rank - p * n)
+      assert(err <= n.toDouble / accuracy + 1,
+        s"p=$p accuracy=$accuracy: rank $rank vs target ${p * n} (n=$n)")
+    }
+  }
+
   test("observe() collects pipeline metrics without a second pass") {
     import graft.sources.Tables
     val obs = Observation("li_metrics")
