@@ -157,5 +157,55 @@ object Ingest {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105)
+  // ------------------------------------------------------------- JSONL source
+
+  private val jsonlPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Writes the documents corpus as JSON-lines once per (context, dir) —
+    * the interchange format every crawl/annotation pipeline emits —
+    * distributed write, shutdown-hook cleanup (same contract as the
+    * dirty-TSV fixture above).
+    */
+  private[graft] def writeJsonl(s: SparkSession, dir: String): String =
+    jsonlPathCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q106_jsonl_${ProcessHandle.current().pid()}_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      Tables.documents(s, dir).write.mode("overwrite").json(out)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(out))))
+      out
+    })
+
+  /** q106 — JSON-lines source round-trip: write the corpus as JSONL,
+    * read it back with an explicit schema (schema-on-read, no inference
+    * pass — at 100 TB an inference scan doubles the read), and prove the
+    * round trip is lossless with content aggregates the oracle computes
+    * from the parquet original. Exercises the json source/sink pair the
+    * relational inventory otherwise wouldn't touch.
+    */
+  val q106 = oracled(
+    "q106_jsonl_roundtrip",
+    "JSONL write → schema'd read-back, content-aggregate lossless proof",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+       FROM documents""") { (s, dir) =>
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(writeJsonl(s, dir))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text"))).as("sum_text_chars"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106)
 }

@@ -384,6 +384,32 @@ object Pipeline {
       .orderBy(col("k"))
   }
 
+  /** q107 — salted skew JOIN through the correctness gate: the
+    * replicate-join fallback [[Skew.saltedJoin]] provides for hot join
+    * keys AQE can't re-split (pre-partitioned inputs, or an aggregation
+    * fused on the join output), proven equal to the plain equi-join +
+    * aggregate the oracle runs. The salt comes from stable row content
+    * (l_partkey), so results are deterministic under retries.
+    */
+  val q107 = oracled(
+    "q107_salted_join",
+    "replicate-salted equi-join == plain join (skew fallback through the gate)",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val left = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), dec2(col("l_quantity")).as("q"),
+        col("l_partkey"))
+    val right = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    Skew.saltedJoin(left, right, "okey", saltSource = col("l_partkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("q")).cast("double").as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107)
 }

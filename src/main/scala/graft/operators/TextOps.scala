@@ -21,6 +21,21 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Composite quality score over a text column — q41's exact rule
+    * (0.4·stopword ratio + 0.4·distinct-token ratio + 0.2·capped length
+    * score), exposed so the streaming intake ([[graft.streaming
+    * .CorpusStream]]) gates on the SAME heuristic the batch query
+    * oracles.
+    */
+  private[graft] def qualityScore(text: Column): Column = {
+    val t = split(text, " ")
+    val stopArr = typedLit(stopwords)
+    val stopRatio = size(filter(t, w => array_contains(stopArr, w))).cast("double") / size(t)
+    val distinctRatio = size(array_distinct(t)).cast("double") / size(t)
+    val lenScore = length(text).cast("double") / 256.0
+    lit(0.4) * stopRatio + lit(0.4) * distinctRatio + lit(0.2) * least(lenScore, lit(1.0))
+  }
+
   /** q40 — token counting: whitespace tokens, word-regex tokens (the
     * BPE-ish `[a-z]+` pass), distinct tokens, mean token length.
     */
@@ -84,8 +99,7 @@ object TextOps {
         stopRatio.as("stop_ratio"),
         distinctRatio.as("distinct_ratio"),
         lenScore.as("len_score"),
-        (lit(0.4) * stopRatio + lit(0.4) * distinctRatio
-          + lit(0.2) * least(lenScore, lit(1.0))).as("quality"))
+        qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
 

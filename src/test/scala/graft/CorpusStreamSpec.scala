@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CorpusStream
+
+/** Streaming corpus-intake semantics: the quality gate applies q41's
+  * exact batch rule, duplicates inside the watermark horizon are
+  * dropped, and the surviving set equals the batch-computed expectation
+  * on the same rows (stream-batch equivalence).
+  */
+class CorpusStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // rich text passes the 0.5 gate (stopwords + diverse tokens), the
+  // degenerate one fails it (no stopwords, one repeated token)
+  private val goodText = "the quick brown fox jumps over a lazy dog of the north and south to win"
+  private val junkText = "spam spam spam spam spam spam spam spam"
+
+  test("intake gates on q41's quality rule and drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.cleanIntake(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"), minQuality = 0.5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("intake").start()
+    try {
+      in.addData(
+        (1L, goodText, ts("2024-01-01 00:00:00")),
+        (2L, junkText, ts("2024-01-01 00:00:10")), // fails the gate
+        (3L, goodText, ts("2024-01-01 00:05:00"))) // dup of 1 within watermark
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM intake")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L), s"got $kept")
+
+      // stream-batch equivalence on the same rows: batch computes the
+      // identical gate + distinct-by-fingerprint
+      val batch = Seq((1L, goodText), (2L, junkText), (3L, goodText))
+        .toDF("doc_id", "text")
+        .withColumn("quality", graft.operators.TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("fp", graft.functions.RollingHash.rollingHash(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(_.getLong(1)).toSet
+      assert(kept === batch)
+    } finally q.stop()
+  }
+
+  test("a duplicate arriving past the watermark horizon is admitted again") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = CorpusStream.cleanIntake(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"), minQuality = 0.5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("intake_late").start()
+    try {
+      in.addData((1L, goodText, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // push the watermark far past 00:30 so doc 1's seen-state expires
+      in.addData((2L, goodText + " x", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      in.addData((3L, goodText, ts("2024-01-01 03:10:00"))) // same fp as 1
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM intake_late")
+        .collect().map(_.getLong(0)).toSet
+      // state for fp(goodText) expired with the watermark: doc 3 re-admitted
+      assert(kept === Set(1L, 2L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+}
