@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.{oracled, rowsOnly}
@@ -127,6 +128,118 @@ object Advanced {
         col("x.cell") === col("y.cell")), 5)
   }
 
+  // --------------------------------------------------- product quantization
+
+  private val PqSub = 8        // subspaces over the 64-dim embedding
+  private val PqK = 16         // centroids per subspace -> 4 bits/code
+  private val PqDim = 8        // dims per subspace
+  private val PqShortlist = 50 // ADC candidates re-ranked exactly
+
+  /** One PQ codebook + encoded-corpus build per (context, dir) — the
+    * index-construction phase of a product-quantization ANN (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011): [[PqSub]] seeded k-means fits over 8-dim subvectors, then a
+    * SCAN-LOCAL encode via 128 codegen'd [[graft.functions.VecOps]] dot
+    * products against the literal codebook (argmin by the -2·x·c + ‖c‖²
+    * expansion — ‖x_m‖² is constant per row per subspace, so it can't
+    * change the argmin). 64 float dims compress to 8 nibbles per vector:
+    * at 100 TB of embeddings the ADC scan touches 32× fewer bytes than
+    * the raw vectors, which is the entire point of PQ.
+    *
+    * Memo value: (codebook[m][k][d], codes frame (vec_id, embedding,
+    * codes ARRAY<INT>)), localCheckpoint'd like the IVF cells.
+    */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame)]
+
+  private[graft] def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) =
+    pqCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).cache()
+      try {
+        val codebook: Array[Array[Array[Double]]] = (0 until PqSub).map { m =>
+          val sub = e.select(array_to_vector(
+            slice(col("embedding"), m * PqDim + 1, PqDim)).as("features"))
+          new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5).fit(sub)
+            .clusterCenters.map(_.toArray)
+        }.toArray
+        val codes = e.select(col("vec_id"), col("embedding"),
+          array((0 until PqSub).map(m => pqCode(col("embedding"), codebook, m)): _*)
+            .as("codes"))
+          .localCheckpoint() // eager: release the raw-vector cache below
+        (codebook, codes)
+      } finally e.unpersist()
+    })
+
+  /** Nearest-centroid code for subspace m: argmin_k ‖x_m − c_mk‖² via
+    * the dot-product expansion (codegen'd dots, no HOF in the distance).
+    */
+  private def pqCode(emb: Column, cb: Array[Array[Array[Double]]], m: Int): Column = {
+    import graft.functions.VecOps.dotF
+    val sub = slice(emb, m * PqDim + 1, PqDim)
+    val scores = array((0 until PqK).map { k =>
+      val c = cb(m)(k)
+      val cNorm2 = c.map(x => x * x).sum
+      lit(-2.0) * dotF(sub, typedLit(c)) + lit(cNorm2)
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** q108 — PQ ANN, shortlist + re-rank: each query row precomputes its
+    * 8×16 lookup table of exact subspace distances to every centroid
+    * (scan-local against the literal codebook), every corpus vector is
+    * ADC-scored by summing 8 LUT lookups through its codes — never
+    * touching raw corpus vectors — and the ADC top-[[PqShortlist]]
+    * shortlist is then re-ranked with the exact L2 distance, fetching
+    * raw vectors ONLY for shortlist members. That is the production PQ
+    * serving shape: the exhaustive pass reads N×8 nibbles instead of
+    * N×256 bytes (the 32× compression is the point), and the expensive
+    * exact math touches shortlist×queries rows. Composing the scan
+    * inside q63's IVF cells would bound the probe set too — same
+    * operators, one more filter. Rows-only (codes depend on the seeded
+    * fits); recall-bounded against the exact L2 top-5 in PqAnnSpec.
+    */
+  val q108 = rowsOnly(
+    "q108_pq_ann",
+    "PQ ANN: 8x16 codebook, nibble codes, ADC shortlist + exact re-rank top-5") { (s, dir) =>
+    import graft.functions.VecOps.dotF
+    import org.apache.spark.sql.expressions.Window
+    val (cb, codes) = pqIndex(s, dir)
+    // per-query LUT literal: lut[m][k] = ||q_m - c_mk||^2
+    val lut = array((0 until PqSub).map { m =>
+      val sub = slice(col("embedding"), m * PqDim + 1, PqDim)
+      array((0 until PqK).map { k =>
+        val c = cb(m)(k)
+        val cNorm2 = c.map(x => x * x).sum
+        dotF(sub, sub) + lit(-2.0) * dotF(sub, typedLit(c)) + lit(cNorm2)
+      }: _*)
+    }: _*)
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), lut.as("lut"))
+    val adc = broadcast(queries)
+      .join(codes.select(col("vec_id").as("vec_b"), col("codes")),
+        col("vec_b") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_b"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_b"))
+    val shortlist = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= PqShortlist).drop("rn", "adc_dist")
+    // selective fetch: raw vectors join ONLY the shortlist
+    val exact = shortlist
+      .join(codes.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb")), "vec_b")
+      .select(col("query_id"), col("vec_b"),
+        (dotF(col("q_emb"), col("q_emb"))
+          - lit(2.0) * dotF(col("q_emb"), col("b_emb"))
+          + dotF(col("b_emb"), col("b_emb"))).as("l2_dist"))
+    val wExact = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("vec_b"))
+    exact.withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 5)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** q77 — null-safe equality join (`<=>`) + `unionByName`: two
     * customer projections with DIFFERENT column orders are unioned by
     * name (the positional union would silently mis-zip them — the
@@ -249,5 +362,5 @@ object Advanced {
       .orderBy(col("o_custkey"), col("day"))
   }
 
-  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79)
+  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108)
 }
