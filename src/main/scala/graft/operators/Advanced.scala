@@ -133,7 +133,8 @@ object Advanced {
   private val PqSub = 8        // subspaces over the 64-dim embedding
   private val PqK = 16         // centroids per subspace -> 4 bits/code
   private val PqDim = 8        // dims per subspace
-  private val PqShortlist = 50 // ADC candidates re-ranked exactly
+  private val PqShortlist = 50     // ADC candidates re-ranked exactly
+  private val PqTrainCap = 8192L   // codebook training sample bound
 
   /** One PQ codebook + encoded-corpus build per (context, dir) — the
     * index-construction phase of a product-quantization ANN (Jégou et
@@ -155,30 +156,75 @@ object Advanced {
   private[graft] def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) =
     pqCache.getOrElseUpdate(graft.Memo.key(s, dir), {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).cache()
       try {
-        val codebook: Array[Array[Array[Double]]] = (0 until PqSub).map { m =>
-          val sub = e.select(array_to_vector(
-            slice(col("embedding"), m * PqDim + 1, PqDim)).as("features"))
-          new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5).fit(sub)
-            .clusterCenters.map(_.toArray)
-        }.toArray
-        val codes = e.select(col("vec_id"), col("embedding"),
-          array((0 until PqSub).map(m => pqCode(col("embedding"), codebook, m)): _*)
+        // Codebooks train DRIVER-SIDE on a bounded content-deterministic
+        // sample (every stride-th vec_id, ≤ PqTrainCap rows ≈ 2 MB) —
+        // the standard PQ practice: centroid quality saturates long
+        // before the corpus is exhausted, the sample is a bounded
+        // artifact (like a broadcast var or the q103 bloom bytes), and
+        // 8 tiny Lloyd fits cost milliseconds where 8 MLlib jobs cost
+        // seconds of per-fit overhead. Fully deterministic: stride
+        // selection depends on content only, never on partitioning.
+        val n = e.count()
+        val stride = math.max(1L, (n + PqTrainCap - 1) / PqTrainCap)
+        val sample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .orderBy(col("vec_id"))
+          .collect().map(_.getSeq[Float](1).toArray)
+        val codebook = Array.tabulate(PqSub) { m =>
+          val pts = sample.map(v => Array.tabulate(PqDim)(d => v(m * PqDim + d).toDouble))
+          lloyd(pts, PqK, iters = 5)
+        }
+        // pre-project the 8 subvector slices once, so the 128 generated
+        // dot products reference plain columns instead of re-slicing
+        // (meaningfully smaller generated code => faster janino compile)
+        val withSubs = e.select(Seq(col("vec_id"), col("embedding")) ++
+          (0 until PqSub).map(m =>
+            slice(col("embedding"), m * PqDim + 1, PqDim).as(s"sub$m")): _*)
+        val codes = withSubs.select(col("vec_id"), col("embedding"),
+          array((0 until PqSub).map(m => pqCode(col(s"sub$m"), codebook, m)): _*)
             .as("codes"))
           .localCheckpoint() // eager: release the raw-vector cache below
         (codebook, codes)
       } finally e.unpersist()
     })
 
+  /** Deterministic Lloyd k-means: evenly-spaced init over the (ordered)
+    * sample, ties to the lowest centroid id, empty clusters keep their
+    * previous centroid.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    var centroids = Array.tabulate(k)(i => pts((i.toLong * pts.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
+    }
+    centroids
+  }
+
   /** Nearest-centroid code for subspace m: argmin_k ‖x_m − c_mk‖² via
     * the dot-product expansion (codegen'd dots, no HOF in the distance).
+    * `sub` must already be the m-th subvector slice.
     */
-  private def pqCode(emb: Column, cb: Array[Array[Array[Double]]], m: Int): Column = {
+  private def pqCode(sub: Column, cb: Array[Array[Array[Double]]], m: Int): Column = {
     import graft.functions.VecOps.dotF
-    val sub = slice(emb, m * PqDim + 1, PqDim)
     val scores = array((0 until PqK).map { k =>
       val c = cb(m)(k)
       val cNorm2 = c.map(x => x * x).sum
@@ -207,23 +253,38 @@ object Advanced {
     import graft.functions.VecOps.dotF
     import org.apache.spark.sql.expressions.Window
     val (cb, codes) = pqIndex(s, dir)
-    // per-query LUT literal: lut[m][k] = ||q_m - c_mk||^2
-    val lut = array((0 until PqSub).map { m =>
-      val sub = slice(col("embedding"), m * PqDim + 1, PqDim)
-      array((0 until PqK).map { k =>
-        val c = cb(m)(k)
-        val cNorm2 = c.map(x => x * x).sum
-        dotF(sub, sub) + lit(-2.0) * dotF(sub, typedLit(c)) + lit(cNorm2)
-      }: _*)
-    }: _*)
-    val queries = codes.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), lut.as("lut"))
+    // The query set is bounded by definition (an ANN probe batch), so
+    // the 8×16 LUTs — exact subspace distances query→centroid — are
+    // computed driver-side per query and shipped as a 10-row broadcast
+    // relation: zero query-side codegen, the corpus-side scan stays
+    // distributed.
+    val qRows = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+    val lutRows = qRows.map { r =>
+      val emb = r.getSeq[Float](1)
+      val lut: Seq[Seq[Double]] = (0 until PqSub).map { m =>
+        (0 until PqK).map { k =>
+          var d = 0.0; var i = 0
+          while (i < PqDim) {
+            val t = emb(m * PqDim + i) - cb(m)(k)(i); d += t * t; i += 1
+          }
+          d
+        }
+      }
+      (r.getLong(0), emb.map(_.toDouble), lut)
+    }.toSeq
+    import s.implicits._
+    val queries = lutRows.toDF("query_id", "q_emb", "lut")
     val adc = broadcast(queries)
       .join(codes.select(col("vec_id").as("vec_b"), col("codes")),
         col("vec_b") =!= col("query_id"))
       .select(col("query_id"), col("q_emb"), col("vec_b"),
-        aggregate(zip_with(col("lut"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+        // 8 codegen'd LUT lookups summed directly — a zip_with/aggregate
+        // HOF here would run interpreted per pair (the hot path)
+        (0 until PqSub).map(m =>
+          element_at(element_at(col("lut"), m + 1),
+            element_at(col("codes"), m + 1) + 1))
+          .reduce(_ + _).as("adc_dist"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_b"))
     val shortlist = adc.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= PqShortlist).drop("rn", "adc_dist")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
@@ -198,5 +199,113 @@ object Olap {
       .orderBy(col("window_start"))
   }
 
-  val all: Seq[GQuery] = Seq(q25, q26, q27, q28, q29, q59)
+  /** q109 — incremental mart rollup: the daily-ETL pattern where each
+    * day's shard persists a PARTIAL aggregate (day × type counts and
+    * exact-decimal sums) and the serving query re-aggregates shards —
+    * never re-scanning raw history. Proven equal to the direct
+    * aggregate over raw events (sum-of-sums == sum because the partials
+    * are decimal-exact and partition the rows). At 100 TB this is the
+    * difference between scanning yesterday's shard and scanning years
+    * of raw events on every dashboard load.
+    */
+  val q109 = oracled(
+    "q109_incremental_mart",
+    "per-day partial-aggregate shards re-aggregated == direct aggregate",
+    """WITH shard AS (
+         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+           COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(sv) AS DOUBLE) AS sum_value,
+         CAST(COUNT(*) AS BIGINT) AS n_shards
+       FROM shard GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val shards = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sv"))
+    shards.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_shards"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q110 — CDC latest-wins compaction: collapse an event stream to the
+    * newest record per key (order by event time, id as the
+    * deterministic tiebreak at the shared microsecond precision) — the
+    * upsert-materialization step every change-capture ingest runs. One
+    * window shuffle on the key; at scale this is the standard
+    * merge-on-read compaction shape.
+    */
+  val q110 = oracled(
+    "q110_latest_by_key",
+    "latest-record-per-key compaction (CDC upsert materialization)",
+    """WITH r AS (
+         SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, event_id, event_type FROM r WHERE rn = 1
+       ORDER BY user_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q111 — z-order locality: interleave the bits of two join/filter
+    * dimensions (Morton code) and compare per-range dimension spans
+    * against a row-major layout. A z-range bounds BOTH dimensions
+    * (32×32 tiles here), so min/max file statistics prune scans for
+    * predicates on EITHER dimension — the OPTIMIZE ZORDER layout trick,
+    * expressed as pure bit arithmetic (identical unrolled spread in the
+    * oracle). Row-major ranges bound only the leading dimension; the
+    * output shows sy_span ≈ full width there vs ≤ 31 under z-order.
+    */
+  val q111 = oracled(
+    "q111_zorder_locality",
+    "Morton-interleaved layout bounds both dims per range; row-major only one",
+    """WITH b AS (
+         SELECT CAST(l_partkey % 256 AS BIGINT) AS px,
+                CAST(l_suppkey % 256 AS BIGINT) AS sy
+         FROM lineitem),
+       s1 AS (SELECT px, sy, ((px | (px << 4)) & 3855) AS px1,
+                ((sy | (sy << 4)) & 3855) AS sy1 FROM b),
+       s2 AS (SELECT px, sy, ((px1 | (px1 << 2)) & 13107) AS px2,
+                ((sy1 | (sy1 << 2)) & 13107) AS sy2 FROM s1),
+       s3 AS (SELECT px, sy, ((px2 | (px2 << 1)) & 21845) AS px3,
+                ((sy2 | (sy2 << 1)) & 21845) AS sy3 FROM s2),
+       coded AS (SELECT px, sy, (px3 | (sy3 << 1)) AS zval,
+                (px * 256 + sy) AS rmval FROM s3),
+       z AS (SELECT 'zorder' AS layout, zval // 1024 AS rng, px, sy FROM coded
+             UNION ALL
+             SELECT 'rowmajor' AS layout, rmval // 1024 AS rng, px, sy FROM coded)
+       SELECT layout, rng, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(px) - MIN(px) AS BIGINT) AS px_span,
+         CAST(MAX(sy) - MIN(sy) AS BIGINT) AS sy_span
+       FROM z GROUP BY layout, rng ORDER BY layout, rng""") { (s, dir) =>
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(3855L))
+      val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(13107L))
+      b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(21845L))
+    }
+    val coded = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 256).cast("long").as("px"),
+        (col("l_suppkey") % 256).cast("long").as("sy"))
+      .withColumn("zval", spread(col("px")).bitwiseOR(shiftleft(spread(col("sy")), 1)))
+      .withColumn("rmval", col("px") * 256 + col("sy"))
+    val z = coded.select(lit("zorder").as("layout"),
+        expr("zval div 1024").as("rng"), col("px"), col("sy"))
+      .union(coded.select(lit("rowmajor").as("layout"),
+        expr("rmval div 1024").as("rng"), col("px"), col("sy")))
+    z.groupBy(col("layout"), col("rng"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("px")) - min(col("px"))).as("px_span"),
+        (max(col("sy")) - min(col("sy"))).as("sy_span"))
+      .orderBy(col("layout"), col("rng"))
+  }
+
+  val all: Seq[GQuery] = Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111)
 }

@@ -403,7 +403,9 @@ object Pipeline {
         col("l_partkey"))
     val right = Tables.orders(s, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-    Skew.saltedJoin(left, right, "okey", saltSource = col("l_partkey"))
+    // 8 buckets: enough to split a hot key 8 ways while keeping the
+    // replicated right side bounded (replication factor IS the knob)
+    Skew.saltedJoin(left, right, "okey", saltSource = col("l_partkey"), saltBuckets = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("q")).cast("double").as("total_qty"))
