@@ -412,6 +412,47 @@ object Pipeline {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q112 — Unicode canonicalization accounting: a deterministic slice
+    * of the corpus gets a decomposed-form suffix (e + combining acute —
+    * how a second crawl delivers the "same" text), and the query
+    * accounts per lang for docs whose NFC normalization changed them.
+    * Normalization runs in the native codegen'd
+    * [[graft.functions.NormalizeText]] (Spark has no builtin; a UDF
+    * would break codegen on the full-corpus pass); the oracle is
+    * DuckDB's nfc_normalize. Without this stage, byte-level
+    * fingerprints treat composed/decomposed twins as distinct docs and
+    * every dedup stage silently under-merges.
+    */
+  val q112 = oracled(
+    "q112_unicode_canonicalization",
+    "NFC normalization accounting (native expression vs nfc_normalize oracle)",
+    """WITH inj AS (
+         SELECT lang,
+           CASE WHEN doc_id % 5 = 1 THEN text || ' e' || chr(769) || 'cole'
+                ELSE text END AS t
+         FROM documents),
+       n AS (SELECT lang, length(t) AS raw_len,
+               length(nfc_normalize(t)) AS norm_len FROM inj)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN raw_len <> norm_len THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+         CAST(SUM(raw_len) AS BIGINT) AS sum_raw_chars,
+         CAST(SUM(norm_len) AS BIGINT) AS sum_norm_chars
+       FROM n GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    import graft.functions.NormalizeText.nfc
+    val inj = when(col("doc_id") % 5 === 1,
+      // NB deliberately DECOMPOSED: 'e' + U+0301 combining acute, spelled
+    // as an escape so no tool can silently NFC-normalize the source
+    concat(col("text"), lit(" e\u0301cole"))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("lang"), length(inj).as("raw_len"), length(nfc(inj)).as("norm_len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("raw_len") =!= col("norm_len")).as("n_denormalized"),
+        sum(col("raw_len")).as("sum_raw_chars"),
+        sum(col("norm_len")).as("sum_norm_chars"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107)
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112)
 }

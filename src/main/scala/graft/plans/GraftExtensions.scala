@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, RollingHash, SortedIntersectCount}
+import graft.functions.{DotProduct, NormalizeText, RollingHash, SortedIntersectCount}
 
 /** Registers graft's native Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT rolling_hash(text) ...")` works alongside the
@@ -46,7 +46,10 @@ object GraftExtensions {
     ("sorted_intersect_count",
       info("sorted_intersect_count",
         "sorted_intersect_count(arr, arr) - overlap count of sorted bigint arrays"),
-      arity("sorted_intersect_count", 2)(es => SortedIntersectCount(es(0), es(1)))))
+      arity("sorted_intersect_count", 2)(es => SortedIntersectCount(es(0), es(1)))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonicalization"),
+      arity("nfc_normalize", 1)(es => NormalizeText(es.head, "NFC"))))
 
   /** Register on a live session (functionRegistry path). */
   def register(spark: SparkSession): Unit =

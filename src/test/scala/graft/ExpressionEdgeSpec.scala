@@ -126,4 +126,28 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(!rows(0).isNullAt(1), "group with data must get a signature")
     assert(rows(1).isNullAt(1), "all-null group must yield NULL, not a sentinel")
   }
+
+  test("NormalizeText matches java.text.Normalizer and is idempotent") {
+    import spark.implicits._
+    import graft.functions.NormalizeText.nfc
+    val cases = Seq(
+      "e\u0301cole",            // decomposed acute -> composes
+      "\u00e9cole",             // already composed
+      "A\u030Angstro\u0308m",  // decomposed ring + diaeresis
+      "plain ascii text 123",
+      "",
+      "\uFB01le")               // fi ligature: NFC keeps it (NFKC would fold)
+    val df = cases.toDF("s")
+      .select(col("s"), nfc(col("s")).as("n"), nfc(nfc(col("s"))).as("nn"))
+    df.collect().foreach { r =>
+      val (raw, n, nn) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n === java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
+      assert(nn === n, "NFC must be idempotent")
+    }
+    // null propagates; composed/decomposed twins unify for fingerprinting
+    val fp = Seq(("e\u0301cole", "\u00e9cole"), (null, null)).toDF("a", "b")
+      .select(nfc(col("a")).as("na"), nfc(col("b")).as("nb")).collect()
+    assert(fp(0).getString(0) === fp(0).getString(1))
+    assert(fp(1).isNullAt(0) && fp(1).isNullAt(1))
+  }
 }
