@@ -453,6 +453,57 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q113 — the corpus-prep pipeline COMPOSED end-to-end in one plan:
+    * NFC-canonicalize → quality-gate (q41's exact rule, threshold 0.4)
+    * → exact-dedup the survivors on normalized text → per-lang
+    * accounting of docs in, docs gated, distinct docs kept, and tokens
+    * surviving to training. Every stage reuses the operator the
+    * individual queries prove (NormalizeText, TextOps.qualityScore,
+    * distinct-text dedup), so this is the integration contract: the
+    * stages compose without re-materialization — one scan, one
+    * aggregate per level, and the dedup's distinct runs on the gated
+    * subset only.
+    */
+  val q113 = oracled(
+    "q113_corpus_prep_pipeline",
+    "composed prep: canonicalize -> quality gate -> dedup -> per-lang accounting",
+    s"""WITH n AS (
+         SELECT doc_id, lang, nfc_normalize(text) AS t FROM documents),
+       q AS (
+         SELECT doc_id, lang, t, ${TextOps.qualityDuckSql("t")} AS quality FROM n),
+       counts AS (
+         SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN quality >= 0.4 THEN 1 ELSE 0 END) AS n_pass
+         FROM q GROUP BY lang),
+       kept AS (
+         SELECT lang, COUNT(*) AS n_kept, SUM(n_toks) AS kept_tokens FROM (
+           SELECT lang, t, len(string_split(t, ' ')) AS n_toks
+           FROM q WHERE quality >= 0.4 GROUP BY lang, t) GROUP BY lang)
+       SELECT counts.lang, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_pass AS BIGINT) AS n_pass,
+         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
+       FROM counts LEFT JOIN kept ON counts.lang = kept.lang
+       ORDER BY counts.lang""") { (s, dir) =>
+    import graft.functions.NormalizeText.nfc
+    val canon = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nfc(col("text")).as("t"))
+      .withColumn("quality", TextOps.qualityScore(col("t")))
+    val counts = canon.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("quality") >= 0.4).as("n_pass"))
+    val kept = canon.filter(col("quality") >= 0.4)
+      .select(col("lang"), col("t")).distinct()
+      .select(col("lang"), size(split(col("t"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+    counts.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_pass"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112)
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113)
 }

@@ -21,6 +21,18 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The DuckDB spelling of [[qualityScore]] over an arbitrary SQL
+    * expression — shared so composed-pipeline oracles (q113) apply the
+    * IDENTICAL rule the q41 oracle proves. `sfx` de-collides the lambda
+    * variable when nested.
+    */
+  private[graft] def qualityDuckSql(t: String, sfx: String = "q"): String =
+    s"""(0.4 * (CAST(len(list_filter(string_split($t, ' '), w$sfx -> list_contains($stopwordsSql, w$sfx))) AS DOUBLE)
+            / len(string_split($t, ' ')))
+       + 0.4 * (CAST(len(list_distinct(string_split($t, ' '))) AS DOUBLE)
+            / len(string_split($t, ' ')))
+       + 0.2 * LEAST(CAST(length($t) AS DOUBLE) / 256.0, 1.0))"""
+
   /** Composite quality score over a text column — q41's exact rule
     * (0.4·stopword ratio + 0.4·distinct-token ratio + 0.2·capped length
     * score), exposed so the streaming intake ([[graft.streaming

@@ -73,6 +73,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(untouched > 0.0, "other partitions must hold the original rows")
   }
 
+  test("small-files compaction: range layout bounds file count AND file rows") {
+    import graft.sources.Tables
+    // simulate a fragmented ingest (many tiny files), then compact with
+    // a range layout + maxRecordsPerFile — the maintenance job every
+    // long-lived 100 TB table needs. Range partitioning keeps each file
+    // a contiguous key span, so min/max file stats stay selective.
+    val frag = java.nio.file.Files.createTempDirectory("li_frag").toString
+    val compact = java.nio.file.Files.createTempDirectory("li_compact").toString
+    val li = Tables.lineitem(spark, sfDir)
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length === 64, "fragmented layout expected")
+
+    val maxRows = 2000L
+    spark.read.parquet(frag)
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").option("maxRecordsPerFile", maxRows)
+      .parquet(compact)
+    val files = parquetFiles(compact)
+    assert(files.length <= 8, s"expected few compacted files, got ${files.length}")
+    // per-file row bound holds, and no data was lost or duplicated
+    import scala.jdk.CollectionConverters._
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= maxRows, s"${f.getName} has $n rows > $maxRows")
+    }
+    assert(spark.read.parquet(compact).count() === li.count())
+    // range layout ⇒ files partition the key space: per-file [min,max]
+    // key ranges must not overlap across range buckets
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // within a range bucket files may interleave (parallel writers), so
+    // check the 4 bucket spans: group files into buckets by their span
+    // overlap chain and assert bucket count == 4 is too strict under
+    // writer parallelism; instead assert global span coverage is sane
+    assert(spans.head._1 === li.agg(min(col("l_orderkey"))).head().getLong(0))
+    assert(spans.map(_._2).max === li.agg(max(col("l_orderkey"))).head().getLong(0))
+  }
+
   test("IVF (k-means cells) ANN overlaps the exact top-5 measurably") {
     import graft.operators.{Advanced, Similarity}
     val exact = Similarity.q50.run(spark, sfDir)
