@@ -142,5 +142,51 @@ object Temporal {
       .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87)
+  /** q115 — SCD type-2 interval construction: turn a change stream into
+    * versioned validity intervals (valid_from/valid_to, latest open as
+    * '(current)') per key — the dimension-history build every warehouse
+    * runs. Change detection is a null-safe lag compare, version ids a
+    * running sum of change flags, interval close a lead over version
+    * starts: three window passes over ONE (user) partitioning, no
+    * self-join. Event-time ties break on event_id at the engines'
+    * shared microsecond precision.
+    */
+  val q115 = oracled(
+    "q115_scd2_intervals",
+    "SCD2 validity intervals from a change stream (lag-change, running version, lead-close)",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+         FROM events WHERE user_id < 10),
+       m AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version FROM m),
+       iv AS (SELECT user_id, version, event_type, MIN(t) AS vf, COUNT(*) AS n_events
+         FROM v GROUP BY user_id, version, event_type)
+       SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+         strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         COALESCE(strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version),
+           '%Y-%m-%d %H:%M:%S'), '(current)') AS valid_to,
+         CAST(n_events AS BIGINT) AS n_events
+       FROM iv ORDER BY user_id, version""") { (s, dir) =>
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val e = Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("t"))
+    val v = e
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val iv = v.groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("t")).as("vf"), count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    iv.select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(lead(col("vf"), 1).over(wVer), "yyyy-MM-dd HH:mm:ss"),
+          lit("(current)")).as("valid_to"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115)
 }

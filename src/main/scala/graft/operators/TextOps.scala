@@ -260,5 +260,58 @@ object TextOps {
       .limit(20)
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76)
+  /** q114 — BM25 retrieval scoring (Robertson/Spärck Jones; k1=1.2,
+    * b=0.75): score every document against the corpus' top-3-DF terms
+    * and return the top-20. Fully distributed IR shape: tf and df are
+    * hash aggregates, the 3-term query and the 1-row corpus stats
+    * broadcast, and the per-(doc, term) contribution is rounded to 6dp
+    * and summed as DECIMAL(18,6) — float addition order varies with
+    * partitioning, exact decimal addition doesn't, which is what makes
+    * a ranked float score hash-checkable at all.
+    */
+  val q114 = oracled(
+    "q114_bm25_search",
+    "BM25 top-20 against the corpus' top-3-DF terms (decimal-exact score sum)",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+       df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       terms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+       stats AS (SELECT COUNT(*) AS n,
+           AVG(len(string_split(trim(text),' '))) AS avg_len FROM documents),
+       lens AS (SELECT doc_id, len(string_split(trim(text),' ')) AS dl FROM documents),
+       contrib AS (
+         SELECT tf.doc_id,
+           CAST(ROUND(LN((stats.n - terms.df + 0.5)/(terms.df + 0.5) + 1.0)
+             * tf.tf * 2.2 / (tf.tf + 1.2*(1 - 0.75 + 0.75*lens.dl/stats.avg_len)), 6)
+             AS DECIMAL(18,6)) AS c
+         FROM tf JOIN terms ON tf.tok = terms.tok
+         JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats)
+       SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+       FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val terms = df.orderBy(col("df").desc, col("tok")).limit(3)
+    val stats = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"),
+        avg(size(split(trim(col("text")), " "))).as("avg_len"))
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("dl"))
+    val contrib = tf.join(broadcast(terms), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .select(col("doc_id"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2 / (col("tf")
+            + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avg_len"))), 6)
+          .cast("decimal(18,6)").as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114)
 }
