@@ -423,5 +423,66 @@ object Advanced {
       .orderBy(col("o_custkey"), col("day"))
   }
 
-  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108)
+  /** q118 — LATERAL correlated subquery: per nation, the top-2
+    * customers by balance via a LATERAL derived table referencing the
+    * outer row — the SQL-standard spelling Catalyst plans as a
+    * DomainJoin/decorrelated ranked join (the operator q12 expresses
+    * with a window, here exercised through the planner's lateral-join
+    * machinery instead).
+    */
+  val q118 = oracled(
+    "q118_lateral_topk",
+    "LATERAL per-nation top-2 customers (planner's lateral join under test)",
+    """SELECT n_name, c_custkey, c_acctbal
+       FROM nation, LATERAL (
+         SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+       ORDER BY n_name, c_acctbal DESC, c_custkey""") { (s, dir) =>
+    Tables.nation(s, dir).createOrReplaceTempView("nation_q118")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q118")
+    s.sql("""SELECT n_name, c_custkey, c_acctbal
+             FROM nation_q118, LATERAL (
+               SELECT c_custkey, c_acctbal FROM customer_q118
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             ORDER BY n_name, c_acctbal DESC, c_custkey""")
+  }
+
+  /** q119 — recursive CTE (Spark 4's WITH RECURSIVE): walk the
+    * deterministic doc_id DIV 3 parent hierarchy from the root and
+    * report per-depth fan-out — the iterative-traversal operator
+    * (org charts, BOM explosion, reachability) expressed in SQL and
+    * executed by the engine's recursion operator rather than a
+    * hand-rolled driver loop. Identical integer arithmetic recursion in
+    * DuckDB; depth is bounded by log₃(corpus), so the recursion
+    * terminates at any scale.
+    */
+  val q119 = oracled(
+    "q119_recursive_hierarchy",
+    "WITH RECURSIVE parent-chain walk (doc_id DIV 3), per-depth fan-out",
+    """WITH RECURSIVE d(doc_id, depth) AS (
+         SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+         UNION ALL
+         SELECT c.doc_id, d.depth + 1
+         FROM documents c JOIN d ON c.doc_id // 3 = d.doc_id
+         WHERE c.doc_id <> 0)
+       SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       FROM d GROUP BY depth ORDER BY depth""") { (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id")).createOrReplaceTempView("docs_q119")
+    s.sql("""WITH RECURSIVE d(doc_id, depth) AS (
+               SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+               UNION ALL
+               SELECT c.doc_id, d.depth + 1
+               FROM docs_q119 c JOIN d ON c.doc_id DIV 3 = d.doc_id
+               WHERE c.doc_id <> 0)
+             SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+             FROM d GROUP BY depth ORDER BY depth""")
+  }
+
+  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108, q118, q119)
 }

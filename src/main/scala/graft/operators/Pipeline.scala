@@ -504,6 +504,64 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q116 — hybrid retrieval with reciprocal-rank fusion (RRF, k=60):
+    * the lexical ranking (q114's BM25) and a semantic ranking (exact
+    * cosine against the vec_id-0 query embedding, ids shared with
+    * documents) fuse as Σ 1/(k + rank) — the standard RAG hybrid-search
+    * combiner. Each 1/(k+rank) term is rounded 6dp and summed as
+    * DECIMAL(18,6) (the q114 trick), so the fused float ranking is
+    * hash-checkable; a doc missing from one ranking contributes 0 from
+    * that side (full outer fusion). Both rankings are rank windows over
+    * hash-aggregate/broadcast plans — nothing new is shuffled by the
+    * fusion itself beyond the final outer join on id.
+    */
+  val q116 = oracled(
+    "q116_hybrid_rrf",
+    "hybrid BM25 + embedding-cosine retrieval fused by reciprocal rank (k=60)",
+    s"""WITH ${TextOps.bm25DuckCtes},
+       lex AS (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         FROM bm25s),
+       sem AS (
+         SELECT y.vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY ${Similarity.duckCos("x", "y")} DESC, y.vec_id) AS sem_rank
+         FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+         WHERE x.vec_id = 0),
+       fused AS (
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
+           COALESCE(CAST(ROUND(1.0/(60 + lex_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+             + COALESCE(CAST(ROUND(1.0/(60 + sem_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf AS DOUBLE) AS rrf
+       FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""") { (s, dir) =>
+    import graft.functions.VecOps.{dotF, l2Norm}
+    val lex = TextOps.bm25Scores(s, dir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === 0)
+    val sem = broadcast(q.alias("x")).join(e.alias("y"), col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("y.vec_id").as("doc_id"),
+        (dotF(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sem_rank"))
+    val zeroDec = lit(0).cast("decimal(18,6)")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"),
+        (coalesce(round(lit(1.0) / (lit(60) + col("lex_rank")), 6).cast("decimal(18,6)"), zeroDec)
+          + coalesce(round(lit(1.0) / (lit(60) + col("sem_rank")), 6).cast("decimal(18,6)"), zeroDec))
+          .cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[GQuery] =
-    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113)
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113, q116)
 }

@@ -19,11 +19,11 @@ import graft.functions.VecOps.{dotF, l2Norm}
 object Similarity {
 
   /** DuckDB fragment: sequential-fold dot product of two list columns. */
-  private def duckDot(a: String, b: String): String =
+  private[operators] def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, 65),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (u, v) -> u + v)"""
 
-  private def duckCos(x: String, y: String): String =
+  private[operators] def duckCos(x: String, y: String): String =
     s"""(${duckDot(s"$x.embedding", s"$y.embedding")}
         / (sqrt(${duckDot(s"$x.embedding", s"$x.embedding")})
          * sqrt(${duckDot(s"$y.embedding", s"$y.embedding")})))"""

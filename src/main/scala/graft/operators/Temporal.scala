@@ -188,5 +188,36 @@ object Temporal {
       .orderBy(col("user_id"), col("version"))
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115)
+  /** q117 — event-time RANGE window frames: per-user rolling 1-hour
+    * count and exact-decimal sum, where the frame is bounded by a TIME
+    * interval, not a row count (ROWS frames are q14's territory). The
+    * engine resolves `RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND
+    * CURRENT ROW` over the timestamp ordering — one window shuffle on
+    * user_id; frame peers at equal timestamps are included by RANGE
+    * semantics in both engines.
+    */
+  val q117 = oracled(
+    "q117_time_range_frame",
+    "rolling 1-hour RANGE frame per user (time-bounded, not row-bounded)",
+    """SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+       FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value
+             FROM events WHERE user_id < 20)
+       WINDOW w AS (PARTITION BY user_id ORDER BY t
+         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id""") { (s, dir) =>
+    Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts").as("t"), col("value"))
+      .createOrReplaceTempView("events_q117")
+    s.sql("""SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+             FROM events_q117
+             WINDOW w AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+             ORDER BY user_id, event_id""")
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117)
 }

@@ -260,19 +260,12 @@ object TextOps {
       .limit(20)
   }
 
-  /** q114 — BM25 retrieval scoring (Robertson/Spärck Jones; k1=1.2,
-    * b=0.75): score every document against the corpus' top-3-DF terms
-    * and return the top-20. Fully distributed IR shape: tf and df are
-    * hash aggregates, the 3-term query and the 1-row corpus stats
-    * broadcast, and the per-(doc, term) contribution is rounded to 6dp
-    * and summed as DECIMAL(18,6) — float addition order varies with
-    * partitioning, exact decimal addition doesn't, which is what makes
-    * a ranked float score hash-checkable at all.
+  /** The DuckDB CTE chain producing per-doc BM25 scores against the
+    * corpus' top-3-DF terms — shared by q114's oracle and the hybrid
+    * fusion oracle (q116). Yields relation `bm25s(doc_id, bm25)`.
     */
-  val q114 = oracled(
-    "q114_bm25_search",
-    "BM25 top-20 against the corpus' top-3-DF terms (decimal-exact score sum)",
-    """WITH tok AS (
+  private[operators] val bm25DuckCtes: String =
+    """tok AS (
          SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok FROM documents),
        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
@@ -286,9 +279,16 @@ object TextOps {
              * tf.tf * 2.2 / (tf.tf + 1.2*(1 - 0.75 + 0.75*lens.dl/stats.avg_len)), 6)
              AS DECIMAL(18,6)) AS c
          FROM tf JOIN terms ON tf.tok = terms.tok
-         JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats)
-       SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
-       FROM contrib GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""") { (s, dir) =>
+         JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats),
+       bm25s AS (
+         SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+         FROM contrib GROUP BY doc_id)"""
+
+  /** Per-doc BM25 scores (doc_id, bm25) — the Spark twin of
+    * [[bm25DuckCtes]], shared by q114 and q116.
+    */
+  private[operators] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -299,7 +299,7 @@ object TextOps {
         avg(size(split(trim(col("text")), " "))).as("avg_len"))
     val lens = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(trim(col("text")), " ")).as("dl"))
-    val contrib = tf.join(broadcast(terms), "tok")
+    tf.join(broadcast(terms), "tok")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row corpus stats
       .select(col("doc_id"),
@@ -307,8 +307,25 @@ object TextOps {
           * col("tf") * 2.2 / (col("tf")
             + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avg_len"))), 6)
           .cast("decimal(18,6)").as("c"))
-    contrib.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("double").as("bm25"))
+  }
+
+  /** q114 — BM25 retrieval scoring (Robertson/Spärck Jones; k1=1.2,
+    * b=0.75): score every document against the corpus' top-3-DF terms
+    * and return the top-20. Fully distributed IR shape: tf and df are
+    * hash aggregates, the 3-term query and the 1-row corpus stats
+    * broadcast, and the per-(doc, term) contribution is rounded to 6dp
+    * and summed as DECIMAL(18,6) — float addition order varies with
+    * partitioning, exact decimal addition doesn't, which is what makes
+    * a ranked float score hash-checkable at all.
+    */
+  val q114 = oracled(
+    "q114_bm25_search",
+    "BM25 top-20 against the corpus' top-3-DF terms (decimal-exact score sum)",
+    s"""WITH $bm25DuckCtes
+       SELECT doc_id, bm25 FROM bm25s ORDER BY bm25 DESC, doc_id LIMIT 20""") { (s, dir) =>
+    bm25Scores(s, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
