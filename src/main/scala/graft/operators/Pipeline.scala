@@ -562,6 +562,95 @@ object Pipeline {
       .limit(10)
   }
 
+  /** q120 — verbatim-substring duplication: detect 20-token windows
+    * (stride 10) appearing verbatim in more than one document — the
+    * cross-document substring-dedup signal (the suffix-array method's
+    * distributed stand-in: strided windows are the anchors, grouped
+    * corpus-wide). Per affected doc: window count, duplicated-window
+    * count, duplication ratio. Windows here join on their raw strings
+    * so the oracle is trivial; at 100 TB the window key would be
+    * `rolling_hash(win)` — same plan, 8-byte keys.
+    */
+  val q120 = oracled(
+    "q120_substring_dup",
+    "verbatim 20-token-window duplication across docs (strided anchors)",
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+       w AS (
+         SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-19, 1)+1, 10),
+           p -> array_to_string(toks[p:p+19], ' '))) AS win
+         FROM t),
+       dw AS (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win),
+       j AS (SELECT w.doc_id, dw.nd FROM w JOIN dw ON w.win = dw.win)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_ratio
+       FROM j GROUP BY doc_id
+       HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0 ORDER BY doc_id""") { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10)),
+        p => array_join(slice(col("toks"), p, lit(20)), " "))).as("win"))
+    val dw = w.groupBy(col("win")).agg(countDistinct(col("doc_id")).as("nd"))
+    w.join(dw, "win")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count_if(col("nd") > 1).as("n_dup_windows"),
+        (count_if(col("nd") > 1).cast("double") / count(lit(1))).as("dup_ratio"))
+      .filter(col("n_dup_windows") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val GopherStop = Seq("the", "a", "of", "and", "to", "in")
+
+  /** q121 — Gopher-style quality-rule battery (Rae et al. 2021 §A1.1,
+    * adapted thresholds): per lang, how many docs pass each rule —
+    * word-count bounds, mean word length in [3,10], symbol-to-char
+    * ratio ≤ 0.1, ≥ 2 stopwords — and the conjunction. All scan-local
+    * arithmetic; the per-rule breakdown is what a pipeline operator
+    * dashboard actually shows (which rule is killing yield).
+    */
+  val q121 = oracled(
+    "q121_gopher_rules",
+    "per-lang pass counts for the Gopher quality-rule battery + conjunction",
+    """WITH m AS (
+         SELECT lang,
+           len(string_split(trim(text),' ')) AS n_words,
+           CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(trim(text),' ')) AS mean_wlen,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) AS sym_ratio,
+           len(list_filter(string_split(trim(text),' '),
+             w -> list_contains(['the','a','of','and','to','in'], w))) AS n_stop
+         FROM documents)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_words,
+         CAST(SUM(CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen,
+         CAST(SUM(CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_sym,
+         CAST(SUM(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+         CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3 AND 10
+              AND sym_ratio <= 0.1 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+       FROM m GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val nWords = size(toks)
+    val meanWlen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val symRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      .cast("double") / length(col("text"))
+    val nStop = size(filter(toks, w => array_contains(typedLit(GopherStop), w)))
+    val pw = nWords.between(50, 100000)
+    val pl = meanWlen.between(3, 10)
+    val ps = symRatio <= 0.1
+    val pt = nStop >= 2
+    Tables.documents(s, dir)
+      .select(col("lang"), pw.as("pw"), pl.as("pl"), ps.as("ps"), pt.as("pt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("pw")).as("pass_words"),
+        count_if(col("pl")).as("pass_wlen"),
+        count_if(col("ps")).as("pass_sym"),
+        count_if(col("pt")).as("pass_stop"),
+        count_if(col("pw") && col("pl") && col("ps") && col("pt")).as("pass_all"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113, q116)
+    Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
+      q116, q120, q121)
 }
