@@ -650,7 +650,28 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q122 — compression-ratio quality screen: per-lang deflate-ratio
+    * stats plus the count of suspiciously compressible docs (ratio
+    * below 0.45 — far under natural-prose deflate ratios). Rows-only:
+    * deflate output size is a zlib-build detail, not a cross-engine
+    * contract (the DuckDB oracle has no deflate anyway) — bounded
+    * instead by TrainingPrepSpec's monotonicity and determinism checks.
+    */
+  val q122 = GQuery.rowsOnly(
+    "q122_compress_ratio_screen",
+    "per-lang deflate compression-ratio stats (degenerate-text screen)") { (s, dir) =>
+    import graft.functions.CompressRatio.compressRatio
+    Tables.documents(s, dir)
+      .select(col("lang"), compressRatio(col("text")).as("cr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("cr")), 4).as("avg_ratio"),
+        round(min(col("cr")), 4).as("min_ratio"),
+        count_if(col("cr") < 0.45).as("n_suspicious"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121)
+      q116, q120, q121, q122)
 }

@@ -131,6 +131,32 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("compress_ratio separates repetitive from diverse text, deterministically") {
+    import spark.implicits._
+    import graft.functions.CompressRatio.compressRatio
+    val rep = ("spam " * 200).trim
+    val div = (1 to 200).map(i => s"w${i * 2654435761L % 99991}").mkString(" ")
+    val df = Seq(("rep", rep), ("div", div), ("empty", ""), ("null", null))
+      .toDF("k", "t")
+      .select(col("k"), compressRatio(col("t")).as("cr"))
+    val m = df.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(m("rep").get < 0.1, s"repetitive text must compress hard: ${m("rep")}")
+    assert(m("div").get > 2 * m("rep").get, "diverse text must compress far less")
+    assert(m("div").get > 0.0 && m("div").get < 1.2)
+    assert(m("empty").get === 1.0)
+    assert(m("null").isEmpty, "null propagates")
+    // determinism: same inputs, same ratios on a re-run
+    val again = Seq(("rep", rep)).toDF("k", "t")
+      .select(compressRatio(col("t"))).head().getDouble(0)
+    assert(again === m("rep").get)
+    // and the q122 screen runs with sane bounds on the fixture
+    graft.operators.Pipeline.q122.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.2) // avg_ratio
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("q103 bloom prefilter is exact (equals the plain semi-join) and scan-side") {
     val df = Pipeline.q103.run(spark, sfDir)
     val viaBloom = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
