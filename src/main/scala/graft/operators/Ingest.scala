@@ -207,5 +207,38 @@ object Ingest {
         sum(length(col("text"))).as("sum_text_chars"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106)
+  private val orcPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q123 — ORC source round-trip: the columnar sibling of q106 (same
+    * lossless-aggregate proof, different container). ORC is the other
+    * splittable columnar format a lake ingests besides parquet; the
+    * read-back goes through Spark's vectorized ORC reader.
+    */
+  val q123 = oracled(
+    "q123_orc_roundtrip",
+    "ORC write → read-back, content-aggregate lossless proof",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(doc_id * 31 % 99991) AS BIGINT) AS checksum
+       FROM documents""") { (s, dir) =>
+    val out = orcPathCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_q123_orc_${ProcessHandle.current().pid()}_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      Tables.documents(s, dir).write.mode("overwrite").orc(p)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(p))))
+      p
+    })
+    s.read.orc(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id") * 31 % 99991).as("checksum"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106, q123)
 }

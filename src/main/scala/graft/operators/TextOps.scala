@@ -330,5 +330,34 @@ object TextOps {
       .limit(20)
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114)
+  /** q124 — sketch-prefiltered heavy hitters: `approx_top_k` (Spark 4's
+    * frequent-items sketch) nominates candidate tokens in one pass, and
+    * an exact count over ONLY the candidates produces the final top-10
+    * — the sketch bounds what the exact pass must count, the exact pass
+    * removes the sketch's error from the result (the q103/q108 pattern:
+    * approximate to shrink, exact to finish). With capacity above the
+    * vocabulary size the sketch is lossless, and any capacity breach
+    * that dropped a true heavy hitter would hash-mismatch the plain
+    * GROUP BY oracle — the gate checks the composition, not just the
+    * final arithmetic.
+    */
+  val q124 = oracled(
+    "q124_heavy_hitters",
+    "approx_top_k candidate sketch + exact verification top-10 tokens",
+    """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
+       GROUP BY tok ORDER BY n DESC, tok LIMIT 10""") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+    val cand = tok.agg(expr("approx_top_k(tok, 20, 10000)").as("tk"))
+      .select(explode(col("tk")).as("c"))
+      .select(col("c.item").as("tok"))
+    tok.join(broadcast(cand), "tok")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(10)
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114, q124)
 }

@@ -56,4 +56,16 @@ object StreamJoins {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension. The static side is planned per micro-batch (broadcast
+    * for a bounded dim — no stream state AT ALL, unlike stream-stream
+    * joins), which is the shape for enriching a 100 TB/day event feed
+    * with a reference table; the dim is re-read each batch, so slowly
+    * changing dims pick up updates without restarting the query.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("tier"), lit("unknown")).as("tier"))
 }

@@ -60,6 +60,29 @@ class CorpusStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = graft.streaming.StreamJoins.enrichWithDim(
+      in.toDF().toDF("event_id", "user_id", "ts"), dim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      in.addData((10L, 1L, ts("2024-01-01 00:00:00")),
+        (11L, 2L, ts("2024-01-01 00:00:01")),
+        (12L, 9L, ts("2024-01-01 00:00:02"))) // no dim row -> 'unknown'
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enriched")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((10L, "gold"), (11L, "basic"), (12L, "unknown")))
+      // stateless contract: no stateful operator in the streaming plan
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("a duplicate arriving past the watermark horizon is admitted again") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -82,4 +82,36 @@ class PlanContractSpec extends AnyFunSuite {
     val below = p.substring(p.indexOf("+- Filter"))
     assert(below.contains("FileScan") && !below.contains("Exchange"), p)
   }
+
+  test("q99: eval shingles are the broadcast build side of the contamination join") {
+    val p = plan(operators.Pipeline.q99)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "eval shingle set must broadcast — a shuffle join scans-side the corpus\n" + p)
+  }
+
+  test("q103: might_contain filters the fact scan BEFORE any exchange") {
+    val p = plan(operators.Pipeline.q103)
+    assert(p.contains("might_contain"), p)
+    val idx = p.indexOf("might_contain")
+    val below = p.substring(idx)
+    assert(below.contains("FileScan parquet") &&
+      !below.substring(0, below.indexOf("FileScan parquet")).contains("Exchange"),
+      "bloom test must sit scan-side, pre-shuffle\n" + p)
+  }
+
+  test("q114: the 3-term query and corpus stats broadcast; tf/df stay partial-aggregated") {
+    val p = plan(operators.TextOps.q114)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"),
+      "tf/df aggregation lost its map-side partial phase\n" + p)
+  }
+
+  test("q117: the time-range frame costs exactly one data shuffle (user partitioning)") {
+    val p = plan(operators.Temporal.q117)
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges === 1,
+      s"expected 1 hash exchange for the window, found $dataExchanges\n$p")
+    assert(p.contains("RangeFrame"), p)
+  }
 }
