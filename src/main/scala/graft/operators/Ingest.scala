@@ -240,5 +240,51 @@ object Ingest {
         sum(col("doc_id") * 31 % 99991).as("checksum"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106, q123)
+  /** q125 — `try_cast` conversion battery: deterministic dirty strings
+    * (bad ints, impossible dates, invalid clock times — pure functions
+    * of doc_id) converted with error-safe casts under default ANSI
+    * mode, accounting good/bad per conversion. The row-level
+    * counterpart of q92/q105: ingest never throws, every failure is
+    * counted, and the checksum over surviving values proves nulls
+    * landed exactly where corruption was planted.
+    */
+  val q125 = oracled(
+    "q125_try_cast_battery",
+    "error-safe casts (int/date/timestamp) over deterministically dirty strings",
+    """WITH raw AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN 'x' || CAST(doc_id AS VARCHAR)
+                ELSE CAST(doc_id AS VARCHAR) END AS int_s,
+           CASE WHEN doc_id % 5 = 2 THEN '2024-13-40'
+                ELSE '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),2,'0')
+                  || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),2,'0') END AS date_s,
+           '2024-01-01 ' ||
+             CASE WHEN doc_id % 7 = 3 THEN '12:99:00'
+                  ELSE lpad(CAST(doc_id % 24 AS VARCHAR),2,'0') || ':30:00' END AS ts_s
+         FROM documents)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN TRY_CAST(int_s AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_int,
+         CAST(SUM(CASE WHEN TRY_CAST(date_s AS DATE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+         CAST(SUM(CASE WHEN TRY_CAST(ts_s AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts,
+         CAST(SUM(TRY_CAST(int_s AS BIGINT)) AS BIGINT) AS sum_ok_int
+       FROM raw""") { (s, dir) =>
+    val intS = when(col("doc_id") % 4 === 1,
+      concat(lit("x"), col("doc_id").cast("string"))).otherwise(col("doc_id").cast("string"))
+    val dateS = when(col("doc_id") % 5 === 2, lit("2024-13-40"))
+      .otherwise(concat(lit("2024-"), lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+    val tsS = concat(lit("2024-01-01 "),
+      when(col("doc_id") % 7 === 3, lit("12:99:00"))
+        .otherwise(concat(lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":30:00"))))
+    Tables.documents(s, dir)
+      .select(intS.try_cast("long").as("i"), dateS.try_cast("date").as("d"),
+        tsS.try_cast("timestamp").as("t"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("i").isNull).as("bad_int"),
+        count_if(col("d").isNull).as("bad_date"),
+        count_if(col("t").isNull).as("bad_ts"),
+        sum(col("i")).as("sum_ok_int"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125)
 }

@@ -337,6 +337,46 @@ object Scalars {
       .orderBy(col("type_norm"))
   }
 
+  /** q127 — nested-struct surgery: build a two-level struct, ADD a
+    * computed nested field with `withField` and REMOVE one with
+    * `dropFields` — in-place schema evolution on nested columns without
+    * exploding/rebuilding the struct (the operator a lakehouse needs
+    * when a nested payload schema grows a field). The oracle rebuilds
+    * the same values with struct_pack/struct_insert; exact-decimal
+    * arithmetic keeps the computed field bit-identical.
+    */
+  val q127 = oracled(
+    "q127_struct_surgery",
+    "nested withField/dropFields schema evolution on a built struct",
+    """WITH s AS (
+         SELECT o_orderkey,
+           struct_pack(status := o_orderstatus,
+             money := struct_pack(total := CAST(o_totalprice AS DECIMAL(18,2)), cur := 'USD')) AS meta
+         FROM orders WHERE o_orderkey % 97 = 0)
+       SELECT o_orderkey, meta.status AS status,
+         CAST(meta.money.total AS DOUBLE) AS total,
+         struct_insert(meta.money,
+           discounted := CAST(meta.money.total * CAST(0.9 AS DECIMAL(3,2)) AS DOUBLE)).discounted AS discounted
+       FROM s ORDER BY o_orderkey""") { (s, dir) =>
+    val meta = struct(
+      col("o_orderstatus").as("status"),
+      struct(dec2(col("o_totalprice")).as("total"), lit("USD").as("cur")).as("money"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), meta.as("meta"))
+      // evolve the nested schema: add money.discounted, drop money.cur
+      .withColumn("meta2",
+        col("meta")
+          .withField("money.discounted",
+            (col("meta.money.total") * lit(0.9).cast("decimal(3,2)")).cast("double"))
+          .dropFields("money.cur"))
+      .select(col("o_orderkey"),
+        col("meta.status").as("status"),
+        col("meta.money.total").cast("double").as("total"),
+        col("meta2.money.discounted").as("discounted"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q88 — error-safe (`try_`) arithmetic: Spark 4 runs ANSI mode by
     * default, where x/0 and overflow FAIL the job; `try_divide` /
     * `try_add` yield NULL instead — the per-expression opt-out a
@@ -397,5 +437,5 @@ object Scalars {
   }
 
   val all: Seq[GQuery] =
-    Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89)
+    Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89, q127)
 }

@@ -117,6 +117,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(spans.map(_._2).max === li.agg(max(col("l_orderkey"))).head().getLong(0))
   }
 
+  test("range layout lets parquet stats skip data a random layout must read") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the payoff of the compaction test above: identical data, identical
+    // filter — the sorted/ranged layout's parquet min/max stats prune
+    // row groups at scan time, the random layout's can't
+    val ranged = java.nio.file.Files.createTempDirectory("li_ranged").toString
+    val shuffled = java.nio.file.Files.createTempDirectory("li_shuffled").toString
+    val li = Tables.lineitem(spark, sfDir)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(ranged)
+    li.repartition(8, col("l_partkey")) // unrelated key => orderkeys everywhere
+      .write.mode("overwrite").parquet(shuffled)
+
+    def scanOutputRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("l_orderkey") < 200)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }
+      scans.sum
+    }
+    val matching = li.filter(col("l_orderkey") < 200).count()
+    val rangedRows = scanOutputRows(ranged)
+    val shuffledRows = scanOutputRows(shuffled)
+    assert(rangedRows >= matching, "scan must emit at least the matching rows")
+    // ranged: only the row groups covering [0, 200) are decoded;
+    // shuffled: every row group contains low keys, nothing is skipped
+    assert(rangedRows < shuffledRows / 2,
+      s"layout skipping had no effect: ranged=$rangedRows shuffled=$shuffledRows (matching=$matching)")
+  }
+
   test("IVF (k-means cells) ANN overlaps the exact top-5 measurably") {
     import graft.operators.{Advanced, Similarity}
     val exact = Similarity.q50.run(spark, sfDir)
