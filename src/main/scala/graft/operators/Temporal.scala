@@ -219,5 +219,38 @@ object Temporal {
              ORDER BY user_id, event_id""")
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117)
+  /** q126 — the custom physical as-of operator through the correctness
+    * gate: the SAME query as q56, executed by
+    * [[graft.plans.AsOfJoinExec]] (logical node + strategy + streaming
+    * sort-merge exec, O(1) state per partition) instead of the window
+    * composition, against DuckDB's native ASOF JOIN. With q56 this
+    * triangulates three independent implementations of the operator —
+    * window composition, custom exec, DuckDB native — on one oracle.
+    */
+  val q126 = oracled(
+    "q126_asof_custom_exec",
+    "as-of join via the custom AsOfJoinExec physical operator (q56's oracle)",
+    """SELECT p.event_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asofJoin(purchases, clicks, "p_user", "p_ts", "c_user", "c_ts")
+      .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126)
 }
