@@ -252,5 +252,30 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126)
+  /** q128 — timezone normalization: distribute UTC event times into a
+    * fixed-offset local zone (+05:30) and histogram the local hour —
+    * the "when are users actually active" rollup. The offset is FIXED
+    * on purpose: named zones drag in tzdata whose versions differ
+    * between engines (and over time); a fixed offset is pure interval
+    * arithmetic, identical everywhere. Spark side goes through
+    * `convert_timezone` (the real operator); the oracle adds the
+    * interval — provably the same function for fixed offsets.
+    */
+  val q128 = oracled(
+    "q128_timezone_local_hour",
+    "fixed-offset (+05:30) local-hour activity histogram via convert_timezone",
+    """SELECT local_hour, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         SELECT EXTRACT(hour FROM CAST(ts AS TIMESTAMP)
+           + INTERVAL '5 hours 30 minutes') AS local_hour
+         FROM events)
+       GROUP BY local_hour ORDER BY local_hour""") { (s, dir) =>
+    Tables.events(s, dir)
+      .select(hour(convert_timezone(lit("UTC"), lit("+05:30"), col("ts")))
+        .cast("long").as("local_hour"))
+      .groupBy(col("local_hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("local_hour"))
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126, q128)
 }
