@@ -671,7 +671,40 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q129 — deterministic train/val/test split (80/10/10): assignment
+    * is scan-side arithmetic on doc_id (the q101 multiplicative hash,
+    * bounded before multiply so ANSI overflow can't fire), so the split
+    * is reproducible across runs, engines, partitionings, and
+    * re-shards — the property that makes a 100 TB split auditable. The
+    * summary proves the partition: per-split counts plus a checksum,
+    * with completeness/disjointness implied by the exhaustive
+    * non-overlapping CASE (and re-checked against the corpus total).
+    */
+  val q129 = oracled(
+    "q129_train_val_test_split",
+    "deterministic 80/10/10 split assignment + partition accounting",
+    """WITH a AS (
+         SELECT doc_id,
+           CASE WHEN (doc_id % 100003) * 2654435761 % 1000000 < 800000 THEN 'train'
+                WHEN (doc_id % 100003) * 2654435761 % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+       SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+       FROM a GROUP BY split ORDER BY split""") { (s, dir) =>
+    val h = (col("doc_id") % 100003) * 2654435761L % 1000000
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(h < 800000, "train").when(h < 900000, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("doc_id")).as("sum_doc"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122)
+      q116, q120, q121, q122, q129)
 }
