@@ -562,23 +562,29 @@ object Pipeline {
       .limit(10)
   }
 
-  /** q120 — verbatim-substring duplication: detect 20-token windows
-    * (stride 10) appearing verbatim in more than one document — the
-    * cross-document substring-dedup signal (the suffix-array method's
-    * distributed stand-in: strided windows are the anchors, grouped
-    * corpus-wide). Per affected doc: window count, duplicated-window
-    * count, duplication ratio. Windows here join on their raw strings
-    * so the oracle is trivial; at 100 TB the window key would be
-    * `rolling_hash(win)` — same plan, 8-byte keys.
+  /** q120 — verbatim-substring duplication with CONTENT-DEFINED anchors
+    * (winnowing-style): every 20-token window is a candidate, but only
+    * windows whose rolling hash ≡ 0 (mod 8) become anchors — the same
+    * window text selects identically in every document, so a shared run
+    * is detected regardless of its OFFSET in each doc (a fixed-stride
+    * anchor grid would miss runs whose offsets differ off-grid; this is
+    * the substring-dedup analog of content-defined chunking, and
+    * TrainingPrepSpec proves the offset-robustness on a synthetic
+    * shifted duplicate). Per affected doc: anchor count, duplicated
+    * anchors, duplication ratio. Anchors join on raw strings so the
+    * oracle stays trivial; at 100 TB the join key is the already-
+    * computed 8-byte hash.
     */
   val q120 = oracled(
     "q120_substring_dup",
-    "verbatim 20-token-window duplication across docs (strided anchors)",
-    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
-       w AS (
-         SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-19, 1)+1, 10),
+    "verbatim 20-token-window duplication via content-defined (hash-selected) anchors",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+       cand AS (
+         SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-19, 1)+1),
            p -> array_to_string(toks[p:p+19], ' '))) AS win
          FROM t),
+       w AS (SELECT doc_id, win FROM cand
+         WHERE ${graft.functions.RollingHash.duckSql("win")} % 8 = 0),
        dw AS (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win),
        j AS (SELECT w.doc_id, dw.nd FROM w JOIN dw ON w.win = dw.win)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
@@ -586,19 +592,28 @@ object Pipeline {
          CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_ratio
        FROM j GROUP BY doc_id
        HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0 ORDER BY doc_id""") { (s, dir) =>
-    val w = Tables.documents(s, dir)
+    anchorStats(Tables.documents(s, dir))
+      .filter(col("n_dup_windows") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q120 pipeline over an arbitrary documents frame (un-memoized),
+    * shared with the offset-robustness spec.
+    */
+  private[graft] def anchorStats(docs: DataFrame): DataFrame = {
+    import graft.functions.RollingHash.rollingHash
+    val w = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("toks")) - 19, lit(1)), lit(10)),
+        sequence(lit(1), greatest(size(col("toks")) - 19, lit(1))),
         p => array_join(slice(col("toks"), p, lit(20)), " "))).as("win"))
+      .filter(rollingHash(col("win")) % 8 === 0) // content-defined anchor selection
     val dw = w.groupBy(col("win")).agg(countDistinct(col("doc_id")).as("nd"))
     w.join(dw, "win")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count_if(col("nd") > 1).as("n_dup_windows"),
         (count_if(col("nd") > 1).cast("double") / count(lit(1))).as("dup_ratio"))
-      .filter(col("n_dup_windows") > 0)
-      .orderBy(col("doc_id"))
   }
 
   private val GopherStop = Seq("the", "a", "of", "and", "to", "in")

@@ -359,5 +359,82 @@ object TextOps {
       .limit(10)
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114, q124)
+  /** q130 — unigram-entropy quality signal: per-doc token-distribution
+    * entropy (low entropy ⇒ few distinct tokens dominate ⇒ degenerate
+    * text — the information-theoretic sibling of q97's bigram ratio and
+    * q122's compression ratio), rolled up per lang. Each -p·ln p term
+    * is rounded 6dp and summed as DECIMAL(18,6) (the q114 discipline),
+    * so the float entropies aggregate order-independently.
+    */
+  val q130 = oracled(
+    "q130_token_entropy",
+    "per-doc unigram entropy (rolled up per lang, decimal-exact term sums)",
+    """WITH tok AS (
+         SELECT doc_id, lang, unnest(string_split(trim(text),' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, tok),
+       n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nt FROM tf GROUP BY doc_id),
+       e AS (SELECT tf.doc_id, tf.lang,
+         CAST(ROUND(-(tf.c/n.nt) * LN(tf.c/n.nt), 6) AS DECIMAL(18,6)) AS h
+         FROM tf JOIN n ON tf.doc_id = n.doc_id),
+       dh AS (SELECT lang, doc_id, SUM(h) AS doc_h FROM e GROUP BY lang, doc_id)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_h) AS DOUBLE) AS total_entropy,
+         CAST(MIN(doc_h) AS DOUBLE) AS min_doc_entropy
+       FROM dh GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast("double").as("nt"))
+    val p = col("c") / col("nt")
+    val dh = tf.join(n, "doc_id")
+      .select(col("lang"), col("doc_id"),
+        round(-p * log(p), 6).cast("decimal(18,6)").as("h"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("h")).as("doc_h"))
+    dh.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_h")).cast("double").as("total_entropy"),
+        min(col("doc_h")).cast("double").as("min_doc_entropy"))
+      .orderBy(col("lang"))
+  }
+
+  /** q131 — distribution drift per language: KL(lang unigram dist ‖
+    * corpus dist), the monitoring signal that flags a language slice
+    * drifting from the corpus mix (new crawl source, encoding bug,
+    * template flood). Terms share q130's decimal-exact summation; the
+    * global distribution is a broadcast vocabulary join — at 100 TB
+    * both distributions are the same two hash aggregates this plan
+    * runs.
+    */
+  val q131 = oracled(
+    "q131_lang_drift_kl",
+    "KL divergence of each lang's unigram distribution from the corpus distribution",
+    """WITH tok AS (SELECT lang, unnest(string_split(trim(text),' ')) AS tok FROM documents),
+       lc AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+       lt AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM lc GROUP BY lang),
+       gc AS (SELECT tok, COUNT(*) AS g FROM tok GROUP BY tok),
+       gt AS (SELECT CAST(SUM(g) AS DOUBLE) AS tg FROM gc),
+       term AS (SELECT lc.lang,
+         CAST(ROUND((lc.c/lt.t) * LN((lc.c/lt.t) / (gc.g/gt.tg)), 6) AS DECIMAL(18,6)) AS kl
+         FROM lc JOIN lt ON lc.lang = lt.lang JOIN gc ON lc.tok = gc.tok CROSS JOIN gt)
+       SELECT lang, CAST(SUM(kl) AS DOUBLE) AS kl_div
+       FROM term GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
+    val lc = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val lt = lc.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("t"))
+    val gc = tok.groupBy(col("tok")).agg(count(lit(1)).as("g"))
+    val gt = gc.agg(sum(col("g")).cast("double").as("tg"))
+    val pl = col("c") / col("t")
+    val pg = col("g") / col("tg")
+    lc.join(broadcast(lt), "lang")
+      .join(gc, "tok")
+      .crossJoin(broadcast(gt)) // 1-row corpus total
+      .select(col("lang"), round(pl * log(pl / pg), 6).cast("decimal(18,6)").as("kl"))
+      .groupBy(col("lang"))
+      .agg(sum(col("kl")).cast("double").as("kl_div"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131)
 }

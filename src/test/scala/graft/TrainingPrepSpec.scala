@@ -131,6 +131,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 content-defined anchors catch shared runs at DIFFERENT offsets") {
+    import spark.implicits._
+    // a 40-token verbatim run shared by two docs at offsets 0 and 3 —
+    // a fixed-stride anchor grid (10) would align on neither; content-
+    // defined selection picks the same windows from the run in both
+    val run = (1 to 40).map(i => s"r${i * 7919 % 997}").mkString(" ")
+    val padA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val padB = (1 to 3).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + padA),             // run at offset 0
+      (2L, padB + " " + run),             // run at offset 3
+      (3L, (1 to 45).map(i => s"u${i * 104729 % 9973}").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val stats = graft.operators.Pipeline.anchorStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both run-carrying docs flag duplicated anchors; the unrelated doc none
+    assert(stats(1L)._2 > 0, s"doc 1 missed: $stats")
+    assert(stats(2L)._2 > 0, s"doc 2 missed (offset-shifted run): $stats")
+    assert(stats.get(3L).forall(_._2 === 0L), s"false positive on doc 3: $stats")
+  }
+
   test("compress_ratio separates repetitive from diverse text, deterministically") {
     import spark.implicits._
     import graft.functions.CompressRatio.compressRatio
