@@ -53,18 +53,22 @@ class ExpressionEdgeSpec extends AnyFunSuite {
   }
 
   test("codegen and interpreted paths agree on real data") {
+    import graft.functions.CompressRatio.compressRatio
+    import graft.functions.NormalizeText.nfc
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(): Seq[(Long, Long, Double, Int)] =
+      docs.select(col("doc_id"), rollingHash(col("text")).as("h"),
+          compressRatio(col("text")).as("cr"), length(nfc(col("text"))).as("nl"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     // force an interpreted evaluation by collecting through a plan where
     // codegen is disabled, and compare against the default path
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
-    val withCodegen = docs.select(col("doc_id"), rollingHash(col("text")).as("h"))
-      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val withCodegen = run()
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val interpreted = docs.select(col("doc_id"), rollingHash(col("text")).as("h"))
-        .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(withCodegen.toSeq === interpreted.toSeq)
+      assert(withCodegen === run())
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
