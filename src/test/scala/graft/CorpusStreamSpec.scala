@@ -83,6 +83,44 @@ class CorpusStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: JSONL directory drained with AvailableNow equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // a real file-based streaming source (not MemoryStream): documents
+    // written as JSONL, discovered and drained by one AvailableNow run —
+    // the backfill pattern (stream semantics, batch lifecycle)
+    val src = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"),
+        // deterministic ingest timestamps so the watermark math is fixed
+        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)").as("ingest_ts"))
+    docs.write.mode("overwrite").json(src)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ingest_ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = graft.streaming.CorpusStream.cleanIntake(stream, minQuality = 0.0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("file_intake")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.sql("SELECT doc_id FROM file_intake")
+        .collect().map(_.getLong(0)).toSet
+      // batch twin: quality-0 gate keeps everything; dedup keeps one doc
+      // per distinct fingerprint (min doc_id through the same min rule
+      // isn't guaranteed by the stream — compare fingerprint SETS)
+      val batchFps = docs
+        .withColumn("fp", graft.functions.RollingHash.rollingHash(col("text")))
+        .select(col("fp")).distinct().count()
+      assert(streamed.size.toLong === batchFps,
+        s"stream kept ${streamed.size}, batch distinct fingerprints $batchFps")
+    } finally q.stop()
+  }
+
   test("a duplicate arriving past the watermark horizon is admitted again") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
