@@ -618,5 +618,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93)
+  /** q132 — containment near-dup: score = |A∩B| / min(|A|, |B|) ≥ 0.8,
+    * the ASYMMETRIC similarity that catches a short document quoted
+    * verbatim inside a much longer one — exactly the case Jaccard
+    * misses (a 40-shingle doc inside a 400-shingle doc has containment
+    * 1.0 but Jaccard ≤ 0.1). Same inverted-index join as q48 and the
+    * same completeness theorem (containment ≥ t > 0 ⟹ ≥ 1 shared
+    * shingle ⟹ the pair is generated; the count is the exact |A∩B|).
+    * Deliberately UNBLOCKED — boilerplate/quoting crosses sources —
+    * so the scale refinement is the standard prefix filter, not
+    * blocking.
+    */
+  val q132 = {
+    val hashSql = RollingHash.duckSql("b", sfx = "2")
+    oracled(
+      "q132_containment_near_dup",
+      "asymmetric containment |A∩B|/min(|A|,|B|) >= 0.8 (quote/boilerplate detector)",
+      s"""WITH t AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         bg AS (
+           SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               b -> $hashSql))) AS sh
+           FROM t)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CASE WHEN LEAST(len(x.sh), len(y.sh)) > 0
+               THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / LEAST(len(x.sh), len(y.sh))
+               ELSE NULL END AS containment
+           FROM bg x JOIN bg y ON x.doc_id < y.doc_id)
+         WHERE containment >= 0.8
+         ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val toksC = col("toks")
+      val bigrams = zip_with(
+        slice(toksC, lit(1), size(toksC) - 1), slice(toksC, lit(2), size(toksC) - 1),
+        (a, b) => concat(a, lit("_"), b))
+      val hashed = array_distinct(transform(bigrams, b => RollingHash.rollingHash(b)))
+      val bg = tokenized(s, dir)
+        .select(col("doc_id"), hashed.as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      val sz = bg.select(col("doc_id"), col("n_sh"))
+      val posting = bg.select(col("doc_id"), explode(col("sh")).as("h"))
+      val cand = posting.alias("x").join(posting.alias("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+      cand
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter") / least(col("n_a"), col("n_b"))).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132)
 }
