@@ -618,16 +618,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q132 — containment near-dup: score = |A∩B| / min(|A|, |B|) ≥ 0.8,
-    * the ASYMMETRIC similarity that catches a short document quoted
-    * verbatim inside a much longer one — exactly the case Jaccard
-    * misses (a 40-shingle doc inside a 400-shingle doc has containment
-    * 1.0 but Jaccard ≤ 0.1). Same inverted-index join as q48 and the
-    * same completeness theorem (containment ≥ t > 0 ⟹ ≥ 1 shared
-    * shingle ⟹ the pair is generated; the count is the exact |A∩B|).
-    * Deliberately UNBLOCKED — boilerplate/quoting crosses sources —
-    * so the scale refinement is the standard prefix filter, not
-    * blocking.
+  /** q132 — containment near-dup: score = |A∩B| / min(|A|, |B|) ≥ 0.8
+    * over 5-GRAM shingles, the ASYMMETRIC similarity that catches a
+    * short document quoted verbatim inside a much longer one — exactly
+    * the case Jaccard misses (a 40-shingle doc inside a 400-shingle doc
+    * has containment 1.0 but Jaccard ≤ 0.1). Same inverted-index
+    * completeness theorem as q48 (containment ≥ t > 0 ⟹ ≥ 1 shared
+    * shingle ⟹ the pair is generated). 5-gram width matters doubly
+    * here: it is the verbatim-quote unit, AND it keeps the shingle
+    * space distinctive — this corpus has only ~900 distinct BIGRAMS
+    * across 5 000 docs (tiny vocabulary), which degenerates any
+    * similarity join (5.6 M candidates); 5-grams give ~238 k distinct
+    * shingles with posting lists of ~1.05 docs.
+    * Deliberately UNBLOCKED — boilerplate/quoting crosses sources — so
+    * candidate generation uses PREFIX FILTERING under the global
+    * rarest-first shingle order (Chaudhuri et al. ICDE 2006 / Bayardo
+    * et al. WWW 2007): containment ≥ t means the smaller doc misses at
+    * most (1−t)·|A| of its shingles, so its first ⌊(1−t)·|A|⌋+1
+    * shingles under ANY fixed total order must hit the other doc —
+    * probing with prefixes only, against the full postings, stays
+    * COMPLETE while the frequency order keeps corpus-hot shingles out
+    * of every prefix (the unfiltered postings self-join was 15 s at
+    * sf0.1 — hot shingles square). Candidates then verify exactly with
+    * the codegen'd [[graft.functions.SortedIntersectCount]] on the
+    * pair's sorted shingle arrays.
     */
   val q132 = {
     val hashSql = RollingHash.duckSql("b", sfx = "2")
@@ -639,7 +653,7 @@ object Dedup {
          bg AS (
            SELECT doc_id,
              list_sort(list_distinct(list_transform(
-               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], '_')),
                b -> $hashSql))) AS sh
            FROM t)
          SELECT doc_a, doc_b, containment FROM (
@@ -651,25 +665,43 @@ object Dedup {
            FROM bg x JOIN bg y ON x.doc_id < y.doc_id)
          WHERE containment >= 0.8
          ORDER BY doc_a, doc_b""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.SortedIntersectCount.sortedIntersectCount
       val toksC = col("toks")
-      val bigrams = zip_with(
-        slice(toksC, lit(1), size(toksC) - 1), slice(toksC, lit(2), size(toksC) - 1),
-        (a, b) => concat(a, lit("_"), b))
-      val hashed = array_distinct(transform(bigrams, b => RollingHash.rollingHash(b)))
+      val grams5 = when(size(toksC) >= 5,
+        transform(sequence(lit(1), size(toksC) - 4),
+          i => array_join(slice(toksC, i, lit(5)), "_")))
+        .otherwise(array().cast("array<string>"))
+      val hashed = array_sort(array_distinct(transform(grams5,
+        b => RollingHash.rollingHash(b))))
       val bg = tokenized(s, dir)
         .select(col("doc_id"), hashed.as("sh"))
         .withColumn("n_sh", size(col("sh")))
-      val sz = bg.select(col("doc_id"), col("n_sh"))
-      val posting = bg.select(col("doc_id"), explode(col("sh")).as("h"))
-      val cand = posting.alias("x").join(posting.alias("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).cast("double").as("inter"))
+        .localCheckpoint() // shared by postings, prefixes, and the verify
+      val posting = bg.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+      // global rarest-first order: per-shingle document frequency
+      val sdf = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val prefix = posting.join(sdf, "h")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+        .filter(col("rk") <= floor(col("n_sh") * (1 - 0.8)) + 1)
+        .select(col("doc_id"), col("h"))
+      // complete candidate set: every pair with containment >= t has a
+      // prefix shingle of its SMALLER doc in the other's full postings;
+      // probing both directions covers not knowing which side is smaller
+      val cand = prefix.alias("x")
+        .join(posting.select(col("doc_id"), col("h")).alias("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+      // exact verification on the pair's sorted shingle arrays
       cand
-        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .join(bg.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(bg.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (col("inter") / least(col("n_a"), col("n_b"))).as("containment"))
+          (sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+            / least(col("n_a"), col("n_b"))).as("containment"))
         .filter(col("containment") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }
