@@ -665,46 +665,55 @@ object Dedup {
            FROM bg x JOIN bg y ON x.doc_id < y.doc_id)
          WHERE containment >= 0.8
          ORDER BY doc_a, doc_b""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.SortedIntersectCount.sortedIntersectCount
-      val toksC = col("toks")
-      val grams5 = when(size(toksC) >= 5,
-        transform(sequence(lit(1), size(toksC) - 4),
-          i => array_join(slice(toksC, i, lit(5)), "_")))
-        .otherwise(array().cast("array<string>"))
-      val hashed = array_sort(array_distinct(transform(grams5,
-        b => RollingHash.rollingHash(b))))
-      val bg = tokenized(s, dir)
-        .select(col("doc_id"), hashed.as("sh"))
-        .withColumn("n_sh", size(col("sh")))
-        .localCheckpoint() // shared by postings, prefixes, and the verify
-      val posting = bg.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
-      // global rarest-first order: per-shingle document frequency
-      val sdf = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val prefix = posting.join(sdf, "h")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-        .filter(col("rk") <= floor(col("n_sh") * (1 - 0.8)) + 1)
-        .select(col("doc_id"), col("h"))
-      // complete candidate set: every pair with containment >= t has a
-      // prefix shingle of its SMALLER doc in the other's full postings;
-      // probing both directions covers not knowing which side is smaller
-      val cand = prefix.alias("x")
-        .join(posting.select(col("doc_id"), col("h")).alias("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-        .distinct()
-      // exact verification on the pair's sorted shingle arrays
-      cand
-        .join(bg.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(bg.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
-            / least(col("n_a"), col("n_b"))).as("containment"))
-        .filter(col("containment") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
+      containmentPairs(tokenized(s, dir), 0.8)
     }
+  }
+
+  /** The q132 pipeline (prefix-filtered 5-gram containment join) over an
+    * arbitrary tokenized frame — q132 has the semantics, completeness
+    * argument, and scale notes; factored out so DedupEquivalenceSpec can
+    * drive it against a brute force on synthetic corpora.
+    */
+  private[graft] def containmentPairs(tokdf: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val toksC = col("toks")
+    val grams5 = when(size(toksC) >= 5,
+      transform(sequence(lit(1), size(toksC) - 4),
+        i => array_join(slice(toksC, i, lit(5)), "_")))
+      .otherwise(array().cast("array<string>"))
+    val hashed = array_sort(array_distinct(transform(grams5,
+      b => RollingHash.rollingHash(b))))
+    val bg = tokdf
+      .select(col("doc_id"), hashed.as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint() // shared by postings, prefixes, and the verify
+    val posting = bg.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    // global rarest-first order: per-shingle document frequency
+    val sdf = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = posting.join(sdf, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= floor(col("n_sh") * (1 - threshold)) + 1)
+      .select(col("doc_id"), col("h"))
+    // complete candidate set: every pair with containment >= t has a
+    // prefix shingle of its SMALLER doc in the other's full postings;
+    // probing both directions covers not knowing which side is smaller
+    val cand = prefix.alias("x")
+      .join(posting.select(col("doc_id"), col("h")).alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    // exact verification on the pair's sorted shingle arrays
+    cand
+      .join(bg.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(bg.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+          / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132)

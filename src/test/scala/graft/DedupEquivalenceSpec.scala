@@ -183,6 +183,45 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 containment join == brute force; embedded quote detected") {
+    import spark.implicits._
+    // long doc, a short doc that IS a 24-token slice of it (containment
+    // 1.0, Jaccard ~0.2 — the asymmetric case), plus unrelated docs
+    val words = (1 to 100).map(i => s"w${i * 7919 % 997}")
+    val long1 = words.mkString(" ")
+    val quote = words.slice(30, 54).mkString(" ")
+    val other = (1 to 80).map(i => s"z${i * 104729 % 9973}").mkString(" ")
+    val docs = Seq(
+      (1L, long1), (2L, quote), (3L, other),
+      (4L, other + " tail tail2 tail3 tail4 tail5")) // overlapping pair
+      .map { case (id, t) => (id, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+
+    def brute(threshold: Double): Set[(Long, Long)] = {
+      val sh = graft.operators.Dedup.tokensOf(docs)
+        .select(col("doc_id"), when(size(col("toks")) >= 5,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+            i => array_join(slice(col("toks"), i, lit(5)), "_"))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      sh.alias("x").join(sh.alias("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
+            / least(size(col("x.sh")), size(col("y.sh")))).as("c"))
+        .filter(col("c") >= threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val fast = graft.operators.Dedup
+        .containmentPairs(graft.operators.Dedup.tokensOf(docs), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === brute(t), s"threshold $t")
+    }
+    // the embedded quote is specifically caught at full containment
+    assert(graft.operators.Dedup
+      .containmentPairs(graft.operators.Dedup.tokensOf(docs), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((1L, 2L)))
+  }
+
   test("q48 registered query still runs end-to-end and is ordered") {
     val out = Dedup.q48.run(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
