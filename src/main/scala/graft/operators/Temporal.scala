@@ -277,5 +277,41 @@ object Temporal {
       .orderBy(col("local_hour"))
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126, q128)
+  /** q133 — user-journey path analysis: each user's first five events
+    * in time order collapse to a `a->b->c` path string, and the top
+    * journeys by user count surface the dominant flows (the
+    * path-analysis complement of q87's fixed-funnel counting). The
+    * ordered sequence is built with the sort_array(collect_list(struct))
+    * idiom — collect_list alone has NO ordering guarantee under
+    * partitioned aggregation; sorting the collected (rn, type) structs
+    * inside the row restores a deterministic order at any parallelism.
+    */
+  val q133 = oracled(
+    "q133_user_journeys",
+    "top-10 first-five-event journeys (ordered path aggregation)",
+    """WITH ranked AS (
+         SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events),
+       j AS (
+         SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS journey
+         FROM ranked WHERE rn <= 5 GROUP BY user_id)
+       SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM j GROUP BY journey ORDER BY n_users DESC, journey LIMIT 10""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), "->").as("journey"))
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(10)
+  }
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133)
 }
