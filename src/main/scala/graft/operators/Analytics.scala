@@ -385,6 +385,59 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** q134 — rolling z-score anomaly detection: per user, each event's
+    * value against the trailing-20-event mean/σ; |x−μ| > 3σ flags the
+    * outlier — the standard streaming-metrics monitor, in its batch
+    * form. The moment sums (Σv, Σv²) are EXACT DECIMAL window
+    * aggregates, so μ and σ derive deterministically from exact inputs
+    * — a float stddev's accumulation order differs between engines (and
+    * plan variants), which would make a 3σ boundary row flicker across
+    * the threshold. One window shuffle on user_id.
+    */
+  val q134 = oracled(
+    "q134_rolling_anomaly",
+    "trailing-20-event 3-sigma outliers per user (decimal-exact moments)",
+    """WITH w AS (
+         SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS s,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS ss,
+           COUNT(*) OVER fr AS n
+         FROM events
+         WINDOW fr AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       z AS (
+         SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
+           CAST(s AS DOUBLE)/n AS mu,
+           CASE WHEN n > 1 THEN
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(n-1)) END AS sd,
+           n
+         FROM w)
+       SELECT user_id, event_id, value, mu, sd
+       FROM z WHERE n >= 10 AND sd > 0 AND abs(value - mu) > 3*sd
+       ORDER BY user_id, event_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val v = dec2(col("value"))
+    val withMoments = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), v.as("v"))
+      .withColumn("s", sum(col("v")).over(fr))
+      .withColumn("ss", sum(col("v") * col("v")).over(fr))
+      .withColumn("n", count(lit(1)).over(fr))
+    withMoments
+      .select(col("user_id"), col("event_id"),
+        col("v").cast("double").as("value"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+            / (col("n") - 1))).as("sd"),
+        col("n"))
+      .filter(col("n") >= 10 && col("sd") > 0 &&
+        abs(col("value") - col("mu")) > lit(3) * col("sd"))
+      .select(col("user_id"), col("event_id"), col("value"), col("mu"), col("sd"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91)
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134)
 }
