@@ -438,6 +438,41 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q135 — 2-D skyline (Pareto frontier): parts no other part
+    * dominates on (size, price) — the multi-criteria "best offers"
+    * operator. Computed as the classic sort-sweep: two running maxes
+    * over the size ordering (RANGE frames split strictly-greater from
+    * greater-or-equal, so the dominance quantifier ∃a: (s_a>s_b ∧
+    * p_a≥p_b) ∨ (s_a≥s_b ∧ p_a>p_b) becomes two window comparisons) —
+    * O(n log n) against the oracle's O(n²) NOT EXISTS, two independent
+    * formulations of the same definition. At scale the sweep
+    * pre-filters per partition (a local skyline survives the global
+    * one) before the single-partition final pass.
+    */
+  val q135 = oracled(
+    "q135_skyline",
+    "2-D Pareto frontier via sort-sweep windows (== NOT EXISTS dominance oracle)",
+    """SELECT p_partkey, p_size, p_retailprice FROM part b
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part a
+         WHERE a.p_size >= b.p_size AND a.p_retailprice >= b.p_retailprice
+           AND (a.p_size > b.p_size OR a.p_retailprice > b.p_retailprice))
+       ORDER BY p_partkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val gt = Window.orderBy(col("p_size").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ge = Window.orderBy(col("p_size").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .withColumn("max_gt", max(col("p_retailprice")).over(gt))
+      .withColumn("max_ge", max(col("p_retailprice")).over(ge))
+      .filter((col("max_gt").isNull || col("max_gt") < col("p_retailprice"))
+        && col("max_ge") <= col("p_retailprice"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134)
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134, q135)
 }
