@@ -473,6 +473,90 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** q138 — per-vertex triangle counting on the co-rating affinity graph
+    * (users sharing >= 14 distinct (item, rating) agreements, derived
+    * from events exactly as `ml.Recommender.ratings`). The Spark plan is
+    * the scalable degree-oriented enumeration: orient every edge from
+    * its lower-(degree, id) endpoint, self-join oriented adjacency on
+    * the source to enumerate each wedge once, then close the wedge with
+    * a third equi-join — the "compact-forward" shape that bounds
+    * per-vertex join fan-out by out-degree <= O(sqrt(|E|)) regardless of
+    * hub skew, which is what survives a power-law graph at 100 TB. The
+    * DuckDB oracle enumerates the same triangles by id-ordered 3-way
+    * join (a<b<c); both count each triangle exactly once, so the
+    * per-vertex participation counts hash-match across two genuinely
+    * different enumeration orders.
+    */
+  val q138 = oracled(
+    "q138_triangle_count",
+    "per-user triangle counts, degree-oriented wedge join == id-ordered oracle",
+    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        e AS (SELECT a.user_id AS ua, b.user_id AS ub
+          FROM r a JOIN r b
+            ON a.item_id = b.item_id AND a.rating = b.rating
+           AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+        t AS (SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+          FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+                    JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+        v AS (SELECT x AS user_id FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM v GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val r = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item_id"),
+        (floor(col("value")).cast("long") % 5 + 1).as("rating"))
+      .distinct()
+      // both sides of the co-rating self-join read this relation:
+      // materialize the distinct once instead of scanning+deduping twice
+      .localCheckpoint()
+    val edges = r.alias("a")
+      .join(r.alias("b"),
+        col("a.item_id") === col("b.item_id")
+          && col("a.rating") === col("b.rating")
+          && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 14)
+      .select(col("ua"), col("ub"))
+      // the edge list feeds degree + three oriented-adjacency scans:
+      // materialize once (at cluster scale this is the persisted edge
+      // table) instead of re-running the co-rating pair explosion 4x
+      .localCheckpoint()
+    val deg = edges.select(col("ua").as("v"))
+      .unionByName(edges.select(col("ub").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge lower-(degree, id) -> higher; carry the (deg, id)
+    // rank of the head so wedge endpoints order without re-joining deg
+    def rank(d: Column, i: Column) = struct(d.as("d"), i.as("i"))
+    val aRank = rank(col("da.deg"), col("ua"))
+    val bRank = rank(col("db.deg"), col("ub"))
+    val aLess = aRank < bRank
+    val o = edges
+      .join(deg.alias("da"), col("ua") === col("da.v"))
+      .join(deg.alias("db"), col("ub") === col("db.v"))
+      .select(
+        when(aLess, col("ua")).otherwise(col("ub")).as("src"),
+        when(aLess, col("ub")).otherwise(col("ua")).as("dst"),
+        when(aLess, bRank).otherwise(aRank).as("dst_rank"))
+      .localCheckpoint() // three self-join scans below; compute the orientation once
+    val tri = o.alias("o1")
+      .join(o.alias("o2"),
+        col("o1.src") === col("o2.src")
+          && col("o1.dst_rank") < col("o2.dst_rank"))
+      .join(o.alias("o3"),
+        col("o3.src") === col("o1.dst") && col("o3.dst") === col("o2.dst"))
+      .select(col("o1.src").as("x"), col("o1.dst").as("y"), col("o2.dst").as("z"))
+    tri.select(col("x").as("user_id"))
+      .unionByName(tri.select(col("y").as("user_id")))
+      .unionByName(tri.select(col("z").as("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134, q135)
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
+      q135, q138)
 }

@@ -307,5 +307,48 @@ object Olap {
       .orderBy(col("layout"), col("rng"))
   }
 
-  val all: Seq[GQuery] = Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111)
+  /** q136 — incremental aggregate maintenance: per-type stats computed
+    * as a MERGE of two partial aggregates (history = event_id % 10 != 0,
+    * delta batch = event_id % 10 = 0) instead of a full rescan.
+    * count/sum/min/max are mergeable; avg is DERIVED from the merged sum
+    * and count — the classic reason a maintained aggregate stores
+    * (sum, count), never avg. The DuckDB oracle computes the same stats
+    * in one full aggregate, so hash-equality IS the algebraic proof that
+    * merge(partial(history), partial(delta)) == full recompute. At
+    * 100 TB the history partial is a persisted |group|-row table: each
+    * arriving batch costs O(|batch|) plus a merge over |group| rows —
+    * history is never rescanned. The DECIMAL(18,2) sum keeps the merge
+    * order-independent (double sums would drift between merge orders).
+    */
+  val q136 = oracled(
+    "q136_incremental_agg",
+    "merge of history+delta partial aggregates == full-recompute oracle",
+    """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+           AS avg_value
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def partial(batch: org.apache.spark.sql.DataFrame) =
+      batch.groupBy(col("event_type")).agg(
+        count(lit(1)).as("p_n"),
+        sum(dec2(col("value"))).as("p_sum"),
+        min(col("value")).as("p_min"),
+        max(col("value")).as("p_max"))
+    val history = partial(ev.filter(col("event_id") % 10 =!= 0))
+    val delta = partial(ev.filter(col("event_id") % 10 === 0))
+    history.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("p_n")).as("n"),
+        sum(col("p_sum")).cast("double").as("sum_value"),
+        min(col("p_min")).as("min_value"),
+        max(col("p_max")).as("max_value"))
+      .withColumn("avg_value", round(col("sum_value") / col("n"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111, q136)
 }

@@ -719,7 +719,66 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** q137 — data-quality constraint report (the Deequ pattern): column
+    * completeness, key uniqueness, domain membership, a cross-column
+    * consistency rule (n_chars == length(text)), and min/max bounds over
+    * `documents`, computed in ONE aggregate pass and emitted long-form as
+    * (constraint_name, value) so downstream gating is data, not code.
+    * The whole battery is a single scan + single-row aggregate (the
+    * distinct-count is the only expression that widens the shuffle) —
+    * adding a constraint at 100 TB costs zero extra passes, which is the
+    * entire point of batching audits into one aggregate. stack() then
+    * pivots the 1×8 metrics row long-form, driver-side-free.
+    */
+  val q137 = oracled(
+    "q137_quality_constraints",
+    "one-pass column-constraint audit: completeness/uniqueness/domain/consistency",
+    """WITH m AS (SELECT
+         COUNT(*) AS total,
+         COUNT(text) AS text_ok,
+         COUNT(lang) AS lang_ok,
+         COUNT(DISTINCT doc_id) AS id_distinct,
+         SUM(CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS lang_dom,
+         SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS len_ok,
+         CAST(MIN(n_chars) AS DOUBLE) AS min_chars,
+         CAST(MAX(n_chars) AS DOUBLE) AS max_chars
+       FROM documents)
+       SELECT c AS constraint_name, ROUND(v, 6) AS value FROM (
+         SELECT 'completeness_text' AS c, CAST(text_ok AS DOUBLE) / total AS v FROM m
+         UNION ALL SELECT 'completeness_lang', CAST(lang_ok AS DOUBLE) / total FROM m
+         UNION ALL SELECT 'uniqueness_doc_id', CAST(id_distinct AS DOUBLE) / total FROM m
+         UNION ALL SELECT 'domain_lang', CAST(lang_dom AS DOUBLE) / total FROM m
+         UNION ALL SELECT 'consistency_n_chars', CAST(len_ok AS DOUBLE) / total FROM m
+         UNION ALL SELECT 'min_n_chars', min_chars FROM m
+         UNION ALL SELECT 'max_n_chars', max_chars FROM m
+         UNION ALL SELECT 'row_count', CAST(total AS DOUBLE) FROM m)
+       ORDER BY constraint_name""") { (s, dir) =>
+    Tables.documents(s, dir)
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("text")).as("text_ok"),
+        count(col("lang")).as("lang_ok"),
+        countDistinct(col("doc_id")).as("id_distinct"),
+        count_if(col("lang").isin("en", "de", "fr", "es")).as("lang_dom"),
+        count_if(col("n_chars") === length(col("text"))).as("len_ok"),
+        min(col("n_chars")).cast("double").as("min_chars"),
+        max(col("n_chars")).cast("double").as("max_chars"))
+      .select(expr(
+        """stack(8,
+             'completeness_text',   CAST(text_ok AS DOUBLE) / total,
+             'completeness_lang',   CAST(lang_ok AS DOUBLE) / total,
+             'uniqueness_doc_id',   CAST(id_distinct AS DOUBLE) / total,
+             'domain_lang',         CAST(lang_dom AS DOUBLE) / total,
+             'consistency_n_chars', CAST(len_ok AS DOUBLE) / total,
+             'min_n_chars',         min_chars,
+             'max_n_chars',         max_chars,
+             'row_count',           CAST(total AS DOUBLE)
+           ) AS (constraint_name, v)"""))
+      .select(col("constraint_name"), round(col("v"), 6).as("value"))
+      .orderBy(col("constraint_name"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129)
+      q116, q120, q121, q122, q129, q137)
 }
