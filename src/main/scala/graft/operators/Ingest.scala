@@ -286,5 +286,45 @@ object Ingest {
         sum(col("i")).as("sum_ok_int"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125)
+  /** q139 — the `graft-docs` DataSource V2 connector through the oracle
+    * gate: a doc_id range predicate is pushed INTO the source (clamping
+    * the generated interval at plan time — SourceV2Spec proves the
+    * pruned partitions and columns), and the per-lang rollup runs over
+    * rows the connector generated in parallel slices. The DuckDB oracle
+    * regenerates the identical corpus from `range()` arithmetic, so a
+    * hash match certifies the connector's row semantics end to end —
+    * generation, pushdown clamp, pruning, and aggregation. Note the
+    * fixed `rows`/`slices` make this independent of sfDir by design:
+    * the connector is the table.
+    */
+  val q139 = oracled(
+    "q139_dsv2_source",
+    "custom DSv2 generator source: pushed range clamp + per-lang rollup",
+    """WITH docs AS (
+         SELECT r AS doc_id,
+           CASE CAST(r % 10 AS INTEGER)
+             WHEN 4 THEN 'de' WHEN 5 THEN 'de'
+             WHEN 6 THEN 'fr' WHEN 7 THEN 'fr'
+             WHEN 8 THEN 'es' WHEN 9 THEN 'zh'
+             ELSE 'en' END AS lang,
+           50 + (r * 37) % 200 AS n_chars
+         FROM range(10000, 60000) t(r))
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       FROM docs GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    s.read.format("graft-docs")
+      .option("rows", 100000L).option("slices", 32)
+      .load()
+      .filter(col("doc_id") >= 10000 && col("doc_id") < 60000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139)
 }

@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-docs` — a DataSource V2 synthetic-corpus generator (the
+  * engine-extension sibling of `plans.AsOfJoinExec`, on the source side
+  * of the API). The reference hard-wires its one input format into the
+  * engine (`SVDMovieLensSparkJava.java:116-121` reads a fixed NFS path
+  * inside the constructor); here the equivalent capability is a
+  * first-class pluggable connector the planner can optimize through:
+  *
+  *  - **partition-parallel generation**: rows are a pure function of
+  *    doc_id, so each of `slices` input partitions generates its own
+  *    contiguous id range — no driver materialization, no shuffle, and
+  *    at 100 TB the generator scales exactly like a parquet scan.
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): only the
+  *    projected columns are generated; `text` costs nothing when a
+  *    query reads metadata columns.
+  *  - **filter pushdown** (`SupportsPushDownFilters`): doc_id range
+  *    predicates clamp the generated interval at PLAN time, so whole
+  *    slices vanish before any task launches — the source-level twin of
+  *    parquet partition pruning.
+  *  - **statistics** (`SupportsReportStatistics`): exact post-pushdown
+  *    row count, so the planner can (e.g.) choose a broadcast join for
+  *    a clamped read without a manual hint.
+  *
+  * Row semantics (all pure arithmetic — the DuckDB oracle regenerates
+  * them from `range()`, which is the correctness proof for the whole
+  * connector):
+  * {{{
+  *   doc_id  = id
+  *   lang    = ["en","en","en","en","de","de","fr","fr","es","zh"][id % 10]
+  *   n_chars = 50 + (id * 37) % 200
+  *   text    = "doc-" + id + "-" + "x" * (id % 7)
+  * }}}
+  * Options: `rows` (corpus size, default 1000), `slices` (input
+  * partitions, default 8). SourceV2Spec drives pruning/pushdown/stats
+  * through the public classes; q139 runs it through the oracle gate.
+  */
+class SyntheticDocsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.fullSchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SyntheticDocsTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+object SyntheticDocs {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val langs =
+    Array("en", "en", "en", "en", "de", "de", "fr", "fr", "es", "zh")
+
+  /** One generated column value; ids are non-negative so `%` is safe. */
+  def value(column: String, id: Long): Any = column match {
+    case "doc_id" => id
+    case "lang" => UTF8String.fromString(langs((id % 10).toInt))
+    case "n_chars" => 50L + (id * 37) % 200
+    case "text" =>
+      UTF8String.fromString(s"doc-$id-" + "x" * ((id % 7).toInt))
+  }
+}
+
+final class SyntheticDocsTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-docs($rows)"
+  override def schema(): StructType = SyntheticDocs.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticDocsScanBuilder(rows, slices)
+}
+
+final class SyntheticDocsScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = SyntheticDocs.fullSchema
+  private var lo: Long = 0L
+  private var hi: Long = rows // generated interval is [lo, hi)
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept doc_id range/equality predicates by clamping [lo, hi); the
+    * return value is the residual Spark must still evaluate (none for
+    * accepted filters — the clamp is exact, not a coarse prefilter).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filterNot {
+      case GreaterThan("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue() + 1); true
+      case GreaterThanOrEqual("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); true
+      case LessThan("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue()); true
+      case LessThanOrEqual("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue() + 1); true
+      case EqualTo("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1); true
+      case IsNotNull(_) => true // nothing generated is null
+      case _ => false
+    }
+    accepted = filters.diff(residual)
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    SyntheticDocsScan(required, math.max(lo, 0L), math.min(hi, rows), slices)
+}
+
+final case class SyntheticDocsRange(start: Long, end: Long) extends InputPartition
+
+final case class SyntheticDocsScan(
+    required: StructType, lo: Long, hi: Long, slices: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Contiguous id ranges, empties dropped — a fully-clamped scan plans
+    * ZERO partitions (source-level partition pruning).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    Array.tabulate(k) { i =>
+      SyntheticDocsRange(lo + i * n / k, lo + (i + 1) * n / k)
+    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(hi - lo, 0L) * 64L)
+    override def numRows(): OptionalLong = OptionalLong.of(math.max(hi - lo, 0L))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = required.fieldNames // serialized to executors with the factory
+    (partition: InputPartition) => {
+      val r = partition.asInstanceOf[SyntheticDocsRange]
+      new PartitionReader[InternalRow] {
+        private var id = r.start - 1
+        override def next(): Boolean = { id += 1; id < r.end }
+        override def get(): InternalRow =
+          new GenericInternalRow(cols.map(SyntheticDocs.value(_, id)))
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
