@@ -349,6 +349,89 @@ object Olap {
       .orderBy(col("event_type"))
   }
 
+  /** q140 — anti-entropy table checksums: per (source, bucket) content
+    * digests for replica/version reconciliation WITHOUT moving data —
+    * two sides exchange 80 digest rows, compare, and recurse only into
+    * mismatched buckets (the Merkle/anti-entropy protocol shape; at
+    * 100 TB this is how you audit a replicated lake, not row-by-row
+    * diffing). The digest is an order- and partition-independent
+    * modular sum of per-row hashes (commutative + associative, so any
+    * execution order agrees), built from overflow-safe arithmetic both
+    * engines share (operands bounded before multiply — ANSI-safe, the
+    * q129 rule). Row-level identity comes from doc_id; content
+    * sensitivity from n_chars, lang, and the text head.
+    */
+  val q140 = oracled(
+    "q140_table_checksum",
+    "order-independent per-(source, bucket) Merkle digests for reconciliation",
+    """SELECT source, doc_id % 16 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(((doc_id % 100003) * 2654435761
+                   + n_chars * 97
+                   + ascii(lang) * 131
+                   + length(text) % 100000 * 7) % 1000000007) % 1000000007
+           AS BIGINT) AS digest
+       FROM documents
+       GROUP BY source, doc_id % 16
+       ORDER BY source, bucket""") { (s, dir) =>
+    val rowHash = (((col("doc_id") % 100003) * 2654435761L)
+      + col("n_chars") * 97
+      + ascii(col("lang")) * 131
+      + length(col("text")) % 100000 * 7) % 1000000007L
+    Tables.documents(s, dir)
+      .groupBy(col("source"), (col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(rowHash) % 1000000007L).as("digest"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** q141 — snapshot diff: classify every key across two table versions
+    * as added / removed / changed / unchanged via a single key-
+    * co-partitioned full outer join (v2 is a deterministic mutation of
+    * `documents`, so the oracle derives the identical snapshot). The
+    * output is the reconciliation summary per change class with id-sum
+    * witnesses — the row-level drill-down a q140 bucket mismatch
+    * recurses into. At 100 TB the FOJ shuffles both sides once on the
+    * join key; layout-bucketed snapshots (Publish.publishPartitioned)
+    * make it exchange-free, and the q140 digests cut it to changed
+    * buckets only.
+    */
+  val q141 = oracled(
+    "q141_snapshot_diff",
+    "added/removed/changed/unchanged classification across table versions",
+    """WITH v2 AS (
+         SELECT doc_id, n_chars + CASE WHEN doc_id % 13 = 0 THEN 7 ELSE 0 END AS n_chars
+         FROM documents WHERE doc_id % 97 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 101 = 0),
+       j AS (
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.n_chars <> b.n_chars THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+         FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+       SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       FROM j GROUP BY change_type ORDER BY change_type""") { (s, dir) =>
+    val v1 = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        (col("n_chars") + when(col("doc_id") % 13 === 0, 7).otherwise(0)).as("n_chars"))
+      .unionByName(v1.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")))
+    v1.alias("a").join(v2.alias("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.n_chars") =!= col("b.n_chars"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("change_type"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111, q136)
+    Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111, q136, q140, q141)
 }
