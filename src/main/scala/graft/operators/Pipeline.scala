@@ -778,7 +778,56 @@ object Pipeline {
       .orderBy(col("constraint_name"))
   }
 
+  /** q143 — length-aware batch planning: quantify padding waste when
+    * docs are batched 8-at-a-time in arrival (doc_id) order vs sorted by
+    * length — every sequence in a batch pads to the batch max, so waste
+    * = Σ_batches (count·max − Σ n_chars). Length-sorted batching is the
+    * standard trick that cuts padded-token waste severalfold; this
+    * operator emits the evidence (total real vs padded chars per
+    * strategy) rather than asserting it. Shape: two window passes (rank,
+    * then per-batch max via one aggregation) — at 100 TB the global sort
+    * becomes a range-partitioned sort and batches stay partition-local,
+    * so the plan is one exchange per strategy.
+    */
+  val q143 = oracled(
+    "q143_length_batch_planning",
+    "padding waste: arrival-order vs length-sorted fixed-size batches",
+    """WITH ranked AS (
+         SELECT n_chars,
+           (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch_arrival,
+           (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) // 8 AS batch_sorted
+         FROM documents),
+       a AS (SELECT 'arrival' AS strategy, batch_arrival AS batch, n_chars FROM ranked
+             UNION ALL
+             SELECT 'sorted', batch_sorted, n_chars FROM ranked),
+       b AS (SELECT strategy, batch, COUNT(*) AS cnt, MAX(n_chars) AS mx,
+               SUM(n_chars) AS real_chars
+             FROM a GROUP BY strategy, batch)
+       SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(real_chars) AS BIGINT) AS real_chars,
+         CAST(SUM(cnt * mx) AS BIGINT) AS padded_chars,
+         CAST(SUM(cnt * mx - real_chars) AS BIGINT) AS padding_waste
+       FROM b GROUP BY strategy ORDER BY strategy""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    def batched(strategy: String, order: Seq[Column]) =
+      docs.select(col("n_chars"),
+          (row_number().over(Window.orderBy(order: _*)) - 1).cast("long").as("rn"))
+        .select(lit(strategy).as("strategy"),
+          expr("rn div 8").as("batch"), col("n_chars"))
+    batched("arrival", Seq(col("doc_id")))
+      .unionByName(batched("sorted", Seq(col("n_chars"), col("doc_id"))))
+      .groupBy(col("strategy"), col("batch"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("mx"),
+        sum(col("n_chars")).as("real_chars"))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("real_chars")).as("real_chars"),
+        sum(col("cnt") * col("mx")).as("padded_chars"),
+        sum(col("cnt") * col("mx") - col("real_chars")).as("padding_waste"))
+      .orderBy(col("strategy"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137)
+      q116, q120, q121, q122, q129, q137, q143)
 }

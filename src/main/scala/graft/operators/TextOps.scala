@@ -436,5 +436,41 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[GQuery] = Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131)
+  /** q142 — overlapping text chunking (the embedding-ingestion / RAG
+    * prep operator): every document splits into 200-char windows on a
+    * 150-char stride (50-char overlap), with stable (doc_id, chunk_id)
+    * identity so re-chunks are idempotent and chunk-level artifacts
+    * (embeddings, fingerprints) can be maintained incrementally. The
+    * whole operator is scan-side arithmetic — `sequence` + one
+    * generator explode, no shuffle until the final order — so at 100 TB
+    * it streams: output volume (~n_chars × 4/3 from the overlap) is the
+    * only cost. Chunk count = max(ceil((n_chars - overlap) / stride), 1)
+    * computed as (n_chars + 99) div 150 on both engines' integer
+    * division; every doc yields at least one chunk (empty docs
+    * included — losing them would silently shrink the corpus).
+    */
+  val q142 = oracled(
+    "q142_text_chunking",
+    "overlapping 200/150 char chunking with stable chunk identity",
+    """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+         substr(text, CAST(u.i * 150 + 1 AS INTEGER), 200) AS chunk_text,
+         CAST(length(substr(text, CAST(u.i * 150 + 1 AS INTEGER), 200)) AS BIGINT)
+           AS chunk_len
+       FROM (SELECT doc_id, text,
+               unnest(range(0, GREATEST((n_chars + 99) // 150, 1))) AS i
+             FROM documents) u
+       ORDER BY doc_id, chunk_id""") { (s, dir) =>
+    val k = greatest(expr("(n_chars + 99) div 150"), lit(1L))
+    val start = col("chunk_id") * 150
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), k - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("text").substr(start + 1, lit(200)).as("chunk_text"),
+        length(col("text").substr(start + 1, lit(200))).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142)
 }
