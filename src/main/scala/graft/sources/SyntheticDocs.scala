@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,7 +58,8 @@ class SyntheticDocsSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table =
     new SyntheticDocsTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(100L))
 }
 
 object SyntheticDocs {
@@ -80,17 +82,17 @@ object SyntheticDocs {
   }
 }
 
-final class SyntheticDocsTable(rows: Long, slices: Int)
+final class SyntheticDocsTable(rows: Long, slices: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-docs($rows)"
   override def schema(): StructType = SyntheticDocs.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticDocsScanBuilder(rows, slices)
+    new SyntheticDocsScanBuilder(rows, slices, rowsPerBatch)
 }
 
-final class SyntheticDocsScanBuilder(rows: Long, slices: Int)
+final class SyntheticDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -128,17 +130,20 @@ final class SyntheticDocsScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    SyntheticDocsScan(required, math.max(lo, 0L), math.min(hi, rows), slices)
+    SyntheticDocsScan(required, math.max(lo, 0L), math.min(hi, rows), slices, rowsPerBatch)
 }
 
 final case class SyntheticDocsRange(start: Long, end: Long) extends InputPartition
 
 final case class SyntheticDocsScan(
-    required: StructType, lo: Long, hi: Long, slices: Int)
+    required: StructType, lo: Long, hi: Long, slices: Int,
+    rowsPerBatch: Long = 100L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SyntheticDocsMicroBatch(this)
   override def description(): String =
     s"graft-docs range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -173,4 +178,63 @@ final case class SyntheticDocsScan(
       }
     }
   }
+}
+
+/** Streaming position in the generated id space: the offset IS the next
+  * id to emit, so checkpoint recovery is exact replay by construction
+  * (rows are a pure function of id — the generator is its own log).
+  */
+final case class SyntheticDocsOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch view of the same clamped interval [lo, hi): each trigger
+  * admits at most `rowsPerBatch` ids (admission control), plans them as
+  * slice-parallel ranges with the SAME reader the batch path uses, and
+  * advances the offset. Column pruning and doc_id pushdown done by the
+  * ScanBuilder apply to the stream unchanged — a filtered stream starts
+  * mid-space and ends early, exactly like the batch scan.
+  */
+final class SyntheticDocsMicroBatch(scan: SyntheticDocsScan)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // the generated interval is static, so the AvailableNow target needs
+  // no freezing — the clamped hi IS the all-available end offset
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SyntheticDocsOffset(scan.lo)
+  override def deserializeOffset(json: String): Offset =
+    SyntheticDocsOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(scan.rowsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SyntheticDocsOffset].pos
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        from + r.maxRows()
+      case _ => scan.hi
+    }
+    SyntheticDocsOffset(math.min(cap, scan.hi))
+  }
+
+  override def reportLatestOffset(): Offset = SyntheticDocsOffset(scan.hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SyntheticDocsOffset].pos
+    val e = end.asInstanceOf[SyntheticDocsOffset].pos
+    SyntheticDocsScan(scan.required, s, e, scan.slices).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -68,6 +68,38 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.count() == 100L)
   }
 
+  test("micro-batch stream drains the id space in rowsPerBatch chunks == batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 100L).option("slices", 4).option("rowsPerBatch", 30L)
+      .load()
+      .writeStream.format("memory").queryName("docs_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val streamed = spark.table("docs_stream")
+    val batch = spark.read.format("graft-docs").option("rows", 100L).load()
+    assert(streamed.count() == 100L)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // 100 rows at <=30/batch => 4 non-empty micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4, q.recentProgress.map(_.numInputRows).mkString(","))
+    q.stop()
+  }
+
+  test("streaming offsets honor the pushed doc_id clamp") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 1000L).option("rowsPerBatch", 500L)
+      .load()
+      .filter(col("doc_id") >= 990L)
+      .writeStream.format("memory").queryName("docs_stream_clamped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val got = spark.table("docs_stream_clamped")
+    assert(got.count() == 10L)
+    assert(got.agg(min(col("doc_id"))).head().getLong(0) == 990L)
+    q.stop()
+  }
+
   test("pushed range shows in the physical plan and prunes partitions") {
     val df = spark.read.format("graft-docs")
       .option("rows", 1000L).option("slices", 10).load()
