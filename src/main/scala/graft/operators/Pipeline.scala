@@ -827,7 +827,47 @@ object Pipeline {
       .orderBy(col("strategy"))
   }
 
+  /** q144 — deterministic weighted sampling (priority sampling / the
+    * k-min-hash shape of weighted reservoir sampling): every doc gets a
+    * reproducible pseudo-uniform draw u = ((doc_id mod 100003)·2654435761 mod p)
+    * (bounded-before-multiply, the q129 rule), a priority u·10^5 div
+    * n_chars — ALL integer arithmetic, so the sample is bit-identical
+    * across engines, partitionings, and reruns — and the 10 smallest
+    * priorities per lang win: longer docs (bigger weight) get
+    * proportionally smaller priorities, i.e. weight-biased selection
+    * with none of rand()'s irreproducibility. At 100 TB this is one
+    * scan + a per-group top-k (partial top-k map-side); swapping the
+    * integer priority for -ln(u)/w gives exact exponential-clock WRS at
+    * the cost of cross-engine float determinism — same plan shape.
+    */
+  val q144 = oracled(
+    "q144_weighted_sample",
+    "deterministic weight-biased priority sampling, min-10 per lang",
+    """WITH p AS (
+         SELECT lang, doc_id, n_chars,
+           (doc_id % 100003 * 2654435761 % 1000000007) * 100000 // n_chars AS priority
+         FROM documents WHERE n_chars > 0),
+       r AS (
+         SELECT lang, doc_id, n_chars, priority,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY priority, doc_id) AS rk
+         FROM p)
+       SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
+         CAST(priority AS BIGINT) AS priority
+       FROM r WHERE rk <= 10 ORDER BY lang, rk""") { (s, dir) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority"), col("doc_id"))
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("doc_id % 100003 * 2654435761 % 1000000007 * 100000 div n_chars").as("priority"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143)
+      q116, q120, q121, q122, q129, q137, q143, q144)
 }
