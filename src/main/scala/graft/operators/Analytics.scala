@@ -556,7 +556,93 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q145 — grouped closed-form OLS: per-lang regression of token count
+    * on character count from the five sufficient moments (n, Σx, Σy,
+    * Σxy, Σx²; plus Σy² for r²) — in-engine analytics with ONE
+    * aggregation pass and no iteration. The moments are exact BIGINT
+    * sums (x and y are integers), so the partial-aggregate merge is
+    * order-independent; only the final slope/intercept/r² divisions are
+    * double (identical expression order on both engines, rounded 6dp).
+    * Magnitude note: n·Σxy stays < 2^63 up to ~10^13 rows of this
+    * shape; past that the same plan runs on DECIMAL(38,0) sums —
+    * operator unchanged. At 100 TB: one scan, one shuffle of 6 longs
+    * per lang.
+    */
+  val q145 = oracled(
+    "q145_grouped_regression",
+    "per-lang closed-form OLS (slope/intercept/r^2) from exact integer moments",
+    """WITH t AS (SELECT lang, n_chars AS x,
+          len(string_split(trim(text), ' ')) AS y FROM documents),
+       m AS (SELECT lang, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+          SUM(x*x) AS sxx, SUM(y*y) AS syy
+         FROM t GROUP BY lang)
+       SELECT lang, CAST(n AS BIGINT) AS n,
+         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+           AS slope,
+         ROUND((CAST(sy AS DOUBLE)
+                - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+               / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           AS r2
+       FROM m ORDER BY lang""") { (s, dir) =>
+    val x = col("n_chars")
+    val y = size(split(trim(col("text")), " ")).cast("long")
+    val m = Tables.documents(s, dir)
+      .select(col("lang"), x.as("x"), y.as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("lang"), col("n"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"),
+        round(num * num / (den * deny), 6).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  /** q146 — cohort retention: users bucketed by first-activity week,
+    * activity counted per (cohort, week-offset) — the classic retention
+    * triangle. The cohort comes from a window min over the per-user
+    * partition (NOT a groupBy + self-join: one shuffle instead of two,
+    * and the distinct user-week grid is already the right grain to
+    * window over). Weeks are Monday-truncated on both engines, so the
+    * day difference is exactly divisible by 7 and the offset is integer
+    * division — no calendar drift. At 100 TB the user-partitioned
+    * window and the final rollup are the only exchanges.
+    */
+  val q146 = oracled(
+    "q146_cohort_retention",
+    "retention triangle: first-activity-week cohorts x week offset",
+    """WITH uw AS (SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+       c AS (SELECT user_id, wk,
+          MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM uw)
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active_users
+       FROM c GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    uw.withColumn("cohort",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        expr("datediff(wk, cohort) div 7").cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138)
+      q135, q138, q145, q146)
 }
