@@ -525,6 +525,17 @@ object Analytics {
       // materialize once (at cluster scale this is the persisted edge
       // table) instead of re-running the co-rating pair explosion 4x
       .localCheckpoint()
+    triangleCounts(edges)
+  }
+
+  /** Per-vertex triangle counts of an undirected simple graph given as
+    * a deduped (ua < ub) edge list — the degree-oriented wedge join
+    * q138 runs on the co-rating graph, factored out so AnalyticsSpec
+    * can prove it equals brute-force enumeration on adversarial
+    * (hub-skewed) graphs. Output: (user_id, n_triangles).
+    */
+  private[graft] def triangleCounts(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = edges.select(col("ua").as("v"))
       .unionByName(edges.select(col("ub").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -20,6 +20,38 @@ class AnalyticsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("triangleCounts == brute force on an adversarial hub-skewed graph") {
+    import spark.implicits._
+    // hub 0 wired to everyone (the degree-skew case naive wedge
+    // enumeration dies on), a 4-clique, a chord chain, plus a pendant
+    // edge and an isolated component that must contribute nothing
+    val edges =
+      (1L to 15L).map(v => (0L, v)) ++                // star around hub 0
+        Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),  // 4-clique {1,2,3,4}
+          (2L, 4L), (3L, 4L)) ++
+        Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)) ++ // triangle + pendant
+        Seq((20L, 21L))                               // isolated edge
+    val df = edges.toDF("ua", "ub").localCheckpoint()
+    df.createOrReplaceTempView("tri_edges")
+    val expected = spark.sql(
+      """WITH t AS (SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+           FROM tri_edges e1 JOIN tri_edges e2 ON e1.ub = e2.ua
+                JOIN tri_edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+         v AS (SELECT x AS user_id FROM t
+               UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         SELECT user_id, COUNT(*) AS n_triangles
+         FROM v GROUP BY user_id ORDER BY user_id""").collect()
+    val got = operators.Analytics.triangleCounts(df).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      expected.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // hand count: every edge among the hub's neighbors closes a triangle
+    // through the hub — 6 clique edges + 3 of {5,6,7} + (7,8) = 10
+    val byV = got.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byV(0L) == 10L)
+    assert(byV(8L) == 1L)      // pendant closes {0,7,8} through the hub
+    assert(!byV.contains(20L)) // isolated edge contributes nothing
+  }
+
   test("q66 ntile buckets are contiguous, balanced, and ordered by balance") {
     val rows = operators.Analytics.q66.run(spark, sfDir)
       .select(col("c_mktsegment"), col("quartile"), col("pct_rank"))

@@ -114,4 +114,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected 1 hash exchange for the window, found $dataExchanges\n$p")
     assert(p.contains("RangeFrame"), p)
   }
+
+  test("q142: chunking is scan-side — zero hash exchanges, generator above the scan") {
+    val p = plan(operators.TextOps.q142)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk generation must not shuffle; only the presentation sort may exchange\n" + p)
+  }
+
+  test("q145: grouped OLS is one aggregation pass with a map-side partial phase") {
+    val p = plan(operators.Analytics.q145)
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges === 1,
+      s"expected exactly 1 hash exchange (the lang rollup), found $dataExchanges\n$p")
+    assert(p.contains("partial_sum"),
+      "moment sums lost their map-side partial phase\n" + p)
+    assert(!p.contains("Join"), "closed-form OLS must not join\n" + p)
+  }
 }
