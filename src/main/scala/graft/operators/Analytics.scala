@@ -653,7 +653,42 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q148 — event-transition matrix (first-order Markov estimate): per
+    * user, consecutive event pairs under (ts, event_id) total order via
+    * one lead() window; transition probabilities normalize each row of
+    * the matrix with a window sum over the TINY (|types|²) aggregate,
+    * not the event stream. The q76 bigram-LM shape on behavioral data:
+    * same estimator, different sequence carrier (window over a keyed
+    * stream vs arrays in a row). One user-partitioned shuffle for the
+    * lag + one rollup — nothing else moves at 100 TB.
+    */
+  val q148 = oracled(
+    "q148_event_transitions",
+    "per-user consecutive event-type transitions + row-normalized probabilities",
+    """WITH s AS (
+         SELECT user_id, event_type AS cur,
+           LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS nxt
+         FROM events),
+       c AS (SELECT cur, nxt, COUNT(*) AS n FROM s
+             WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+       SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+         ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) AS p
+       FROM c ORDER BY cur, nxt""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(seqW).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    c.select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("cur"))), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146)
+      q135, q138, q145, q146, q148)
 }

@@ -471,6 +471,51 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q147 — chi-square independence screen over the lang × source
+    * contingency table: the monitoring sibling of q131's KL drift (KL
+    * asks "did the lang mix move vs a reference"; chi-square asks "are
+    * lang and source associated at all" — the corpus-balance audit run
+    * before mixing weights are trusted). Cells aggregate once; row and
+    * column totals come from window sums OVER THE 25-ROW CELL TABLE, so
+    * the heavy input is touched exactly once regardless of table count.
+    * Expected counts and contributions are double arithmetic in
+    * identical expression order on both engines, rounded 6dp.
+    */
+  val q147 = oracled(
+    "q147_chi_square",
+    "lang x source contingency: expected counts + chi-square contributions",
+    """WITH cells AS (
+         SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+       t AS (
+         SELECT lang, source, obs,
+           SUM(obs) OVER (PARTITION BY lang) AS row_tot,
+           SUM(obs) OVER (PARTITION BY source) AS col_tot,
+           SUM(obs) OVER () AS n
+         FROM cells)
+       SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+         ROUND(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS expected,
+         ROUND(POW(CAST(obs AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE), 2)
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS contrib
+       FROM t ORDER BY lang, source""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+    val withTot = cells
+      .withColumn("row_tot", sum(col("obs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("col_tot", sum(col("obs")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+    val exp = col("row_tot").cast("double") * col("col_tot").cast("double") /
+      col("n").cast("double")
+    withTot.select(col("lang"), col("source"), col("obs"),
+        round(exp, 6).as("expected"),
+        round(pow(col("obs").cast("double") - exp, 2) / exp, 6).as("contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142)
+    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147)
 }
