@@ -5,7 +5,8 @@ import java.util.OptionalLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -138,7 +139,52 @@ final case class SyntheticDocsRange(start: Long, end: Long) extends InputPartiti
 final case class SyntheticDocsScan(
     required: StructType, lo: Long, hi: Long, slices: Int,
     rowsPerBatch: Long = 100L)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  // runtime clamp: tightened by filter() AFTER planning but BEFORE
+  // execution — the DSv2 analog of dynamic partition pruning. Whole
+  // slices outside the runtime interval are never generated.
+  private var rLo: Long = lo
+  private var rHi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  /** Accept doc_id runtime predicates (IN lists from a dynamic filter,
+    * or the same comparisons the static path takes) by clamping the
+    * generated interval; unrecognized predicates are ignored — they're
+    * an optimization, never a correctness contract (Spark re-applies
+    * the join condition above the scan).
+    */
+  override def filter(predicates: Array[Predicate]): Unit = predicates.foreach { p =>
+    def idLit(e: Any): Option[Long] = e match {
+      case l: V2Literal[_] => l.value() match {
+        case v: java.lang.Long => Some(v.longValue())
+        case v: java.lang.Integer => Some(v.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    val onDocId = p.children().headOption match {
+      case Some(f: NamedReference) => f.fieldNames().mkString(".") == "doc_id"
+      case _ => false
+    }
+    if (onDocId) {
+      val lits = p.children().drop(1).flatMap(idLit)
+      p.name() match {
+        case "IN" if lits.nonEmpty =>
+          rLo = math.max(rLo, lits.min); rHi = math.min(rHi, lits.max + 1)
+        case ">=" if lits.length == 1 => rLo = math.max(rLo, lits.head)
+        case ">" if lits.length == 1 => rLo = math.max(rLo, lits.head + 1)
+        case "<" if lits.length == 1 => rHi = math.min(rHi, lits.head)
+        case "<=" if lits.length == 1 => rHi = math.min(rHi, lits.head + 1)
+        case "=" if lits.length == 1 =>
+          rLo = math.max(rLo, lits.head); rHi = math.min(rHi, lits.head + 1)
+        case _ => ()
+      }
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,11 +197,12 @@ final case class SyntheticDocsScan(
     * ZERO partitions (source-level partition pruning).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
+    val (flo, fhi) = (rLo, rHi)
+    val n = math.max(fhi - flo, 0L)
     if (n == 0L) return Array.empty
     val k = math.min(slices.toLong, n).toInt
     Array.tabulate(k) { i =>
-      SyntheticDocsRange(lo + i * n / k, lo + (i + 1) * n / k)
+      SyntheticDocsRange(flo + i * n / k, flo + (i + 1) * n / k)
     }
   }
 

@@ -68,6 +68,27 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.count() == 100L)
   }
 
+  test("runtime V2 filters clamp partitions after planning (DPP analog)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val s = scanOf(1000L, 8)
+    assert(s.planInputPartitions().length == 8)
+    // a dynamic IN filter arriving from a joined dimension: only ids
+    // 640..650 survive -> the runtime clamp re-plans to the tiny range
+    val in = new Predicate("IN",
+      Array(Expressions.column("doc_id"),
+        Expressions.literal(java.lang.Long.valueOf(640L)),
+        Expressions.literal(java.lang.Long.valueOf(650L))))
+    s.filter(Array(in))
+    val parts = s.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.SyntheticDocsRange])
+    assert(parts.head.start == 640L && parts.last.end == 651L,
+      parts.mkString(","))
+    // an unrecognized predicate must be a no-op, not a failure
+    s.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(parts.nonEmpty)
+  }
+
   test("micro-batch stream drains the id space in rowsPerBatch chunks == batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val q = spark.readStream.format("graft-docs")
