@@ -445,13 +445,17 @@ object Analytics {
     * greater-or-equal, so the dominance quantifier ∃a: (s_a>s_b ∧
     * p_a≥p_b) ∨ (s_a≥s_b ∧ p_a>p_b) becomes two window comparisons) —
     * O(n log n) against the oracle's O(n²) NOT EXISTS, two independent
-    * formulations of the same definition. At scale the sweep
-    * pre-filters per partition (a local skyline survives the global
-    * one) before the single-partition final pass.
+    * formulations of the same definition. Scale shape: a LOCAL skyline
+    * pass first (the same sweep partitioned on a deterministic hash
+    * bucket — any point dominated within its bucket is dominated
+    * globally, so local survivors are a superset of the global skyline),
+    * then the single-partition final sweep runs only over those
+    * survivors. The global window sees O(skyline × buckets) rows, not
+    * the table, so the one-task stage stays bounded at 100×.
     */
   val q135 = oracled(
     "q135_skyline",
-    "2-D Pareto frontier via sort-sweep windows (== NOT EXISTS dominance oracle)",
+    "2-D Pareto frontier via local-then-global sort-sweep (== NOT EXISTS dominance oracle)",
     """SELECT p_partkey, p_size, p_retailprice FROM part b
        WHERE NOT EXISTS (
          SELECT 1 FROM part a
@@ -459,18 +463,23 @@ object Analytics {
            AND (a.p_size > b.p_size OR a.p_retailprice > b.p_retailprice))
        ORDER BY p_partkey""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val gt = Window.orderBy(col("p_size").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val ge = Window.orderBy(col("p_size").desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.part(s, dir)
+    def sweep(partCols: Seq[org.apache.spark.sql.Column])(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val gt = Window.partitionBy(partCols: _*).orderBy(col("p_size").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val ge = Window.partitionBy(partCols: _*).orderBy(col("p_size").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("max_gt", max(col("p_retailprice")).over(gt))
+        .withColumn("max_ge", max(col("p_retailprice")).over(ge))
+        .filter((col("max_gt").isNull || col("max_gt") < col("p_retailprice"))
+          && col("max_ge") <= col("p_retailprice"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    }
+    val base = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
-      .withColumn("max_gt", max(col("p_retailprice")).over(gt))
-      .withColumn("max_ge", max(col("p_retailprice")).over(ge))
-      .filter((col("max_gt").isNull || col("max_gt") < col("p_retailprice"))
-        && col("max_ge") <= col("p_retailprice"))
-      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
-      .orderBy(col("p_partkey"))
+      .withColumn("bkt", pmod(hash(col("p_partkey")), lit(32)))
+    val localSurvivors = sweep(Seq(col("bkt")))(base)
+    sweep(Seq.empty)(localSurvivors).orderBy(col("p_partkey"))
   }
 
   /** q138 — per-vertex triangle counting on the co-rating affinity graph

@@ -784,10 +784,12 @@ object Pipeline {
     * = Σ_batches (count·max − Σ n_chars). Length-sorted batching is the
     * standard trick that cuts padded-token waste severalfold; this
     * operator emits the evidence (total real vs padded chars per
-    * strategy) rather than asserting it. Shape: two window passes (rank,
-    * then per-batch max via one aggregation) — at 100 TB the global sort
-    * becomes a range-partitioned sort and batches stay partition-local,
-    * so the plan is one exchange per strategy.
+    * strategy) rather than asserting it. Shape: batch ids need a GLOBAL
+    * ordinal, which must NOT be an unpartitioned `row_number` window
+    * (single-task sort of the whole table) — [[graft.plans.Ordinal]]
+    * assigns it via parallel range sort + zipWithIndex, so each
+    * strategy costs one range exchange plus a per-partition-count
+    * action, every stage parallel.
     */
   val q143 = oracled(
     "q143_length_batch_planning",
@@ -810,10 +812,10 @@ object Pipeline {
        FROM b GROUP BY strategy ORDER BY strategy""") { (s, dir) =>
     val docs = Tables.documents(s, dir)
     def batched(strategy: String, order: Seq[Column]) =
-      docs.select(col("n_chars"),
-          (row_number().over(Window.orderBy(order: _*)) - 1).cast("long").as("rn"))
+      graft.plans.Ordinal
+        .withGlobalOrdinal(docs.select(col("doc_id"), col("n_chars")), "rn", order: _*)
         .select(lit(strategy).as("strategy"),
-          expr("rn div 8").as("batch"), col("n_chars"))
+          expr("(rn - 1) div 8").as("batch"), col("n_chars"))
     batched("arrival", Seq(col("doc_id")))
       .unionByName(batched("sorted", Seq(col("n_chars"), col("doc_id"))))
       .groupBy(col("strategy"), col("batch"))

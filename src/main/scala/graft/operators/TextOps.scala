@@ -251,7 +251,13 @@ object TextOps {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // Materialize the bigram counts once: `bg` feeds BOTH the join's left
+    // side and the unigram rollup `ug`; without a checkpoint Catalyst
+    // re-executes the corpus explode+aggregate for each consumer (2×
+    // the suite's heaviest shuffle). localCheckpoint truncates lineage so
+    // the explode runs exactly once.
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val ug = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bg.join(broadcast(ug), "w1")
       .select(col("w1"), col("w2"), col("c12"),
