@@ -117,8 +117,8 @@ object RecommenderPipeline {
       count(lit(1)).as("n"),
       avg(abs(col("rating") - col("pred"))).as("mae")).head()
     val result = Result(row.getLong(0), row.getDouble(1))
-    println(s"Number of predictions: ${result.nPredictions}")
-    println(f"Avg Abs(diff): ${result.mae}%.4f")
+    log.info(s"Number of predictions: ${result.nPredictions}") // reference :470's printout shape
+    log.info(f"Avg Abs(diff): ${result.mae}%.4f")
     result
   }
 

@@ -113,19 +113,50 @@ object Advanced {
       } finally e.unpersist()
     })
 
-  /** q63 — IVF-style ANN: k-means coarse quantizer (seeded) assigns each
-    * vector to a centroid cell; queries probe only their own cell and
-    * take top-5 by cosine. The clustered counterpart to q51's sign-LSH —
-    * rows-only (centroids depend on seed+partitioning), recall-tested
-    * against q50 in the spec.
+  /** The q63 candidate listing (query_id, vec_b, cos_sim, rn): each
+    * query probes ONLY its own k-means cell and takes top-5 by cosine.
+    * The clustered counterpart to q51's sign-LSH. Consumed by q63's
+    * recall contract below and by ScaleSpec's recall measurement.
     */
-  val q63 = rowsOnly(
-    "q63_ann_ivf_kmeans",
-    "IVF ANN: k-means cells (k=16, seeded) + top-5 within the probed cell") { (s, dir) =>
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val cells = ivfCells(s, dir)
     Similarity.topK(
       Similarity.cosineScored(cells.filter(col("vec_id") < 10), cells,
         col("x.cell") === col("y.cell")), 5)
+  }
+
+  /** Oracle floor for q63's overall recall@5 vs the exact cosine top-5.
+    * Measured 0.32 at sf0.01 / 0.22 at sf0.1 (single probed cell of 16,
+    * k-means seed 42 — recall is bounded by how often true neighbors
+    * share the query's cell); the floor sits at ~half the observed
+    * minimum so the contract survives fixture regeneration without
+    * tracking noise.
+    */
+  private val IvfRecallFloor = 0.10
+
+  /** q63 — IVF-style ANN: k-means coarse quantizer (seeded) assigns each
+    * vector to a centroid cell; queries probe only their own cell. The
+    * centroids depend on the seeded MLlib fit, so the LISTING can't be
+    * oracle-hashed; instead the query emits the ANN's service contract
+    * as data — overall recall@5 against the exact cosine top-5 (computed
+    * in-engine, brute force) is at least [[IvfRecallFloor]] — which the
+    * DuckDB oracle derives from exact counts alone (n_queries, TRUE).
+    */
+  val q63 = oracled(
+    "q63_ann_ivf_kmeans",
+    "IVF ANN (k-means cells, seeded): recall@5 contract vs exact cosine top-5",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 10""") { (s, dir) =>
+    val ann = ivfTopK(s, dir).select(col("query_id"), col("vec_b"))
+    val e = Similarity.withNorm(Tables.embeddings(s, dir))
+    val exact = Similarity.topK(
+      Similarity.cosineScored(e.filter(col("vec_id") < 10), e, lit(true)), 5)
+      .select(col("query_id"), col("vec_b"))
+    exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_b"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= IvfRecallFloor).as("recall_ok"))
   }
 
   // --------------------------------------------------- product quantization
@@ -244,12 +275,12 @@ object Advanced {
     * N×256 bytes (the 32× compression is the point), and the expensive
     * exact math touches shortlist×queries rows. Composing the scan
     * inside q63's IVF cells would bound the probe set too — same
-    * operators, one more filter. Rows-only (codes depend on the seeded
-    * fits); recall-bounded against the exact L2 top-5 in PqAnnSpec.
+    * operators, one more filter. The codes depend on the deterministic
+    * driver-side Lloyd fits, which no SQL oracle can reproduce; the
+    * listing is consumed by q108's recall contract and PqAnnSpec.
     */
-  val q108 = rowsOnly(
-    "q108_pq_ann",
-    "PQ ANN: 8x16 codebook, nibble codes, ADC shortlist + exact re-rank top-5") { (s, dir) =>
+  private[graft] def pqTopK(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.VecOps.dotF
     import org.apache.spark.sql.expressions.Window
     val (cb, codes) = pqIndex(s, dir)
@@ -299,6 +330,45 @@ object Advanced {
     exact.withColumn("rn", row_number().over(wExact))
       .filter(col("rn") <= 5)
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Oracle floor for q108's overall recall@5 vs the exact L2 top-5.
+    * Measured 0.84 at sf0.01 / 0.54 at sf0.1 (PqAnnSpec bounds the
+    * sf0.001 fixture at 0.4); ~half the observed minimum, same
+    * rationale as [[IvfRecallFloor]].
+    */
+  private val PqRecallFloor = 0.25
+
+  /** q108 — PQ ANN recall contract: the [[pqTopK]] listing must recall
+    * at least [[PqRecallFloor]] of the exact L2 top-5 (computed
+    * in-engine over raw vectors). Like q63, the DuckDB oracle derives
+    * the expected row from exact data alone (n_queries, TRUE) — the
+    * approximate listing itself is seedless-deterministic but not
+    * SQL-expressible (driver-side Lloyd fits).
+    */
+  val q108 = oracled(
+    "q108_pq_ann",
+    "PQ ANN (8x16 codebook, ADC + re-rank): recall@5 contract vs exact L2 top-5",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 10""") { (s, dir) =>
+    import graft.functions.VecOps.dotF
+    import org.apache.spark.sql.expressions.Window
+    val ann = pqTopK(s, dir).select(col("query_id"), col("vec_b"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10).alias("x")
+    val scored = q.join(e.alias("y"), col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        (dotF(col("x.embedding"), col("x.embedding"))
+          - lit(2.0) * dotF(col("x.embedding"), col("y.embedding"))
+          + dotF(col("y.embedding"), col("y.embedding"))).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_b"))
+    val exact = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_b"))
+    exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_b"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= PqRecallFloor).as("recall_ok"))
   }
 
   /** q77 — null-safe equality join (`<=>`) + `unionByName`: two

@@ -475,9 +475,13 @@ object Analytics {
           && col("max_ge") <= col("p_retailprice"))
         .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
     }
+    // bucket count follows the session's shuffle parallelism (ADVICE r5:
+    // a hardcoded 32 capped the pre-filter's parallelism on bigger
+    // clusters); any bucket count is correct — superset property
+    val buckets = s.sessionState.conf.numShufflePartitions.max(1)
     val base = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
-      .withColumn("bkt", pmod(hash(col("p_partkey")), lit(32)))
+      .withColumn("bkt", pmod(hash(col("p_partkey")), lit(buckets)))
     val localSurvivors = sweep(Seq(col("bkt")))(base)
     sweep(Seq.empty)(localSurvivors).orderBy(col("p_partkey"))
   }

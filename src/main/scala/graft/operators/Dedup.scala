@@ -210,16 +210,22 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def simhashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(graft.Memo.key(s, dir), {
-      import graft.functions.SimHashAgg.simhashAgg
-      val tok = tokenized(s, dir).select(col("doc_id"),
-        explode(col("toks")).as("tok"))
-        .withColumn("h",
-          RollingHash.rollingHash(col("tok"), RollingHash.WideBase, RollingHash.WideMod))
-      tok.groupBy(col("doc_id"))
-        .agg(simhashAgg(col("h"), SimBits).as("simhash"))
-        .localCheckpoint()
-    })
+    simhashCache.getOrElseUpdate(graft.Memo.key(s, dir),
+      simhashOfTokens(tokenized(s, dir)).localCheckpoint())
+
+  /** (doc_id, simhash) from a (doc_id, ..., toks) frame — the
+    * un-memoized form, shared by the corpus memo above, the streaming
+    * intake ([[graft.streaming.NearDupStream]], which fingerprints each
+    * micro-batch with bit-identical semantics), and equivalence specs.
+    */
+  private[graft] def simhashOfTokens(tokdf: DataFrame): DataFrame = {
+    import graft.functions.SimHashAgg.simhashAgg
+    tokdf.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h",
+        RollingHash.rollingHash(col("tok"), RollingHash.WideBase, RollingHash.WideMod))
+      .groupBy(col("doc_id"))
+      .agg(simhashAgg(col("h"), SimBits).as("simhash"))
+  }
 
   private def simhashCte: String = {
     val sums = (0 until SimBits)
@@ -260,19 +266,44 @@ object Dedup {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** (doc_id, simhash, chunk_id, chunk): each fingerprint exploded into
+    * its [[HamT]]+1 pigeonhole chunks — the shared candidate-generation
+    * key for q47 (self-join), q93 (delta×corpus) and the streaming
+    * intake's per-micro-batch joins.
+    */
+  private[graft] def pigeonholeChunked(df: DataFrame): DataFrame = {
+    val chunks = HamT + 1            // 4 chunks of 12 bits
+    val chunkBits = SimBits / chunks
+    df.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
+  }
+
+  /** Near-dup pairs (delta_doc, corpus_doc, dist ≤ [[HamT]]) of
+    * delta × corpus via the pigeonhole chunk equi-join — q93's shape
+    * over arbitrary fingerprint frames. `extraCond` may reference the
+    * join aliases `d` (delta) and `c` (corpus), e.g. an arrival-order
+    * predicate for first-writer-wins semantics.
+    */
+  private[graft] def nearDupJoin(delta: DataFrame, corpus: DataFrame,
+      extraCond: Column = lit(true)): DataFrame =
+    pigeonholeChunked(delta).alias("d")
+      .join(pigeonholeChunked(corpus).alias("c"),
+        col("d.chunk_id") === col("c.chunk_id") && col("d.chunk") === col("c.chunk")
+          && extraCond)
+      .select(col("d.doc_id").as("delta_doc"), col("c.doc_id").as("corpus_doc"),
+        bit_count(col("d.simhash").bitwiseXOR(col("c.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= HamT)
+      .distinct()
+
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(graft.Memo.key(s, dir), {
-      val chunks = HamT + 1            // 4 chunks of 12 bits
-      val chunkBits = SimBits / chunks
       val sim = simhashes(s, dir)
       // chunk id folded into the join key (posexplode) -> ONE equi-join
       // for all pigeonhole chunks; the per-doc chunk table is cached
       // across the self-join sides.
-      val chunked = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until chunks).map(c =>
-          shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
-        .cache()
+      val chunked = pigeonholeChunked(sim).cache()
       val x = chunked.alias("x")
       val y = chunked.alias("y")
       val pairs = x.join(y,
@@ -476,22 +507,42 @@ object Dedup {
          ON d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          AND bit_count(xor(d.simhash, c.simhash)) <= $HamT
        ORDER BY delta_doc, corpus_doc""") { (s, dir) =>
-    val chunks = HamT + 1
-    val chunkBits = SimBits / chunks
-    def chunked(df: DataFrame) = df.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1)): _*)).as(Seq("chunk_id", "chunk")))
     val sim = simhashes(s, dir)
-    val delta = chunked(sim.filter(col("doc_id") % 10 === 0)).alias("d")
-    val corpus = chunked(sim.filter(col("doc_id") % 10 =!= 0)).alias("c")
-    delta.join(corpus,
-        col("d.chunk_id") === col("c.chunk_id") && col("d.chunk") === col("c.chunk"))
-      .select(col("d.doc_id").as("delta_doc"), col("c.doc_id").as("corpus_doc"),
-        bit_count(col("d.simhash").bitwiseXOR(col("c.simhash"))).cast("long").as("dist"))
-      .filter(col("dist") <= HamT)
-      .distinct()
+    nearDupJoin(
+      sim.filter(col("doc_id") % 10 === 0),
+      sim.filter(col("doc_id") % 10 =!= 0))
       .orderBy(col("delta_doc"), col("corpus_doc"))
+  }
+
+  /** q149 — FIRST-WRITER-WINS near-dup survivor labeling: a document
+    * survives iff no EARLIER document (smaller doc_id — the corpus's
+    * arrival order) is within Hamming ≤ [[HamT]] of its SimHash. This
+    * is the batch twin of the streaming incremental dedup
+    * ([[graft.streaming.NearDupStream]]): a stream fed in doc_id order
+    * must emit exactly this query's `survived = true` set, which
+    * StreamingNearDupSpec asserts batch-for-batch. "Earlier" means any
+    * earlier arrival, surviving or not — that makes the verdict a pure
+    * pair predicate (order-independent within the pair set), so the
+    * O(n²) NOT EXISTS oracle and the pigeonhole pair join agree
+    * exactly, same equivalence theorem as q47.
+    */
+  val q149 = oracled(
+    "q149_stream_near_dup_twin",
+    "first-writer-wins near-dup survivors — batch twin of the streaming intake",
+    s"""WITH $simhashCte
+       SELECT s.doc_id, s.simhash,
+         NOT EXISTS (SELECT 1 FROM sim e WHERE e.doc_id < s.doc_id
+           AND bit_count(xor(e.simhash, s.simhash)) <= $HamT) AS survived
+       FROM sim s ORDER BY s.doc_id""") { (s, dir) =>
+    // a doc is dropped iff it appears as the LATER side (doc_b) of any
+    // near-dup pair — the memoized pair table already orders doc_a < doc_b
+    val dropped = simhashPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    simhashes(s, dir)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("hit").isNull.as("survived"))
+      .orderBy(col("doc_id"))
   }
 
   /** q83 — the composed dedup pipeline end-to-end: detect (SimHash) →
@@ -716,5 +767,5 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132)
+  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149)
 }

@@ -838,9 +838,17 @@ object Pipeline {
     * priorities per lang win: longer docs (bigger weight) get
     * proportionally smaller priorities, i.e. weight-biased selection
     * with none of rand()'s irreproducibility. At 100 TB this is one
-    * scan + a per-group top-k (partial top-k map-side); swapping the
-    * integer priority for -ln(u)/w gives exact exponential-clock WRS at
-    * the cost of cross-engine float determinism — same plan shape.
+    * scan + a TWO-LEVEL per-group top-k: `lang` has a handful of
+    * values, so a window partitioned on it alone would sort each
+    * language's entire corpus share in ONE task (the round-5 verdict's
+    * scale-killer). Instead a local top-10 per (lang, doc_id-derived
+    * bucket) — parallelism = langs × shuffle-partitions — feeds a
+    * global top-10 per lang over at most buckets×10 survivors (the
+    * same local-then-global sweep as q135's skyline). The superset
+    * property makes the rewrite exact: every global top-10 row is by
+    * definition in its own bucket's top-10. Swapping the integer
+    * priority for -ln(u)/w gives exact exponential-clock WRS at the
+    * cost of cross-engine float determinism — same plan shape.
     */
   val q144 = oracled(
     "q144_weighted_sample",
@@ -857,13 +865,22 @@ object Pipeline {
        SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
          CAST(priority AS BIGINT) AS priority
        FROM r WHERE rk <= 10 ORDER BY lang, rk""") { (s, dir) =>
-    val w = Window.partitionBy(col("lang"))
+    // bucket count scales with the session's shuffle parallelism; the
+    // result is bucket-count-invariant (superset property), which the
+    // determinism tool exercises at cpus=7 vs 32
+    val buckets = s.sessionState.conf.numShufflePartitions.max(1)
+    val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("priority"), col("doc_id"))
+    val wGlobal = Window.partitionBy(col("lang"))
       .orderBy(col("priority"), col("doc_id"))
     Tables.documents(s, dir)
       .filter(col("n_chars") > 0)
       .select(col("lang"), col("doc_id"), col("n_chars"),
-        expr("doc_id % 100003 * 2654435761 % 1000000007 * 100000 div n_chars").as("priority"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+        expr("doc_id % 100003 * 2654435761 % 1000000007 * 100000 div n_chars").as("priority"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 10)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
       .filter(col("rk") <= 10)
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"), col("priority"))
       .orderBy(col("lang"), col("rk"))

@@ -78,20 +78,35 @@ object SetOps {
   }
 
   /** q19 — approximate distinct (HyperLogLog++). Sketch values are
-    * engine-specific, so no SQL oracle (driver rows-only check); the
-    * ScalaTest spec bounds the estimate against the exact count. At
-    * 100 TB this is THE distinct-count operator — fixed-size sketch,
-    * mergeable, no expand.
+    * engine-specific, so the raw estimate can't hash-match a DuckDB
+    * oracle; instead the query emits the HLL++ error CONTRACT as data —
+    * `within_5pct = |approx − exact| / exact <= 0.05` — which the oracle
+    * computes as TRUE from exact counts alone. The sketch runs at
+    * rsd 0.01, making the 5% bound a 5σ contract (at rsd 0.05 the bound
+    * is 1σ and ~1/3 of groups legitimately breach it — measured at
+    * sf0.01 during round 6). The sketch stays fixed-size and mergeable;
+    * at 100 TB this is THE distinct-count operator — no expand, one
+    * pass.
     */
-  val q19 = rowsOnly(
+  val q19 = oracled(
     "q19_approx_count_distinct",
-    "approx_count_distinct (HLL++, rsd 0.05) next to the exact count") { (s, dir) =>
+    "approx_count_distinct (HLL++, rsd 0.01): 5% error contract vs exact count",
+    """SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_custs,
+       COUNT(*) AS n_orders,
+       TRUE AS within_5pct
+       FROM orders
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""") { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.05).as("approx_custs"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("exact_custs"), col("n_orders"),
+        (abs(col("approx_custs") - col("exact_custs"))
+          / col("exact_custs").cast("double") <= 0.05).as("within_5pct"))
       .orderBy(col("o_orderstatus"))
   }
 

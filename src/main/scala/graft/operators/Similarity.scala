@@ -108,15 +108,41 @@ object Similarity {
   private def plane(j: Int): Column =
     typedLit(Seq.tabulate(64)(d => ((j * 53 + (d + 1) * 67) % 19) / 19.0 - 0.45))
 
+  /** DuckDB fragment: sign bit of the dot against deterministic plane j,
+    * weighted 2^j — the exact SQL twin of [[plane]] + the bucket fold in
+    * q51 (same integer plane formula, same double math, same ascending
+    * fold as [[duckDot]]).
+    */
+  private def duckBucketBit(j: Int): String =
+    s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+         i -> CAST(embedding[i] AS DOUBLE) * ((($j*53 + i*67) % 19)/19.0 - 0.45)),
+         (u, v) -> u + v) > 0 THEN ${1L << j} ELSE 0 END)"""
+
   /** q51 — sign-LSH bucketed ANN (the 100 TB path): 8 deterministic
     * hyperplanes -> 8-bit bucket, candidates restricted to same-bucket
-    * vectors, top-5 by cosine within the bucket. Rows-only for the
-    * driver (approximate by construction); SimilaritySpec measures its
-    * recall against q50's exact top-k.
+    * vectors, top-5 by cosine within the bucket. The hyperplanes are
+    * rational literals (not seeded randomness), so the WHOLE pipeline —
+    * bucketing included — is reproducible in ANSI SQL and the query is
+    * fully oracle-checked (upgraded from rows-only in round 6);
+    * PipelineSpec additionally measures recall against q50's exact
+    * top-k.
     */
-  val q51 = rowsOnly(
+  val q51 = oracled(
     "q51_ann_lsh_bucketed",
-    "sign-LSH (8 hyperplanes) bucketed approximate top-5 neighbors") { (s, dir) =>
+    "sign-LSH (8 hyperplanes) bucketed approximate top-5 neighbors",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings)
+       SELECT query_id, vec_b, cos_sim, rn FROM (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+         FROM b x JOIN b y ON x.bucket = y.bucket AND y.vec_id <> x.vec_id
+         WHERE x.vec_id < 10) t
+       WHERE rn <= 5
+       ORDER BY query_id, rn""") { (s, dir) =>
     val e = withNorm(Tables.embeddings(s, dir))
     // bucket bit j = sign(dot(embedding, plane_j)) — 8 codegen'd dots
     val bucket = (0 until 8).map { j =>

@@ -252,12 +252,16 @@ object TextOps {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // Materialize the bigram counts once: `bg` feeds BOTH the join's left
-    // side and the unigram rollup `ug`; without a checkpoint Catalyst
-    // re-executes the corpus explode+aggregate for each consumer (2×
-    // the suite's heaviest shuffle). localCheckpoint truncates lineage so
-    // the explode runs exactly once.
+    // side and the unigram rollup `ug`, and the broadcast of `ug` is
+    // planned as a SEPARATE job before the main one, so exchange reuse
+    // does not span it — without materialization the corpus
+    // explode+aggregate runs twice (the round-4 12.96 s regression).
+    // persist (not localCheckpoint, per round-5 advice): same
+    // single-execution effect, but the block is RECOMPUTABLE on
+    // executor loss where localCheckpoint's executor-local blocks are
+    // fatal to the job — the right trade on a real cluster.
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ug = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bg.join(broadcast(ug), "w1")
       .select(col("w1"), col("w2"), col("c12"),

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.LongType
   *
   * Shape: `df.sort(order)` is Spark's parallel range-partitioned sort
   * (sampling pass picks boundaries, every partition sorts locally), then
-  * `RDD.zipWithIndex` assigns contiguous ordinals with ONE extra count
-  * job (a single Long per partition crosses the driver — bounded by
-  * cluster partition count, never by data). Total cost: one shuffle +
-  * one lightweight count action, with every stage parallel.
+  * `RDD.zipWithIndex` assigns contiguous ordinals via an extra count job
+  * (a single Long per partition crosses the driver — bounded by cluster
+  * partition count, never by data). Cost note: the count job and the
+  * result job each execute the post-shuffle sort stage (shuffle FILES
+  * are reused, the local sort is not), so the local sort runs twice per
+  * call — acceptable for the bounded post-shuffle partitions this is
+  * used on; persist the sorted RDD around `zipWithIndex` if a caller
+  * ever feeds it something wide.
   *
   * The caller must pass a TOTAL order (include a unique tiebreak column)
   * so the ordinal is deterministic regardless of partition boundaries —
@@ -30,6 +34,8 @@ object Ordinal {
     */
   def withGlobalOrdinal(df: DataFrame, name: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "global ordinal needs an explicit total order")
+    require(!df.columns.contains(name),
+      s"ordinal column '$name' already exists — schema.add would duplicate it silently")
     val sorted = df.sort(order: _*)
     val schema = sorted.schema.add(name, LongType, nullable = false)
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>

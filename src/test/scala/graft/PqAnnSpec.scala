@@ -51,7 +51,7 @@ class PqAnnSpec extends AnyFunSuite {
       .select(col("query_id"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val approx = Advanced.q108.run(spark, sfDir)
+    val approx = Advanced.pqTopK(spark, sfDir)
       .select(col("query_id"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 

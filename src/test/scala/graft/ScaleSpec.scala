@@ -155,7 +155,7 @@ class ScaleSpec extends AnyFunSuite {
     val exact = Similarity.q50.run(spark, sfDir)
       .select(col("query_id"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Advanced.q63.run(spark, sfDir)
+    val ivf = Advanced.ivfTopK(spark, sfDir)
       .select(col("query_id"), col("vec_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
