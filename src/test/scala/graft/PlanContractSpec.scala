@@ -122,6 +122,43 @@ class PlanContractSpec extends AnyFunSuite {
       "chunk generation must not shuffle; only the presentation sort may exchange\n" + p)
   }
 
+  test("q135: local (bucketed) skyline sweep runs below the single-partition global sweep") {
+    val p = plan(operators.Analytics.q135)
+    val single = p.indexOf("Exchange SinglePartition")
+    val bucketed = p.indexOf("windowspecdefinition(bkt#")
+    assert(single >= 0, s"global sweep's single-partition stage missing\n$p")
+    assert(bucketed >= 0, s"bucketed local sweep missing\n$p")
+    // executedPlan prints top-down, so the LOCAL sweep (deeper) must
+    // appear after the single-partition exchange it feeds: the one-task
+    // stage only ever sees local survivors, never the table
+    assert(single < bucketed,
+      "single-partition sweep must consume the bucketed pre-filter\n" + p)
+    assert(p.indexOf("FileScan") > bucketed,
+      "table scan must feed the local sweep, not the global one\n" + p)
+  }
+
+  test("q143: global ordinal plans with no Window and no single-partition exchange") {
+    val p = plan(operators.Pipeline.q143)
+    assert(!p.contains("Window"),
+      "ordinal regressed to a window (single-partition row_number)\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage may collapse to one task\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "distributed zipWithIndex ordinal (plans.Ordinal) missing\n" + p)
+  }
+
+  test("q144: lang-only window consumes the bucketed local top-k, both rank-limited") {
+    val p = plan(operators.Pipeline.q144)
+    val global = p.indexOf("], [lang#")       // window partitioned on lang alone
+    val bucketed = p.indexOf(", bucket#")     // window partitioned on (lang, bucket)
+    assert(global >= 0 && bucketed >= 0, s"two-level top-k shape missing\n$p")
+    assert(global < bucketed,
+      "the lang-only window must sit ABOVE the bucketed local top-k\n" + p)
+    assert(p.contains("WindowGroupLimit") &&
+      p.substring(p.indexOf("WindowGroupLimit")).contains("Partial"),
+      "rank-limit pushdown (map-side partial top-k) lost\n" + p)
+  }
+
   test("q145: grouped OLS is one aggregation pass with a map-side partial phase") {
     val p = plan(operators.Analytics.q145)
     val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length

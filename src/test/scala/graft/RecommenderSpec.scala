@@ -34,6 +34,53 @@ class RecommenderSpec extends AnyFunSuite {
       s"ALS MAE $alsMae should beat baseline MAE $baselineMae")
   }
 
+  test("reference-scale ALS (rank 64, regParam 0.015) beats pseudo-avg on the holdout") {
+    // The reference's actual hyperparameters (SVDMovieLensSparkJava
+    // .java:38-44: MAX_FEATURES=64, K=0.015): one spec-tagged fit at
+    // full rank, excluded from the bench (q36 runs the fixture-scaled
+    // rank 8). Acceptance = the reference's only correctness check
+    // (:470): holdout MAE must beat the pseudo-avg baseline predictor.
+    // The fixture-derived ratings are value-hash noise with NO latent
+    // structure (no factorization can beat an item-mean there), so this
+    // test plants a deterministic rank-4 user×item interaction — item
+    // MAIN effects cancel, leaving exactly the signal a baseline
+    // predictor cannot express and a factor model must recover.
+    import org.apache.spark.ml.recommendation.ALS
+    import graft.functions.GraftFunctions.{clamp => clampF, pseudoAvg}
+    import spark.implicits._
+    val rows = for { u <- 0 until 150; i <- 0 until 80 } yield {
+      def uf(k: Int) = ((u * 7 + k * 13) % 17) / 17.0 - 0.47
+      def vf(k: Int) = ((i * 11 + k * 5) % 19) / 19.0 - 0.47
+      val s = (0 until 4).map(k => uf(k) * vf(k)).sum
+      val rating = math.max(1L, math.min(5L, math.round(3.0 + 8.0 * s))).toFloat
+      (u, i, rating, (u * 31 + i * 17) % 5)
+    }
+    val r = rows.toDF("user", "item", "rating", "fold")
+    val train = r.filter(col("fold") =!= 0).cache()
+    val test = r.filter(col("fold") === 0).cache()
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(64).setRegParam(0.015)
+      .setMaxIter(Recommender.MaxIter).setSeed(Recommender.Seed)
+      .setNumUserBlocks(Recommender.NumBlocks).setNumItemBlocks(Recommender.NumBlocks)
+      .setColdStartStrategy("drop")
+      .fit(train)
+    val alsMae = model.transform(test)
+      .filter(!isnan(col("prediction")))
+      .agg(avg(abs(col("rating") - clampF(col("prediction"), 1.0, 5.0))))
+      .head().getDouble(0)
+    val trainStats = train.groupBy(col("item"))
+      .agg(clampF(pseudoAvg(sum(col("rating")).cast("double"), count(lit(1))), 1.0, 5.0)
+        .as("pred"))
+    val baseMae = test.join(broadcast(trainStats), Seq("item"), "left")
+      .agg(avg(abs(col("rating") - coalesce(col("pred"), lit(PseudoAvgPrior)))))
+      .head().getDouble(0)
+    train.unpersist(); test.unpersist()
+    assert(alsMae > 0.0)
+    assert(alsMae < baseMae,
+      s"rank-64 ALS holdout MAE $alsMae should beat pseudo-avg baseline $baseMae")
+  }
+
   test("clamped-fold scorer stays within [1,5] for every row (F2 property)") {
     val scored = Recommender.q34.run(spark, sfDir)
     val outOfRange = scored.filter(col("pred") < 1.0 || col("pred") > 5.0).count()
