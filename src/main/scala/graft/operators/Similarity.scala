@@ -183,5 +183,94 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74)
+  /** Deterministic rational centroid c (0-based), dimension d (1-based):
+    * ((c*31 + d*47) mod 23)/23 - 0.5 — pseudo-random in [-0.5, 0.46).
+    * Like q51's hyperplanes these are literals, not seeded randomness,
+    * so the cluster assignment is reproducible in ANSI SQL.
+    */
+  private def centroidVals(c: Int): Seq[Double] =
+    Seq.tabulate(64)(d => ((c * 31 + (d + 1) * 47) % 23) / 23.0 - 0.5)
+
+  /** L2 norm of centroid c, folded left-to-right in Scala doubles — the
+    * SAME constant is inlined into the Spark plan and the oracle SQL
+    * (via round-tripping Double.toString), so both engines divide by a
+    * bit-identical operand.
+    */
+  private def centroidNorm(c: Int): Double =
+    math.sqrt(centroidVals(c).foldLeft(0.0)((acc, v) => acc + v * v))
+
+  /** DuckDB fragment: cosine of `embedding` against centroid c (fold dot
+    * over the same rationals, divided by the inlined norm constant).
+    * The row vector's own norm is a common positive factor across all 8
+    * centroids, so it cannot change the argmax and both engines omit it.
+    */
+  private def duckCentroidSim(c: Int): String =
+    s"""(list_reduce(list_transform(range(1, 65),
+         i -> CAST(embedding[i] AS DOUBLE) * ((($c*31 + i*47) % 23)/23.0 - 0.5)),
+         (u, v) -> u + v) / ${java.lang.Double.toString(centroidNorm(c))})"""
+
+  /** q150 — SemDeDup-style semantic dedup (Abbas et al. 2023): assign
+    * every embedding to its nearest of 8 deterministic centroids (pure
+    * map-side — the centroids are broadcast literals, no shuffle), then
+    * search near-duplicates ONLY within a cluster via an equi-join on
+    * the cluster id. That equi-join is the whole 100 TB story: candidate
+    * pairs are bounded by cluster size instead of N², and k scales with
+    * the corpus so clusters stay small. Dedup rule (deterministic,
+    * first-writer-wins by id, the same store semantics as q149): a
+    * vector is dropped iff a strictly-lower-id near-duplicate
+    * (cos >= 0.40) exists in its cluster — which leaves the kept set
+    * pairwise non-near-dup within every cluster (SimilaritySemanticsSpec
+    * proves both invariants). Ties in the argmax break to the first
+    * (lowest) centroid index in both engines.
+    */
+  val q150 = oracled(
+    "q150_semantic_dedup",
+    "SemDeDup: nearest-centroid clusters, within-cluster near-dup drop",
+    s"""WITH a AS (
+         SELECT vec_id, embedding,
+           CAST(list_position(s.sims, list_max(s.sims)) AS INT) - 1 AS cluster
+         FROM (SELECT vec_id, embedding,
+             [${(0 until 8).map(duckCentroidSim).mkString(", ")}] AS sims
+           FROM embeddings) s),
+       d AS (
+         SELECT DISTINCT y.vec_id AS vec_id
+         FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         WHERE ${duckCos("x", "y")} >= 0.40)
+       SELECT a.vec_id, a.cluster,
+         (d.vec_id IS NOT NULL) AS dropped
+       FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+       ORDER BY a.vec_id""") { (s, dir) =>
+    val assigned = clusteredEmbeddings(s, dir)
+    val x = assigned.alias("x")
+    val y = assigned.alias("y")
+    val droppedIds = x.join(y,
+        col("x.cluster") === col("y.cluster")
+          && col("x.vec_id") < col("y.vec_id"))
+      .filter((dotF(col("x.embedding"), col("y.embedding"))
+        / (col("x.nrm") * col("y.nrm"))) >= 0.40)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(droppedIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Embeddings with (nrm, cluster): cosine against each of the 8
+    * centroid literals (8 codegen'd dots, map-side), cluster = first
+    * index of the max. Factored out so SimilaritySemanticsSpec can reuse
+    * the exact assignment q150 ships.
+    */
+  private[graft] def clusteredEmbeddings(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sims = array((0 until 8).map { c =>
+      dotF(col("embedding"), typedLit(centroidVals(c))) / lit(centroidNorm(c))
+    }: _*)
+    withNorm(Tables.embeddings(s, dir))
+      .withColumn("cluster",
+        (array_position(sims, array_max(sims)) - 1).cast("int"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150)
 }
