@@ -701,7 +701,59 @@ object Analytics {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** q151 — the 100 TB plan for q66's distribution window functions.
+    * q66 demonstrates the native API; its window partitions on the
+    * 5-value market segment, so each segment's entire share of the
+    * table sorts in ONE task at scale. This twin computes the
+    * hash-identical result with every per-row pass bounded:
+    * `rn` comes from [[graft.plans.PrefixSum.withRowNumber]]'s two-level
+    * bucketed scan; tie-class min/max ranks come from a shuffle join on
+    * the high-cardinality (segment, balance) tie key; the distribution
+    * functions are then pure arithmetic — percent_rank = (rank-1)/(n-1),
+    * cume_dist = max-tie-rn/n, ntile(4) from rn and n by the standard
+    * first-(n mod 4)-buckets-take-one-extra rule. Same oracle as q66.
+    */
+  val q151 = oracled(
+    "q151_distribution_scale_rank",
+    "q66's ntile/percent_rank/cume_dist via two-level distributed rank",
+    """SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val ranked = graft.plans.PrefixSum.withRowNumber(
+      base, "rn", Seq("c_mktsegment"), "c_acctbal",
+      tiebreaks = Seq(col("c_custkey")))
+    val segN = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    // ties share a balance, so their min (= rank()) and max (= the rank
+    // cume_dist counts to) aggregate on the tie key itself — a
+    // high-cardinality shuffle, never a per-segment sort
+    val ties = ranked.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(min(col("rn")).as("tie_lo"), max(col("rn")).as("tie_hi"))
+    ranked.join(ties, Seq("c_mktsegment", "c_acctbal"))
+      .join(broadcast(segN), "c_mktsegment")
+      .withColumn("q4", expr("n div 4"))
+      .withColumn("r4", col("n") % 4)
+      .withColumn("thr", (col("q4") + 1) * col("r4"))
+      .withColumn("quartile",
+        when(col("rn") <= col("thr"), expr("(rn - 1) div (q4 + 1) + 1"))
+          .otherwise(expr("r4 + (rn - thr - 1) div greatest(q4, 1) + 1"))
+          .cast("int"))
+      .withColumn("pct_rank",
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("tie_lo") - 1).cast("double") / (col("n") - 1).cast("double")))
+      .withColumn("cume",
+        col("tie_hi").cast("double") / col("n").cast("double"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("quartile"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148)
+      q135, q138, q145, q146, q148, q151)
 }

@@ -121,12 +121,12 @@ object Pipeline {
   /** q98 — sequence-packing plan: concatenate each language's token
     * stream in doc_id order and cut it into fixed [[PackBudget]]-token
     * training sequences — the standard LLM pretraining packing step.
-    * Each doc's chunk span falls out of a running token offset (one
-    * window shuffle per lang partition); the per-lang summary reports
-    * chunk counts, boundary-straddling docs, and fill ratio. At 100 TB
-    * the only data movement is the per-lang cumulative sum — and a real
-    * pipeline would run it per (lang, shard) to keep partitions bounded,
-    * which changes the partition key, not the operator.
+    * Each doc's chunk span falls out of a running token offset, computed
+    * with [[graft.plans.PrefixSum]]'s two-level distributed scan rather
+    * than a window partitioned on the ~5-value `lang` key (which would
+    * sort each language's entire share of a 100 TB corpus in ONE task —
+    * the q144 scale-killer shape from VERDICT r5). The per-lang summary
+    * reports chunk counts, boundary-straddling docs, and fill ratio.
     */
   val q98 = oracled(
     "q98_sequence_packing",
@@ -142,10 +142,11 @@ object Pipeline {
          CAST(SUM(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
          CAST(SUM(n_toks) AS DOUBLE) / (((SUM(n_toks) + ${PackBudget - 1}) // $PackBudget) * $PackBudget) AS fill_ratio
        FROM p GROUP BY lang ORDER BY lang""") { (s, dir) =>
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_toks"))
-      .withColumn("off", sum(col("n_toks")).over(w) - col("n_toks"))
+    graft.plans.PrefixSum
+      .withRunningTotal(base, "run", Seq("lang"), "doc_id", "n_toks")
+      .withColumn("off", col("run") - col("n_toks"))
       .select(col("lang"), col("n_toks"),
         expr(s"off div $PackBudget").as("first_chunk"),
         expr(s"(off + n_toks - 1) div $PackBudget").as("last_chunk"))
@@ -278,10 +279,15 @@ object Pipeline {
     * longest 5% of docs per language, the routine outlier trim before
     * training. Cutoffs are DISCRETE percentiles (the value at rank
     * ⌈q·n⌉ — integer arithmetic, so both engines agree bit-exactly where
-    * interpolated percentiles could drift). One window pass ranks docs
-    * per lang; the |langs|-row cutoff table broadcasts back. A 100 TB
-    * run would swap the exact rank for approx_percentile and keep the
-    * identical join shape.
+    * interpolated percentiles could drift). The rank-⌈q·n⌉ value equals
+    * the smallest n_chars whose running histogram count reaches ⌈q·n⌉,
+    * so the Spark plan aggregates a per-(lang, n_chars) histogram first
+    * and runs the cumulative window over THAT relation — bounded by
+    * distinct lengths, not corpus rows. The old shape (row_number
+    * partitioned on the ~5-value lang key over every doc) sorted each
+    * language's entire 100 TB share in one task; the histogram keeps
+    * the exact-percentile semantics and the hash-exact oracle while the
+    * only full-table operation left is a partial-aggregating groupBy.
     */
   val q102 = oracled(
     "q102_length_quantile_filter",
@@ -298,14 +304,14 @@ object Pipeline {
        FROM documents d JOIN cut c ON d.lang = c.lang
        GROUP BY d.lang, c.lo_cut, c.hi_cut ORDER BY d.lang""") { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val ranked = docs
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
-    val cut = ranked.groupBy(col("lang")).agg(
-      max(when(col("rn") === ceil(lit(0.05) * col("cnt")).cast("long"), col("n_chars"))).as("lo_cut"),
-      max(when(col("rn") === ceil(lit(0.95) * col("cnt")).cast("long"), col("n_chars"))).as("hi_cut"))
+    val hist = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val cut = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= ceil(lit(0.05) * col("cnt")).cast("long"), col("n_chars"))).as("lo_cut"),
+      min(when(col("cum") >= ceil(lit(0.95) * col("cnt")).cast("long"), col("n_chars"))).as("hi_cut"))
     docs.join(broadcast(cut), "lang")
       .groupBy(col("lang"), col("lo_cut"), col("hi_cut"))
       .agg(count(lit(1)).as("n_docs"),

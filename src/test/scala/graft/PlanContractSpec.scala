@@ -159,6 +159,37 @@ class PlanContractSpec extends AnyFunSuite {
       "rank-limit pushdown (map-side partial top-k) lost\n" + p)
   }
 
+  test("q98: running offset is the two-level scan — no lang-only window over the corpus") {
+    val p = plan(operators.Pipeline.q98)
+    // the r5 scale-killer shape: SUM OVER (PARTITION BY lang ORDER BY
+    // doc_id) prints its spec as (lang#N, doc_id#M ASC ...) — one task
+    // per language sorting its whole corpus share. Must be gone.
+    assert(!"windowspecdefinition\\(lang#\\d+, doc_id#".r.findFirstIn(p).isDefined,
+      "prefix sum regressed to a lang-only window over the full table\n" + p)
+    // the local window partitions on (lang, __bkt); the offset window
+    // runs over the bucket-subtotal aggregate
+    assert(p.contains("__bkt"), "PrefixSum bucketing missing\n" + p)
+    assert("windowspecdefinition\\(lang#\\d+, __bkt#\\d+, doc_id#".r.findFirstIn(p).isDefined,
+      "per-(lang, bucket) local prefix window missing\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bounds/offsets must broadcast back, never shuffle the corpus\n" + p)
+  }
+
+  test("q102: quantile cut ranks the length histogram, not the corpus") {
+    val p = plan(operators.Pipeline.q102)
+    assert(!p.contains("row_number"),
+      "cutoffs regressed to per-lang row_number over every doc\n" + p)
+    // cumulative window must consume the per-(lang, n_chars) histogram
+    // aggregate (with a map-side partial phase), so the only full-table
+    // operations are partial-aggregating scans
+    assert("HashAggregate\\(keys=\\[lang#\\d+, n_chars#".r.findFirstIn(p).isDefined,
+      "length histogram aggregate missing\n" + p)
+    assert(p.contains("partial_count"),
+      "histogram lost its map-side partial phase\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row cutoff table must broadcast back\n" + p)
+  }
+
   test("q145: grouped OLS is one aggregation pass with a map-side partial phase") {
     val p = plan(operators.Analytics.q145)
     val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
