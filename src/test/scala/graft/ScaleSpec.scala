@@ -150,6 +150,42 @@ class ScaleSpec extends AnyFunSuite {
       s"layout skipping had no effect: ranged=$rangedRows shuffled=$shuffledRows (matching=$matching)")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // the 100 TB skew story has two layers: deterministic salting where
+    // the skew is known (operators.Skew, q104/q107), and AQE's runtime
+    // skew-join split where it isn't. This proves the second layer FIRES
+    // on a hot-key join — thresholds lowered to fixture scale, the same
+    // knobs (factor/threshold/advisory) a cluster deployment tunes.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 60000).select(
+        when($"id" < 50000, 0L).otherwise($"id" % 7 + 1).as("k"), $"id".as("lv"))
+      val right = spark.range(0, 8).select($"id".as("k"))
+        .crossJoin(spark.range(0, 2).select($"id".as("rv")))
+      val joined = left.join(right, "k")
+      val n = joined.count()
+      // every left row matches exactly the 2 right rows for its key
+      assert(n === 120000L, s"join result wrong: $n")
+      joined.collect() // materialize the un-aggregated join so AQE finalizes ITS plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "skew path needs a sort-merge join\n" + p)
+      assert(p.contains("skew=true"),
+        "AQE did not split the hot-key partition (no skew=true)\n" + p)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("IVF (k-means cells) ANN overlaps the exact top-5 measurably") {
     import graft.operators.{Advanced, Similarity}
     val exact = Similarity.q50.run(spark, sfDir)
