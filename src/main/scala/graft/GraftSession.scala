@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+
+/** One-call bootstrap for SQL-first users of the engine: a tuned local
+  * SparkSession with graft's native SQL functions injected and every
+  * fixture table registered as a view, so the entire query surface is
+  * reachable as plain `spark.sql(...)` — the switchover path for a
+  * reference user whose workflow is "load tables, run queries".
+  *
+  * `open` builds a new session via `withExtensions` (the production
+  * registration path); `attach` registers views + functions on an
+  * existing session (REPL / notebook / test path).
+  */
+object GraftSession {
+
+  /** Session defaults matching the bench/verify mains: shuffle
+    * parallelism sized to cores (not Spark's default 200 — at local
+    * scale 200 near-empty partitions just add scheduler latency), UTC
+    * timestamps for engine-portable date math.
+    */
+  def open(sfDir: String, master: String = "local[*]"): SparkSession = {
+    val cores = Runtime.getRuntime.availableProcessors().max(1)
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    attach(spark, sfDir)
+    spark
+  }
+
+  /** Registers the fixture tables as temp views on `spark` (idempotent;
+    * re-attach to point the views at a different scale factor).
+    */
+  def attach(spark: SparkSession, sfDir: String): Unit = {
+    GraftExtensions.register(spark)
+    Tables.names.foreach { t =>
+      val df = t match {
+        case "events" => Tables.events(spark, sfDir) // nanos→micros ts fix
+        case other    => Tables(spark, sfDir, other)
+      }
+      df.createOrReplaceTempView(t)
+    }
+  }
+}

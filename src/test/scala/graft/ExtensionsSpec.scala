@@ -46,6 +46,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("GraftSession.attach exposes every table and native function to plain SQL") {
+    GraftSession.attach(spark, sfDir)
+    // all ten fixture views queryable by name
+    graft.sources.Tables.names.foreach { t =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) > 0, t)
+    }
+    // events view carries the nanos→micros-converted timestamp
+    val days = spark.sql(
+      "SELECT count(DISTINCT date_trunc('DAY', ts)) AS d FROM events").head().getLong(0)
+    assert(days > 1, s"events.ts not usable as a timestamp (distinct days=$days)")
+    // native function + view in one SQL statement
+    val fp = spark.sql(
+      "SELECT rolling_hash(text) AS fp FROM documents ORDER BY doc_id LIMIT 1").head().getLong(0)
+    assert(fp != 0L)
+  }
+
   test("mapGroupsWithState per-user profiles equal batch aggregates after drain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_state")
