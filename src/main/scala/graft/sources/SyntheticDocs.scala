@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -96,15 +97,58 @@ final class SyntheticDocsTable(rows: Long, slices: Int, rowsPerBatch: Long)
 final class SyntheticDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SyntheticDocs.fullSchema
   private var lo: Long = 0L
   private var hi: Long = rows // generated interval is [lo, hi)
   private var accepted: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Array[AggregateFunc]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT clamps the generated interval (any `n` rows satisfy an
+    * unordered LIMIT, and the clamp keeps them id-contiguous). Spark
+    * pushes limits after filters, so [lo, hi) is already final; the
+    * default `isPartiallyPushed` keeps Spark's own Limit above the scan,
+    * so a tighter-than-requested clamp could only ever under-report —
+    * which the exact clamp never does.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  private def docIdColumn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames().mkString(".") == "doc_id"
+      case _ => false
+    }
+
+  /** COMPLETE pushdown of global COUNT(*) / MIN(doc_id) / MAX(doc_id):
+    * on a generator whose rows are a pure function of the id interval,
+    * these are closed-form over [lo, hi) — the scan answers the whole
+    * aggregation with ONE row and Spark drops its aggregate operator
+    * entirely (the DSv2 contract for `supportCompletePushDown`). Spark
+    * only offers the aggregation when every filter was fully pushed, so
+    * the clamp is already exact.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case m: Min => docIdColumn(m.column())
+      case m: Max => docIdColumn(m.column())
+      case _ => false
+    }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggFuncs = Some(agg.aggregateExpressions())
+      true
+    }
 
   /** Accept doc_id range/equality predicates by clamping [lo, hi); the
     * return value is the residual Spark must still evaluate (none for
@@ -130,8 +174,59 @@ final class SyntheticDocsScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    SyntheticDocsScan(required, math.max(lo, 0L), math.min(hi, rows), slices, rowsPerBatch)
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) =>
+      SyntheticDocsAggScan(funcs, math.max(lo, 0L), math.min(hi, rows))
+    case None =>
+      SyntheticDocsScan(required, math.max(lo, 0L), math.min(hi, rows), slices, rowsPerBatch)
+  }
+}
+
+/** The one-row answer to a completely-pushed-down global aggregation
+  * over the clamped interval [lo, hi). Deliberately does NOT implement
+  * runtime filtering: a late clamp would change an already-answered
+  * aggregate.
+  */
+final case class SyntheticDocsAggScan(funcs: Array[AggregateFunc], lo: Long, hi: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def n: Long = math.max(hi - lo, 0L)
+
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: CountStar => StructField("count_star", LongType, nullable = false)
+    case m: Min => StructField("min_doc_id", LongType, nullable = true)
+    case m: Max => StructField("max_doc_id", LongType, nullable = true)
+    case f => throw new IllegalStateException(s"unpushable aggregate $f")
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs agg range=[$lo,$hi) funcs=${funcs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticDocsRange(0L, 1L)) // one row, one partition
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(64L)
+    override def numRows(): OptionalLong = OptionalLong.of(1L)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (fs, count, first, last) = (funcs, n, lo, hi - 1)
+    (_: InputPartition) =>
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow = new GenericInternalRow(
+          fs.map[Any] {
+            case _: CountStar => count
+            case _: Min => if (count > 0) first else null
+            case _: Max => if (count > 0) last else null
+            case f => throw new IllegalStateException(s"unpushable aggregate $f")
+          })
+        override def close(): Unit = ()
+      }
+  }
 }
 
 final case class SyntheticDocsRange(start: Long, end: Long) extends InputPartition

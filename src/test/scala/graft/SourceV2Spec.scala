@@ -130,4 +130,56 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 10 || df.count() == 100L)
     assert(df.count() == 100L)
   }
+
+  test("global count/min/max push COMPLETELY into the scan (no aggregate operator)") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 1000L).option("slices", 10).load()
+      .filter(col("doc_id") >= 100L && col("doc_id") < 600L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 100L, 599L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-docs agg range=[100,600)"),
+      "scan did not take the aggregation\n" + plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "complete pushdown must remove Spark's aggregate operator\n" + plan)
+  }
+
+  test("aggregate pushdown answers the empty interval with count=0, null min/max") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 1000L).load()
+      .filter(col("doc_id") >= 600L && col("doc_id") < 600L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+    val r = df.head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1), "MIN over zero rows must be NULL")
+  }
+
+  test("grouped aggregation does NOT push down (generator only answers global)") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 100L).load()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"), "grouped agg must stay in Spark\n" + plan)
+    assert(df.collect().map(_.getLong(1)).sum === 100L)
+  }
+
+  test("LIMIT clamps the generated interval at the source") {
+    val df = spark.read.format("graft-docs")
+      .option("rows", 100000L).option("slices", 10).load()
+      .limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-docs range=[0,7)"),
+      "limit did not clamp the generator\n" + plan)
+    assert(df.count() === 7L)
+    // limit composes with a pushed filter: clamp starts at the filtered lo
+    val df2 = spark.read.format("graft-docs")
+      .option("rows", 100000L).load()
+      .filter(col("doc_id") >= 50000L).limit(5)
+    assert(df2.queryExecution.executedPlan.toString
+      .contains("graft-docs range=[50000,50005)"))
+    assert(df2.select(min(col("doc_id")), max(col("doc_id"))).head() ===
+      org.apache.spark.sql.Row(50000L, 50004L))
+  }
 }
