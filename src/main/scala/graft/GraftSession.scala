@@ -32,6 +32,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
       .getOrCreate()
     attach(spark, sfDir)
     spark

@@ -165,6 +165,20 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(1)).sum === 100L)
   }
 
+  test("graft catalog resolves docs_<rows> tables for pure SQL, pushdowns intact") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val n = spark.sql(
+      "SELECT count(*) FROM graft.docs_500 WHERE doc_id >= 100").head().getLong(0)
+    assert(n === 400L)
+    // the catalog path reaches the same scan: complete agg pushdown fires
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(doc_id) AS lo FROM graft.docs_500 WHERE doc_id >= 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-docs agg range=[100,500)"), plan)
+    intercept[Exception] { spark.sql("SELECT 1 FROM graft.nope").collect() }
+  }
+
   test("LIMIT clamps the generated interval at the source") {
     val df = spark.read.format("graft-docs")
       .option("rows", 100000L).option("slices", 10).load()
