@@ -753,7 +753,58 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** q155 minimum support: a pair (two parts bought together in the same
+    * order) is frequent if it occurs in at least this many baskets.
+    */
+  private val MinSupport = 3
+
+  /** q155 — frequent-pair mining (market basket, Apriori 2-itemsets):
+    * pairs of parts co-occurring in >= MinSupport orders. Spark side
+    * applies the Apriori downward-closure prune FIRST: an item in fewer
+    * than MinSupport baskets cannot appear in any frequent pair, so the
+    * basket table is semi-joined to frequent-1 items BEFORE the
+    * quadratic per-basket self-join — the step that keeps the pair
+    * explosion proportional to the pruned basket width at 100 TB (on a
+    * long-tail catalog most items die here). Equality with the
+    * unpruned form is a theorem (support is monotone under subset), and
+    * the DuckDB oracle IS the unpruned form: naive self-join + HAVING —
+    * so the gate proves the optimization sound on every run. Per-basket
+    * width is the other scale lever: a hub basket of width w generates
+    * w²/2 pairs, so real pipelines cap or re-salt mega-baskets; the
+    * fixture's baskets are bounded (7 lines max), documented rather than
+    * coded around.
+    */
+  val q155 = oracled(
+    "q155_frequent_pairs",
+    "Apriori frequent 2-itemsets (pruned self-join) == naive pairs+HAVING oracle",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2
+         FROM b a JOIN b c
+           ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey)
+       SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+       FROM p GROUP BY p1, p2 HAVING COUNT(*) >= $MinSupport
+       ORDER BY p1, p2""") { (s, dir) =>
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // two consumers (frequent-1 scan + pruned self-join): one pass
+      .localCheckpoint()
+    val freq1 = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= MinSupport)
+      .select(col("l_partkey"))
+    val pruned = baskets.join(freq1, Seq("l_partkey"), "left_semi")
+    pruned.alias("a")
+      .join(pruned.alias("c"),
+        col("a.l_orderkey") === col("c.l_orderkey")
+          && col("a.l_partkey") < col("c.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("c.l_partkey").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .orderBy(col("p1"), col("p2"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151)
+      q135, q138, q145, q146, q148, q151, q155)
 }

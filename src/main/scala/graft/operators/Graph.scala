@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.GQuery.oracled
+import graft.sources.Tables
+
+/** Iterative graph analytics over the co-rating affinity graph (the same
+  * user-user graph q138's triangle counting runs on): fixed-point
+  * PageRank and multi-source BFS shortest paths. The reference has no
+  * graph surface at all (SURVEY.md §2.2) — these are the two iterative
+  * primitives a complete engine needs beyond connected components
+  * ([[Dedup.connectedComponents]]): importance ranking and reachability
+  * distance.
+  *
+  * Scale posture shared by both: the edge table is derived once per data
+  * dir (memoized + localCheckpoint'd, like the q47 pair table), every
+  * iteration is ONE equi-join edges⋈labels plus ONE aggregate (both
+  * partial-aggregated shuffles on the node key), and per-round
+  * localCheckpoint keeps the lineage O(1) instead of growing with the
+  * iteration count — the discipline GraphX uses at cluster scale. No
+  * driver-side data path: only scalar counts (N, frontier size) cross
+  * the driver.
+  *
+  * Determinism: PageRank runs in FIXED-POINT integer arithmetic
+  * (rank scaled by 1e12, floor division) so every operation is an exact
+  * BIGINT op — associative, order-independent, bit-identical between
+  * Spark's distributed sums and DuckDB's serial ones. No doubles, no
+  * rounding policy, no ulp drift: the oracle is the SAME recurrence
+  * unrolled as a plain CTE chain, two genuinely different formulations
+  * (iterative loop vs declarative unroll) of one integer fixpoint.
+  */
+object Graph {
+
+  /** Rank fixed-point scale: 1 "unit" of PageRank mass = 1e12. Chosen so
+    * 85 * total mass (the largest intermediate, ~8.5e13) stays far below
+    * 2^63 while floor-division loss per step stays below 1e-12 of mass.
+    */
+  private val Scale = 1000000000000L
+
+  /** Co-rating affinity threshold — same as q138 (users sharing >= 14
+    * distinct (item, rating) agreements form an edge).
+    */
+  private val MinShared = 14
+
+  /** Shared SQL prelude for the oracles: ratings → undirected co-rating
+    * edges, materialized in both directions as directed rows (src, dst),
+    * plus the node set (every rated user — isolated users participate
+    * with base rank / are BFS-unreachable, identically on both engines).
+    */
+  private def edgesCte: String =
+    s"""r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+       e AS (SELECT a.user_id AS ua, b.user_id AS ub
+         FROM r a JOIN r b
+           ON a.item_id = b.item_id AND a.rating = b.rating
+          AND a.user_id < b.user_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
+       d AS (SELECT ua AS src, ub AS dst FROM e
+             UNION ALL SELECT ub, ua FROM e),
+       nodes AS (SELECT DISTINCT user_id FROM r)"""
+
+  /** One edge table per data dir: q152 and q154 share the derived graph
+    * (cluster-scale reading: the persisted edge table is built once and
+    * every graph algorithm consumes it).
+    */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** Returns (directed edges (src, dst) — both directions of the
+    * undirected graph — and the node set (user_id)). Both
+    * localCheckpoint'd: every iteration of every consumer re-scans them.
+    */
+  private[graft] def coRatingGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    edgeCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      val r = Tables.events(s, dir)
+        .select(col("user_id"), (col("event_id") % 100).as("item_id"),
+          (floor(col("value")).cast("long") % 5 + 1).as("rating"))
+        .distinct()
+        .localCheckpoint()
+      val und = r.alias("a")
+        .join(r.alias("b"),
+          col("a.item_id") === col("b.item_id")
+            && col("a.rating") === col("b.rating")
+            && col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+        .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinShared)
+      val edges = und.select(col("ua").as("src"), col("ub").as("dst"))
+        .unionByName(und.select(col("ub").as("src"), col("ua").as("dst")))
+        // every iteration joins on src: lay the static side out once
+        .repartition(col("src"))
+        .localCheckpoint()
+      val nodes = r.select(col("user_id")).distinct().localCheckpoint()
+      (edges, nodes)
+    })
+
+  /** The PageRank recurrence both engines run (all BIGINT, floor div):
+    *   contrib(u) = rank_k(u) // outdeg(u)
+    *   rank_{k+1}(v) = (15*Scale) // (100*N) + (85 * Σ_{u→v} contrib(u)) // 100
+    * Dangling (isolated) nodes keep the base term and leak their damped
+    * mass — the deterministic textbook simplification, identical on both
+    * sides. Mass loss per step is < nodes/Scale (floor loss) + dangling
+    * share; the INVARIANT sum(rank) <= Scale is spec-checked.
+    */
+  private val Iterations = 4
+
+  /** q152 — PageRank (4 power iterations, damping 0.85) over the
+    * co-rating graph, in fixed-point BIGINT so the iterative Spark loop
+    * and DuckDB's unrolled CTE chain agree bit-for-bit. Spark side: per
+    * iteration ONE join (edges ⋈ ranks, partial-agg sum of contributions
+    * on dst) + ONE left join back to the node set; per-round
+    * localCheckpoint, lineage O(1). The edge side is pre-partitioned on
+    * the join key, so each round shuffles only the (node, rank) table —
+    * at 100 TB that's the GraphX/Pregel layout: static edges stay put,
+    * the small vertex state moves.
+    */
+  val q152 = oracled(
+    "q152_pagerank",
+    "fixed-point integer PageRank (4 iterations, d=0.85) over the co-rating graph",
+    {
+      val n = "(SELECT COUNT(*) FROM nodes)"
+      def step(k: Int): String =
+        s"""pr$k AS (
+           SELECT nd.user_id AS node,
+             (15 * ${Scale}) // (100 * $n)
+               + (85 * COALESCE(fl.inflow, 0)) // 100 AS rnk
+           FROM nodes nd LEFT JOIN (
+             SELECT d.dst AS node,
+               CAST(SUM(p.rnk // o.deg) AS BIGINT) AS inflow
+             FROM pr${k - 1} p
+             JOIN d ON d.src = p.node
+             JOIN outd o ON o.src = p.node
+             GROUP BY d.dst) fl ON fl.node = nd.user_id)"""
+      s"""WITH $edgesCte,
+         outd AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
+         pr0 AS (SELECT user_id AS node, ${Scale} // $n AS rnk FROM nodes),
+         ${(1 to Iterations).map(step).mkString(",\n")}
+         SELECT node AS user_id, CAST(rnk AS BIGINT) AS pagerank
+         FROM pr$Iterations ORDER BY user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    pageRank(edges, nodes, Iterations)
+      .withColumnRenamed("node", "user_id")
+      .withColumnRenamed("rnk", "pagerank")
+      .orderBy(col("user_id"))
+  }
+
+  /** Fixed-point PageRank over a directed edge list (src, dst) and node
+    * set (user_id). See the recurrence note above [[q152]]; exercised on
+    * known graphs by GraphSpec. Output: (node, rnk) unordered.
+    */
+  private[graft] def pageRank(edges: DataFrame, nodes: DataFrame,
+      iterations: Int): DataFrame = {
+    val n = nodes.count()
+    val base = 15L * Scale / (100L * n)
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // carry the out-degree on the edge row so each iteration is a single
+    // join against the rank table, not two
+    val withDeg = edges.join(outd, "src").localCheckpoint()
+    var pr = nodes.select(col("user_id").as("node"), lit(Scale / n).as("rnk"))
+    for (_ <- 1 to iterations) {
+      val inflow = withDeg.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("rnk div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      pr = nodes
+        .join(inflow, nodes("user_id") === inflow("dst"), "left")
+        .select(nodes("user_id").as("node"),
+          (lit(base) + expr("85 * coalesce(inflow, 0L) div 100")).as("rnk"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** BFS hop cap: the recursive oracle must bound its path length (the
+    * cyclic graph otherwise generates ever-longer (node, dist) rows
+    * forever); the Spark loop FAILS LOUDLY if a frontier survives this
+    * many rounds rather than returning distances that the capped oracle
+    * could disagree with. The co-rating graph's communities are
+    * near-cliques (diameter ~2-4 observed); 20 is a wide margin.
+    */
+  private val MaxHops = 20
+
+  /** q154 — multi-source BFS shortest paths: minimum hop distance from
+    * the seed set (user_id % 10 == 1) to every reachable user, over the
+    * undirected co-rating graph. Spark side: textbook distributed
+    * frontier expansion — per round, join the frontier to the edge
+    * table, anti-join out already-labeled nodes, stop when the frontier
+    * empties (an O(1) count per round is the only driver traffic).
+    * Unreached nodes are absent from the output (same inner semantics in
+    * the oracle's reachability CTE). The DuckDB oracle grows (node,
+    * dist) reachability rows declaratively and takes MIN(dist) — two
+    * independent formulations of BFS.
+    */
+  val q154 = oracled(
+    "q154_bfs_shortest_path",
+    "multi-source BFS hop distance over the co-rating graph == recursive-CTE min-dist oracle",
+    s"""WITH RECURSIVE $edgesCte,
+       seeds AS (SELECT user_id FROM nodes WHERE user_id % 10 = 1),
+       reach(node, dist) AS (
+         SELECT user_id, 0 FROM seeds
+         UNION
+         SELECT d.dst, r.dist + 1
+         FROM reach r JOIN d ON d.src = r.node
+         WHERE r.dist < $MaxHops)
+       SELECT node AS user_id, CAST(MIN(dist) AS BIGINT) AS hops
+       FROM reach GROUP BY node ORDER BY user_id""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val seeds = nodes.filter(col("user_id") % 10 === 1).select(col("user_id").as("node"))
+    bfs(edges, seeds)
+      .withColumnRenamed("node", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  /** Multi-source BFS hop distances over a directed edge list (src, dst)
+    * from a seed node set (node). Output: (node, hops) for every
+    * reachable node, unordered. Exercised on known graphs by GraphSpec.
+    */
+  private[graft] def bfs(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    var labels = seeds.select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = labels.select(col("node"))
+    var hop = 0L
+    var done = frontier.isEmpty
+    while (!done) {
+      hop += 1
+      if (hop > MaxHops)
+        sys.error(s"bfs: frontier alive after $MaxHops hops — " +
+          "raise MaxHops in BOTH the loop and the q154 oracle CTE together")
+      val next = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(labels, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hops"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        labels = labels.unionByName(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+    }
+    labels
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154)
+}

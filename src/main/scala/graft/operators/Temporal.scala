@@ -313,5 +313,71 @@ object Temporal {
       .limit(10)
   }
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133)
+  /** Bucket width for q153's interval-join expansion: 4 days. Intervals
+    * are at most 3 days long (o_orderkey % 3 + 1), so each expands to at
+    * most 2 buckets — the expansion factor is bounded by
+    * ceil(max_len / width) + 1 BY CONSTRUCTION, never by data.
+    */
+  private val RangeBucketDays = 4L
+
+  /** q153 — interval (range) join where NEITHER side is broadcastable:
+    * each urgent order opens a promo window [orderdate, orderdate +
+    * 1..3 days) and is matched to every heavy shipment (quantity >= 49,
+    * ANY order) shipping inside its window. Spark's native plan for a
+    * pure range predicate between two large sides is a broadcast
+    * nested-loop join — O(|A|·|B|) comparisons and a broadcast that dies
+    * at scale. This is the standard fix: quantize time into fixed
+    * buckets, EXPLODE each interval to the <= 2 buckets it covers
+    * (`sequence` — scan-side, no shuffle), tag each point with its ONE
+    * bucket, equi-join on the bucket id (plain shuffle hash join,
+    * partition-parallel), then apply the exact range predicate as a
+    * post-filter. Each (point, interval) pair meets in exactly one
+    * bucket — the point's — so no dedup pass is needed. All arithmetic
+    * is integer DAYS since epoch (the fixture's timestamps are pure
+    * dates; day arithmetic is timezone-free on both engines, unlike
+    * epoch-ms on a TIMESTAMP_NTZ); the DuckDB oracle runs the same
+    * semantics as a declarative BETWEEN join on its native
+    * inequality-join operator (IEJoin) — two independent evaluation
+    * strategies. At 100 TB the bucketed join shuffles each row once and
+    * the per-bucket work is bounded by temporal density, not table size.
+    */
+  val q153 = oracled(
+    "q153_bucketed_range_join",
+    "non-broadcast interval join via bucket expansion == DuckDB IEJoin BETWEEN oracle",
+    """WITH iv AS (SELECT o_orderkey,
+           CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS st_d,
+           CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT)
+             + (o_orderkey % 3) + 1 AS en_d
+         FROM orders WHERE o_orderpriority = '1-URGENT'),
+       pr AS (SELECT CAST(l_shipdate::DATE - DATE '1970-01-01' AS BIGINT) AS p_d,
+           l_quantity
+         FROM lineitem WHERE l_quantity >= 49)
+       SELECT iv.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       FROM iv JOIN pr ON pr.p_d >= iv.st_d AND pr.p_d < iv.en_d
+       GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""") { (s, dir) =>
+    def days(c: org.apache.spark.sql.Column) =
+      datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+    val iv = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), days(col("o_orderdate")).as("st_d"))
+      .withColumn("en_d", col("st_d") + (col("o_orderkey") % 3 + 1))
+      // interval -> every bucket it covers (<= 2 by construction)
+      .withColumn("bucket",
+        explode(sequence(expr(s"st_d div $RangeBucketDays"),
+          expr(s"(en_d - 1) div $RangeBucketDays"))))
+    val pr = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 49)
+      .select(days(col("l_shipdate")).as("p_d"), col("l_quantity"))
+      .withColumn("bucket", expr(s"p_d div $RangeBucketDays"))
+    iv.join(pr, iv("bucket") === pr("bucket")
+        && col("p_d") >= col("st_d") && col("p_d") < col("en_d"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153)
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph operators (operators.Graph) on hand-built graphs where the
+  * expected answers are known or computable by an independent driver-side
+  * implementation of the same integer recurrence.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Scale = 1000000000000L
+
+  private def ranks(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iterations: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("user_id")
+    operators.Graph.pageRank(e, n, iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** The exact fixed-point recurrence, serial reference implementation. */
+  private def referencePageRank(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iterations: Int): Map[Long, Long] = {
+    val n = nodes.size.toLong
+    val base = 15L * Scale / (100L * n)
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / outDeg(src) }.sum
+        }
+    // 85 * inflow may exceed Int range but not Long; integer div matches
+    // Spark's `div` and DuckDB's `//` on non-negative operands
+      r = nodes.map(v => v -> (base + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank == serial reference recurrence on an asymmetric digraph") {
+    // two hubs, a chain, a dangling node (8 -> nothing), an isolated node
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 5), (7, 5), (3, 8))
+    val nodes = (1L to 9L)
+    val got = ranks(edges, nodes, 4)
+    val want = referencePageRank(edges, nodes, 4)
+    assert(got == want)
+    // mass can only leak (floor loss + the dangling node 8 and isolated
+    // node 9 absorb-and-drop): never exceeds the initial Scale
+    assert(got.values.sum <= Scale)
+  }
+
+  test("pageRank symmetry: a directed cycle gives every node the same rank") {
+    val nodes = (0L until 6L)
+    val edges = nodes.map(v => v -> ((v + 1) % 6))
+    val got = ranks(edges, nodes, 4)
+    assert(got.values.toSet.size == 1)
+  }
+
+  test("pageRank centrality: undirected star ranks the center above leaves") {
+    val leaves = (1L to 8L)
+    val edges = leaves.flatMap(l => Seq(0L -> l, l -> 0L))
+    val got = ranks(edges, leaves :+ 0L, 4)
+    assert(leaves.forall(l => got(0L) > got(l)))
+    // all leaves are exchangeable: identical ranks
+    assert(leaves.map(got).toSet.size == 1)
+  }
+
+  test("bfs: multi-source min-hop distances on a known graph") {
+    import spark.implicits._
+    // path 0-1-2-3-4 (undirected), branch 2-5, isolated 9; seeds {0, 4}
+    val und = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (3, 4), (2, 5))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 4L).toDF("node")
+    val got = operators.Graph.bfs(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 5L -> 3L))
+    // isolated node 9 must be absent, not at some sentinel distance
+    assert(!got.contains(9L))
+  }
+
+  test("bfs: empty seed set returns an empty labeling") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((0, 1), (1, 0)).toDF("src", "dst")
+    val seeds = spark.emptyDataset[Long].toDF("node")
+    assert(operators.Graph.bfs(edges, seeds).isEmpty)
+  }
+}

@@ -199,4 +199,21 @@ class PlanContractSpec extends AnyFunSuite {
       "moment sums lost their map-side partial phase\n" + p)
     assert(!p.contains("Join"), "closed-form OLS must not join\n" + p)
   }
+
+  test("q153: the interval join is an equi-join on the bucket, never a nested loop") {
+    val p = plan(operators.Temporal.q153)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate degenerated to a nested-loop/cross join\n" + p)
+    // the bucket ids must be a join KEY (hashpartitioning or broadcast on
+    // bucket), with the range predicate as a post-join condition
+    assert(p.contains("bucket"), p)
+  }
+
+  test("q155: Apriori prune keeps the basket self-join behind a semi-join") {
+    val p = plan(operators.Analytics.q155)
+    assert(p.contains("LeftSemi"),
+      "frequent-1 downward-closure prune (left_semi) missing from the plan\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation degenerated to a cross product\n" + p)
+  }
 }
