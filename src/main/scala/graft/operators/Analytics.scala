@@ -518,28 +518,26 @@ object Analytics {
               UNION ALL SELECT z FROM t)
        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
        FROM v GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
-    val r = Tables.events(s, dir)
-      .select(col("user_id"), (col("event_id") % 100).as("item_id"),
-        (floor(col("value")).cast("long") % 5 + 1).as("rating"))
-      .distinct()
-      // both sides of the co-rating self-join read this relation:
-      // materialize the distinct once instead of scanning+deduping twice
-      .localCheckpoint()
-    val edges = r.alias("a")
-      .join(r.alias("b"),
-        col("a.item_id") === col("b.item_id")
-          && col("a.rating") === col("b.rating")
-          && col("a.user_id") < col("b.user_id"))
-      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
-      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 14)
-      .select(col("ua"), col("ub"))
-      // the edge list feeds degree + three oriented-adjacency scans:
-      // materialize once (at cluster scale this is the persisted edge
-      // table) instead of re-running the co-rating pair explosion 4x
-      .localCheckpoint()
-    triangleCounts(edges)
+    coRatingTriangles(s, dir).orderBy(col("user_id"))
   }
+
+  /** One triangle computation per data dir, over the SHARED co-rating
+    * edge table ([[Graph.coRatingGraph]] — also feeds q152 PageRank and
+    * q154 BFS): q138 lists the counts, q158 derives the clustering
+    * coefficient. The memoized value is a 2-column per-vertex frame.
+    */
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def coRatingTriangles(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    triCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+      val (edges, _) = Graph.coRatingGraph(s, dir)
+      // the directed table holds both orientations; keep the ua < ub half
+      val und = edges.filter(col("src") < col("dst"))
+        .select(col("src").as("ua"), col("dst").as("ub"))
+      triangleCounts(und).localCheckpoint()
+    })
 
   /** Per-vertex triangle counts of an undirected simple graph given as
     * a deduped (ua < ub) edge list — the degree-oriented wedge join
@@ -804,7 +802,57 @@ object Analytics {
       .orderBy(col("p1"), col("p2"))
   }
 
+  /** q158 — local clustering coefficient: per user with degree >= 2,
+    * the fraction of its neighbor pairs that are themselves connected —
+    * 2·triangles / (deg·(deg−1)), the standard local transitivity
+    * measure (community tightness next to q138's raw triangle counts).
+    * Reuses BOTH memoized artifacts: the shared co-rating edge table
+    * (degree = out-degree of the directed form, one partial-agg count)
+    * and the per-vertex triangle counts (computed once for q138/q158).
+    * The only double is the final ratio (identical expression order both
+    * engines, rounded 6dp); everything upstream is exact BIGINT.
+    */
+  val q158 = oracled(
+    "q158_clustering_coefficient",
+    "local clustering coefficient from shared triangle + degree artifacts",
+    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        e AS (SELECT a.user_id AS ua, b.user_id AS ub
+          FROM r a JOIN r b
+            ON a.item_id = b.item_id AND a.rating = b.rating
+           AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+        dv AS (SELECT ua AS v FROM e UNION ALL SELECT ub FROM e),
+        deg AS (SELECT v, COUNT(*) AS degree FROM dv GROUP BY v),
+        t AS (SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+          FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+                    JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+        tv AS (SELECT x AS v FROM t
+               UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t),
+        tc AS (SELECT v, COUNT(*) AS n_triangles FROM tv GROUP BY v)
+       SELECT deg.v AS user_id, CAST(deg.degree AS BIGINT) AS degree,
+         CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+           / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6) AS coeff
+       FROM deg LEFT JOIN tc ON tc.v = deg.v
+       WHERE deg.degree >= 2
+       ORDER BY user_id""") { (s, dir) =>
+    val (edges, _) = Graph.coRatingGraph(s, dir)
+    // both orientations are materialized, so out-degree IS the degree
+    val deg = edges.groupBy(col("src").as("user_id"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 2)
+    deg.join(coRatingTriangles(s, dir), Seq("user_id"), "left")
+      .select(col("user_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        round((lit(2) * col("n_triangles")).cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151, q155)
+      q135, q138, q145, q146, q148, q151, q155, q158)
 }

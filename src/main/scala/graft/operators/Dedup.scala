@@ -767,5 +767,60 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[GQuery] = Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149)
+  /** q157 window span: each record pairs with the next (Span - 1)
+    * records in blocking-key order.
+    */
+  private val SnmSpan = 4
+
+  /** q157 edit-distance match threshold on the candidate pairs. */
+  private val SnmMaxLev = 40
+
+  /** q157 — sorted-neighborhood near-dup (Hernández/Stolfo): sort the
+    * corpus by a fuzzy blocking key (lang, text prefix), slide a window
+    * of [[SnmSpan]] records, and verify each in-window pair by exact
+    * Levenshtein — the classic entity-resolution candidate generator,
+    * complementary to the hash families here (MinHash/SimHash catch
+    * token-set overlap; SNM catches records that COLLATE together, e.g.
+    * shared prefixes, even when their tails differ). Scale shape: the
+    * global sort position comes from [[graft.plans.Ordinal]] (parallel
+    * range sort + per-partition stitch — NO single-partition window),
+    * and "within w of me" becomes an EQUI-join: each record emits its
+    * rank shifted by k = 1..w-1 (scan-side explode, bounded fan-out w-1)
+    * and joins on rank equality — a shuffle hash join on a dense unique
+    * key, perfectly balanced at any scale. The oracle runs the textbook
+    * single-window formulation (row_number + inequality self-join).
+    * Levenshtein is an exact integer algorithm on both engines.
+    */
+  val q157 = oracled(
+    "q157_sorted_neighborhood",
+    "sorted-neighborhood dedup: distributed-ordinal window == row_number+band-join oracle",
+    s"""WITH s AS (SELECT doc_id, text,
+           row_number() OVER (ORDER BY lang, substr(text, 1, 12), doc_id) AS rn
+         FROM documents),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS lev
+         FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND ${SnmSpan - 1})
+       SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev
+       FROM p WHERE lev <= $SnmMaxLev ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val ranked = graft.plans.Ordinal.withGlobalOrdinal(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        col("lang"), substring(col("text"), 1, 12).as("pfx")),
+      "rn", col("lang"), col("pfx"), col("doc_id"))
+      .select(col("doc_id"), col("text"), col("rn"))
+      .localCheckpoint() // both sides of the neighborhood join scan it
+    // "b is 1..w-1 ahead of a" as an equi-join: a emits rn+k probes
+    val probes = ranked
+      .select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        explode(sequence(col("rn") + 1, col("rn") + (SnmSpan - 1))).as("rn_b"))
+    probes
+      .join(ranked.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b"), col("rn").as("rn_b")), "rn_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"))
+      .filter(col("lev") <= SnmMaxLev)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157)
 }

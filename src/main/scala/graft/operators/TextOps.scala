@@ -526,6 +526,65 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q156 — corpus-saturation curve (Heaps'-law novelty rate): split the
+    * corpus into 10 doc_id deciles and report, per decile, how many
+    * trigram TYPES appear there for the first time — the diminishing-
+    * returns metric a data-collection pipeline watches to decide when
+    * more of the same source stops adding new content. The scale shape
+    * is the non-obvious part: "cumulative distinct" is not computable as
+    * a running window (distinct state grows with the corpus); instead
+    * each type's FIRST decile is one min-aggregate over the trigram
+    * stream (partial-agg, mergeable), and the curve falls out of a
+    * 10-row histogram — the same first-occurrence trick q120's winnowing
+    * uses for anchors. All counts are exact BIGINT; the novelty ratio is
+    * the only double (identical expression both engines, rounded 6dp).
+    * Reuses the memoized tokenized corpus ([[Dedup.tokenized]]).
+    */
+  val q156 = oracled(
+    "q156_vocab_growth",
+    "per-decile novel-trigram rate (Heaps-law saturation curve) via first-occurrence min-agg",
+    """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+       w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       tri AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri FROM w),
+       dec AS (SELECT (doc_id * 10) // (SELECT c FROM n) AS decile, tri FROM tri),
+       first AS (SELECT tri, MIN(decile) AS fd FROM dec GROUP BY tri),
+       newt AS (SELECT fd AS decile, COUNT(*) AS new_types FROM first GROUP BY fd),
+       tot AS (SELECT decile, COUNT(*) AS n_trigrams FROM dec GROUP BY decile)
+       SELECT t.decile,
+         CAST(COALESCE(nw.new_types, 0) AS BIGINT) AS new_types,
+         CAST(t.n_trigrams AS BIGINT) AS n_trigrams,
+         CAST(SUM(COALESCE(nw.new_types, 0)) OVER
+           (ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+         ROUND(CAST(COALESCE(nw.new_types, 0) AS DOUBLE)
+           / CAST(t.n_trigrams AS DOUBLE), 6) AS novelty
+       FROM tot t LEFT JOIN newt nw ON nw.decile = t.decile
+       ORDER BY t.decile""") { (s, dir) =>
+    val n = Tables.documents(s, dir).count()
+    val tris = Dedup.tokenized(s, dir)
+      .select(expr(s"doc_id * 10 div $n").as("decile"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array())).as("tri"))
+    val first = tris.groupBy(col("tri")).agg(min(col("decile")).as("fd"))
+    val newt = first.groupBy(col("fd").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val tot = tris.groupBy(col("decile")).agg(count(lit(1)).as("n_trigrams"))
+    // the curve itself is 10 rows: the running sum is a tiny post-agg
+    // window, same class as q148's transition matrix
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tot.join(newt, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        col("n_trigrams"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("novelty",
+        round(col("new_types").cast("double") / col("n_trigrams").cast("double"), 6))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147)
+    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147, q156)
 }
