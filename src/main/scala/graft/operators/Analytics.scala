@@ -852,7 +852,55 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q160 — robust outlier screen via median absolute deviation: per
+    * event_type, the median, the MAD (median of |value − median|), and
+    * the count of readings beyond 3 scaled MADs — the robust alternative
+    * to q134's mean/σ z-score (one corrupted burst inflates σ and hides
+    * itself; the median/MAD breakdown point is 50%). Distributed shape:
+    * TWO exact grouped percentiles (sort-based, partial-merge
+    * aggregates) with the per-group medians broadcast back between them
+    * — group cardinality is event-type-bounded, so the broadcast is a
+    * handful of rows at any corpus size; nothing is ever collected.
+    * Interpolated-percentile parity with DuckDB is already proven by
+    * q58; the 1.4826 normal-consistency constant multiplies identically
+    * on both engines.
+    */
+  val q160 = oracled(
+    "q160_mad_outliers",
+    "per-type median/MAD robust outlier counts (two grouped exact percentiles)",
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY event_type),
+       dev AS (SELECT e.event_type, e.value, m.med,
+           abs(e.value - m.med) AS adev
+         FROM events e JOIN med m ON m.event_type = e.event_type),
+       mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+         FROM dev GROUP BY event_type)
+       SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(ANY_VALUE(d.med), 6) AS med,
+         ROUND(ANY_VALUE(a.mad), 6) AS mad,
+         CAST(COUNT(*) FILTER (WHERE a.mad > 0
+           AND abs(d.value - d.med) > 3 * 1.4826 * a.mad) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad a ON a.event_type = d.event_type
+       GROUP BY d.event_type ORDER BY d.event_type""") { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        count(when(col("mad") > 0
+          && abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"),
+          1)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151, q155, q158)
+      q135, q138, q145, q146, q148, q151, q155, q158, q160)
 }

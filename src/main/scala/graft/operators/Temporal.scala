@@ -378,6 +378,46 @@ object Temporal {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q159 — time-weighted average (the IoT/finance aggregate plain AVG
+    * gets wrong on irregularly-sampled series): each reading is weighted
+    * by how long it was current — Σ value·Δt / Σ Δt per user, Δt from
+    * the NEXT event's timestamp (last reading carries no weight).
+    * Determinism: Δt is exact BIGINT micros, value goes through the
+    * fixture's DECIMAL(18,2) convention, so the weighted sum is an exact
+    * DECIMAL × BIGINT product — order-independent, partial-agg
+    * mergeable; only the final ratio is double (identical expression,
+    * rounded 6dp). One window pass (user partitioning — the same
+    * high-cardinality key as q13/q14/q117) + one hash aggregate.
+    */
+  val q159 = oracled(
+    "q159_time_weighted_avg",
+    "per-user time-weighted average value (exact decimal x interval-micros weights)",
+    """WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t2
+         FROM events),
+       w AS (SELECT user_id, v * (t2 - t) AS vw, t2 - t AS dt
+         FROM o WHERE t2 IS NOT NULL)
+       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         ROUND(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa_value
+       FROM w GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("t"), dec2(col("value")).as("v"))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v") * (col("t2") - col("t"))).as("svw"),
+        sum(col("t2") - col("t")).as("sdt"))
+      .select(col("user_id"), col("n_intervals"),
+        round(col("svw").cast("double") / col("sdt").cast("double"), 6)
+          .as("twa_value"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153)
+    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159)
 }
