@@ -815,9 +815,15 @@ object Dedup {
     probes
       .join(ranked.select(col("doc_id").as("doc_b"),
         col("text").as("text_b"), col("rn").as("rn_b")), "rn_b")
+      // |len(a)-len(b)| is a lower bound on the edit distance: prune
+      // before any DP runs (free — lengths are already in the row)
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= SnmMaxLev)
+      // banded DP: O(len x threshold) cells instead of O(len x len);
+      // -1 (= "above threshold") rows carry no information and drop.
+      // Identical kept rows/values to the unbounded form the oracle runs
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"))
-      .filter(col("lev") <= SnmMaxLev)
+        levenshtein(col("text_a"), col("text_b"), SnmMaxLev).cast("long").as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= SnmMaxLev)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
