@@ -418,6 +418,113 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** One scanned row of [[cappedRunningBalance]]'s input: exact signed
+    * cents, ordered per user by (t, event_id).
+    */
+  private[graft] final case class BalanceDelta(
+      user_id: Long, t: Long, event_id: Long, delta: Long)
+
+  /** Per-user result of the capped scan. */
+  private[graft] final case class BalanceOut(
+      user_id: Long, final_cents: Long, n_clamps: Long, n_events: Long)
+
+  /** Sequential capped scan: bal' = max(0, bal + delta) per user in
+    * (t, event_id) order — rate-limiter / stock-level semantics. The
+    * clamp makes this NON-windowable (max(0, ·) between every pair of
+    * prefix-sum terms has no closed form), so it is the textbook
+    * justification for SURVEY §5's mapPartitions carve-out: repartition
+    * on the key, sortWithinPartitions by (key, time) — Spark's secondary
+    * sort — then ONE forward pass per partition with O(1) state and a
+    * key-change reset. No group is ever collected; memory is constant
+    * regardless of how many events one user has (the flatMapGroups
+    * alternative buffers a whole user's history).
+    */
+  private[graft] def cappedRunningBalance(
+      deltas: org.apache.spark.sql.Dataset[BalanceDelta])
+      : org.apache.spark.sql.Dataset[BalanceOut] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[BalanceOut] {
+          private var cur = -1L
+          private var bal = 0L
+          private var clamps = 0L
+          private var n = 0L
+          private var pending: BalanceOut = _
+          private var done = false
+          private def emit(): BalanceOut = BalanceOut(cur, bal, clamps, n)
+          override def hasNext: Boolean = {
+            if (pending != null) return true
+            while (it.hasNext) {
+              val d = it.next()
+              if (d.user_id != cur && n > 0) {
+                pending = emit()
+                cur = d.user_id; bal = 0L; clamps = 0L; n = 0L
+              } else if (n == 0) cur = d.user_id
+              val nb = bal + d.delta
+              if (nb < 0) { bal = 0L; clamps += 1 } else bal = nb
+              n += 1
+              if (pending != null) return true
+            }
+            if (!done && n > 0) { pending = emit(); done = true }
+            pending != null
+          }
+          override def next(): BalanceOut = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
+        }
+      }
+  }
+
+  /** q161 — capped running balance: per user, fold signed cents
+    * (credits for signup/purchase, debits otherwise) through
+    * bal' = max(0, bal + delta) in event order, reporting the final
+    * balance and how often the floor clamped. Spark side is the
+    * secondary-sort scan above (genuinely sequential per key — the S5
+    * carve-out earned, not assumed); the DuckDB oracle computes the same
+    * fold declaratively as a recursive CTE stepping rn -> rn+1 per user.
+    * All arithmetic is exact BIGINT cents (the dec2 × 100 convention),
+    * so two utterly different evaluation strategies hash-match.
+    */
+  val q161 = oracled(
+    "q161_capped_running_balance",
+    "per-user clamped-at-zero running balance: secondary-sort scan == recursive-CTE fold",
+    """WITH RECURSIVE o AS (
+         SELECT user_id, event_id,
+           CASE WHEN event_type IN ('purchase', 'signup')
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+           row_number() OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events),
+       rec(user_id, rn, bal, clamps) AS (
+         SELECT user_id, rn, GREATEST(delta, 0),
+           CASE WHEN delta < 0 THEN 1 ELSE 0 END
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.rn, GREATEST(rec.bal + o.delta, 0),
+           rec.clamps + CASE WHEN rec.bal + o.delta < 0 THEN 1 ELSE 0 END
+         FROM rec JOIN o ON o.user_id = rec.user_id AND o.rn = rec.rn + 1),
+       fin AS (SELECT user_id, MAX(rn) AS mrn FROM o GROUP BY user_id)
+       SELECT r.user_id, CAST(r.bal AS BIGINT) AS final_cents,
+         CAST(r.clamps AS BIGINT) AS n_clamps, CAST(f.mrn AS BIGINT) AS n_events
+       FROM rec r JOIN fin f ON f.user_id = r.user_id AND r.rn = f.mrn
+       ORDER BY r.user_id""") { (s, dir) =>
+    import s.implicits._
+    val cents = (dec2(col("value")) * 100).cast("long")
+    val deltas = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"), cents)
+          .otherwise(-cents).as("delta"))
+      .as[BalanceDelta]
+    cappedRunningBalance(deltas)
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159)
+    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161)
 }
