@@ -68,9 +68,11 @@ object Graph {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
-  /** Returns (directed edges (src, dst) — both directions of the
-    * undirected graph — and the node set (user_id)). Both
-    * localCheckpoint'd: every iteration of every consumer re-scans them.
+  /** Returns (directed edges (src, dst, deg) — both directions of the
+    * undirected graph, each row carrying its source's out-degree — and
+    * the node set (user_id)). Both localCheckpoint'd, the edges with a
+    * declared hashpartitioning(src) layout: every iteration of every
+    * consumer re-scans them without moving them.
     */
   private[graft] def coRatingGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     edgeCache.getOrElseUpdate(graft.Memo.key(s, dir), {
@@ -87,11 +89,27 @@ object Graph {
         .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
         .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= MinShared)
-      val edges = und.select(col("ua").as("src"), col("ub").as("dst"))
-        .unionByName(und.select(col("ub").as("src"), col("ua").as("dst")))
-        // every iteration joins on src: lay the static side out once
-        .repartition(col("src"))
-        .localCheckpoint()
+      // Lay the static side out ONCE, WITH the out-degree already on the
+      // row (so a PageRank round is a single join against the rank
+      // table): every iteration joins on src, and the whole GraphX-style
+      // cost model ("edges stay put, vertex state moves") depends on the
+      // checkpointed table DECLARING its hash layout. Under AQE the
+      // checkpoint captures the partitioning before the adaptive plan
+      // finalizes — UnknownPartitioning — and every round would silently
+      // re-shuffle the edge table (GraphSpec pins the preserved layout),
+      // so this one eager materialization runs with AQE off.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      val edges =
+        try {
+          s.conf.set(aqeKey, "false")
+          val directed = und.select(col("ua").as("src"), col("ub").as("dst"))
+            .unionByName(und.select(col("ub").as("src"), col("ua").as("dst")))
+          val outd = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          directed.join(outd, "src")
+            .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+            .localCheckpoint()
+        } finally s.conf.set(aqeKey, prevAqe)
       val nodes = r.select(col("user_id")).distinct().localCheckpoint()
       (edges, nodes)
     })
@@ -155,10 +173,15 @@ object Graph {
       iterations: Int): DataFrame = {
     val n = nodes.count()
     val base = 15L * Scale / (100L * n)
-    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // carry the out-degree on the edge row so each iteration is a single
-    // join against the rank table, not two
-    val withDeg = edges.join(outd, "src").localCheckpoint()
+    // the out-degree rides on the edge row so each iteration is a single
+    // join against the rank table, not two; the memoized co-rating table
+    // arrives pre-enriched AND pre-partitioned (see coRatingGraph) —
+    // deriving it here (the synthetic-graph path) costs one extra join
+    val withDeg =
+      if (edges.columns.contains("deg")) edges
+      else edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint()
     var pr = nodes.select(col("user_id").as("node"), lit(Scale / n).as("rnk"))
     for (_ <- 1 to iterations) {
       val inflow = withDeg.join(pr, col("src") === col("node"))

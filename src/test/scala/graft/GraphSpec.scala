@@ -97,4 +97,31 @@ class GraphSpec extends AnyFunSuite {
     val seeds = spark.emptyDataset[Long].toDF("node")
     assert(operators.Graph.bfs(edges, seeds).isEmpty)
   }
+
+  test("the memoized edge table keeps its src hash layout through the checkpoint") {
+    // the iteration-scale claim: every PageRank/BFS round joins the
+    // static edge side WITHOUT re-shuffling it — true only if the
+    // localCheckpoint preserves the repartition(src) layout, which this
+    // pins down (a Spark behavior change here would silently double the
+    // per-round shuffle mass at cluster scale)
+    val (edges, _) = operators.Graph.coRatingGraph(spark, "/root/testdata/sf0.001")
+    val part = edges.queryExecution.executedPlan.outputPartitioning
+    assert(part.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+      s"edge layout lost through checkpoint: $part")
+    val exprs = part.asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      .expressions.map(_.toString).mkString(",")
+    assert(exprs.contains("src"), s"partitioned on $exprs, not src")
+  }
+
+  test("a PageRank round never re-shuffles the edge side (vertex state moves, edges stay)") {
+    import spark.implicits._
+    val (edges, nodes) = operators.Graph.coRatingGraph(spark, "/root/testdata/sf0.001")
+    val pr = nodes.select(col("user_id").as("node"), lit(1000L).as("rnk"))
+    val round = edges.join(pr, col("src") === col("node"))
+      .select(col("dst"), expr("rnk div deg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(src"),
+      "the static edge table is re-shuffled every round\n" + p)
+  }
 }
