@@ -264,5 +264,52 @@ object Graph {
     labels
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154)
+  /** q162 — two-hop feature propagation (unnormalized message passing,
+    * the aggregation step of a GNN layer): each user's feature is its
+    * event count; hop 1 sums the feature over direct co-rating
+    * neighbors, hop 2 sums hop-1 over neighbors — so h2 counts
+    * length-2 walks weighted by endpoint features, the signal
+    * embedding-propagation / label-propagation systems compute at scale.
+    * Spark side: two rounds of the SAME join shape the PageRank loop
+    * uses (edges ⋈ vertex-state on the pre-partitioned side, partial-agg
+    * sum on dst) — the edge table never moves. All values exact BIGINT
+    * (features are counts; sums of counts), so the two-join DuckDB
+    * formulation hash-matches with no rounding policy.
+    */
+  val q162 = oracled(
+    "q162_feature_propagation",
+    "two-hop neighbor feature sums (GNN message passing) over the shared edge table",
+    s"""WITH $edgesCte,
+       f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS feat
+         FROM events GROUP BY user_id),
+       h1 AS (SELECT d.dst AS user_id, SUM(f.feat) AS h1
+         FROM d JOIN f ON f.user_id = d.src GROUP BY d.dst),
+       h2 AS (SELECT d.dst AS user_id, SUM(h1.h1) AS h2
+         FROM d JOIN h1 ON h1.user_id = d.src GROUP BY d.dst)
+       SELECT f.user_id, f.feat,
+         CAST(COALESCE(h1.h1, 0) AS BIGINT) AS h1,
+         CAST(COALESCE(h2.h2, 0) AS BIGINT) AS h2
+       FROM f LEFT JOIN h1 ON h1.user_id = f.user_id
+              LEFT JOIN h2 ON h2.user_id = f.user_id
+       ORDER BY f.user_id""") { (s, dir) =>
+    val (edges, _) = coRatingGraph(s, dir)
+    val feat = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("feat"))
+      .localCheckpoint() // scanned by both hops and the final join
+    def hop(state: DataFrame, valueCol: String, out: String): DataFrame =
+      edges.join(state, col("src") === col("user_id"))
+        .groupBy(col("dst"))
+        .agg(sum(col(valueCol)).as(out))
+        .withColumnRenamed("dst", "user_id")
+    val h1 = hop(feat, "feat", "h1").localCheckpoint()
+    val h2 = hop(h1, "h1", "h2")
+    feat.join(h1, Seq("user_id"), "left")
+      .join(h2, Seq("user_id"), "left")
+      .select(col("user_id"), col("feat"),
+        coalesce(col("h1"), lit(0L)).as("h1"),
+        coalesce(col("h2"), lit(0L)).as("h2"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162)
 }
