@@ -191,7 +191,12 @@ object Graph {
         .join(inflow, nodes("user_id") === inflow("dst"), "left")
         .select(nodes("user_id").as("node"),
           (lit(base) + expr("85 * coalesce(inflow, 0L) div 100")).as("rnk"))
-        .localCheckpoint()
+        // LAZY checkpoint: the iteration count is FIXED, so the plan is
+        // at most `iterations` joins deep and one final action can
+        // materialize the whole chain — no per-round job barrier (the
+        // unbounded loops — CC, BFS — need eager rounds because they
+        // read a scalar per round anyway; this one doesn't)
+        .localCheckpoint(false)
     }
     pr
   }
