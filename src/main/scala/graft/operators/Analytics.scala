@@ -715,11 +715,12 @@ object Analytics {
     "q151_distribution_scale_rank",
     "q66's ntile/percent_rank/cume_dist via two-level distributed rank",
     """SELECT c_custkey, c_mktsegment,
-       CAST(ntile(4) OVER w AS INT) AS quartile,
-       percent_rank() OVER w AS pct_rank,
-       cume_dist() OVER w AS cume
+       CAST(ntile(4) OVER wu AS INT) AS quartile,
+       percent_rank() OVER wt AS pct_rank,
+       cume_dist() OVER wt AS cume
        FROM customer
-       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       WINDOW wu AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+              wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
        ORDER BY c_custkey""") { (s, dir) =>
     val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -729,7 +730,14 @@ object Analytics {
     val segN = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
     // ties share a balance, so their min (= rank()) and max (= the rank
     // cume_dist counts to) aggregate on the tie key itself — a
-    // high-cardinality shuffle, never a per-segment sort
+    // high-cardinality shuffle, never a per-segment sort. The oracle's
+    // pct_rank/cume window therefore orders by balance ALONE (real tie
+    // semantics — the whole point of the tie-class derivation); only
+    // ntile keeps the unique custkey tiebreak, because ntile splits tie
+    // groups by underlying order and would be nondeterministic without
+    // it. The sf0.1 gate caught the earlier version using the unique
+    // order for all three: duplicate balances first appear at that
+    // scale, and cume was one tie-member high per duplicate.
     val ties = ranked.groupBy(col("c_mktsegment"), col("c_acctbal"))
       .agg(min(col("rn")).as("tie_lo"), max(col("rn")).as("tie_hi"))
     ranked.join(ties, Seq("c_mktsegment", "c_acctbal"))

@@ -165,21 +165,32 @@ object Similarity {
     */
   val q74 = oracled(
     "q74_embedding_centroids",
-    "per-label centroid of 64-dim embeddings, exact-decimal mean",
+    "per-label centroid of 64-dim embeddings as the exact mergeable mean state (sum, n)",
     """SELECT label, CAST(t.i AS INT) AS dim,
-         CAST(SUM(CAST(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-           / COUNT(*) AS centroid
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(CAST(embedding[CAST(t.i + 1 AS INT)] AS VARCHAR) AS DECIMAL(28,18)))
+           AS centroid_sum
        FROM embeddings CROSS JOIN range(0, 64) t(i)
        GROUP BY label, t.i
        ORDER BY label, dim""") { (s, dir) =>
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      // float → double → decimal explicitly: the engines' direct
-      // float→decimal casts round differently (shortest-float repr vs
-      // double value); via double both see the identical operand
-      .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
-        .as("centroid"))
+      // float → shortest STRING → decimal: both engines print a float as
+      // its unique shortest round-trip decimal (≤ 9 significant digits;
+      // with |v| ≥ 1e-9 it fits DECIMAL(28,18) EXACTLY — no rounding
+      // step exists to disagree on). The earlier double→DECIMAL(18,9)
+      // route hit a tie at sf0.1 ONLY: 0.1494140625 is dyadic with an
+      // exact half at digit 10 — DuckDB rounds half-even (…62), Spark
+      // half-up (…63) — one element in 128,000, one centroid 5e-12 off.
+      // the output IS the mergeable mean state (Σ exact, n) — the form a
+      // distributed mean actually shuffles and merges; the quotient is
+      // the caller's one division. Emitting it as a double here would
+      // re-open an engine gap: DuckDB's DECIMAL→DOUBLE cast converts
+      // int128 then divides by 10^scale (two roundings, can land 1 ulp
+      // off the correctly-rounded value Spark's BigDecimal path gives).
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("string").cast("decimal(28,18)")).as("centroid_sum"))
       .orderBy(col("label"), col("dim"))
   }
 
