@@ -17,10 +17,13 @@ import graft.functions.{DotProduct, NormalizeText, RollingHash, SortedIntersectC
   *    test/REPL path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in range-join bucketing (no-op until its width conf is set)
+    e.injectOptimizerRule(RangeJoinBucketing)
+  }
 }
 
 object GraftExtensions {
@@ -52,9 +55,13 @@ object GraftExtensions {
       arity("nfc_normalize", 1)(es => NormalizeText(es.head, "NFC"))))
 
   /** Register on a live session (functionRegistry path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RangeJoinBucketing]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinBucketing(spark)
+  }
 }
