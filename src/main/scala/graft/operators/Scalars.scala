@@ -436,6 +436,63 @@ object Scalars {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q164 — NULL-semantics battery: the engine-difference minefield,
+    * pinned through the gate. Nulls are derived deterministically
+    * (negative balances → NULL) because the fixtures ship none. Covers:
+    * aggregate null-skipping (COUNT(col) vs COUNT(*), MIN/MAX/AVG over
+    * a column with nulls), GROUP BY folding nulls into one group, and —
+    * the actual trap — sort placement: Spark's ASC default is NULLS
+    * FIRST, DuckDB's is NULLS LAST, so the per-segment top-3 window
+    * spells NULLS FIRST explicitly on BOTH engines. A query that
+    * "works" while silently inheriting either default breaks the moment
+    * it moves engines; this one documents the contract.
+    */
+  val q164 = oracled(
+    "q164_null_semantics",
+    "null-skipping aggregates + explicit NULLS FIRST ordering parity",
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+         FROM customer),
+       agg AS (SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(*) - COUNT(bal) AS BIGINT) AS n_null,
+           MIN(bal) AS min_bal, MAX(bal) AS max_bal,
+           ROUND(AVG(bal), 6) AS avg_bal
+         FROM c GROUP BY c_mktsegment),
+       top3 AS (SELECT c_mktsegment, c_custkey,
+           row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY bal ASC NULLS FIRST, c_custkey) AS rn
+         FROM c)
+       SELECT a.c_mktsegment, a.n_rows, a.n_nonnull, a.n_null,
+         a.min_bal, a.max_bal, a.avg_bal,
+         CAST(t.rn AS BIGINT) AS rn, t.c_custkey AS nulls_first_key
+       FROM agg a JOIN top3 t ON t.c_mktsegment = a.c_mktsegment
+       WHERE t.rn <= 3
+       ORDER BY a.c_mktsegment, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+    val agg = c.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("bal")).as("n_nonnull"),
+        (count(lit(1)) - count(col("bal"))).as("n_null"),
+        min(col("bal")).as("min_bal"), max(col("bal")).as("max_bal"),
+        round(avg(col("bal")), 6).as("avg_bal"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal").asc_nulls_first, col("c_custkey"))
+    val top3 = c.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey").as("nulls_first_key"))
+    agg.join(top3, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_rows"), col("n_nonnull"), col("n_null"),
+        col("min_bal"), col("max_bal"), col("avg_bal"), col("rn"),
+        col("nulls_first_key"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89, q127)
+    Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89,
+      q127, q164)
 }
