@@ -110,5 +110,38 @@ object SetOps {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19)
+  /** q165 — approx_percentile accuracy CONTRACT through the gate (the
+    * q19 trick for the quantile sketch): per segment, the approximate
+    * median's RANK must sit within the documented error of the true
+    * median rank (accuracy parameter 1000 → rank error <= n/1000 + 1).
+    * Spark emits the bound check computed from its sketch; the oracle
+    * emits literal TRUE from exact data — if the sketch ever degrades
+    * past its contract, the hash gate fails. The rank join-back is one
+    * broadcast (5 medians) + one aggregate; the exact median is the
+    * oracle-proven percentile parity from q58.
+    */
+  val q165 = oracled(
+    "q165_approx_percentile_contract",
+    "approx_percentile rank-error bound vs exact rank (sketch accuracy contract)",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(c_acctbal, 0.5) AS exact_median,
+         TRUE AS within_rank_error
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+    val cust = Tables.customer(s, dir).select(col("c_mktsegment"), col("c_acctbal"))
+    val stats = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("c_acctbal"), lit(0.5)).as("exact_median"),
+        approx_percentile(col("c_acctbal"), lit(0.5), lit(1000)).as("approx_median"))
+    // rank of the sketch's answer = #values <= it, per segment
+    val ranks = cust.join(broadcast(stats), "c_mktsegment")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(when(col("c_acctbal") <= col("approx_median"), 1)).as("approx_rank"))
+    stats.join(ranks, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n"), col("exact_median"),
+        (abs(col("approx_rank") - col("n") / lit(2.0))
+          <= col("n") / lit(1000.0) + 1).as("within_rank_error"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165)
 }
