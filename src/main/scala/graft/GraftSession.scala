@@ -39,7 +39,11 @@ object GraftSession {
   }
 
   /** Registers the fixture tables as temp views on `spark` (idempotent;
-    * re-attach to point the views at a different scale factor).
+    * re-attach to point the views at a different scale factor). Also
+    * registers `ratings` — the derived MovieLens-shaped relation the
+    * recommender family (q30–q38, q86) and the graph family
+    * (q138/q152/q154/q158/q162) are defined over — so SQL users query
+    * the same relation the engine queries without re-deriving it.
     */
   def attach(spark: SparkSession, sfDir: String): Unit = {
     GraftExtensions.register(spark)
@@ -50,5 +54,6 @@ object GraftSession {
       }
       df.createOrReplaceTempView(t)
     }
+    ml.Recommender.ratings(spark, sfDir).createOrReplaceTempView("ratings")
   }
 }

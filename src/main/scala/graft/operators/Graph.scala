@@ -316,5 +316,59 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154, q162)
+  /** q166 — degree assortativity: the Pearson correlation of endpoint
+    * degrees over every directed edge — the one-number answer to "do
+    * hubs connect to hubs?" (positive: social-style core-periphery;
+    * negative: star-like). Operationally it decides whether hub-skew
+    * mitigations (salting, degree-oriented orientation like q138's) are
+    * load-bearing for THIS graph. One pass over the memoized edge table
+    * (source degree already on the row, destination degree one
+    * equi-join). Computed from exact BIGINT moments with explicit
+    * degenerate-input guards (q145's pattern) rather than corr():
+    * ANSI-mode corr THROWS DivideByZero on a variance-free or
+    * sub-2-row input — exactly what the sf0.001 fixture graph is —
+    * where the moment form returns NULL on both engines.
+    */
+  val q166 = oracled(
+    "q166_degree_assortativity",
+    "endpoint-degree Pearson correlation over the co-rating edges (hub-mixing signal)",
+    s"""WITH $edgesCte,
+       deg AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
+       ed AS (SELECT ds.deg AS sdeg, dd.deg AS ddeg
+         FROM d JOIN deg ds ON ds.src = d.src
+                JOIN deg dd ON dd.src = d.dst),
+       m AS (SELECT COUNT(*) AS n, SUM(sdeg) AS sx, SUM(ddeg) AS sy,
+           SUM(sdeg * ddeg) AS sxy, SUM(sdeg * sdeg) AS sxx,
+           SUM(ddeg * ddeg) AS syy
+         FROM ed)
+       SELECT CAST(n AS BIGINT) AS n_directed_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_connected_nodes,
+         CASE WHEN n > 0 THEN ROUND(CAST(sx AS DOUBLE) / n, 6) END AS avg_degree,
+         CASE WHEN n > 0 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+         END AS assortativity
+       FROM m""") { (s, dir) =>
+    val (edges, _) = coRatingGraph(s, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("ddeg"))
+      .withColumnRenamed("src", "dst_node")
+    val nNodes = deg.count()
+    val m = edges.join(deg, col("dst") === col("dst_node"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("deg")).as("sx"), sum(col("ddeg")).as("sy"),
+        sum(col("deg") * col("ddeg")).as("sxy"),
+        sum(col("deg") * col("deg")).as("sxx"),
+        sum(col("ddeg") * col("ddeg")).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n").as("n_directed_edges"),
+        lit(nNodes).as("n_connected_nodes"),
+        when(col("n") > 0,
+          round(col("sx").cast("double") / col("n"), 6)).as("avg_degree"),
+        when(col("n") > 0 && vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double")), 6)).as("assortativity"))
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162, q166)
 }
