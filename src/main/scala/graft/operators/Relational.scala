@@ -351,6 +351,64 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q167 — TPC-H Q8-shaped market share: over the FULL join graph
+    * (lineitem → orders → customer → nation → region, plus part and the
+    * supplier's own nation), the yearly share of ECONOMY-part revenue in
+    * the ASIA market supplied from NATION_7. The deep-join showcase:
+    * five dimension hops broadcast, the single fact scan shuffles once
+    * for the year rollup, the share is a CASE-weighted quotient of two
+    * exact DECIMAL sums. Plan shape: every dimension is a
+    * BroadcastHashJoin under the one fact-side hash aggregate — the
+    * 100 TB star-join discipline on the engine's widest query.
+    */
+  val q167 = oracled(
+    "q167_market_share",
+    "TPC-H Q8-style CASE-weighted market share over the full join graph",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+         ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+           AS mkt_share
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       JOIN region   ON cn.n_regionkey = r_regionkey
+       JOIN part     ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       GROUP BY o_year ORDER BY o_year""") { (s, dir) =>
+    val vol = dec2(col("l_extendedprice")) *
+      (lit(1) - col("l_discount").cast("decimal(4,2)"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .filter(col("r_name") === "ASIA" && col("p_type") === "ECONOMY")
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(vol).cast("double").as("volume"),
+        round(sum(when(col("sn_name") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14)
+    q10, q11, q12, q13, q14, q167)
 }

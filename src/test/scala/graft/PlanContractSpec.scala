@@ -209,6 +209,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p)
   }
 
+  test("q167: the widest join graph is all-broadcast under one fact aggregate") {
+    val p = plan(operators.Relational.q167)
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension hop fell back to sort-merge — fact table moved\n" + p)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 6, s"expected >= 6 broadcast hops, found $bhj\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges <= 1,
+      s"fact side should shuffle at most once (year rollup), found $dataExchanges\n$p")
+  }
+
   test("q155: Apriori prune keeps the basket self-join behind a semi-join") {
     val p = plan(operators.Analytics.q155)
     assert(p.contains("LeftSemi"),
