@@ -585,6 +585,55 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** q168 — trending terms: per corpus epoch (5 doc_id slices — the
+    * fixture ships no document timestamps, so corpus position stands in
+    * for arrival time), the top-5 tokens by frequency with their rank
+    * and the rank movement vs the previous epoch — the "what's rising"
+    * dashboard over any text stream. Shapes: one explode→count shuffle
+    * over the corpus; ranking and the epoch-over-epoch lag run on the
+    * per-epoch VOCABULARY table (tokens × epochs, corpus-independent
+    * size), so the windows never see corpus-scale rows. All integer
+    * arithmetic; rank ties break on the token itself.
+    */
+  val q168 = oracled(
+    "q168_trending_terms",
+    "per-epoch top-5 tokens with rank and epoch-over-epoch rank delta",
+    """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+       tok AS (SELECT (doc_id * 5) // (SELECT c FROM n) AS epoch,
+           unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       cnt AS (SELECT epoch, tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM tok GROUP BY epoch, tok),
+       rk AS (SELECT epoch, tok, n_occ,
+           CAST(row_number() OVER (PARTITION BY epoch
+             ORDER BY n_occ DESC, tok) AS BIGINT) AS rnk
+         FROM cnt),
+       mv AS (SELECT epoch, tok, n_occ, rnk,
+           lag(rnk) OVER (PARTITION BY tok ORDER BY epoch) AS prev_rnk
+         FROM rk)
+       SELECT epoch, tok, n_occ, rnk,
+         CAST(COALESCE(prev_rnk - rnk, 0) AS BIGINT) AS rank_gain
+       FROM mv WHERE rnk <= 5
+       ORDER BY epoch, rnk""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.documents(s, dir).count()
+    val cnt = Dedup.tokenized(s, dir)
+      .select(expr(s"doc_id * 5 div $n").as("epoch"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("epoch"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+    val rk = cnt.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("epoch"))
+        .orderBy(col("n_occ").desc, col("tok"))).cast("long"))
+    rk.withColumn("prev_rnk",
+        lag(col("rnk"), 1).over(Window.partitionBy(col("tok")).orderBy(col("epoch"))))
+      .filter(col("rnk") <= 5)
+      .select(col("epoch"), col("tok"), col("n_occ"), col("rnk"),
+        coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_gain"))
+      .orderBy(col("epoch"), col("rnk"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147, q156)
+    Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
+      q156, q168)
 }
