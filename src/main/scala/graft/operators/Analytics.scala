@@ -908,7 +908,52 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q169 — Benford's-law first-digit screen: the classic
+    * fabricated-data / unit-mixing detector — natural multi-magnitude
+    * amounts follow P(d) = log10(1 + 1/d); a flat or spiky first-digit
+    * histogram flags synthetic or truncated data. One scan + a 9-row
+    * aggregate: first digit extracted by STRING ops on the integer part
+    * (exact — no float log in the bucketing), expectations as log10
+    * constants (identical libm calls both engines), chi-square
+    * contributions rounded 6dp on the 9-row table. The fixture's
+    * uniform-ish prices will rightly FAIL the screen — the operator
+    * reports the evidence, not a verdict.
+    */
+  val q169 = oracled(
+    "q169_benford_screen",
+    "first-digit Benford histogram + chi-square contributions over order totals",
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+             AS BIGINT) AS digit
+         FROM orders WHERE o_totalprice >= 1),
+       h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+       t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM h)
+       SELECT h.digit, h.n_obs,
+         ROUND(CAST(h.n_obs AS DOUBLE) / t.n, 6) AS obs_freq,
+         ROUND(log10(1 + 1.0 / h.digit), 6) AS benford_freq,
+         ROUND(pow(h.n_obs - t.n * log10(1 + 1.0 / h.digit), 2)
+           / (t.n * log10(1 + 1.0 / h.digit)), 6) AS chi2_contrib
+       FROM h CROSS JOIN t
+       ORDER BY h.digit""") { (s, dir) =>
+    // floor EXPLICITLY before the integer cast: Spark's double->long
+    // cast truncates while DuckDB's ROUNDS half away — one price near a
+    // digit boundary flips buckets and the squared chi2 term amplifies it
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("long")
+    val h = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = h.agg(sum(col("n_obs"))).head.getLong(0)
+    val exp = log(10.0, lit(1) + lit(1.0) / col("digit"))
+    h.select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / n, 6).as("obs_freq"),
+        round(exp, 6).as("benford_freq"),
+        round(pow(col("n_obs") - lit(n) * exp, 2) / (lit(n) * exp), 6)
+          .as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151, q155, q158, q160)
+      q135, q138, q145, q146, q148, q151, q155, q158, q160, q169)
 }
