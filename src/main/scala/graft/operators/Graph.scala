@@ -103,9 +103,15 @@ object Graph {
       val edges =
         try {
           s.conf.set(aqeKey, "false")
-          val directed = und.select(col("ua").as("src"), col("ub").as("dst"))
-            .unionByName(und.select(col("ub").as("src"), col("ua").as("dst")))
-          val outd = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          // each direction carries the undirected edge's co-rating
+          // strength (n_shared) as weight `w` — q170's weighted walk
+          // uses it; unweighted consumers ignore the column
+          val directed = und
+            .select(col("ua").as("src"), col("ub").as("dst"), col("n_shared").as("w"))
+            .unionByName(und
+              .select(col("ub").as("src"), col("ua").as("dst"), col("n_shared").as("w")))
+          val outd = directed.groupBy(col("src"))
+            .agg(count(lit(1)).as("deg"), sum(col("w")).as("sw"))
           directed.join(outd, "src")
             .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
             .localCheckpoint()
@@ -370,5 +376,66 @@ object Graph {
             / sqrt(vx.cast("double") * vy.cast("double")), 6)).as("assortativity"))
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154, q162, q166)
+  /** q170 — WEIGHTED PageRank: the q152 walk with transition
+    * probabilities proportional to co-rating strength (edge weight w =
+    * shared (item, rating) count) instead of uniform-over-neighbors:
+    *   contrib(u→v) = (rank_k(u) * w_uv) div (Σ_x w_ux)
+    * Still pure fixed-point BIGINT (rank ≤ 1e12 scale, w ≤ item count,
+    * product < 2^63), so the iterative loop and the unrolled CTE agree
+    * bit-for-bit, like q152. Same plan shape per round — the weighted
+    * sums sw ride the memoized edge row next to deg, so nothing new
+    * shuffles. Strong ties attract rank mass that uniform PageRank
+    * splits evenly — the difference between "how many neighbors" and
+    * "how strong the neighborhood".
+    */
+  val q170 = oracled(
+    "q170_weighted_pagerank",
+    "fixed-point PageRank with co-rating-strength transition weights",
+    {
+      val n = "(SELECT COUNT(*) FROM nodes)"
+      def step(k: Int): String =
+        s"""wpr$k AS (
+           SELECT nd.user_id AS node,
+             (15 * ${Scale}) // (100 * $n)
+               + (85 * COALESCE(fl.inflow, 0)) // 100 AS rnk
+           FROM nodes nd LEFT JOIN (
+             SELECT d2.dst AS node,
+               CAST(SUM((p.rnk * d2.w) // o.sw) AS BIGINT) AS inflow
+             FROM wpr${k - 1} p
+             JOIN d2 ON d2.src = p.node
+             JOIN outw o ON o.src = p.node
+             GROUP BY d2.dst) fl ON fl.node = nd.user_id)"""
+      s"""WITH $edgesCte,
+         e2 AS (SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS w
+           FROM r a JOIN r b
+             ON a.item_id = b.item_id AND a.rating = b.rating
+            AND a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
+         d2 AS (SELECT ua AS src, ub AS dst, w FROM e2
+                UNION ALL SELECT ub, ua, w FROM e2),
+         outw AS (SELECT src, SUM(w) AS sw FROM d2 GROUP BY src),
+         wpr0 AS (SELECT user_id AS node, ${Scale} // $n AS rnk FROM nodes),
+         ${(1 to Iterations).map(step).mkString(",\n")}
+         SELECT node AS user_id, CAST(rnk AS BIGINT) AS pagerank
+         FROM wpr$Iterations ORDER BY user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val n = nodes.count()
+    val base = 15L * Scale / (100L * n)
+    var pr = nodes.select(col("user_id").as("node"), lit(Scale / n).as("rnk"))
+    for (_ <- 1 to Iterations) {
+      val inflow = edges.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("(rnk * w) div sw").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      pr = nodes
+        .join(inflow, nodes("user_id") === inflow("dst"), "left")
+        .select(nodes("user_id").as("node"),
+          (lit(base) + expr("85 * coalesce(inflow, 0L) div 100")).as("rnk"))
+        .localCheckpoint(false) // fixed depth: lazy, one final materialization
+    }
+    pr.select(col("node").as("user_id"), col("rnk").as("pagerank"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170)
 }
