@@ -367,7 +367,7 @@ object Relational {
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
          CAST(COUNT(*) AS BIGINT) AS n_lines,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS volume,
          ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
                THEN CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
@@ -401,8 +401,12 @@ object Relational {
         col("s_nationkey") === col("sn_key"))
       .filter(col("r_name") === "ASIA" && col("p_type") === "ECONOMY")
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      // volume stays an exact DECIMAL: DuckDB's DECIMAL→DOUBLE cast is
+      // int128-then-/10^scale (two roundings) vs Spark's correctly-rounded
+      // BigDecimal path — a 1-ulp gap under an exact-equality gate once
+      // the scale-4 sum crosses 2^53. The decimal sum has no such gap.
       .agg(count(lit(1)).as("n_lines"),
-        sum(vol).cast("double").as("volume"),
+        sum(vol).cast("decimal(38,4)").as("volume"),
         round(sum(when(col("sn_name") === "NATION_7", vol)
             .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
           / sum(vol).cast("double"), 6).as("mkt_share"))

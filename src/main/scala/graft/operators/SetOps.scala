@@ -132,14 +132,21 @@ object SetOps {
       .agg(count(lit(1)).as("n"),
         percentile(col("c_acctbal"), lit(0.5)).as("exact_median"),
         approx_percentile(col("c_acctbal"), lit(0.5), lit(1000)).as("approx_median"))
-    // rank of the sketch's answer = #values <= it, per segment
+    // TIE-AWARE rank check: the sketch's guarantee is about SOME instance
+    // of the returned value, whose positions span (count(<), count(<=)].
+    // A plain count(<=) jumps by the whole tie group on duplicate
+    // balances and can fail the gate even when the sketch is in contract
+    // — so require the tie interval to OVERLAP the allowed rank window
+    // [n/2 − n/1000 − 1, n/2 + n/1000 + 1] instead of pinning one end.
     val ranks = cust.join(broadcast(stats), "c_mktsegment")
       .groupBy(col("c_mktsegment"))
-      .agg(count(when(col("c_acctbal") <= col("approx_median"), 1)).as("approx_rank"))
+      .agg(count(when(col("c_acctbal") < col("approx_median"), 1)).as("rank_lt"),
+        count(when(col("c_acctbal") <= col("approx_median"), 1)).as("rank_le"))
     stats.join(ranks, "c_mktsegment")
       .select(col("c_mktsegment"), col("n"), col("exact_median"),
-        (abs(col("approx_rank") - col("n") / lit(2.0))
-          <= col("n") / lit(1000.0) + 1).as("within_rank_error"))
+        (col("rank_lt") <= col("n") / lit(2.0) + col("n") / lit(1000.0) + 1 &&
+          col("rank_le") >= col("n") / lit(2.0) - col("n") / lit(1000.0) - 1)
+          .as("within_rank_error"))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -155,42 +155,56 @@ object Similarity {
 
   /** q74 — per-label embedding centroids in long form (label, dim,
     * centroid): posexplode → one partial-aggregated groupBy(label, dim).
-    * Element values go through DECIMAL(18,9) before the sum so the
-    * reduction is order-independent — the discipline that makes a
-    * distributed vector mean bit-reproducible (and DuckDB-checkable)
-    * at any partitioning. The long (label, dim) keyspace is what keeps
-    * this one flat shuffle at 100 TB — no per-label vector state, no
-    * collect, and re-assembly to ARRAY form is a downstream
-    * `collect_list` over at most rank rows per label.
+    * The long (label, dim) keyspace is what keeps this one flat shuffle
+    * at 100 TB — no per-label vector state, no collect, and re-assembly
+    * to ARRAY form is a downstream `collect_list` over at most rank
+    * rows per label.
+    *
+    * Encoding: each float element is scaled to the INTEGER v·2^63 =
+    * m·2^(e+63) — a float is exactly m·2^e (24-bit m), so power-of-two
+    * scaling never rounds and the result is an exact integer whenever
+    * e ≥ −63 (|v| ≳ 9e-13, the fixture domain; 0 maps to 0). That
+    * integer can need 63 bits, and any single value > 2^53 would hit
+    * the one remaining engine gap: Spark's double→decimal cast routes
+    * through `Double.toString` (SHORTEST round-trip repr, ~17 digits),
+    * which rounds a 19-digit integer, while DuckDB converts by value —
+    * measured ±tens per group when tried. So the integer is SPLIT into
+    * exact 32-bit halves, hi = ⌊v·2^31⌋ and lo = (v·2^31 − hi)·2^32,
+    * each < 2^33 — every cast operand stays far below 2^53, where both
+    * engines' double→integer→decimal conversions are value-exact. The
+    * subtraction is exact (both operands exact, difference
+    * representable) and both scalings are powers of two. No decimal
+    * rounding mode, no float formatting, no >2^53 conversion anywhere.
+    * History: double→DECIMAL(18,9) hit a half-even-vs-half-up tie at
+    * sf0.1 (dyadic 0.1494140625); round 6's float→VARCHAR→DECIMAL was
+    * DuckDB-version-fragile (assumes shortest-round-trip printing).
+    * The output IS the mergeable mean state (Σhi, Σlo, n) — the form a
+    * distributed mean actually shuffles and merges; the caller's one
+    * division is `(sum_hi·2^32 + sum_lo) / n / 2^63`.
     */
   val q74 = oracled(
     "q74_embedding_centroids",
-    "per-label centroid of 64-dim embeddings as the exact mergeable mean state (sum, n)",
-    """SELECT label, CAST(t.i AS INT) AS dim,
+    "per-label centroid of 64-dim embeddings as the exact mergeable mean state (mantissa-scaled split sums, n)",
+    """SELECT label, dim,
          CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(CAST(embedding[CAST(t.i + 1 AS INT)] AS VARCHAR) AS DECIMAL(28,18)))
-           AS centroid_sum
-       FROM embeddings CROSS JOIN range(0, 64) t(i)
-       GROUP BY label, t.i
+         CAST(SUM(CAST(FLOOR(d31) AS BIGINT)) AS DECIMAL(38,0))
+           AS centroid_sum_hi,
+         CAST(SUM(CAST((d31 - FLOOR(d31)) * 4294967296 AS BIGINT)) AS DECIMAL(38,0))
+           AS centroid_sum_lo
+       FROM (SELECT label, CAST(t.i AS INT) AS dim,
+               CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) * 2147483648 AS d31
+             FROM embeddings CROSS JOIN range(0, 64) t(i))
+       GROUP BY label, dim
        ORDER BY label, dim""") { (s, dir) =>
+    val d31 = col("v").cast("double") * lit(2147483648.0) // v·2^31, exact
+    val hi = floor(d31)                                   // exact integral, LONG
+    val lo = ((d31 - hi.cast("double")) * lit(4294967296.0)).cast("long")
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      // float → shortest STRING → decimal: both engines print a float as
-      // its unique shortest round-trip decimal (≤ 9 significant digits;
-      // with |v| ≥ 1e-9 it fits DECIMAL(28,18) EXACTLY — no rounding
-      // step exists to disagree on). The earlier double→DECIMAL(18,9)
-      // route hit a tie at sf0.1 ONLY: 0.1494140625 is dyadic with an
-      // exact half at digit 10 — DuckDB rounds half-even (…62), Spark
-      // half-up (…63) — one element in 128,000, one centroid 5e-12 off.
-      // the output IS the mergeable mean state (Σ exact, n) — the form a
-      // distributed mean actually shuffles and merges; the quotient is
-      // the caller's one division. Emitting it as a double here would
-      // re-open an engine gap: DuckDB's DECIMAL→DOUBLE cast converts
-      // int128 then divides by 10^scale (two roundings, can land 1 ulp
-      // off the correctly-rounded value Spark's BigDecimal path gives).
       .agg(count(lit(1)).as("n"),
-        sum(col("v").cast("string").cast("decimal(28,18)")).as("centroid_sum"))
+        sum(hi.cast("decimal(38,0)")).as("centroid_sum_hi"),
+        sum(lo.cast("decimal(38,0)")).as("centroid_sum_lo"))
       .orderBy(col("label"), col("dim"))
   }
 
