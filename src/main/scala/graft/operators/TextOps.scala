@@ -182,9 +182,15 @@ object TextOps {
   }
 
   /** q64 — TF-IDF: term frequency per doc × smoothed inverse document
-    * frequency, top-3 most characteristic terms per document. Two hash
-    * aggregates + a broadcast-sized DF table — the fully distributed
-    * TF-IDF shape (no vocabulary collected to the driver).
+    * frequency, top-3 most characteristic terms per document. Fully
+    * distributed: both the tf and df aggregates feed off the ONE
+    * memoized tokenized corpus ([[Dedup.tokenized]] — tokenize 100 TB
+    * once, not once per statistic), the tf⋈df vocabulary join is
+    * UNHINTED (token TYPES are multi-GB at corpus scale; stats/AQE pick
+    * broadcast at small SF and degrade to shuffle when the vocabulary
+    * outgrows it — a forced broadcast here is a driver-OOM scale
+    * killer), and n_docs rides the plan as a 1-row crossJoin (the q101
+    * pattern) instead of a construction-time `count()` driver job.
     */
   val q64 = oracled(
     "q64_tfidf",
@@ -206,14 +212,15 @@ object TextOps {
        WHERE rn <= 3 AND doc_id < 100
        ORDER BY doc_id, rn""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+    val toks = Dedup.tokenized(s, dir)
+    val tok = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = Tables.documents(s, dir).count()
-    val scored = tf.join(broadcast(df), "tok")
+    val n = toks.select(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
-        round(col("tf") * log((lit(nDocs + 1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("doc_id") < 100)
