@@ -80,7 +80,12 @@ object Bench {
     }
     spark.catalog.clearCache()
     // --- phase 3: timed, median of REPS ---
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names (fast local iteration;
+    // the driver passes none and measures the full suite)
+    val only = args.headOption.map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
