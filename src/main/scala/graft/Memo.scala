@@ -21,4 +21,26 @@ object Memo {
     val sc = s.sparkContext
     sc.applicationId + "-" + sc.startTime + ":" + dir
   }
+
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Per-key SYNCHRONIZED getOrElseUpdate: `TrieMap.getOrElseUpdate`
+    * evaluates its thunk non-atomically, so two threads racing on a cold
+    * memo would both run the expensive build (Spark jobs, eager
+    * localCheckpoints) with one result leaked unreferenced. All memo
+    * sites route through here: the winner builds under the key's lock,
+    * the loser blocks and reads the cached value. (The lock map's own
+    * getOrElseUpdate may construct a throwaway Object under race —
+    * TrieMap's putIfAbsent semantics return the single winning lock to
+    * every thread, which is all that matters.)
+    */
+  def sync[V](cache: scala.collection.concurrent.TrieMap[String, V],
+      key: String)(build: => V): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        locks.getOrElseUpdate(key, new Object).synchronized {
+          cache.getOrElseUpdate(key, build)
+        }
+    }
 }

@@ -49,7 +49,7 @@ object Recommender {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.recommendation.ALSModel]
 
   private[graft] def alsModel(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
-    modelCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(modelCache, graft.Memo.key(s, dir))( {
       import org.apache.spark.ml.recommendation.ALS
       val r = trainInput(s, dir).cache()
       try

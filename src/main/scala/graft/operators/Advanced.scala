@@ -97,7 +97,7 @@ object Advanced {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   private def ivfCells(s: org.apache.spark.sql.SparkSession, dir: String) =
-    ivfCellsCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(ivfCellsCache, graft.Memo.key(s, dir))( {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import graft.functions.VecOps.l2Norm
@@ -186,7 +186,7 @@ object Advanced {
 
   private[graft] def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) =
-    pqCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(pqCache, graft.Memo.key(s, dir))( {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).cache()
       try {
         // Codebooks train DRIVER-SIDE on a bounded content-deterministic

@@ -531,7 +531,7 @@ object Analytics {
 
   private def coRatingTriangles(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    triCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(triCache, graft.Memo.key(s, dir))( {
       val (edges, _) = Graph.coRatingGraph(s, dir)
       // the directed table holds both orientations; keep the ua < ub half
       val und = edges.filter(col("src") < col("dst"))

@@ -58,7 +58,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private[graft] def tokenized(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    tokCache.getOrElseUpdate(graft.Memo.key(s, dir),
+    graft.Memo.sync(tokCache, graft.Memo.key(s, dir))(
       tokensOf(Tables.documents(s, dir)).localCheckpoint())
 
   /** (doc_id, lang, source, toks) from a raw documents frame — the
@@ -157,7 +157,7 @@ object Dedup {
     // memoized per (context, dir) like `tokenized`: repeat invocations
     // reuse one materialization instead of leaking a fresh cache each
     // (localCheckpoint blocks die with the context; no unpersist needed)
-    val labeled = labeledCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    val labeled = graft.Memo.sync(labeledCache, graft.Memo.key(s, dir))( {
       import org.apache.spark.sql.expressions.Window
       minhashSignatures(tokenized(s, dir))
         .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
@@ -210,7 +210,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def simhashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(graft.Memo.key(s, dir),
+    graft.Memo.sync(simhashCache, graft.Memo.key(s, dir))(
       simhashOfTokens(tokenized(s, dir)).localCheckpoint())
 
   /** (doc_id, simhash) from a (doc_id, ..., toks) frame — the
@@ -298,7 +298,7 @@ object Dedup {
       .distinct()
 
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(pairsCache, graft.Memo.key(s, dir))( {
       val sim = simhashes(s, dir)
       // chunk id folded into the join key (posexplode) -> ONE equi-join
       // for all pigeonhole chunks; the per-doc chunk table is cached
@@ -405,7 +405,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate(graft.Memo.key(s, dir),
+    graft.Memo.sync(ccCache, graft.Memo.key(s, dir))(
       connectedComponents(
         Tables.documents(s, dir).select(col("doc_id")),
         simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))

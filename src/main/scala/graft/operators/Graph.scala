@@ -75,8 +75,18 @@ object Graph {
     * consumer re-scans them without moving them.
     */
   private[graft] def coRatingGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    edgeCache.getOrElseUpdate(graft.Memo.key(s, dir), {
-      val r = Tables.events(s, dir)
+    graft.Memo.sync(edgeCache, graft.Memo.key(s, dir))( {
+      // The whole graph memo (and therefore every consumer's plan) lives
+      // on a CLONED session with AQE disabled: `newSession` shares the
+      // SparkContext (so the memo key and localCheckpoint blocks stay
+      // valid) but isolates the conf — the previous save/flip/restore of
+      // the SHARED session's AQE flag could be observed by any query
+      // planned concurrently on another thread. The iterative consumers
+      // WANT non-adaptive plans anyway: their whole cost model is the
+      // statically declared hashpartitioning(src) layout below.
+      val sg = s.newSession()
+      sg.conf.set("spark.sql.adaptive.enabled", "false")
+      val r = Tables.events(sg, dir)
         .select(col("user_id"), (col("event_id") % 100).as("item_id"),
           (floor(col("value")).cast("long") % 5 + 1).as("rating"))
         .distinct()
@@ -96,26 +106,20 @@ object Graph {
       // checkpointed table DECLARING its hash layout. Under AQE the
       // checkpoint captures the partitioning before the adaptive plan
       // finalizes — UnknownPartitioning — and every round would silently
-      // re-shuffle the edge table (GraphSpec pins the preserved layout),
-      // so this one eager materialization runs with AQE off.
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val prevAqe = s.conf.get(aqeKey)
-      val edges =
-        try {
-          s.conf.set(aqeKey, "false")
-          // each direction carries the undirected edge's co-rating
-          // strength (n_shared) as weight `w` — q170's weighted walk
-          // uses it; unweighted consumers ignore the column
-          val directed = und
-            .select(col("ua").as("src"), col("ub").as("dst"), col("n_shared").as("w"))
-            .unionByName(und
-              .select(col("ub").as("src"), col("ua").as("dst"), col("n_shared").as("w")))
-          val outd = directed.groupBy(col("src"))
-            .agg(count(lit(1)).as("deg"), sum(col("w")).as("sw"))
-          directed.join(outd, "src")
-            .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
-            .localCheckpoint()
-        } finally s.conf.set(aqeKey, prevAqe)
+      // re-shuffle the edge table (GraphSpec pins the preserved layout)
+      // — hence the AQE-off clone `sg` everything here builds on.
+      // Each direction carries the undirected edge's co-rating strength
+      // (n_shared) as weight `w` — q170's weighted walk uses it;
+      // unweighted consumers ignore the column.
+      val directed = und
+        .select(col("ua").as("src"), col("ub").as("dst"), col("n_shared").as("w"))
+        .unionByName(und
+          .select(col("ub").as("src"), col("ua").as("dst"), col("n_shared").as("w")))
+      val outd = directed.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"), sum(col("w")).as("sw"))
+      val edges = directed.join(outd, "src")
+        .repartition(sg.sessionState.conf.numShufflePartitions, col("src"))
+        .localCheckpoint()
       val nodes = r.select(col("user_id")).distinct().localCheckpoint()
       (edges, nodes)
     })

@@ -50,7 +50,7 @@ object Ingest {
   private[graft] def writeDirtyTsv(s: SparkSession, dir: String): String =
     // memoized per (SparkContext, data dir): repeat q92 invocations reuse
     // one written fixture instead of accumulating overwrite targets
-    dirtyPathCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(dirtyPathCache, graft.Memo.key(s, dir))( {
       // path is unique per (process, SparkContext): two concurrent JVMs —
       // or a restarted context in one JVM — must never race on the same
       // overwrite target while a lazy read of it is still materializing
@@ -81,7 +81,7 @@ object Ingest {
     * cached parse instead of stacking cached copies.
     */
   private[graft] def readDirtyTsv(s: SparkSession, path: String): DataFrame =
-    parsedCache.getOrElseUpdate(graft.Memo.key(s, path),
+    graft.Memo.sync(parsedCache, graft.Memo.key(s, path))(
       s.read.schema(dirtySchema)
         .option("sep", "\t")
         .option("mode", "PERMISSIVE")
@@ -168,7 +168,7 @@ object Ingest {
     * dirty-TSV fixture above).
     */
   private[graft] def writeJsonl(s: SparkSession, dir: String): String =
-    jsonlPathCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    graft.Memo.sync(jsonlPathCache, graft.Memo.key(s, dir))( {
       val out = sys.props("java.io.tmpdir") +
         s"/graft_q106_jsonl_${ProcessHandle.current().pid()}_" +
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
@@ -223,7 +223,7 @@ object Ingest {
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(SUM(doc_id * 31 % 99991) AS BIGINT) AS checksum
        FROM documents""") { (s, dir) =>
-    val out = orcPathCache.getOrElseUpdate(graft.Memo.key(s, dir), {
+    val out = graft.Memo.sync(orcPathCache, graft.Memo.key(s, dir))( {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_q123_orc_${ProcessHandle.current().pid()}_" +
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"

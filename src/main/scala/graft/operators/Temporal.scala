@@ -529,9 +529,10 @@ object Temporal {
     * naive range join and rewritten to the bucket equi-join by the
     * injected optimizer rule ([[graft.plans.RangeJoinBucketing]]) — the
     * automatic path vs q153's manual composition, both through the same
-    * DuckDB BETWEEN oracle. The conf window is scoped: localCheckpoint
-    * executes the rewritten plan eagerly while the width conf is set,
-    * then the conf restores so no other query's planning is touched.
+    * DuckDB BETWEEN oracle. The width conf is scoped to a CLONED session
+    * that plans only this query: the width is workload knowledge for
+    * this one join, and a set/restore window on the shared session's
+    * conf would leak the rewrite to any join planned concurrently.
     */
   val q163 = oracled(
     "q163_range_join_rule",
@@ -548,30 +549,23 @@ object Temporal {
          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
        FROM iv JOIN pr ON pr.p_d >= iv.st_d AND pr.p_d < iv.en_d
        GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""") { (s, dir) =>
-    graft.plans.GraftExtensions.register(s) // idempotent; installs the rule
-    val widthConf = "spark.graft.rangeJoin.bucketWidth"
-    val prev = s.conf.getOption(widthConf)
-    s.conf.set(widthConf, RangeBucketDays.toString)
-    try {
-      def days(c: org.apache.spark.sql.Column) =
-        datediff(c.cast("date"), lit("1970-01-01")).cast("long")
-      val iv = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), days(col("o_orderdate")).as("st_d"))
-        .withColumn("en_d", col("st_d") + (col("o_orderkey") % 3 + 1))
-      val pr = Tables.lineitem(s, dir)
-        .filter(col("l_quantity") >= 49)
-        .select(days(col("l_shipdate")).as("p_d"), col("l_quantity"))
-      iv.join(pr, col("p_d") >= col("st_d") && col("p_d") < col("en_d"))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_shipments"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
-        .orderBy(col("o_orderkey"))
-        .localCheckpoint()
-    } finally prev match {
-      case Some(v) => s.conf.set(widthConf, v)
-      case None => s.conf.unset(widthConf)
-    }
+    val sw = s.newSession() // conf-isolated; shares context and data
+    graft.plans.GraftExtensions.register(sw) // installs the rule on the clone
+    sw.conf.set("spark.graft.rangeJoin.bucketWidth", RangeBucketDays.toString)
+    def days(c: org.apache.spark.sql.Column) =
+      datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+    val iv = Tables.orders(sw, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), days(col("o_orderdate")).as("st_d"))
+      .withColumn("en_d", col("st_d") + (col("o_orderkey") % 3 + 1))
+    val pr = Tables.lineitem(sw, dir)
+      .filter(col("l_quantity") >= 49)
+      .select(days(col("l_shipdate")).as("p_d"), col("l_quantity"))
+    iv.join(pr, col("p_d") >= col("st_d") && col("p_d") < col("en_d"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
   }
 
   val all: Seq[GQuery] =

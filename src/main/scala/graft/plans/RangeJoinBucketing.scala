@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * deliberately narrow: INNER join, condition is EXACTLY a lower and an
   * upper bound on one integral probe column against integral bounds
   * from the other side, all three plain attributes.
+  *
+  * Scoping convention (q163): because the conf governs every matching
+  * join the owning session plans, callers set the width on a CLONED
+  * session (`spark.newSession()` — isolated conf, shared context/data)
+  * that plans only the target query, rather than set/restore on a
+  * shared session where a concurrently planned join of the same shape
+  * would silently pick up this workload's width.
   */
 case class RangeJoinBucketing(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
