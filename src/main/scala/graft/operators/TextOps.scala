@@ -533,28 +533,41 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
-  /** q156 — corpus-saturation curve (Heaps'-law novelty rate): split the
-    * corpus into 10 doc_id deciles and report, per decile, how many
-    * trigram TYPES appear there for the first time — the diminishing-
-    * returns metric a data-collection pipeline watches to decide when
-    * more of the same source stops adding new content. The scale shape
-    * is the non-obvious part: "cumulative distinct" is not computable as
-    * a running window (distinct state grows with the corpus); instead
-    * each type's FIRST decile is one min-aggregate over the trigram
-    * stream (partial-agg, mergeable), and the curve falls out of a
-    * 10-row histogram — the same first-occurrence trick q120's winnowing
-    * uses for anchors. All counts are exact BIGINT; the novelty ratio is
-    * the only double (identical expression both engines, rounded 6dp).
+  /** q156 — corpus-saturation curve (Heaps'-law novelty rate): slice the
+    * observed COLLECTION WINDOW into ten equal event-time intervals
+    * (each document's publication instant is its matching event's
+    * timestamp — doc_id = event_id is a 1:1 equi-join against the events
+    * table, the fixture's real time axis; equal-width slicing of
+    * [min ts, max ts] keeps all ten buckets populated at every scale,
+    * where fixed calendar buckets degenerate because doc ids are an
+    * id-prefix of a ts-ordered event stream) and report, per interval,
+    * how many trigram TYPES appear there for the first time — the
+    * diminishing-returns metric a data-collection pipeline watches to
+    * decide when more of the same source stops adding new content. The
+    * scale shape is the non-obvious part: "cumulative distinct" is not
+    * computable as a running window (distinct state grows with the
+    * corpus); instead each type's FIRST interval is one min-aggregate
+    * over the trigram stream (partial-agg, mergeable), and the curve
+    * falls out of a 10-row histogram — the same first-occurrence trick
+    * q120's winnowing uses for anchors. The window span is a 1-row
+    * aggregate broadcast back over the corpus (q101's crossJoin
+    * pattern — no driver job, no corpus-wide window). All bucket
+    * arithmetic is exact BIGINT microseconds; the novelty ratio is the
+    * only double (identical expression both engines, rounded 6dp).
     * Reuses the memoized tokenized corpus ([[Dedup.tokenized]]).
     */
   val q156 = oracled(
     "q156_vocab_growth",
-    "per-decile novel-trigram rate (Heaps-law saturation curve) via first-occurrence min-agg",
-    """WITH n AS (SELECT COUNT(*) AS c FROM documents),
-       w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-       tri AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+    "per-time-slice novel-trigram rate (Heaps-law saturation curve) via first-occurrence min-agg",
+    """WITH de AS (SELECT d.doc_id, d.text,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS us
+         FROM documents d JOIN events e ON d.doc_id = e.event_id),
+       sp AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM de),
+       w AS (SELECT (us - mn) * 10 // (mx - mn + 1) AS decile,
+           string_split(trim(text), ' ') AS ws
+         FROM de CROSS JOIN sp),
+       dec AS (SELECT decile, unnest(list_transform(range(1, len(ws) - 1),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri FROM w),
-       dec AS (SELECT (doc_id * 10) // (SELECT c FROM n) AS decile, tri FROM tri),
        first AS (SELECT tri, MIN(decile) AS fd FROM dec GROUP BY tri),
        newt AS (SELECT fd AS decile, COUNT(*) AS new_types FROM first GROUP BY fd),
        tot AS (SELECT decile, COUNT(*) AS n_trigrams FROM dec GROUP BY decile)
@@ -567,9 +580,13 @@ object TextOps {
            / CAST(t.n_trigrams AS DOUBLE), 6) AS novelty
        FROM tot t LEFT JOIN newt nw ON nw.decile = t.decile
        ORDER BY t.decile""") { (s, dir) =>
-    val n = Tables.documents(s, dir).count()
-    val tris = Dedup.tokenized(s, dir)
-      .select(expr(s"doc_id * 10 div $n").as("decile"),
+    val de = Dedup.tokenized(s, dir)
+      .join(Tables.events(s, dir)
+        .select(col("event_id").as("doc_id"),
+          unix_micros(col("ts")).as("us")), "doc_id")
+    val span = de.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val tris = de.crossJoin(broadcast(span))
+      .select(expr("(us - mn) * 10 div (mx - mn + 1)").as("decile"),
         explode(when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), " +
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -592,23 +609,29 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
-  /** q168 — trending terms: per corpus epoch (5 doc_id slices — the
-    * fixture ships no document timestamps, so corpus position stands in
-    * for arrival time), the top-5 tokens by frequency with their rank
-    * and the rank movement vs the previous epoch — the "what's rising"
-    * dashboard over any text stream. Shapes: one explode→count shuffle
-    * over the corpus; ranking and the epoch-over-epoch lag run on the
-    * per-epoch VOCABULARY table (tokens × epochs, corpus-independent
-    * size), so the windows never see corpus-scale rows. All integer
-    * arithmetic; rank ties break on the token itself.
+  /** q168 — trending terms: per event-time epoch (the observed
+    * collection window [min ts, max ts] sliced into 5 equal intervals —
+    * each document's publication instant is its matching event's
+    * timestamp, doc_id = event_id 1:1 against the events table; see
+    * q156 for why equal-width span slicing, not calendar buckets), the
+    * top-5 tokens by frequency with their rank and the rank movement vs
+    * the previous epoch — the "what's rising" dashboard over any text
+    * stream. Shapes: a 1-row span aggregate broadcast over the corpus,
+    * one explode→count shuffle; ranking and the epoch-over-epoch lag
+    * run on the per-epoch VOCABULARY table (tokens × epochs,
+    * corpus-independent size), so the windows never see corpus-scale
+    * rows. All integer arithmetic; rank ties break on the token itself.
     */
   val q168 = oracled(
     "q168_trending_terms",
-    "per-epoch top-5 tokens with rank and epoch-over-epoch rank delta",
-    """WITH n AS (SELECT COUNT(*) AS c FROM documents),
-       tok AS (SELECT (doc_id * 5) // (SELECT c FROM n) AS epoch,
+    "per-time-epoch top-5 tokens with rank and epoch-over-epoch rank delta",
+    """WITH de AS (SELECT d.text,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS us
+         FROM documents d JOIN events e ON d.doc_id = e.event_id),
+       sp AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM de),
+       tok AS (SELECT (us - mn) * 5 // (mx - mn + 1) AS epoch,
            unnest(string_split(trim(text), ' ')) AS tok
-         FROM documents),
+         FROM de CROSS JOIN sp),
        cnt AS (SELECT epoch, tok, CAST(COUNT(*) AS BIGINT) AS n_occ
          FROM tok GROUP BY epoch, tok),
        rk AS (SELECT epoch, tok, n_occ,
@@ -623,9 +646,13 @@ object TextOps {
        FROM mv WHERE rnk <= 5
        ORDER BY epoch, rnk""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val n = Tables.documents(s, dir).count()
-    val cnt = Dedup.tokenized(s, dir)
-      .select(expr(s"doc_id * 5 div $n").as("epoch"),
+    val de = Dedup.tokenized(s, dir)
+      .join(Tables.events(s, dir)
+        .select(col("event_id").as("doc_id"),
+          unix_micros(col("ts")).as("us")), "doc_id")
+    val span = de.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val cnt = de.crossJoin(broadcast(span))
+      .select(expr("(us - mn) * 5 div (mx - mn + 1)").as("epoch"),
         explode(col("toks")).as("tok"))
       .groupBy(col("epoch"), col("tok"))
       .agg(count(lit(1)).as("n_occ"))
