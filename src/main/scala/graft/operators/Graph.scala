@@ -178,11 +178,18 @@ object Graph {
   /** Fixed-point PageRank over a directed edge list (src, dst) and node
     * set (user_id). See the recurrence note above [[q152]]; exercised on
     * known graphs by GraphSpec. Output: (node, rnk) unordered.
+    *
+    * `seeds` = None runs the global walk (uniform init, every node gets
+    * the teleport term). `seeds` = Some(S) runs the PERSONALIZED walk
+    * (random walk with restart): all initial mass and all teleport mass
+    * concentrate on S — the only change to the recurrence is WHERE the
+    * base term lands, so the per-iteration plan (one pre-partitioned
+    * equi-join + one partial-agg sum) is identical. The base/init terms
+    * become a per-node column instead of a literal; everything stays
+    * exact BIGINT fixed-point.
     */
   private[graft] def pageRank(edges: DataFrame, nodes: DataFrame,
-      iterations: Int): DataFrame = {
-    val n = nodes.count()
-    val base = 15L * Scale / (100L * n)
+      iterations: Int, seeds: Option[DataFrame] = None): DataFrame = {
     // the out-degree rides on the edge row so each iteration is a single
     // join against the rank table, not two; the memoized co-rating table
     // arrives pre-enriched AND pre-partitioned (see coRatingGraph) —
@@ -192,15 +199,34 @@ object Graph {
       else edges
         .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
         .localCheckpoint()
-    var pr = nodes.select(col("user_id").as("node"), lit(Scale / n).as("rnk"))
+    // per-node (base, init): a constant for the global walk, seed-
+    // conditional for the personalized one — one broadcast-able vertex
+    // table either way, checkpointed once and re-read by every round
+    val nState = (seeds match {
+      case None =>
+        val n = nodes.count()
+        nodes.select(col("user_id"),
+          lit(15L * Scale / (100L * n)).as("base"),
+          lit(Scale / n).as("init"))
+      case Some(sd) =>
+        val ns = sd.count()
+        nodes.join(sd.select(col("node").as("user_id"), lit(true).as("is_seed")),
+            Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("is_seed"), lit(15L * Scale / (100L * ns)))
+              .otherwise(lit(0L)).as("base"),
+            when(col("is_seed"), lit(Scale / ns))
+              .otherwise(lit(0L)).as("init"))
+    }).localCheckpoint(false)
+    var pr = nState.select(col("user_id").as("node"), col("init").as("rnk"))
     for (_ <- 1 to iterations) {
       val inflow = withDeg.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("rnk div deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      pr = nodes
-        .join(inflow, nodes("user_id") === inflow("dst"), "left")
-        .select(nodes("user_id").as("node"),
-          (lit(base) + expr("85 * coalesce(inflow, 0L) div 100")).as("rnk"))
+      pr = nState
+        .join(inflow, nState("user_id") === inflow("dst"), "left")
+        .select(nState("user_id").as("node"),
+          (col("base") + expr("85 * coalesce(inflow, 0L) div 100")).as("rnk"))
         // LAZY checkpoint: the iteration count is FIXED, so the plan is
         // at most `iterations` joins deep and one final action can
         // materialize the whole chain — no per-round job barrier (the
@@ -441,5 +467,134 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170)
+  /** q171 — PERSONALIZED PageRank (random walk with restart): the q152
+    * fixed-point walk, but all initial mass and all teleport mass
+    * concentrate on the seed set (user_id % 10 == 1 — q154's BFS seeds),
+    * so the stationary scores answer "important RELATIVE TO these
+    * users", the relevance primitive behind people-you-may-know /
+    * related-item features. The only recurrence change vs q152 is where
+    * the base term lands (seed-conditional instead of uniform — see
+    * [[pageRank]]), so the per-iteration plan is bit-identical: one
+    * join against the pre-partitioned edge memo + one partial-agg sum,
+    * lazy per-round checkpoints, exact BIGINT throughout. Nodes the
+    * walk never reaches report 0 — kept in the output (their absence
+    * IS the signal; the oracle's LEFT JOIN keeps them identically).
+    */
+  val q171 = oracled(
+    "q171_personalized_pagerank",
+    "fixed-point personalized PageRank (restart at user_id%10==1 seeds) over the co-rating graph",
+    {
+      val ns = "(SELECT COUNT(*) FROM nodes WHERE user_id % 10 = 1)"
+      def step(k: Int): String =
+        s"""ppr$k AS (
+           SELECT nd.user_id AS node,
+             CASE WHEN nd.user_id % 10 = 1
+               THEN (15 * ${Scale}) // (100 * $ns) ELSE 0 END
+               + (85 * COALESCE(fl.inflow, 0)) // 100 AS rnk
+           FROM nodes nd LEFT JOIN (
+             SELECT d.dst AS node,
+               CAST(SUM(p.rnk // o.deg) AS BIGINT) AS inflow
+             FROM ppr${k - 1} p
+             JOIN d ON d.src = p.node
+             JOIN outd o ON o.src = p.node
+             GROUP BY d.dst) fl ON fl.node = nd.user_id)"""
+      s"""WITH $edgesCte,
+         outd AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
+         ppr0 AS (SELECT user_id AS node,
+             CASE WHEN user_id % 10 = 1 THEN ${Scale} // $ns ELSE 0 END AS rnk
+           FROM nodes),
+         ${(1 to Iterations).map(step).mkString(",\n")}
+         SELECT node AS user_id, CAST(rnk AS BIGINT) AS ppr
+         FROM ppr$Iterations ORDER BY user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val seeds = nodes.filter(col("user_id") % 10 === 1)
+      .select(col("user_id").as("node"))
+    pageRank(edges, nodes, Iterations, Some(seeds))
+      .select(col("node").as("user_id"), col("rnk").as("ppr"))
+      .orderBy(col("user_id"))
+  }
+
+  /** k-core threshold and peel-round cap for q172. The peel is MONOTONE
+    * (the alive set only shrinks; once stable, further rounds are
+    * no-ops), so running a FIXED number of rounds is both deterministic
+    * and oracle-unrollable — the loop and the CTE chain agree as long as
+    * the fixture converges within the cap, which GraphSpec pins
+    * (observed: 3 rounds at sf0.01, 2 at sf0.1; cap 8 = wide margin,
+    * and a converged round costs one no-op pass, not wrong answers).
+    */
+  private val CoreK = 3
+  private val PeelRounds = 8
+
+  /** Fixed-round k-core peel over a directed both-directions edge list
+    * (src, dst): per round, drop every node whose degree among ALIVE
+    * endpoints is < k. Returns the surviving nodes with their final
+    * within-core degree. Exercised on known graphs by GraphSpec.
+    */
+  private[graft] def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def liveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    // EAGER per-round checkpoints, unlike the PageRank loops: each round
+    // consumes `alive` TWICE (both endpoint semi-joins), so a lazy chain
+    // doubles the unmaterialized plan per round — 2^rounds subtrees by
+    // the end. Materializing the (tiny, shrink-only) vertex set per
+    // round keeps every plan two joins deep.
+    var alive = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = liveEdges(alive)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    liveEdges(alive)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
+
+  /** q172 — k-core decomposition (k = $CoreK): iteratively peel nodes
+    * with fewer than k alive co-rating neighbors until stable; report
+    * the surviving core with each member's within-core degree — the
+    * standard dense-community extractor (spam rings, engaged-user
+    * cohorts) and the cheapest structural filter before an expensive
+    * per-community computation. Spark side: per round, the alive set
+    * (vertex-state-sized, shrink-only) semi-joins the pre-partitioned
+    * edge memo on both endpoints — the src side is co-located by the
+    * memo's layout, the dst side moves only the alive table, never the
+    * edges — then one partial-agg degree count. Fixed [[PeelRounds]]
+    * rounds with lazy checkpoints (see the monotonicity note on
+    * [[CoreK]]); the oracle unrolls the same rounds as a CTE chain.
+    * All counts exact BIGINT.
+    */
+  val q172 = oracled(
+    "q172_kcore",
+    s"$CoreK-core peel (fixed $PeelRounds-round monotone fixpoint) with within-core degrees",
+    {
+      // AS MATERIALIZED: each round reads the previous alive set TWICE
+      // (both endpoint joins) — inlined CTEs would re-evaluate the whole
+      // chain per reference, 2^rounds blowup (the SQL mirror of the
+      // eager-checkpoint note in [[kCore]])
+      def step(k: Int): String =
+        s"""a$k AS MATERIALIZED (SELECT d.src AS node FROM d
+           JOIN a${k - 1} s ON s.node = d.src
+           JOIN a${k - 1} t ON t.node = d.dst
+           GROUP BY d.src HAVING COUNT(*) >= $CoreK)"""
+      s"""WITH $edgesCte,
+         a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM d),
+         ${(1 to PeelRounds).map(step).mkString(",\n")}
+         SELECT d.src AS user_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM d
+         JOIN a$PeelRounds s ON s.node = d.src
+         JOIN a$PeelRounds t ON t.node = d.dst
+         GROUP BY d.src ORDER BY d.src"""
+    }) { (s, dir) =>
+    val (edges, _) = coRatingGraph(s, dir)
+    kCore(edges, CoreK, PeelRounds)
+      .select(col("node").as("user_id"), col("core_deg"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172)
 }

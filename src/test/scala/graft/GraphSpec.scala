@@ -78,6 +78,81 @@ class GraphSpec extends AnyFunSuite {
     assert(leaves.map(got).toSet.size == 1)
   }
 
+  /** Seed-conditional variant of the serial recurrence: all init and
+    * teleport mass lands on the seed set only (operators.Graph.pageRank
+    * with seeds = Some(S)).
+    */
+  private def referencePpr(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      seeds: Set[Long], iterations: Int): Map[Long, Long] = {
+    val ns = seeds.size.toLong
+    val base = 15L * Scale / (100L * ns)
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(v => v -> (if (seeds(v)) Scale / ns else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / outDeg(src) }.sum
+        }
+      r = nodes.map(v => v ->
+        ((if (seeds(v)) base else 0L) + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized pageRank == serial seed-restart recurrence") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 5), (7, 5), (3, 8))
+    val nodes = (1L to 9L)
+    val seeds = Set(1L, 4L)
+    val got = operators.Graph.pageRank(edges.toDF("src", "dst"),
+        nodes.toDF("user_id"), 4, Some(seeds.toSeq.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referencePpr(edges, nodes, seeds, 4))
+    // nodes the walk can't reach from the seeds stay at exactly 0
+    // (9 is isolated; 6 and 7 only have OUT-edges)
+    assert(got(9L) == 0L && got(6L) == 0L && got(7L) == 0L)
+    // restart mass is conserved-or-leaked, never created
+    assert(got.values.sum <= Scale)
+  }
+
+  test("personalized pageRank with seeds = all nodes IS global pageRank") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (1, 3)).toDF("src", "dst")
+    val nodes = (1L to 4L)
+    val global = operators.Graph.pageRank(edges, nodes.toDF("user_id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ppr = operators.Graph.pageRank(edges, nodes.toDF("user_id"), 4,
+        Some(nodes.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(global == ppr)
+  }
+
+  test("kCore: triangle survives a 2-core peel, pendant chain does not") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant path 3-4-5; k=2 leaves exactly the
+    // triangle, every member at within-core degree 2
+    val und = Seq[(Long, Long)]((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = operators.Graph.kCore(edges, 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a chain cascades to empty, one endpoint pair per round") {
+    import spark.implicits._
+    // path of 10: peeling at k=2 removes the two current endpoints per
+    // round — convergence takes 5 rounds, exercising the multi-round
+    // cascade (and the fixed-round cap's no-op tail: 8 > 5)
+    val und = (0L until 9L).map(i => i -> (i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(operators.Graph.kCore(edges, 2, 8).isEmpty)
+    // the same peel stopped early (2 rounds) still has survivors — the
+    // cap genuinely has to cover the cascade depth
+    assert(!operators.Graph.kCore(edges, 2, 2).isEmpty)
+  }
+
   test("bfs: multi-source min-hop distances on a known graph") {
     import spark.implicits._
     // path 0-1-2-3-4 (undirected), branch 2-5, isolated 9; seeds {0, 4}
