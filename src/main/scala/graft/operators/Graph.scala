@@ -520,8 +520,9 @@ object Graph {
     * no-ops), so running a FIXED number of rounds is both deterministic
     * and oracle-unrollable — the loop and the CTE chain agree as long as
     * the fixture converges within the cap, which GraphSpec pins
-    * (observed: 3 rounds at sf0.01, 2 at sf0.1; cap 8 = wide margin,
-    * and a converged round costs one no-op pass, not wrong answers).
+    * (observed: 3 rounds at sf0.01, 2 at sf0.1; cap 8 = wide margin).
+    * The Spark loop exits early once the alive count stabilizes (see
+    * [[kCore]]), so the cap's unused tail costs nothing.
     */
   private val CoreK = 3
   private val PeelRounds = 8
@@ -542,12 +543,26 @@ object Graph {
     // round keeps every plan two joins deep.
     var alive = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // `rounds` is a CAP, not a count: the alive set only shrinks, so two
+    // consecutive rounds with the same cardinality mean the SAME set —
+    // the fixed point — and every further round is a no-op. Detecting
+    // that costs one count() over an already-materialized checkpoint
+    // (cheap), and saves (cap − convergence) full no-op passes — at
+    // fixture scale that's 8→3 rounds; at 100 TB it's the difference
+    // between paying for the cap and paying for the graph's actual
+    // degeneracy depth. The unrolled oracle still runs all `rounds`
+    // CTE steps; monotonicity guarantees the answers agree.
+    var prevCount = alive.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       alive = liveEdges(alive)
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
+      val c = alive.count()
+      converged = c == prevCount
+      prevCount = c
     }
     liveEdges(alive)
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
@@ -563,10 +578,12 @@ object Graph {
     * (vertex-state-sized, shrink-only) semi-joins the pre-partitioned
     * edge memo on both endpoints — the src side is co-located by the
     * memo's layout, the dst side moves only the alive table, never the
-    * edges — then one partial-agg degree count. Fixed [[PeelRounds]]
-    * rounds with lazy checkpoints (see the monotonicity note on
-    * [[CoreK]]); the oracle unrolls the same rounds as a CTE chain.
-    * All counts exact BIGINT.
+    * edges — then one partial-agg degree count. [[PeelRounds]] caps the
+    * loop, eager per-round checkpoints + convergence early-exit run only
+    * the graph's actual degeneracy depth (see the monotonicity note on
+    * [[CoreK]]); the oracle unrolls the full cap as a CTE chain — the
+    * answers agree because converged rounds are no-ops. All counts
+    * exact BIGINT.
     */
   val q172 = oracled(
     "q172_kcore",

@@ -62,6 +62,12 @@ object Skew {
       coalesce(pmod(saltSource, lit(saltBuckets)), lit(0)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+    // pin the shuffle-hash path: if the planner broadcasts the
+    // replicated side instead, the salt is pure overhead (a broadcast
+    // join has no partition skew — and the broadcast relation is
+    // saltBuckets× the size it needed to be). This operator exists for
+    // the too-big-to-broadcast case; make the plan be that case.
+    saltedLeft.join(replicatedRight.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }

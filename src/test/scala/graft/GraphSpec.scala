@@ -138,6 +138,12 @@ class GraphSpec extends AnyFunSuite {
     val got = operators.Graph.kCore(edges, 2, 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the round count is a CAP with convergence early-exit, not a job
+    // count: a 100-round cap returns the same fixed point (and returns
+    // promptly — ~2 live rounds plus one stability check, not 100 jobs)
+    val capped = operators.Graph.kCore(edges, 2, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == got)
   }
 
   test("kCore: a chain cascades to empty, one endpoint pair per round") {

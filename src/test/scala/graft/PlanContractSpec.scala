@@ -243,4 +243,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pair generation degenerated to a cross product\n" + p)
   }
+
+  test("q107: the salted join runs the shuffle-hash path it exists for") {
+    // broadcasting the replicated side would make the salt pure
+    // overhead (no partition skew to split, saltBuckets× the broadcast
+    // bytes) — the hint in Skew.saltedJoin pins the fallback's real plan
+    val p = plan(operators.Pipeline.q107)
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join lost its shuffle-hash pin\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "replicated right side got broadcast — salting is a no-op here\n" + p)
+  }
 }
