@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in range-join bucketing (no-op until its width conf is set)
     e.injectOptimizerRule(RangeJoinBucketing)
+    // SHOW GRAFT QUERIES / FUNCTIONS — delegating parser, see GraftSqlParser
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // as-of join physical planning on the builder path too (the live-
+    // session path goes through AsOfJoin.register / extraStrategies)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

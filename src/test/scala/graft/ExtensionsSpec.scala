@@ -62,6 +62,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fp != 0L)
   }
 
+  test("injectParser: SHOW GRAFT QUERIES / FUNCTIONS parse on the withExtensions path") {
+    val prev = spark // materialize the shared session (and its context) first
+    // getOrCreate reuses any default session and would skip extension
+    // injection — drop the defaults for the duration, restore after
+    SparkSession.setDefaultSession(null)
+    SparkSession.setActiveSession(null)
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-parser")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val qs = s2.sql("SHOW GRAFT QUERIES")
+      assert(qs.columns.toSeq === Seq("name", "description", "oracled"))
+      val names = qs.collect().map(_.getString(0))
+      assert(names.length == SparkEntry.registry.size && names.contains("q01_pricing_summary"))
+      // the result is an ordinary relation: view it, then filter/count
+      s2.sql("SHOW GRAFT QUERIES").createOrReplaceTempView("graft_queries")
+      val oracled = s2.sql("SELECT count(*) AS n FROM graft_queries WHERE oracled")
+        .head().getLong(0)
+      assert(oracled == SparkEntry.registry.count(_.oracle.isDefined))
+      val fns = s2.sql("SHOW GRAFT FUNCTIONS ;").collect().map(_.getString(0))
+      assert(fns.toSet == GraftExtensions.descriptions.map(_._1).toSet)
+      // delegation: ordinary SQL (and deliberate syntax errors) behave as stock
+      assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql("SHOW GRAFT NONSENSE")
+      }
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("mapGroupsWithState per-user profiles equal batch aggregates after drain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events_state")
