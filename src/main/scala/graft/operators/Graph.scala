@@ -613,5 +613,83 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172)
+  /** LPA fixed round count and the argmax encoding base. Synchronous
+    * label propagation can oscillate (bipartite structures flip forever),
+    * so no convergence claim is made or needed: BOTH engines run exactly
+    * [[LpaRounds]] synchronous rounds of the same recurrence, and
+    * whatever state that reaches — converged or mid-oscillation — is the
+    * answer on both sides. The argmax key `cnt * LpaKeyBase - label`
+    * makes "most frequent label, ties to the SMALLEST label" a single
+    * max over distinct keys (labels are node ids < LpaKeyBase; keys stay
+    * far under 2^63 for any degree < 9e8) — deterministic with no
+    * window, no sort, inside an ordinary partial-aggregable max_by.
+    */
+  private val LpaRounds = 3
+  private val LpaKeyBase = 10000000000L
+
+  /** q173 — label propagation communities (synchronous LPA, 3 rounds):
+    * every node starts as its own label; each round it adopts the most
+    * frequent label among its neighbors (ties to the smallest), isolated
+    * nodes keep their own. The standard cheap community detector —
+    * coarser than connected components (q73: any path merges), finer
+    * than nothing: dense co-rating pockets converge onto one label and
+    * become candidate duplicate-account / shared-taste cohorts. Spark
+    * side: per round ONE join against the pre-partitioned edge memo +
+    * TWO partial-aggregated shuffles ((dst,label) count, then max_by
+    * argmax on dst) + the left join back to nodes — vertex state moves,
+    * edges never do; lazy per-round checkpoints as in [[pageRank]]
+    * (each round reads the label state once, plan depth = rounds).
+    * Exact BIGINT throughout; the oracle unrolls the same rounds with
+    * DuckDB's arg_max over the identical key encoding.
+    */
+  val q173 = oracled(
+    "q173_label_propagation",
+    s"synchronous $LpaRounds-round LPA communities (majority label, ties to smallest) over the co-rating graph",
+    {
+      def step(k: Int): String =
+        s"""lp$k AS (
+           SELECT nd.user_id AS node,
+             COALESCE(nb.nlbl, nd.user_id) AS lbl
+           FROM nodes nd LEFT JOIN (
+             SELECT dst AS node,
+               arg_max(lbl, cnt * ${LpaKeyBase} - lbl) AS nlbl
+             FROM (SELECT d.dst, p.lbl, COUNT(*) AS cnt
+                   FROM lp${k - 1} p JOIN d ON d.src = p.node
+                   GROUP BY d.dst, p.lbl) c
+             GROUP BY dst) nb ON nb.node = nd.user_id)"""
+      s"""WITH $edgesCte,
+         lp0 AS (SELECT user_id AS node, user_id AS lbl FROM nodes),
+         ${(1 to LpaRounds).map(step).mkString(",\n")}
+         SELECT node AS user_id, CAST(lbl AS BIGINT) AS community
+         FROM lp$LpaRounds ORDER BY user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    labelPropagation(edges, nodes, LpaRounds)
+      .select(col("node").as("user_id"), col("lbl").as("community"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Synchronous LPA over a directed both-directions edge list (src,
+    * dst) and node set (user_id); see [[q173]]. Exercised on known
+    * graphs by GraphSpec. Output: (node, lbl) unordered.
+    */
+  private[graft] def labelPropagation(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    var lbl = nodes.select(col("user_id").as("node"), col("user_id").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val nbr = edges.join(lbl, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("lbl"), col("cnt") * lit(LpaKeyBase) - col("lbl")).as("nlbl"))
+      lbl = nodes
+        .join(nbr, nodes("user_id") === nbr("dst"), "left")
+        .select(nodes("user_id").as("node"),
+          coalesce(col("nlbl"), nodes("user_id")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    lbl
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173)
 }

@@ -159,6 +159,43 @@ class GraphSpec extends AnyFunSuite {
     assert(!operators.Graph.kCore(edges, 2, 2).isEmpty)
   }
 
+  /** Serial synchronous LPA: majority neighbor label, ties to smallest,
+    * isolated nodes keep their own (operators.Graph.labelPropagation).
+    */
+  private def referenceLpa(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val nbr = edges.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.groupBy { case (src, _) => lbl(src) }
+          .map { case (l, g) => l -> g.size }
+        dst -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      lbl = nodes.map(v => v -> nbr.getOrElse(v, v)).toMap
+    }
+    lbl
+  }
+
+  test("labelPropagation == serial synchronous majority/min-tie recurrence") {
+    import spark.implicits._
+    // two triangles bridged by one edge + an isolated node: LPA collapses
+    // each triangle onto its min id; the bridge is outvoted
+    val und = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 7L)
+    for (rounds <- 1 to 3) {
+      val got = operators.Graph.labelPropagation(
+          edges, nodes.toDF("user_id"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == referenceLpa(und ++ und.map(_.swap), nodes, rounds),
+        s"rounds=$rounds")
+    }
+    // the isolated node keeps its own label forever
+    assert(operators.Graph.labelPropagation(edges, nodes.toDF("user_id"), 3)
+      .filter(col("node") === 7L).head().getLong(1) == 7L)
+  }
+
   test("bfs: multi-source min-hop distances on a known graph") {
     import spark.implicits._
     // path 0-1-2-3-4 (undirected), branch 2-5, isolated 9; seeds {0, 4}
