@@ -892,7 +892,86 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // ------------------------------------------- mixture apportionment resample
+
+  /** q174 — exact-budget mixture resampling (Hamilton largest-remainder
+    * apportionment): split a doc budget (half the corpus) across
+    * languages proportionally, in EXACT integer arithmetic — floor
+    * quotas first, then the leftover seats go to the largest remainders
+    * (ties to the smaller lang) so the quotas sum to the budget EXACTLY;
+    * then take each language's first `quota` docs by doc_id (consistent
+    * selection — re-runs and incremental refreshes pick the same docs).
+    * This is the sampling step a multilingual training mix actually
+    * ships: float shares × budget under- or over-shoot by rounding,
+    * while apportionment is the standard exact-total fix, and all-BIGINT
+    * math means no engine ever disagrees by an ulp (the q74 lesson,
+    * applied in design rather than repair).
+    *
+    * Scale: stats + apportionment live on the |langs|-row dimension
+    * (global windows over THAT relation only — bounded by the language
+    * inventory, never corpus rows); the corpus-side selection rank is
+    * the two-level [[graft.plans.PrefixSum]] ordinal, and the quota
+    * gate is a broadcast join. The `sel_id_sum` checksum pins the exact
+    * selected SET, not just its size.
+    */
+  val q174 = oracled(
+    "q174_mixture_apportionment",
+    "largest-remainder per-lang doc quotas (exact integer budget) + consistent first-n selection",
+    """WITH stats AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM stats),
+       base AS (SELECT lang, n, (nn // 2) AS budget,
+                 ((nn // 2) * n) // nn AS q0, ((nn // 2) * n) % nn AS rem
+               FROM stats, tot),
+       alloc AS (SELECT lang, n, budget, q0, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+                 SUM(q0) OVER () AS q0_sum FROM base),
+       fin AS (SELECT lang, n,
+                 q0 + CASE WHEN rk <= budget - q0_sum THEN 1 ELSE 0 END AS quota
+               FROM alloc),
+       rn AS (SELECT lang, doc_id, length(text) AS chars,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents)
+       SELECT f.lang, CAST(f.n AS BIGINT) AS n_docs,
+         CAST(f.quota AS BIGINT) AS quota,
+         CAST(COUNT(r.doc_id) AS BIGINT) AS n_selected,
+         CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS sel_id_sum,
+         CAST(COALESCE(SUM(r.chars), 0) AS BIGINT) AS sel_chars
+       FROM fin f LEFT JOIN rn r ON r.lang = f.lang AND r.rn <= f.quota
+       GROUP BY f.lang, f.n, f.quota ORDER BY f.lang""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), length(col("text")).as("chars"))
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val base = stats.crossJoin(broadcast(stats.agg(sum(col("n")).as("nn"))))
+      .select(col("lang"), col("n"), expr("nn div 2").as("budget"),
+        expr("(nn div 2 * n) div nn").as("q0"),
+        expr("(nn div 2 * n) % nn").as("rem"))
+    // unpartitioned windows, but over the |langs|-row dimension relation
+    // (the corpus never enters a global window here)
+    val alloc = base
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+      .withColumn("q0_sum", sum(col("q0")).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val fin = alloc.select(col("lang"), col("n"),
+      (col("q0") + when(col("rk") <= col("budget") - col("q0_sum"), 1L)
+        .otherwise(0L)).as("quota"))
+    val sel = graft.plans.PrefixSum
+      .withRowNumber(docs, "rn", Seq("lang"), "doc_id")
+      .join(broadcast(fin.select(col("lang"), col("quota"))), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("doc_id")).as("sel_id_sum"),
+        sum(col("chars")).as("sel_chars"))
+    fin.join(sel, Seq("lang"), "left")
+      .select(col("lang"), col("n").as("n_docs"), col("quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_id_sum"), lit(0L)).as("sel_id_sum"),
+        coalesce(col("sel_chars"), lit(0L)).as("sel_chars"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143, q144)
+      q116, q120, q121, q122, q129, q137, q143, q144, q174)
 }

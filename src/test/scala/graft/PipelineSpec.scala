@@ -113,4 +113,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(n > 0)
     } finally q.stop()
   }
+
+  test("q174 apportionment: quotas hit the budget exactly and selection fills them") {
+    val rows = operators.Pipeline.q174.run(spark, sfDir).collect()
+    val nTotal = rows.map(_.getLong(1)).sum
+    // the whole point of largest-remainder: Σ quota == budget, not ±langs
+    assert(rows.map(_.getLong(2)).sum == nTotal / 2)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"quota exceeds lang size: $r")
+      assert(r.getLong(3) == r.getLong(2), s"selection under-fills quota: $r")
+    }
+  }
 }
