@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.GQuery
@@ -326,5 +326,70 @@ object Ingest {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139)
+  /** q175 — one-pass column profiling (the ANALYZE-style QC report a
+    * pipeline runs before trusting a new drop): for every orders column,
+    * null count, exact distinct count, and min/max in a type-stable
+    * string representation — integers verbatim, doubles as floor-cents
+    * (floor BEFORE the integer cast: `v*100` is the same IEEE double on
+    * both engines and floor of an integral double is exact — the q169
+    * rule; no decimal cast anywhere near a tie boundary), timestamps as
+    * epoch-day numbers (fixture dates are midnight NTZ; `unix_*` rejects
+    * NTZ in Spark 4). Spark side is ONE aggregate over ONE scan — the
+    * multi-distinct plans as a single Expand (6× row multiply, each
+    * branch partial-aggregated) — then a 1-row `stack` unpivot to the
+    * long-form report; the oracle recomputes each column as a UNION
+    * branch. At 100 TB you'd swap the exact distincts for
+    * approx_count_distinct (q19's HLL path) — the plan shape is
+    * otherwise the one you'd ship.
+    */
+  val q175 = oracled(
+    "q175_column_profile",
+    "one-pass per-column profile of orders (nulls, exact distincts, typed min/max reprs)",
+    {
+      def branch(c: String, minR: String, maxR: String) =
+        s"""SELECT '$c' AS col_name,
+           CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST($minR AS VARCHAR) AS min_repr,
+           CAST($maxR AS VARCHAR) AS max_repr FROM orders"""
+      val branches = Seq(
+        branch("o_orderkey", "MIN(o_orderkey)", "MAX(o_orderkey)"),
+        branch("o_custkey", "MIN(o_custkey)", "MAX(o_custkey)"),
+        branch("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+        branch("o_totalprice",
+          "CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT)",
+          "CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT)"),
+        branch("o_orderdate",
+          "MIN(o_orderdate)::DATE - DATE '1970-01-01'",
+          "MAX(o_orderdate)::DATE - DATE '1970-01-01'"),
+        branch("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"))
+      branches.mkString("", " UNION ALL ", " ORDER BY col_name")
+    }) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def dayNum(c: Column): Column =
+      datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+    def cents(c: Column): Column = floor(c * 100).cast("long")
+    // (repr-min, repr-max) per column, min/max taken on the NATIVE type
+    // first so ordering semantics are the column's own
+    val reprs: Seq[(String, Column, Column)] = Seq(
+      ("o_orderkey", min(col("o_orderkey")), max(col("o_orderkey"))),
+      ("o_custkey", min(col("o_custkey")), max(col("o_custkey"))),
+      ("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))),
+      ("o_totalprice", cents(min(col("o_totalprice"))), cents(max(col("o_totalprice")))),
+      ("o_orderdate", dayNum(min(col("o_orderdate"))), dayNum(max(col("o_orderdate")))),
+      ("o_orderpriority", min(col("o_orderpriority")), max(col("o_orderpriority"))))
+    val aggs = reprs.flatMap { case (c, mn, mx) =>
+      Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        mn.cast("string").as(s"mn_$c"), mx.cast("string").as(s"mx_$c"))
+    }
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = reprs.map { case (c, _, _) =>
+      s"'$c', n_rows - cnt_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${reprs.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"))
+      .orderBy(col("col_name"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139, q175)
 }
