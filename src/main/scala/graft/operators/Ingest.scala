@@ -334,13 +334,16 @@ object Ingest {
     * both engines and floor of an integral double is exact — the q169
     * rule; no decimal cast anywhere near a tie boundary), timestamps as
     * epoch-day numbers (fixture dates are midnight NTZ; `unix_*` rejects
-    * NTZ in Spark 4). Spark side is ONE aggregate over ONE scan — the
-    * multi-distinct plans as a single Expand (6× row multiply, each
-    * branch partial-aggregated) — then a 1-row `stack` unpivot to the
-    * long-form report; the oracle recomputes each column as a UNION
-    * branch. At 100 TB you'd swap the exact distincts for
-    * approx_count_distinct (q19's HLL path) — the plan shape is
-    * otherwise the one you'd ship.
+    * NTZ in Spark 4). Spark side: one branch per column, each a
+    * COLUMN-PRUNED scan → group-by-value (map-side partial dedup: the
+    * shuffle carries each task's distinct values, not rows) → a tiny
+    * re-aggregate deriving nulls/distincts/min/max from the value
+    * histogram — unioned into the long-form report. On a columnar
+    * store, 6 single-column scans cost the bytes of ONE full-width
+    * scan, and beat the multi-distinct Expand plan (7× row multiply of
+    * full-width null-padded rows through a single aggregate — measured
+    * 3.0 s vs 0.6 s here). At 100 TB you'd swap the exact distincts for
+    * approx_count_distinct (q19's HLL path) and fuse the branches.
     */
   val q175 = oracled(
     "q175_column_profile",
@@ -369,25 +372,26 @@ object Ingest {
     def dayNum(c: Column): Column =
       datediff(c.cast("date"), lit("1970-01-01")).cast("long")
     def cents(c: Column): Column = floor(c * 100).cast("long")
-    // (repr-min, repr-max) per column, min/max taken on the NATIVE type
-    // first so ordering semantics are the column's own
-    val reprs: Seq[(String, Column, Column)] = Seq(
-      ("o_orderkey", min(col("o_orderkey")), max(col("o_orderkey"))),
-      ("o_custkey", min(col("o_custkey")), max(col("o_custkey"))),
-      ("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))),
-      ("o_totalprice", cents(min(col("o_totalprice"))), cents(max(col("o_totalprice")))),
-      ("o_orderdate", dayNum(min(col("o_orderdate"))), dayNum(max(col("o_orderdate")))),
-      ("o_orderpriority", min(col("o_orderpriority")), max(col("o_orderpriority"))))
-    val aggs = reprs.flatMap { case (c, mn, mx) =>
-      Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c"),
-        mn.cast("string").as(s"mn_$c"), mx.cast("string").as(s"mx_$c"))
-    }
-    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = reprs.map { case (c, _, _) =>
-      s"'$c', n_rows - cnt_$c, nd_$c, mn_$c, mx_$c"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${reprs.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"))
+    // repr applies AFTER min/max on the native type, so ordering
+    // semantics are the column's own
+    val reprs: Seq[(String, Column => Column)] = Seq(
+      ("o_orderkey", identity[Column] _),
+      ("o_custkey", identity[Column] _),
+      ("o_orderstatus", identity[Column] _),
+      ("o_totalprice", cents _),
+      ("o_orderdate", dayNum _),
+      ("o_orderpriority", identity[Column] _))
+    reprs.map { case (c, repr) =>
+      o.select(col(c).as("v")).groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(when(col("v").isNull, col("cnt")).otherwise(0L)), lit(0L))
+            .as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          repr(min(col("v"))).cast("string").as("min_repr"),
+          repr(max(col("v"))).cast("string").as("max_repr"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_repr"), col("max_repr"))
+    }.reduce(_ unionByName _)
       .orderBy(col("col_name"))
   }
 
