@@ -150,5 +150,52 @@ object SetOps {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165)
+  /** q176 — mergeable sketch re-aggregation (the q19 error-contract
+    * trick, extended to the PERSISTENCE pattern): per-day HLL sketches
+    * of the distinct-user set, then `hll_union_agg` merges the daily
+    * sketches into (a) the full-month estimate and (b) an arbitrary
+    * half-month slice — WITHOUT touching the raw rows again. This is
+    * how incremental distinct counting actually ships at 100 TB: the
+    * daily sketch table is a few KB per partition, any date-range
+    * distinct query becomes a union of sketches instead of a re-scan,
+    * and the error contract is checked here against exact counts on
+    * both engines (Spark computes the bound from its sketches; the
+    * oracle recomputes exact and emits literal TRUE — the q19/q165
+    * gate style). The CASE-gated union shows slice re-aggregation from
+    * the same persisted sketch column.
+    */
+  val q176 = oracled(
+    "q176_sketch_reaggregation",
+    "daily HLL sketches union-merged over ranges: 5% contract vs exact distincts",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP)::DATE AS day, user_id FROM events)
+       SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+         CAST(COUNT(DISTINCT CASE WHEN day <= DATE '2024-01-15'
+           THEN user_id END) AS BIGINT) AS exact_first_half,
+         TRUE AS total_within_5pct,
+         TRUE AS first_half_within_5pct
+       FROM e""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+    // the "persisted sketch table": one binary sketch per day
+    val daily = e.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+      expr("""hll_sketch_estimate(hll_union_agg(
+          CASE WHEN day <= DATE '2024-01-15' THEN sk END))""").as("est_fh"))
+    val exact = e.agg(
+      countDistinct(col("user_id")).as("exact_total"),
+      countDistinct(when(col("day") <= lit("2024-01-15").cast("date"),
+        col("user_id"))).as("exact_first_half"))
+    merged.crossJoin(exact).select(
+      col("n_days"), col("exact_total"), col("exact_first_half"),
+      (abs(col("est_total") - col("exact_total"))
+        / col("exact_total").cast("double") <= 0.05).as("total_within_5pct"),
+      (abs(col("est_fh") - col("exact_first_half"))
+        / col("exact_first_half").cast("double") <= 0.05).as("first_half_within_5pct"))
+  }
+
+  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165, q176)
 }
