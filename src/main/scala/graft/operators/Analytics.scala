@@ -953,7 +953,53 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** q181 — equi-depth histogram of `l_extendedprice` (10 buckets):
+    * the optimizer-statistics / data-profiling primitive (equi-WIDTH
+    * bins hide skew; equi-DEPTH bin boundaries ARE the distribution).
+    * Bucket assignment needs every row's global rank — the single-task
+    * `row_number() OVER (ORDER BY ...)` trap — so the rank comes from
+    * the two-level [[graft.plans.PrefixSum]] ordinal (bucket subtotals
+    * + broadcast offsets; every task sorts only its own price range),
+    * and the bucket is pure arithmetic on it: `(rank−1)·B div n` — the
+    * same floor-division spread on both engines (NOT ntile, whose
+    * front-loaded remainder distribution differs; the oracle applies
+    * the identical formula to a DuckDB row_number). Per bucket: size
+    * (equi-depth: sizes differ by ≤1), value bounds, and the exact
+    * DECIMAL revenue mass. Ties across a bucket edge split by the
+    * (orderkey, linenumber) tiebreak identically on both engines.
+    */
+  val q181 = oracled(
+    "q181_equidepth_histogram",
+    "10-bucket equi-depth price histogram via distributed rank (two-level prefix scan)",
+    """WITH r AS (
+         SELECT l_extendedprice AS p,
+           ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+             l_linenumber) AS rn,
+           COUNT(*) OVER () AS n
+         FROM lineitem)
+       SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(p) AS lo, MAX(p) AS hi,
+         CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_mass
+       FROM r GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+    val B = 10
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"),
+        col("l_linenumber"), lit(0).as("g"))
+    val ranked = graft.plans.PrefixSum.withRowNumber(
+      li, "rn", Seq("g"), "p",
+      tiebreaks = Seq(col("l_orderkey"), col("l_linenumber")))
+    val n = li.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"(rn - 1) * $B div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p")).as("lo"),
+        max(col("p")).as("hi"),
+        sum(dec2(col("p"))).cast("decimal(18,2)").as("price_mass"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151, q155, q158, q160, q169)
+      q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181)
 }

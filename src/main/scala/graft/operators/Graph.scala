@@ -691,5 +691,51 @@ object Graph {
     lbl
   }
 
-  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173)
+  /** q180 — link prediction over the co-rating graph: for every
+    * non-adjacent pair with at least one common neighbor, the
+    * common-neighbor count and the resource-allocation index
+    * RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) (Zhou/Lü/Zhang 2009 — the
+    * strongest of the simple local predictors), in the q152 fixed-point
+    * discipline: each z contributes `Scale div deg(z)` as an exact
+    * BIGINT, so the distributed sum is associative and bit-identical to
+    * the oracle's serial one — no double drift in a score used for
+    * top-k cuts. Shape: one wedge self-join of the shared checkpointed
+    * edge memo (z → a, z → b, a < b — the q138 triangle-counting cost,
+    * bounded by Σ deg(z)²), one LEFT ANTI join against the same edges
+    * to keep only non-adjacent pairs, one partial-aggregated count/sum,
+    * top-50 via TakeOrderedAndProject. Candidate recommendations a
+    * "people you may know" or record-linkage blocking stage consumes.
+    */
+  val q180 = oracled(
+    "q180_link_prediction",
+    "common-neighbor + resource-allocation link scores for non-adjacent pairs, top-50",
+    s"""WITH $edgesCte,
+       dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM d GROUP BY src),
+       w AS (SELECT d1.src AS z, d1.dst AS a, d2.dst AS b
+             FROM d d1 JOIN d d2 ON d1.src = d2.src AND d1.dst < d2.dst),
+       c AS (SELECT z, a, b FROM w
+             WHERE NOT EXISTS (SELECT 1 FROM d
+               WHERE d.src = w.a AND d.dst = w.b)),
+       sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                CAST(SUM($Scale // dg.deg) AS BIGINT) AS ra_score
+              FROM c JOIN dg ON c.z = dg.src GROUP BY a, b)
+       SELECT a AS user_a, b AS user_b, common_neighbors, ra_score
+       FROM sc ORDER BY ra_score DESC, a, b LIMIT 50""") { (s, dir) =>
+    val (edges, _) = coRatingGraph(s, dir)
+    val wedges = edges.select(col("src").as("z"), col("dst").as("a"), col("deg"))
+      .join(edges.select(col("src").as("z2"), col("dst").as("b")),
+        col("z") === col("z2") && col("a") < col("b"))
+    val cand = wedges.join(edges.select(col("src"), col("dst")),
+      col("a") === col("src") && col("b") === col("dst"), "left_anti")
+    cand.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr(s"$Scale div deg")).cast("long").as("ra_score"))
+      .select(col("a").as("user_a"), col("b").as("user_b"),
+        col("common_neighbors"), col("ra_score"))
+      .orderBy(col("ra_score").desc, col("user_a"), col("user_b"))
+      .limit(50)
+  }
+
+  val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
+    q180)
 }

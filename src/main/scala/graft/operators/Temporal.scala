@@ -568,6 +568,103 @@ object Temporal {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q178 — peak concurrency by sweep-line: how many user-day activity
+    * intervals overlap at the busiest instant. The classic interval
+    * problem every capacity/sessions dashboard runs, solved the only
+    * way that scales: each interval becomes a +1 (start) and a −1 (end)
+    * delta event, and the answer is the max of the running delta sum in
+    * (time, delta) order — ends sort before starts at the same instant,
+    * so half-open [start, end) semantics and zero-length intervals
+    * never inflate the peak. The running sum is a GLOBAL ordered prefix
+    * sum — the single-task window trap — so it runs through the
+    * two-level [[graft.plans.PrefixSum]] scan (the q98/q151 scale
+    * path): bucket subtotals + offset broadcast, every task sorting
+    * only its slice. Peak instant is the earliest time attaining the
+    * max (tie-order within an instant can't change it: all −1s apply
+    * first, and a run of equal deltas yields the same value multiset in
+    * any order).
+    */
+  val q178 = oracled(
+    "q178_peak_concurrency",
+    "sweep-line max overlapping user-day activity intervals + earliest peak instant",
+    """WITH iv AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP)::DATE AS day,
+           MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS e
+         FROM events GROUP BY 1, 2),
+       d AS (SELECT s AS tu, 1 AS dd FROM iv
+             UNION ALL SELECT e, -1 FROM iv),
+       r AS (SELECT tu, SUM(dd) OVER (ORDER BY tu, dd
+               ROWS UNBOUNDED PRECEDING) AS run FROM d),
+       m AS (SELECT MAX(run) AS mx FROM r)
+       SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals,
+         CAST(mx AS BIGINT) AS max_concurrent,
+         strftime(make_timestamp((SELECT MIN(tu) FROM r WHERE run = mx)),
+           '%Y-%m-%d %H:%M:%S') AS peak_instant
+       FROM m""") { (s, dir) =>
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val deltas = iv.select(col("s").as("tu"), lit(1L).as("dd"))
+      .unionByName(iv.select(col("e").as("tu"), lit(-1L).as("dd")))
+      .withColumn("g", lit(0))
+    val run = graft.plans.PrefixSum.withRunningTotal(
+      deltas, "run", Seq("g"), "tu", "dd", tiebreaks = Seq(col("dd")))
+    // max run + earliest instant attaining it in ONE pass: lexicographic
+    // struct max over (run, -tu) — among max-run rows, max(-tu) = min tu
+    val peak = run.agg(max(struct(col("run"), (-col("tu")).as("ntu"))).as("pk"))
+    iv.agg(count(lit(1)).as("n_intervals"))
+      .crossJoin(peak)
+      .select(col("n_intervals"),
+        col("pk.run").cast("long").as("max_concurrent"),
+        date_format(timestamp_micros(-col("pk.ntu")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_instant"))
+  }
+
+  /** q179 — half-life recency weighting in EXACT integer arithmetic:
+    * per item, Σ weight·2^(K−age_days) over the last K=20 days — the
+    * freshness prior a data-mixing or trending stage multiplies into
+    * its sampling weights. Doubles make exponential decay
+    * order-dependent (summing a million decayed terms in different
+    * partition orders drifts ulps); powers of two make it EXACT — the
+    * per-event term `w << (K − age)` is a BIGINT, the sum is
+    * associative, and Spark's distributed aggregation is bit-identical
+    * to the oracle's serial one. One scan, one partial-aggregated
+    * shuffle on item_id; the reference epoch (max event date) folds in
+    * as a 1-row broadcast, not a driver round-trip.
+    */
+  val q179 = oracled(
+    "q179_decayed_popularity",
+    "per-item half-life decayed score (exact BIGINT 2^(K-age) weights, K=20 days)",
+    """WITH e AS (
+         SELECT event_id % 100 AS item_id, CAST(ts AS TIMESTAMP)::DATE AS day,
+           CAST(FLOOR(value * 100) AS BIGINT) AS w FROM events),
+       mx AS (SELECT MAX(day) AS d0 FROM e)
+       SELECT item_id,
+         CAST(SUM(CASE WHEN (SELECT d0 FROM mx) - day <= 20
+           THEN w * CAST(POW(2, 20 - ((SELECT d0 FROM mx) - day)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS decayed_score,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM e GROUP BY item_id ORDER BY decayed_score DESC, item_id""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select((col("event_id") % 100).as("item_id"),
+        col("ts").cast("date").as("day"),
+        floor(col("value") * 100).cast("long").as("w"))
+    val d0 = e.agg(max(col("day")).as("d0"))
+    e.crossJoin(broadcast(d0))
+      .withColumn("age", datediff(col("d0"), col("day")))
+      .groupBy(col("item_id"))
+      .agg(
+        sum(when(col("age") <= 20,
+          expr("w * shiftleft(CAST(1 AS BIGINT), 20 - age)"))
+          .otherwise(0L)).cast("long").as("decayed_score"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("decayed_score").desc, col("item_id"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161, q163)
+    Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
+      q163, q178, q179)
 }

@@ -667,7 +667,63 @@ object TextOps {
       .orderBy(col("epoch"), col("rnk"))
   }
 
+  /** q177 — Count-min sketch frequency estimation under its one-sided
+    * error CONTRACT (the q19/q165/q176 gate style, for the frequency
+    * sketch the family was missing): ONE pass folds every token
+    * occurrence into a fixed 4×8192 counter grid (native
+    * [[graft.functions.CountMinAgg]], mergeable elementwise like the
+    * daily HLLs of q176), then the exact top-20 tokens are point-probed
+    * against the sketch with plain built-in arithmetic (`pmod` +
+    * `element_at` + `least` — the estimate needs no custom scalar).
+    * Two contract columns cross the gate: `never_undercounts`
+    * (CMS collisions only ADD — deterministically TRUE by construction)
+    * and `within_eps` (estimate ≤ exact + (e/width)·N — the classic
+    * Cormode-Muthukrishnan bound; with 8192 cells/row and 4 rows it
+    * holds with wide margin on every fixture scale). The oracle
+    * recomputes exact counts and emits literal TRUE for both. At
+    * 100 TB: the sketch is 256 KB regardless of corpus size, partials
+    * merge associatively, and no per-token frequency table ever
+    * shuffles — approximate-count infrastructure a mixture-weighting or
+    * vocabulary-pruning stage reads instead of a full GROUP BY.
+    */
+  val q177 = oracled(
+    "q177_count_min_sketch",
+    "count-min sketch (4x8192) point estimates vs exact top-20: one-sided error contract",
+    """WITH tok AS (
+         SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
+       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+         TRUE AS never_undercounts, TRUE AS within_eps
+       FROM tok GROUP BY tok ORDER BY n DESC, tok LIMIT 20""") { (s, dir) =>
+    import graft.functions.CountMinAgg
+    val depth = 4
+    val width = 8192
+    val p = Dedup.P
+    val tok = Dedup.tokenized(s, dir).select(explode(col("toks")).as("tok"))
+    val occ = tok.withColumn("h", rollingHash(col("tok")))
+    val sketch = occ.agg(
+      CountMinAgg.countMinAgg(col("h"), depth, width, p).as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = occ.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+    // point probe: cell index per row i is ((h*a_i+b_i) mod p) mod width,
+    // the exact arithmetic CountMinAgg.update ran on the build side
+    val est = least((0 until depth).map { i =>
+      element_at(col("sk"),
+        (lit(i * width)
+          + pmod(col("h") * CountMinAgg.rowA(i) + CountMinAgg.rowB(i), lit(p)) % width
+          + 1).cast("int"))
+    }: _*)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("n"),
+        (est >= col("n")).as("never_undercounts"),
+        (est - col("n") <= col("n_total").cast("double") * (math.E / width))
+          .as("within_eps"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168)
+      q156, q168, q177)
 }

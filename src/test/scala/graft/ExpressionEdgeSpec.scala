@@ -154,4 +154,54 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(fp(0).getString(0) === fp(0).getString(1))
     assert(fp(1).isNullAt(0) && fp(1).isNullAt(1))
   }
+
+  test("CountMinAgg grid is partition-order invariant and matches a serial build") {
+    import spark.implicits._
+    import graft.functions.CountMinAgg
+    val depth = 3
+    val width = 64
+    val mod = 1000000007L
+    val hashes = (1 to 500).map(i => (i % 37L) * 48271L)
+    // serial reference grid: the same arithmetic, folded in one thread
+    val ref = new Array[Long](depth * width)
+    hashes.foreach { h =>
+      (0 until depth).foreach { i =>
+        val m = (h * CountMinAgg.rowA(i) + CountMinAgg.rowB(i)) % mod
+        val p = if (m < 0) m + mod else m
+        ref(i * width + (p % width).toInt) += 1L
+      }
+    }
+    Seq(1, 7, 32).foreach { parts =>
+      val grid = hashes.toDF("h").repartition(parts)
+        .agg(CountMinAgg.countMinAgg(col("h"), depth, width, mod).as("sk"))
+        .collect()(0).getSeq[Long](0)
+      assert(grid.toArray.sameElements(ref), s"grid diverged at $parts partitions")
+    }
+  }
+
+  test("CountMinAgg point estimates never undercount; empty group is all zeros") {
+    import spark.implicits._
+    import graft.functions.CountMinAgg
+    val depth = 4
+    val width = 32 // deliberately tiny: force collisions, prove one-sidedness
+    val mod = 1000000007L
+    val items = (1 to 400).map(i => i % 23L)
+    val df = items.map(v => (v, v * 2654435761L)).toDF("v", "h").repartition(8)
+    val sk = df.agg(CountMinAgg.countMinAgg(col("h"), depth, width, mod).as("sk"))
+    val est = least((0 until depth).map { i =>
+      element_at(col("sk"),
+        (lit(i * width)
+          + pmod(col("h") * CountMinAgg.rowA(i) + CountMinAgg.rowB(i), lit(mod)) % width
+          + 1).cast("int"))
+    }: _*)
+    val rows = df.groupBy(col("v"), col("h")).agg(count(lit(1)).as("n"))
+      .crossJoin(sk).select(col("n"), est.as("est")).collect()
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(0),
+      "count-min must never undercount"))
+    // null inputs are skipped; a group of only nulls is a valid zero sketch
+    val z = Seq(Option.empty[Long], Option.empty[Long]).toDF("h")
+      .agg(CountMinAgg.countMinAgg(col("h"), 2, 8, mod).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(z.length === 16 && z.forall(_ == 0L))
+  }
 }

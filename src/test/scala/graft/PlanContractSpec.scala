@@ -254,4 +254,47 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"),
       "replicated right side got broadcast — salting is a no-op here\n" + p)
   }
+
+  test("q177: the sketch is one partial-aggregated pass; probes broadcast") {
+    val p = plan(operators.TextOps.q177)
+    assert(p.contains("count_min_agg"), "native sketch aggregate missing\n" + p)
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must run object-hash, with a map-side partial\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact top-20 must plan as top-k, not a full sort\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "1-row sketch × 20-row probes must broadcast, never cartesian\n" + p)
+  }
+
+  test("q178: the sweep prefix sum is the two-level scan, never a global sort") {
+    val p = plan(operators.Temporal.q178)
+    assert(p.contains("__bkt"), "PrefixSum bucketing missing\n" + p)
+    // the fatal shape: running sum ordered by tu over the WHOLE delta
+    // stream in one task (windowspecdefinition with tu leading = no
+    // partition columns before the order key)
+    assert(!"windowspecdefinition\\(tu#\\d+L? ASC".r.findFirstIn(p).isDefined,
+      "sweep regressed to an unpartitioned window over all deltas\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back\n" + p)
+  }
+
+  test("q180: wedge generation and the adjacency anti-join stay equi-joins") {
+    val p = plan(operators.Graph.q180)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "link-prediction candidates degenerated to a cross product\n" + p)
+    assert(p.contains("LeftAnti"), "non-adjacency filter must be an anti-join\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must plan as top-k\n" + p)
+  }
+
+  test("q181: histogram rank is the two-level scan, never a global row_number") {
+    val p = plan(operators.Analytics.q181)
+    assert(p.contains("__bkt"), "PrefixSum bucketing missing\n" + p)
+    // bad shape: row_number ordered by price over the whole table
+    // (windowspecdefinition led by the price order key, no partition)
+    assert(!"windowspecdefinition\\(p#\\d+ ASC".r.findFirstIn(p).isDefined,
+      "rank regressed to an unpartitioned window over every row\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bounds/offsets/n must broadcast, never shuffle the fact table\n" + p)
+  }
 }
