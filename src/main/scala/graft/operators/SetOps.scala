@@ -197,5 +197,61 @@ object SetOps {
         / col("exact_first_half").cast("double") <= 0.05).as("first_half_within_5pct"))
   }
 
-  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165, q176)
+  /** q182 — join-size estimation from two count-min sketches (the
+    * Cormode-Muthukrishnan inner-product estimator, the AMS-family
+    * trick every cost-based optimizer wants): sketch each side's join
+    * key ONCE (the same mergeable [[graft.functions.CountMinAgg]] grid
+    * q177 builds), and the join's output cardinality is estimated as
+    * the MIN over grid rows of the row-wise dot product
+    * Σ_j cm1[i][j]·cm2[i][j] — collisions only add positive cross
+    * terms, so the estimate NEVER undercounts, and is within
+    * ε·N1·N2 (ε = e/width) of Σ_k f1(k)·f2(k), the exact join size.
+    * Both contract columns cross the gate against the oracle's exact
+    * join count. Why it matters at 100 TB: deciding "can this join
+    * broadcast / will it explode" from two 256 KB sketches costs two
+    * single-pass scans and NO shuffle — the exact answer costs the
+    * join itself. The probe side is a 1×1 crossJoin of sketch rows;
+    * the dot products run interpreted HOFs over 4×8192 cells of ONE
+    * row — never per-data-row.
+    */
+  val q182 = oracled(
+    "q182_join_size_sketch",
+    "count-min inner-product join-cardinality estimate vs exact (one-sided contract)",
+    """SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+         CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_events,
+         CAST((SELECT COUNT(*) FROM orders o JOIN events e
+           ON o.o_custkey = e.user_id) AS BIGINT) AS exact_join_rows,
+         TRUE AS never_undercounts, TRUE AS within_eps""") { (s, dir) =>
+    import graft.functions.CountMinAgg
+    val depth = 4
+    val width = 8192
+    val p = Dedup.P
+    val sk1 = Tables.orders(s, dir)
+      .agg(CountMinAgg.countMinAgg(col("o_custkey"), depth, width, p).as("sk1"),
+        count(lit(1)).as("n_orders"))
+    val sk2 = Tables.events(s, dir)
+      .agg(CountMinAgg.countMinAgg(col("user_id"), depth, width, p).as("sk2"),
+        count(lit(1)).as("n_events"))
+    val exact = Tables.orders(s, dir).select(col("o_custkey"))
+      .join(Tables.events(s, dir).select(col("user_id")),
+        col("o_custkey") === col("user_id"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    // row-wise inner products over the two grids, then the row minimum
+    val est = least((0 until depth).map { i =>
+      aggregate(
+        zip_with(
+          slice(col("sk1"), i * width + 1, width),
+          slice(col("sk2"), i * width + 1, width),
+          (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    sk1.crossJoin(sk2).crossJoin(exact)
+      .select(col("n_orders"), col("n_events"), col("exact_join_rows"),
+        (est >= col("exact_join_rows")).as("never_undercounts"),
+        (est - col("exact_join_rows") <=
+          lit(math.E / width) * col("n_orders") * col("n_events"))
+          .as("within_eps"))
+  }
+
+  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165, q176, q182)
 }
