@@ -999,7 +999,55 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** q183 — per-group winsorization: clip `c_acctbal` to its segment's
+    * [p05, p95] and account for the damage — the outlier-capping
+    * normalization a feature/label-prep stage runs before training
+    * (clipping beats dropping: rows survive, tails stop dominating
+    * gradients). Exact interpolated percentiles (the q58-proven
+    * Spark↔DuckDB parity) come from ONE aggregate over the group,
+    * broadcast back (5 rows), and the clamp + accounting is a second
+    * partial-aggregated pass: two scans, no window, no sort. The
+    * winsorized sum crosses the gate as DECIMAL(18,6): every clipped
+    * value is a percentile = 2dp value + (≤2dp fraction)·(≤2dp diff)
+    * ⇒ ≤4dp rational, whose double rounds identically to 6dp on both
+    * engines (no dyadic can tie at a 6dp half — denominator 5^k).
+    */
+  val q183 = oracled(
+    "q183_winsorization",
+    "per-segment [p05,p95] clipping with clipped-row accounting and exact decimal mass",
+    """WITH p AS (
+         SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.05) AS lo,
+           quantile_cont(c_acctbal, 0.95) AS hi
+         FROM customer GROUP BY c_mktsegment)
+       SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal < lo) AS BIGINT) AS n_clipped_low,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal > hi) AS BIGINT) AS n_clipped_high,
+         CAST(SUM(CAST(
+           CASE WHEN c_acctbal < lo THEN lo
+                WHEN c_acctbal > hi THEN hi
+                ELSE c_acctbal END AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           AS winsorized_mass
+       FROM customer c JOIN p USING (c_mktsegment)
+       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""") { (s, dir) =>
+    val cust = Tables.customer(s, dir).select(col("c_mktsegment"), col("c_acctbal"))
+    val pct = cust.groupBy(col("c_mktsegment"))
+      .agg(percentile(col("c_acctbal"), lit(0.05)).as("lo"),
+        percentile(col("c_acctbal"), lit(0.95)).as("hi"))
+    cust.join(broadcast(pct), "c_mktsegment")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("c_acctbal") < col("lo"), 1)).as("n_clipped_low"),
+        count(when(col("c_acctbal") > col("hi"), 1)).as("n_clipped_high"),
+        sum(when(col("c_acctbal") < col("lo"), col("lo"))
+          .when(col("c_acctbal") > col("hi"), col("hi"))
+          .otherwise(col("c_acctbal")).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("winsorized_mass"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
-      q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181)
+      q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
+      q183)
 }

@@ -971,7 +971,55 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** q184 — deterministic negative sampling: for every user, the 3
+    * un-interacted items a ranking-model trainer pairs against the
+    * positives — selected by a reproducible hash order, not `rand()`
+    * (resumable jobs and A/B-identical reruns need the SAME negatives
+    * every time; the q72/q144 reproducibility discipline). Candidates
+    * are the user × catalog grid minus the interaction set (one
+    * LEFT ANTI join); ranking is a per-user window over at most
+    * |catalog| rows — the catalog is the bounded dimension (10²-10⁶),
+    * the user axis is the distributed one, so the window partitions by
+    * the high-cardinality key and never exceeds catalog-sized state
+    * per group. The hash is the q72 Knuth multiplicative scheme on
+    * `user·100 + item`, computed in DECIMAL(38,0) so the multiply
+    * stays total over the full BIGINT range (the ANSI-overflow trap),
+    * while the oracle keeps the plain integer spelling.
+    */
+  val q184 = oracled(
+    "q184_negative_sampling",
+    "3 deterministic hash-ranked negatives per user (grid anti-join, catalog-bounded window)",
+    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id FROM events),
+       items AS (SELECT DISTINCT item_id FROM r),
+       grid AS (SELECT u.user_id, i.item_id
+                FROM (SELECT DISTINCT user_id FROM r) u CROSS JOIN items i),
+       neg AS (SELECT g.user_id, g.item_id FROM grid g
+               WHERE NOT EXISTS (SELECT 1 FROM r
+                 WHERE r.user_id = g.user_id AND r.item_id = g.item_id)),
+       rk AS (SELECT user_id, item_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+             ((user_id * 100 + item_id) * 2654435761) % 4294967296,
+             item_id) AS neg_rank
+         FROM neg)
+       SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
+       FROM rk WHERE neg_rank <= 3 ORDER BY user_id, neg_rank""") { (s, dir) =>
+    val r = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item_id"))
+      .distinct()
+    val users = r.select(col("user_id")).distinct()
+    val items = r.select(col("item_id")).distinct()
+    val neg = users.crossJoin(broadcast(items))
+      .join(r, Seq("user_id", "item_id"), "left_anti")
+    val h = ((col("user_id") * 100 + col("item_id")).cast("decimal(38,0)")
+      * lit(2654435761L)) % lit(4294967296L)
+    val w = Window.partitionBy(col("user_id")).orderBy(h, col("item_id"))
+    neg.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 3)
+      .select(col("user_id"), col("item_id"), col("neg_rank"))
+      .orderBy(col("user_id"), col("neg_rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143, q144, q174)
+      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184)
 }

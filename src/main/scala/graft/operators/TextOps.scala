@@ -723,7 +723,60 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** q185 — PMI collocations: the adjacent-bigram pairs whose joint
+    * frequency most exceeds what their parts predict —
+    * PMI = ln(c12·N / (c1·c2)) over the bigram table and its OWN
+    * marginals (q76's construction; the marginal rollups and the final
+    * ranking all run on the vocabulary² relation, never corpus rows,
+    * and the join is UNHINTED — at 100 TB the marginal tables are
+    * vocabulary-sized, the q64 lesson, so stats/AQE pick the join).
+    * Everything inside the ln is integer-exact in DOUBLE (all products
+    * < 2^53 at any plausible corpus: c1·c2 ≤ N² needs N < 9.5e7
+    * bigrams per the fixture's vocab — the rounded 6dp value is the
+    * q130 transcendental discipline), min support 20 keeps the
+    * low-count PMI pathology (hapax pairs score highest) out of the
+    * ranking — the standard collocation-extraction guard.
+    */
+  val q185 = oracled(
+    "q185_pmi_collocations",
+    "top-20 adjacent-bigram collocations by PMI (min support 20, marginal-derived)",
+    """WITH t AS (
+         SELECT string_split(trim(text), ' ') AS toks FROM documents),
+       bg AS (
+         SELECT w1, w2, COUNT(*) AS c12 FROM (
+           SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                  unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+           FROM t) GROUP BY w1, w2),
+       n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM bg),
+       m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+       m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2)
+       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         ROUND(LN(CAST(c12 AS DOUBLE) * n.n2 / (m1.c1 * m2.c2)), 6) AS pmi
+       FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+       WHERE c12 >= 20
+       ORDER BY pmi DESC, w1, w2 LIMIT 20""") { (s, dir) =>
+    val pairs = Dedup.tokenized(s, dir)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // one corpus-side aggregate; marginals + ranking run on vocab² rows
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = bg.agg(sum(col("c12")).cast("long").as("n2"))
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("c12")).cast("long").as("c2"))
+    bg.filter(col("c12") >= 20)
+      .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n2") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177)
+      q156, q168, q177, q185)
 }
