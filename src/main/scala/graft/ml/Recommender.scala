@@ -426,5 +426,143 @@ object Recommender {
       .orderBy(col("item_a"), col("rn"))
   }
 
-  val all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86)
+  /** Shared scorer for the ranking-metric queries (q186/q187): every
+    * rating row labeled positive (rating >= 4) and scored with its
+    * item's INTEGER-SCALED mean, (1000*sum) div count ∈ [1000, 5000] —
+    * the per-item aggregate the reference's Movie table carries
+    * (Movie.java:34-38) quantized so every downstream comparison is an
+    * exact BIGINT op. The quantization is the point, not a shortcut:
+    * ties (every rating of one item shares a score, distinct items can
+    * collide on the 1000-grid) are exactly what the tie-aware metric
+    * math must handle, and a bounded score domain (<= 4001 values) is
+    * what makes the global rank aggregation scale-free below. The
+    * stats join is deliberately UNHINTED (q185's principle: the item
+    * side is fixture-small but corpus-scale-unbounded; stats/AQE pick
+    * broadcast here and degrade to shuffle at scale).
+    */
+  private[graft] def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    val st = r.groupBy(col("item_id"))
+      .agg(expr("(1000 * sum(rating)) div count(1)").as("score"))
+    r.join(st, "item_id")
+      .select(col("score"), when(col("rating") >= 4, 1L).otherwise(0L).as("pos"))
+  }
+
+  /** Shared SQL twin of [[scoredLabeled]]. */
+  private val scoredSql: String =
+    s"""r AS (SELECT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        st AS (SELECT item_id,
+          CAST((1000 * CAST(SUM(rating) AS BIGINT)) // COUNT(*) AS BIGINT) AS score
+          FROM r GROUP BY item_id),
+        s AS (SELECT st.score,
+          CASE WHEN r.rating >= 4 THEN 1 ELSE 0 END AS pos
+          FROM r JOIN st USING (item_id))"""
+
+  /** Exact tie-aware AUC of a (score, pos) relation — Mann-Whitney U
+    * from average ranks, entirely in BIGINT. Grouping by score value
+    * first makes the rank math cardinality-bounded: with tie groups
+    * (n_g, npos_g) ordered by score and cum_lt_g = rows strictly below,
+    * twice the positive rank-sum is Σ npos_g * (2*cum_lt_g + n_g + 1)
+    * (integral — the *2 absorbs the .5 of tie-averaged ranks), so
+    *   2U = Σ - npos*(npos+1)  and  AUC = 2U / (2*npos*nneg).
+    * The one window runs over the POST-AGGREGATE table, which has at
+    * most |score domain| rows regardless of corpus size — a bounded
+    * single-task window, not a q13-style per-row rank (the trap
+    * [[graft.plans.PrefixSum]] exists for). The final division is one
+    * IEEE double op on integer-exact operands < 2^53 — bit-identical
+    * in any engine; BIGINT overflows only past ~2e9 rows per scorer,
+    * where the rank-sum state flips to DECIMAL(38,0).
+    */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cum_lt", coalesce(sum(col("n")).over(w), lit(0L)))
+    c.agg(
+        sum(col("np")).as("npos"),
+        sum(col("n")).as("ntot"),
+        sum(col("np") * (lit(2) * col("cum_lt") + col("n") + 1)).as("r2"))
+      .select(
+        col("npos"),
+        (col("ntot") - col("npos")).as("nneg"),
+        (col("r2") - col("npos") * (col("npos") + 1)).as("u2"),
+        ((col("r2") - col("npos") * (col("npos") + 1)).cast("double")
+          / (lit(2) * col("npos") * (col("ntot") - col("npos"))).cast("double"))
+          .as("auc"))
+  }
+
+  /** q186 — ranking-metric evaluation: exact AUC of the item-mean
+    * scorer predicting "liked" (rating >= 4). The probabilistic MAE/RMSE
+    * pair (q32/q37) grades magnitude error; AUC grades the ORDERING a
+    * recommender actually serves, and the tie-aware Mann-Whitney form
+    * ([[aucOf]]) is the exact one — sampled pair-counting estimators
+    * need not apply. Plan: two partial-aggregated passes (item stats,
+    * score-group stats) + one bounded window + one 1-row reduce; no
+    * per-row window, no all-pairs join (the naive AUC is pos×neg
+    * quadratic — this is O(N) + O(|scores| log |scores|)).
+    */
+  val q186 = oracled(
+    "q186_auc_ranking",
+    "exact tie-aware Mann-Whitney AUC of the item-mean scorer, all-BIGINT rank sums",
+    s"""WITH $scoredSql,
+        g AS (SELECT score, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+          FROM s GROUP BY score),
+        c AS (SELECT score, n, np,
+          COALESCE(CAST(SUM(n) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_lt
+          FROM g),
+        t AS (SELECT CAST(SUM(np) AS BIGINT) AS npos,
+          CAST(SUM(n) AS BIGINT) AS ntot,
+          CAST(SUM(np * (2 * cum_lt + n + 1)) AS BIGINT) AS r2 FROM c)
+        SELECT npos, ntot - npos AS nneg,
+          r2 - npos * (npos + 1) AS u2,
+          CAST(r2 - npos * (npos + 1) AS DOUBLE)
+            / CAST(2 * npos * (ntot - npos) AS DOUBLE) AS auc
+        FROM t""") { (s, dir) =>
+    aucOf(scoredLabeled(s, dir))
+  }
+
+  /** q187 — calibration (reliability) bins for the same scorer: map the
+    * score to a [0, 1000] integer "probability" grid (p = (score-1000)
+    * div 4 — exact, no float in the bucketing path), bucket into
+    * deciles, and compare mean predicted against the empirical positive
+    * rate per bucket. This is the reliability-diagram table every
+    * model-eval pipeline emits next to AUC: AUC says the ordering is
+    * right, calibration says the SCALE of the scores is honest. One
+    * partial-aggregated pass over the scored rows; the only doubles are
+    * two final divisions of exact BIGINTs (IEEE-identical both
+    * engines), everything that feeds the hash gate upstream of them is
+    * integer.
+    */
+  val q187 = oracled(
+    "q187_calibration_bins",
+    "decile reliability table: integer-grid predicted prob vs empirical positive rate",
+    s"""WITH $scoredSql,
+        b AS (SELECT LEAST((score - 1000) // 4 // 100, 9) AS bucket,
+          (score - 1000) // 4 AS p, pos FROM s)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(pos) AS BIGINT) AS npos,
+          CAST(SUM(p) AS BIGINT) AS sum_p,
+          CAST(SUM(p) AS DOUBLE) / CAST(1000 * COUNT(*) AS DOUBLE) AS mean_pred,
+          CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        FROM b GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+    scoredLabeled(s, dir)
+      .select(least(expr("(score - 1000) div 4 div 100"), lit(9)).as("bucket"),
+        expr("(score - 1000) div 4").as("p"), col("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"),
+        sum(col("p")).as("sum_p"),
+        (sum(col("p")).cast("double") / (lit(1000) * count(lit(1))).cast("double"))
+          .as("mean_pred"),
+        (sum(col("pos")).cast("double") / count(lit(1)).cast("double"))
+          .as("pos_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86, q186, q187)
 }

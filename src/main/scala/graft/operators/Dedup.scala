@@ -827,6 +827,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Survivorship argmax key base: n_chars * base - doc_id is unique per
+    * row (doc_ids are unique) and orders by (n_chars DESC, doc_id ASC) —
+    * one partial-aggregable max_by, no window, no sort. BIGINT-safe for
+    * n_chars below ~9.2e8 and doc_id below the base.
+    */
+  private val SurvKeyBase = 10000000000L
+
+  /** q189 — golden-record SURVIVORSHIP over the q73 dedup clusters: the
+    * step after clustering that entity resolution actually ships — pick
+    * ONE canonical record per cluster by an explicit, deterministic
+    * survivorship rule (here: most content = max n_chars, ties to the
+    * smallest doc_id) and account for what merging retires. Emits, per
+    * cluster: the canonical doc, its char mass, member/language/source
+    * cardinalities, and the chars retired by keeping only the survivor
+    * (total - canonical) — the "bytes saved" number a dedup report
+    * leads with.
+    *
+    * Shape: the memoized converged CC labels (shared with q73/q83) join
+    * the documents table on the cluster-propagation key, then ONE
+    * partial-aggregated groupBy(cluster) — max_by rides the same
+    * integer key encoding as q173's LPA argmax ([[SurvKeyBase]]), so
+    * the canonical pick is exact and needs no per-cluster window or
+    * secondary sort. The q83 summary collapses this table to four
+    * numbers; this is the per-cluster ledger those numbers roll up
+    * from.
+    */
+  val q189 = oracled(
+    "q189_survivorship",
+    "per-cluster golden record: max-content canonical pick + retired-chars ledger",
+    s"""WITH RECURSIVE $ccOracleCte
+       SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         arg_max(d.doc_id, d.n_chars * $SurvKeyBase - d.doc_id) AS canonical_doc_id,
+         CAST(MAX(d.n_chars) AS BIGINT) AS canonical_chars,
+         CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         CAST(SUM(d.n_chars) - MAX(d.n_chars) AS BIGINT) AS retired_chars
+       FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+       GROUP BY cluster
+       ORDER BY cluster""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    ccLabels(s, dir).join(docs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"),
+          col("n_chars") * lit(SurvKeyBase) - col("doc_id")).as("canonical_doc_id"),
+        max(col("n_chars")).as("canonical_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(col("n_chars")) - max(col("n_chars"))).as("retired_chars"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157)
+    Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189)
 }

@@ -736,6 +736,122 @@ object Graph {
       .limit(50)
   }
 
+  /** HITS fixed-point scale (1 normalized unit = 1e6) and round count.
+    * Per half-step the largest raw score is rescaled to exactly
+    * [[HitsScale]], so every intermediate stays <= indegree * 1e12 —
+    * BIGINT-safe for degrees below ~9.2e6 (beyond that the scale drops
+    * or the state flips to DECIMAL(38,0); fixture degrees are <= 150).
+    */
+  private val HitsScale = 1000000L
+  private val HitsRounds = 3
+
+  /** q188 — HITS hubs & authorities (Kleinberg 1998) over the
+    * DEGREE-ORIENTED co-rating graph: each undirected edge points from
+    * its lower-degree endpoint to its higher-degree one (ties to the
+    * larger id) — the "follower → star" orientation q138's wedge join
+    * already uses — so the two scores mean something: authorities are
+    * the stars many followers point at, hubs are the followers best
+    * connected to stars. (On the raw bidirected graph both iterations
+    * collapse onto the same principal eigenvector — the orientation is
+    * what keeps the bipartite structure non-degenerate.)
+    *
+    * Determinism: the q152 discipline — all BIGINT, and the per-half-step
+    * sup-normalization (v * Scale div max) replaces the textbook L2 norm
+    * (a sqrt would put a double in the state); max-normalized HITS
+    * converges to the same principal directions. Both engines run the
+    * identical integer recurrence; the oracle unrolls it as a CTE chain
+    * with scalar-subquery maxima.
+    *
+    * Scale posture: orientation = one vertex-sized degree join against
+    * the pre-partitioned edge memo, checkpointed once per run; per
+    * half-step ONE equi-join (edges ⋈ score) + ONE partial-agg sum +
+    * a 1-row global max broadcast back — vertex state moves, edges
+    * never do, lineage O(1) via per-step lazy checkpoints.
+    */
+  val q188 = oracled(
+    "q188_hits",
+    s"fixed-point integer HITS ($HitsRounds rounds, sup-normalized) over the degree-oriented co-rating graph",
+    {
+      def step(k: Int): String =
+        s"""ar$k AS MATERIALIZED (
+             SELECT od.dst AS node, CAST(SUM(h.v) AS BIGINT) AS raw
+             FROM od JOIN h${k - 1} h ON h.node = od.src GROUP BY od.dst),
+           a$k AS MATERIALIZED (
+             SELECT node, CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM ar$k) AS BIGINT) AS v
+             FROM ar$k),
+           hr$k AS MATERIALIZED (
+             SELECT od.src AS node, CAST(SUM(a.v) AS BIGINT) AS raw
+             FROM od JOIN a$k a ON a.node = od.dst GROUP BY od.src),
+           h$k AS MATERIALIZED (
+             SELECT node, CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM hr$k) AS BIGINT) AS v
+             FROM hr$k)"""
+      s"""WITH $edgesCte,
+         dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM d GROUP BY src),
+         od AS MATERIALIZED (
+           SELECT d.src, d.dst FROM d
+           JOIN dg s ON s.src = d.src JOIN dg t ON t.src = d.dst
+           WHERE s.deg < t.deg OR (s.deg = t.deg AND d.src < d.dst)),
+         h0 AS (SELECT user_id AS node, $HitsScale AS v FROM nodes),
+         ${(1 to HitsRounds).map(step).mkString(",\n")}
+         SELECT nd.user_id,
+           CAST(COALESCE(an.v, 0) AS BIGINT) AS authority,
+           CAST(COALESCE(hn.v, 0) AS BIGINT) AS hub
+         FROM nodes nd
+         LEFT JOIN a$HitsRounds an ON an.node = nd.user_id
+         LEFT JOIN h$HitsRounds hn ON hn.node = nd.user_id
+         ORDER BY nd.user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    // degree-oriented direction: one join of the memo against its own
+    // vertex-degree projection (the memo row already carries deg(src))
+    val dg = edges.select(col("src"), col("deg")).distinct()
+    val od = edges.select(col("src"), col("dst"), col("deg").as("sdeg"))
+      .join(dg.select(col("src").as("t_"), col("deg").as("tdeg")),
+        col("dst") === col("t_"))
+      .filter(col("sdeg") < col("tdeg")
+        || (col("sdeg") === col("tdeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    hits(od, nodes, HitsRounds)
+      .orderBy(col("user_id"))
+  }
+
+  /** Max-normalized integer HITS over a DIRECTED edge list (src, dst)
+    * and node set (user_id); see [[q188]]. Exercised on hand-checked
+    * directed graphs by GraphSpec. Output: (user_id, authority, hub).
+    */
+  private[graft] def hits(od: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    var h = nodes.select(col("user_id").as("node"), lit(HitsScale).as("v"))
+      .localCheckpoint(false)
+    var a: DataFrame = h.limit(0)
+    for (_ <- 1 to rounds) {
+      val araw = od.join(h, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("v")).as("raw"))
+        .localCheckpoint(false)
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      a = araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"),
+          expr(s"(raw * $HitsScale) div mx").as("v"))
+        .localCheckpoint(false)
+      val hraw = od.join(a, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("v")).as("raw"))
+        .localCheckpoint(false)
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      h = hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"),
+          expr(s"(raw * $HitsScale) div mx").as("v"))
+        .localCheckpoint(false)
+    }
+    nodes
+      .join(a.select(col("node").as("an_"), col("v").as("authority")),
+        nodes("user_id") === col("an_"), "left")
+      .join(h.select(col("node").as("hn_"), col("v").as("hub")),
+        nodes("user_id") === col("hn_"), "left")
+      .select(col("user_id"),
+        coalesce(col("authority"), lit(0L)).as("authority"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180)
+    q180, q188)
 }

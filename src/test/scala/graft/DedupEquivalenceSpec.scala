@@ -227,4 +227,34 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.sameElements(out.sortBy(identity)), "output must be ordered by (doc_a, doc_b)")
   }
+
+  test("q189 survivorship reconciles with q73 clusters and q83's rollup") {
+    val surv = Dedup.q189.run(spark, sfDir).collect()
+    val clusters = Dedup.q73.run(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    // one ledger row per cluster, members sum to the corpus
+    assert(surv.length == clusters.select(col("cluster")).distinct().count())
+    assert(surv.map(_.getLong(1)).sum == docs.count())
+    // canonical + retired chars partition each cluster's total mass
+    val byCluster = clusters.join(docs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(sum(col("n_chars")).as("total"), max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    surv.foreach { r =>
+      val (total, mx) = byCluster(r.getLong(0))
+      assert(r.getLong(3) == mx, s"canonical_chars != max for cluster ${r.getLong(0)}")
+      assert(r.getLong(3) + r.getLong(6) == total,
+        s"canonical + retired != total chars for cluster ${r.getLong(0)}")
+    }
+    // the survivorship rule: the canonical doc really has the cluster's
+    // max chars, ties to the SMALLEST doc_id
+    val members = clusters.join(docs, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getAs[Long]("n_chars")))
+      .groupBy(_._1)
+    surv.foreach { r =>
+      val want = members(r.getLong(0)).map { case (_, id, nc) => (-nc, id) }.min._2
+      assert(r.getLong(2) == want, s"canonical pick for cluster ${r.getLong(0)}")
+    }
+  }
 }

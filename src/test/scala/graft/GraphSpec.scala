@@ -242,4 +242,44 @@ class GraphSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(src"),
       "the static edge table is re-shuffled every round\n" + p)
   }
+
+  test("hits == the hand-unrolled sup-normalized recurrence on a known digraph") {
+    import spark.implicits._
+    // 1 -> 3, 2 -> 3, 2 -> 4; node 5 isolated. Hand-run (Scale = 1e6):
+    //   r1: ar = {3: 2e6, 4: 1e6}           -> a = {3: 1e6, 4: 500000}
+    //       hr = {1: 1e6, 2: 1.5e6}         -> h = {1: 666666, 2: 1e6}
+    //   r2: ar = {3: 1666666, 4: 1e6}       -> a = {3: 1e6, 4: 600000}
+    //       hr = {1: 1e6, 2: 1.6e6}         -> h = {1: 625000, 2: 1e6}
+    //   r3: ar = {3: 1625000, 4: 1e6}       -> a = {3: 1e6, 4: 615384}
+    //       hr = {1: 1e6, 2: 1615384}       -> h = {1: 619047, 2: 1e6}
+    val od = Seq[(Long, Long)]((1, 3), (2, 3), (2, 4)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("user_id")
+    val got = operators.Graph.hits(od, nodes, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (0L, 619047L),
+      2L -> (0L, 1000000L),
+      3L -> (1000000L, 0L),
+      4L -> (615384L, 0L),
+      5L -> (0L, 0L)))
+  }
+
+  test("hits invariants: max normalized score is exactly Scale, scores bounded") {
+    import spark.implicits._
+    // a bipartite-ish digraph with distinct hub/authority structure
+    val od = Seq[(Long, Long)](
+      (1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12)).toDF("src", "dst")
+    val nodes = ((1L to 3L) ++ (10L to 12L)).toDF("user_id")
+    val rows = operators.Graph.hits(od, nodes, 3).collect()
+    val auth = rows.map(_.getLong(1))
+    val hub = rows.map(_.getLong(2))
+    assert(auth.max == 1000000L && hub.max == 1000000L)
+    assert(auth.forall(v => v >= 0 && v <= 1000000L))
+    assert(hub.forall(v => v >= 0 && v <= 1000000L))
+    // node 2 points at every authority: it must be the top hub;
+    // 10/11 (two hubs each, one of them the best) tie above nobody —
+    // the top authority is whichever in-neighborhood weighs most
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(2L)._2 == 1000000L)
+  }
 }

@@ -181,4 +181,47 @@ class RecommenderSpec extends AnyFunSuite {
     assert(math.abs(mae - q36mae) < 1e-9,
       s"telemetry endpoint MAE $mae != q36 MAE $q36mae")
   }
+
+  private def auc(scored: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = Recommender.aucOf(scored.toDF("score", "pos")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("aucOf: known endpoints — perfect 1.0, reversed 0.0, all-tied 0.5") {
+    // perfect separation: every positive outscores every negative
+    assert(auc(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))) == (2L, 2L, 8L, 1.0))
+    // perfectly wrong ordering
+    assert(auc(Seq((1L, 1L), (2L, 0L))) == (1L, 1L, 0L, 0.0))
+    // a single fully-tied group: chance-level by the tie-average rule
+    assert(auc(Seq((5L, 1L), (5L, 0L))) == (1L, 1L, 1L, 0.5))
+  }
+
+  test("aucOf matches the O(pos*neg) pair-counting definition on a mixed case") {
+    // AUC = (#concordant + 0.5 * #tied) / (pos * neg), brute-forced
+    val rows = Seq[(Long, Long)](
+      (10L, 1L), (10L, 0L), (20L, 1L), (20L, 1L), (15L, 0L), (30L, 0L), (25L, 1L))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val want = pos.flatMap(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum / (pos.size * neg.size)
+    val (np, nn, _, got) = auc(rows)
+    assert(np == pos.size && nn == neg.size)
+    assert(math.abs(got - want) < 1e-15, s"auc $got != pair-counted $want")
+  }
+
+  test("q186/q187 fixture coherence: counts reconcile and rates are probabilities") {
+    val nRatings = Recommender.ratings(spark, sfDir).count()
+    val a = Recommender.q186.run(spark, sfDir).head()
+    assert(a.getLong(0) + a.getLong(1) == nRatings)
+    val aucV = a.getDouble(3)
+    assert(aucV > 0.0 && aucV < 1.0)
+    val cal = Recommender.q187.run(spark, sfDir).collect()
+    assert(cal.map(_.getLong(1)).sum == nRatings)
+    cal.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // mean_pred
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // pos_rate
+      assert(r.getLong(2) <= r.getLong(1)) // npos <= n
+    }
+  }
 }
