@@ -1046,8 +1046,75 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q191 — Welch's unequal-variance t-test between every pair of
+    * return-flag populations on `l_extendedprice`: the A/B significance
+    * primitive an experimentation pipeline runs per metric. The gate
+    * discipline is the q145/q166 moment route: per-row exact integer
+    * cents (dec2 * 100 → BIGINT), squared cents summed as
+    * DECIMAL(38,0) (a BIGINT sum would overflow past ~9e4 rows of
+    * ~1e14-sized squares; scale-0 decimal → double is ONE correctly
+    * rounded conversion on both engines — no fractional-scale two-step
+    * rounding, the q167 trap), and every statistic (means, pooled
+    * variances, t, Welch–Satterthwaite df) derived from those exact
+    * moments by the same IEEE double ops on both sides — bit-identical
+    * with no rounding policy anywhere. Shape: ONE partial-aggregated
+    * pass over lineitem (3 group rows), then a trivial pair self-join
+    * of the 3-row stats table; nothing here scales with data volume
+    * except the first aggregate.
+    */
+  val q191 = oracled(
+    "q191_welch_ttest",
+    "pairwise Welch t-test on exact integer moments (cents + DECIMAL(38,0) squares)",
+    """WITH st AS (
+         SELECT l_returnflag AS flag, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS DECIMAL(38,0)) AS sc2
+         FROM lineitem GROUP BY l_returnflag),
+       d AS (
+         SELECT flag, CAST(n AS BIGINT) AS n, sc,
+           CAST(sc AS DOUBLE) / n AS m,
+           (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
+             / (n - 1) AS v
+         FROM st)
+       SELECT a.flag AS flag_a, b.flag AS flag_b, a.n AS n_a, b.n AS n_b,
+         a.m / 100 AS mean_a, b.m / 100 AS mean_b,
+         (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_stat,
+         ((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n))
+           / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+              + (b.v / b.n) * (b.v / b.n) / (b.n - 1)) AS df_welch
+       FROM d a JOIN d b ON a.flag < b.flag
+       ORDER BY flag_a, flag_b""") { (s, dir) =>
+    val cents = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val st = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), cents.as("c"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
+    val d = st.select(col("flag"), col("n"), col("sc"),
+      (col("sc").cast("double") / col("n")).as("m"),
+      ((col("sc2").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double") / col("n"))
+        / (col("n") - 1)).as("v"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.flag") < col("b.flag"))
+      .select(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (col("a.m") / 100).as("mean_a"), (col("b.m") / 100).as("mean_b"),
+        ((col("a.m") - col("b.m"))
+          / sqrt(col("a.v") / col("a.n") + col("b.v") / col("b.n"))).as("t_stat"),
+        (((col("a.v") / col("a.n") + col("b.v") / col("b.n"))
+          * (col("a.v") / col("a.n") + col("b.v") / col("b.n")))
+          / ((col("a.v") / col("a.n")) * (col("a.v") / col("a.n")) / (col("a.n") - 1)
+            + (col("b.v") / col("b.n")) * (col("b.v") / col("b.n")) / (col("b.n") - 1)))
+          .as("df_welch"))
+      .orderBy(col("flag_a"), col("flag_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183)
+      q183, q191)
 }

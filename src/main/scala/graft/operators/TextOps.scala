@@ -776,7 +776,52 @@ object TextOps {
       .limit(20)
   }
 
+  /** Feature-hashing dimension (the "hashing trick" width). Deliberately
+    * SMALL so bucket collisions actually occur on the fixture and the
+    * collision accounting column is exercised — production would use
+    * 2^18+; nothing below depends on the value.
+    */
+  private val HashDim = 64
+
+  /** q190 — feature hashing (Weinberger et al. 2009): the fixed-width
+    * sparse bag-of-words matrix a linear/logistic trainer consumes,
+    * (doc, feature_bucket, count) with feature = rolling_hash(token)
+    * mod [[HashDim]] — no vocabulary dictionary, no fit/transform state,
+    * which is the whole point at corpus scale: the encoder is stateless,
+    * so new shards stream through without a vocabulary rebuild or a
+    * broadcast (exactly the dictionary join q64's TF-IDF cannot avoid).
+    * `n_terms` counts the distinct tokens sharing the bucket — the
+    * collision ledger that tells you when the dimension is too small.
+    * Shape: memoized tokenized corpus → explode → ONE partial-aggregated
+    * groupBy; the hash is the native codegen'd [[RollingHash]], mirrored
+    * in DuckDB by its documented list_reduce spelling (q43's proven
+    * parity). Output capped to doc_id < 50 (the q64 convention).
+    */
+  val q190 = oracled(
+    "q190_feature_hashing",
+    s"hashing-trick sparse features (dim $HashDim) with per-bucket collision counts",
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents WHERE doc_id < 50),
+       f AS (SELECT doc_id, (${duckSql("tok")}) % $HashDim AS feature, tok
+         FROM tok)
+       SELECT doc_id, CAST(feature AS BIGINT) AS feature,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+       FROM f GROUP BY doc_id, feature
+       ORDER BY doc_id, feature""") { (s, dir) =>
+    Dedup.tokenized(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      // rollingHash lands in [0, mod), so % == pmod here
+      .select(col("doc_id"), (rollingHash(col("tok")) % HashDim).as("feature"),
+        col("tok"))
+      .groupBy(col("doc_id"), col("feature"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("tok")).as("n_terms"))
+      .orderBy(col("doc_id"), col("feature"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185)
+      q156, q168, q177, q185, q190)
 }

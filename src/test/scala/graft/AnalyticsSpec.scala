@@ -119,4 +119,53 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(lbl === members.map(_._1).min)
     }
   }
+
+  test("q191 Welch t matches a driver-side recomputation; df within Welch bounds") {
+    val rows = operators.Analytics.q191.run(spark, sfDir).collect()
+    assert(rows.length == 3) // {A,N,R} choose 2
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (xa, xb) = (raw(r.getString(0)), raw(r.getString(1)))
+      assert(r.getLong(2) == xa.length && r.getLong(3) == xb.length)
+      def stats(x: Array[Double]) = {
+        val n = x.length
+        val m = x.sum / n
+        (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+      }
+      val (na, ma, va) = stats(xa)
+      val (nb, mb, vb) = stats(xb)
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 /
+        (va / na * (va / na) / (na - 1) + vb / nb * (vb / nb) / (nb - 1))
+      // driver sums are plain doubles (order-sensitive), so tolerance,
+      // not equality — the exact path is what the DuckDB oracle pins
+      assert(math.abs(r.getDouble(6) - t) < 1e-6, s"t ${r.getDouble(6)} vs $t")
+      assert(math.abs(r.getDouble(7) - df) / df < 1e-6)
+      // Welch df is bracketed by min(n)-1 and the pooled n_a+n_b-2
+      assert(r.getDouble(7) >= math.min(na, nb) - 1 - 1e-9)
+      assert(r.getDouble(7) <= na + nb - 2 + 1e-9)
+    }
+  }
+
+  test("q190 hashed features reconstruct per-doc token mass; buckets in range") {
+    val feats = operators.TextOps.q190.run(spark, sfDir).collect()
+    assert(feats.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    assert(feats.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2)))
+    // sum of bucket counts per doc == that doc's token count (hashing
+    // redistributes, never drops or duplicates)
+    val massByDoc = feats.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val want = operators.Dedup.tokenized(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(massByDoc == want.filter(_._2 > 0))
+    // with 64 buckets over a real vocabulary, collisions must exist —
+    // the ledger column is live, not constant 1
+    assert(feats.exists(_.getLong(3) > 1), "expected hash collisions at dim 64")
+  }
 }
