@@ -395,5 +395,78 @@ object Ingest {
       .orderBy(col("col_name"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139, q175)
+  /** One FK edge's audit summary: child groupBy(key) → FULL OUTER join
+    * with the parent's distinct keys → ONE aggregate. Everything the
+    * audit reports falls out of that single FOJ frame: orphan child
+    * rows (parent side null), childless parents (child side null),
+    * fan-out extremes. Partial-aggregated on both inputs; the join is
+    * keys-sized, never rows-sized.
+    */
+  private[graft] def fkAudit(child: DataFrame, ckey: String,
+      parent: DataFrame, pkey: String, label: String): DataFrame = {
+    val ca = child.select(col(ckey).as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val pk = parent.select(col(pkey).as("p")).distinct()
+    ca.join(pk, col("k") === col("p"), "full")
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+        count(col("cnt")).as("child_keys"),
+        coalesce(sum(when(col("p").isNull, col("cnt"))), lit(0L)).as("orphan_rows"),
+        count(when(col("cnt").isNull, 1)).as("childless_parents"),
+        coalesce(max(col("cnt")), lit(0L)).as("max_fanout"))
+      .select(lit(label).as("fk_edge"), col("child_rows"), col("child_keys"),
+        col("orphan_rows"), col("childless_parents"), col("max_fanout"))
+  }
+
+  /** q192 — referential-integrity audit across the schema's six FK
+    * edges: the pre-join health check a pipeline runs before trusting
+    * any star-join — orphaned children (silent row loss under inner
+    * joins), childless parents (dead dimension entries), and fan-out
+    * extremes (the skew number that decides salting). q137 audits
+    * columns WITHIN a table; this audits the edges BETWEEN them.
+    * Each edge is one partial-aggregated FOJ on the key ([[fkAudit]]);
+    * the six summaries union into one 6-row report — at 100 TB each
+    * edge's cost is its child table's single groupBy scan, and the six
+    * branches share nothing, so a scheduler runs them concurrently.
+    */
+  val q192 = oracled(
+    "q192_fk_audit",
+    "six-edge FK health report: orphans, childless parents, fan-out extremes",
+    {
+      def edge(childT: String, ck: String, parentT: String, pk: String): String =
+        s"""SELECT '$childT.$ck->$parentT' AS fk_edge,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS child_rows,
+           CAST(COUNT(cnt) AS BIGINT) AS child_keys,
+           CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN cnt END), 0) AS BIGINT) AS orphan_rows,
+           CAST(COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT) AS childless_parents,
+           CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_fanout
+           FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $childT GROUP BY 1) c
+           FULL JOIN (SELECT DISTINCT $pk AS p FROM $parentT) pp ON c.k = pp.p"""
+      Seq(
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem", "l_partkey", "part", "p_partkey"),
+        edge("orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY fk_edge")
+    }) { (s, dir) =>
+    Seq(
+      fkAudit(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem.l_orderkey->orders"),
+      fkAudit(Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey", "lineitem.l_partkey->part"),
+      fkAudit(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders.o_custkey->customer"),
+      fkAudit(Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", "customer.c_nationkey->nation"),
+      fkAudit(Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey", "supplier.s_nationkey->nation"),
+      fkAudit(Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey", "nation.n_regionkey->region"))
+      .reduce(_ unionByName _)
+      .orderBy(col("fk_edge"))
+  }
+
+  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139, q175, q192)
 }

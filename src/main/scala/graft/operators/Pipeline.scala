@@ -1019,7 +1019,63 @@ object Pipeline {
       .orderBy(col("user_id"), col("neg_rank"))
   }
 
+  /** Temporal split point for the leakage-safe binning (q193): edges
+    * fit strictly BEFORE it, applied strictly AT/AFTER it.
+    */
+  private val BinCutoff = "1997-01-01"
+
+  /** q193 — leakage-safe feature binning (fit on train, apply on
+    * held-out): quartile cutpoints of `o_totalprice` are fitted ONLY on
+    * orders before [[BinCutoff]], then applied to the orders at/after
+    * it — the fit/transform discipline that keeps a temporal holdout
+    * honest (edges fitted on the full table leak future distribution
+    * shift into the features; PipelineSpec proves the edges differ).
+    * The exact interpolated percentiles are the q58-proven
+    * Spark↔DuckDB parity; the fitted edges ride the plan as a 1-row
+    * broadcast (the q101/q183 pattern — a transform artifact of
+    * CONSTANT size regardless of corpus scale), binning is three
+    * comparisons of identical doubles, and the per-bin mass crosses
+    * the gate as the exact DECIMAL(18,2) sum. One aggregate to fit,
+    * one partial-aggregated pass to apply: two scans total.
+    */
+  val q193 = oracled(
+    "q193_leakage_safe_binning",
+    "train-only quartile cutpoints applied to the temporal holdout, exact bin masses",
+    s"""WITH tr AS (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders
+          WHERE CAST(o_orderdate AS DATE) < DATE '$BinCutoff'),
+        e AS (SELECT quantile_cont(p, 0.25) AS p25,
+                quantile_cont(p, 0.50) AS p50,
+                quantile_cont(p, 0.75) AS p75 FROM tr),
+        te AS (SELECT CAST(o_totalprice AS DOUBLE) AS p,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS d FROM orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE '$BinCutoff')
+        SELECT CAST(CASE WHEN p < p25 THEN 0 WHEN p < p50 THEN 1
+                         WHEN p < p75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_test,
+          CAST(SUM(d) AS DECIMAL(18,2)) AS test_mass
+        FROM te CROSS JOIN e
+        GROUP BY 1 ORDER BY bin""") { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("dt"),
+        col("o_totalprice").cast("double").as("p"),
+        dec2(col("o_totalprice")).as("d"))
+    val edges = o.filter(col("dt") < lit(BinCutoff).cast("date"))
+      .agg(percentile(col("p"), lit(0.25)).as("p25"),
+        percentile(col("p"), lit(0.50)).as("p50"),
+        percentile(col("p"), lit(0.75)).as("p75"))
+    o.filter(col("dt") >= lit(BinCutoff).cast("date"))
+      .crossJoin(broadcast(edges))
+      .select(
+        when(col("p") < col("p25"), 0L).when(col("p") < col("p50"), 1L)
+          .when(col("p") < col("p75"), 2L).otherwise(3L).as("bin"),
+        col("d"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("d")).cast("decimal(18,2)").as("test_mass"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184)
+      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193)
 }

@@ -47,4 +47,29 @@ class IngestSpec extends AnyFunSuite {
     val e = intercept[Exception](strict.collect())
     assert(e.getMessage != null)
   }
+
+  test("fkAudit counts orphans, childless parents, and fan-out on a known pair") {
+    import spark.implicits._
+    // children: key 1 ×3, key 2 ×1, key 99 ×2 (orphans); parents: 1,2,3
+    val child = Seq(1L, 1L, 1L, 2L, 99L, 99L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = operators.Ingest.fkAudit(child, "k", parent, "p", "t").head()
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 6)  // child_rows
+    assert(r.getLong(2) == 3)  // child_keys
+    assert(r.getLong(3) == 2)  // orphan_rows (the two 99s)
+    assert(r.getLong(4) == 1)  // childless_parents (3)
+    assert(r.getLong(5) == 3)  // max_fanout (key 1)
+  }
+
+  test("q192: the fixture schema is referentially closed; fan-out >= average") {
+    val rows = operators.Ingest.q192.run(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0, s"orphans on coherent fixture: $r")
+      assert(r.getLong(2) > 0 && r.getLong(1) >= r.getLong(2))
+      // max fan-out can't be below the mean fan-out over represented keys
+      assert(r.getLong(5) * r.getLong(2) >= r.getLong(1), s"fan-out math: $r")
+    }
+  }
 }

@@ -124,4 +124,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(3) == r.getLong(2), s"selection under-fills quota: $r")
     }
   }
+
+  test("q193 bins partition the holdout; edges are train-only (leakage is detectable)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderdate").cast("date").as("dt"),
+        col("o_totalprice").cast("double").as("p"))
+    val cutoff = java.sql.Date.valueOf("1997-01-01")
+    val holdout = o.filter(col("dt") >= lit(cutoff)).count()
+    val rows = operators.Pipeline.q193.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == holdout, "bins must partition the holdout")
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // leakage check: quartiles fitted on train differ from quartiles
+    // fitted on the full table — if the query used full-table edges,
+    // the bin populations would shift (the spec would catch a refactor
+    // that "simplifies" the fit onto the whole relation)
+    def quartiles(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(percentile(col("p"), lit(0.25)), percentile(col("p"), lit(0.5)),
+          percentile(col("p"), lit(0.75)))
+        .head().toSeq.map(_.asInstanceOf[Double])
+    val trainE = quartiles(o.filter(col("dt") < lit(cutoff)))
+    val fullE = quartiles(o)
+    assert(trainE != fullE, "fixture degenerate: train and full quartiles identical")
+    // and the shipped bin counts match a driver-side re-binning on train edges
+    val binned = o.filter(col("dt") >= lit(cutoff)).select(col("p")).collect()
+      .map(_.getDouble(0))
+      .groupBy(p => if (p < trainE(0)) 0L else if (p < trainE(1)) 1L
+        else if (p < trainE(2)) 2L else 3L)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == binned)
+  }
 }
