@@ -492,7 +492,72 @@ object Scalars {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** Histogram bucket width (cents) for the two-scan exact selection.
+    * Bounds BOTH passes: pass 1's state is <= domain/width counters,
+    * pass 2's per-quantile window runs over <= width distinct values.
+    */
+  private val SelWidth = 4096L
+
+  /** q194 — EXACT distributed quantile selection in two scans: the
+    * k-th smallest element (k = ceil(p·n) for p50/p90) of the lineitem
+    * price in cents, found by histogram narrowing — pass 1 aggregates a
+    * bounded bucket histogram (domain/[[SelWidth]] counters,
+    * partial-aggregable), the cumulative scan locates each quantile's
+    * winning bucket as a 1-row-per-quantile broadcast artifact, pass 2
+    * re-scans ONLY the winning buckets grouped by exact value and picks
+    * the crossing element. This is the selection primitive an engine
+    * needs when "exact percentile" meets 100 TB: a total sort is a
+    * full-shuffle O(N log N), `percentile()` buffers whole groups, the
+    * t-digest sketch (q58/q165) is approximate — two-scan narrowing is
+    * exact with state bounded by the VALUE DOMAIN, not the row count
+    * (both windows here run over bounded relations: the bucket table
+    * and <= width distinct values per quantile). The oracle brute-forces
+    * the same ranks with row_number over a full sort — affordable at
+    * fixture scale, which is the point.
+    */
+  val q194 = oracled(
+    "q194_exact_quantile_selection",
+    "two-scan histogram-narrowed exact p50/p90 selection (bounded state, no total sort)",
+    """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM lineitem),
+       n AS (SELECT COUNT(*) AS n FROM c),
+       q AS (SELECT 'p50' AS quantile, (n + 1) // 2 AS k FROM n
+             UNION ALL SELECT 'p90', (9 * n + 9) // 10 FROM n),
+       r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+       SELECT q.quantile, CAST(q.k AS BIGINT) AS k,
+         CAST(r.v AS BIGINT) AS value_cents
+       FROM q JOIN r ON r.rn = q.k
+       ORDER BY q.quantile""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.lineitem(s, dir)
+      .select((dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
+    // pass 1: bounded bucket histogram + cumulative prefix (the window
+    // input is <= domain/width rows — bounded, like q186's score groups)
+    val histo = c.groupBy(expr(s"v div $SelWidth").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = histo.withColumn("cum_before", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+    // the quantile targets ride the plan as a 2-row artifact
+    val ks = c.agg(count(lit(1)).as("n"))
+      .select(expr("stack(2, 'p50', (n + 1) div 2, 'p90', (9 * n + 9) div 10)")
+        .as(Seq("quantile", "k")))
+    val win = ks.join(cum,
+        col("cum_before") < col("k") && col("k") <= col("cum_before") + col("cnt"))
+      .select(col("quantile"), col("k"), col("b"), col("cum_before"))
+    // pass 2: only the winning buckets survive the scan; group by exact
+    // value so the per-quantile window is bounded by the bucket width
+    val wv = Window.partitionBy(col("quantile")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.join(broadcast(win), expr(s"v div $SelWidth") === col("b"))
+      .groupBy(col("quantile"), col("k"), col("cum_before"), col("v"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("cum_end", col("cum_before") + sum(col("c2")).over(wv))
+      .filter(col("cum_end") - col("c2") < col("k") && col("k") <= col("cum_end"))
+      .select(col("quantile"), col("k"), col("v").as("value_cents"))
+      .orderBy(col("quantile"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q20, q21, q22, q23, q24, q54, q55, q80, q81, q84, q85, q88, q89,
-      q127, q164)
+      q127, q164, q194)
 }

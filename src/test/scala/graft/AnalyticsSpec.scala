@@ -151,6 +151,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 selected values satisfy the k-th order statistic definition") {
+    val c = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val n = c.count()
+    val rows = operators.Scalars.q194.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p50", "p90"))
+    val wantK = Map("p50" -> (n + 1) / 2, "p90" -> (9 * n + 9) / 10)
+    rows.foreach { r =>
+      val (q, k, v) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(k == wantK(q))
+      // the k-th order statistic x: #(<= x) >= k and #(< x) < k
+      val le = c.filter(col("v") <= v).count()
+      val lt = c.filter(col("v") < v).count()
+      assert(le >= k && lt < k, s"$q: value $v is not the $k-th of $n (le=$le, lt=$lt)")
+    }
+  }
+
   test("q190 hashed features reconstruct per-doc token mass; buckets in range") {
     val feats = operators.TextOps.q190.run(spark, sfDir).collect()
     assert(feats.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
