@@ -151,6 +151,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 IVM cutoff is non-vacuous: every delta term carries rows") {
+    // the oracle-hash equality proves the delta algebra ONLY if the
+    // cutoff genuinely splits both inputs — all four (O, L) branch
+    // combinations must be populated or the test is a tautology
+    val cut = lit("1997-07-01").cast("date")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), (col("o_orderdate").cast("date") >= cut).as("od"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), (col("l_shipdate").cast("date") >= cut).as("ld"))
+    val branches = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("od"), col("ld")).count()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val want = Seq((false, false), (false, true), (true, false), (true, true))
+    want.foreach(k => assert(branches.getOrElse(k, 0L) > 0L,
+      s"IVM term $k is empty — the cutoff does not exercise the cross terms"))
+  }
+
   test("q194 selected values satisfy the k-th order statistic definition") {
     val c = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
