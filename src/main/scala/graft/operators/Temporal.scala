@@ -664,7 +664,143 @@ object Temporal {
       .orderBy(col("decayed_score").desc, col("item_id"))
   }
 
+  /** One scanned row of [[cusumScan]]'s input: per (item, epoch-day)
+    * pre-mixed increment x = 10·count − ref, ordered per item by t.
+    */
+  private[graft] final case class CusumRow(item_id: Long, t: Long, x: Long)
+
+  /** Per-item result of the CUSUM scan: the peak statistic, the FIRST
+    * day attaining it, the end-of-span statistic, and the span length.
+    */
+  private[graft] final case class CusumOut(
+      item_id: Long, peak_s: Long, peak_t: Long, final_s: Long, n_days: Long)
+
+  /** Sequential one-sided CUSUM: s' = max(0, s + x) per item in day
+    * order, tracking the running peak and its earliest day — the same
+    * non-windowable clamped fold as [[cappedRunningBalance]] (the q161
+    * carve-out), with the peak/argmax ride-along. O(1) state per
+    * partition, key-change reset, no group buffering.
+    */
+  private[graft] def cusumScan(
+      rows: org.apache.spark.sql.Dataset[CusumRow])
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .repartition(col("item_id"))
+      .sortWithinPartitions(col("item_id"), col("t"))
+      .mapPartitions { it =>
+        new Iterator[CusumOut] {
+          private var cur = -1L
+          private var s = 0L
+          private var peak = -1L
+          private var peakT = 0L
+          private var n = 0L
+          private var pending: CusumOut = _
+          private var done = false
+          private def emit(): CusumOut = CusumOut(cur, peak, peakT, s, n)
+          override def hasNext: Boolean = {
+            if (pending != null) return true
+            while (it.hasNext) {
+              val d = it.next()
+              if (d.item_id != cur && n > 0) {
+                pending = emit()
+                cur = d.item_id; s = 0L; peak = -1L; peakT = 0L; n = 0L
+              } else if (n == 0) cur = d.item_id
+              s = math.max(0L, s + d.x)
+              if (s > peak) { peak = s; peakT = d.t }
+              n += 1
+              if (pending != null) return true
+            }
+            if (!done && n > 0) { pending = emit(); done = true }
+            pending != null
+          }
+          override def next(): CusumOut = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
+        }
+      }
+  }
+
+  /** q196 — CUSUM drift monitor per item: the one-sided cumulative-sum
+    * statistic S_t = max(0, S_{t-1} + x_t) over each item's ZERO-FILLED
+    * daily event counts (gaps are evidence — a calendar grid via
+    * `sequence(d0, d1)` supplies the zero days a groupBy alone would
+    * silently skip), with x_t = 10·count_t − ref and ref = the item's
+    * scaled mean daily rate plus half a unit of slack. This is the
+    * standard sequential changepoint screen a pipeline runs over
+    * ingest volumes: the PEAK statistic and its first day localize the
+    * strongest upward drift, the final statistic says whether it is
+    * still running. The clamp is the q161 non-windowable fold, so the
+    * Spark side is the same secondary-sort O(1)-state scan
+    * ([[cusumScan]]) and the oracle the same unrolled recursive-CTE
+    * fold — all BIGINT (counts ×10), no doubles anywhere.
+    */
+  val q196 = oracled(
+    "q196_cusum_drift",
+    "per-item one-sided CUSUM over zero-filled daily counts: peak, first peak day, final",
+    """WITH RECURSIVE e AS (
+         SELECT event_id % 100 AS item_id, CAST(ts AS TIMESTAMP)::DATE AS day
+         FROM events),
+       daily AS (SELECT item_id, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+       span AS (SELECT item_id, MIN(day) AS d0, MAX(day) AS d1,
+           CAST(SUM(c) AS BIGINT) AS t FROM daily GROUP BY 1),
+       days AS MATERIALIZED (
+         SELECT s.item_id, CAST(g.d AS DATE) AS day, s.t, s.d0, s.d1
+         FROM span s,
+           UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(d)),
+       grid AS MATERIALIZED (
+         SELECT dy.item_id, dy.day,
+           10 * COALESCE(d.c, 0)
+             - ((10 * dy.t) // (dy.d1 - dy.d0 + 1) + 5) AS x,
+           row_number() OVER (PARTITION BY dy.item_id ORDER BY dy.day) AS rn
+         FROM days dy
+         LEFT JOIN daily d ON d.item_id = dy.item_id AND d.day = dy.day),
+       rec(item_id, rn, s, peak, peak_rn) AS (
+         SELECT item_id, rn, GREATEST(x, 0), GREATEST(x, 0), 1
+         FROM grid WHERE rn = 1
+         UNION ALL
+         SELECT g.item_id, g.rn, GREATEST(r.s + g.x, 0),
+           CASE WHEN GREATEST(r.s + g.x, 0) > r.peak
+                THEN GREATEST(r.s + g.x, 0) ELSE r.peak END,
+           CASE WHEN GREATEST(r.s + g.x, 0) > r.peak
+                THEN g.rn ELSE r.peak_rn END
+         FROM rec r JOIN grid g ON g.item_id = r.item_id AND g.rn = r.rn + 1),
+       fin AS (SELECT item_id, MAX(rn) AS mrn FROM grid GROUP BY 1)
+       SELECT r.item_id, CAST(r.peak AS BIGINT) AS peak_s, g2.day AS peak_day,
+         CAST(r.s AS BIGINT) AS final_s, CAST(f.mrn AS BIGINT) AS n_days
+       FROM rec r
+       JOIN fin f ON f.item_id = r.item_id AND r.rn = f.mrn
+       JOIN grid g2 ON g2.item_id = r.item_id AND g2.rn = r.peak_rn
+       ORDER BY r.item_id""") { (s, dir) =>
+    import s.implicits._
+    val day = col("ts").cast("date")
+    val e = Tables.events(s, dir)
+      .select((col("event_id") % 100).as("item_id"), day.as("day"))
+    val daily = e.groupBy(col("item_id"), col("day")).agg(count(lit(1)).as("c"))
+    val span = daily.groupBy(col("item_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("c")).as("t"))
+    val grid = span
+      .select(col("item_id"), col("t"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("dspan"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("item_id", "day"), "left")
+      .select(col("item_id"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("t"),
+        (lit(10) * coalesce(col("c"), lit(0L))
+          - (expr("(10 * t) div dspan") + 5)).as("x"))
+      .as[CusumRow]
+    cusumScan(grid)
+      .toDF()
+      .select(col("item_id"), col("peak_s"),
+        date_add(lit("1970-01-01").cast("date"), col("peak_t").cast("int"))
+          .as("peak_day"),
+        col("final_s"), col("n_days"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179)
+      q163, q178, q179, q196)
 }

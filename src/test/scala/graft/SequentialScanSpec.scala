@@ -64,4 +64,22 @@ class SequentialScanSpec extends AnyFunSuite {
     assert(got === serial(rows))
     assert(got(7L) === BalanceOut(7, 0, 1, 2))
   }
+
+  test("cusumScan: peak, earliest peak day, final, with key change and all-negative item") {
+    import spark.implicits._
+    import graft.operators.Temporal.{CusumOut, CusumRow, cusumScan}
+    // item 1: x = +5,-3,+4,-10,+2 -> s = 5,2,6,0,2; peak 6 first at t=3
+    // item 2: never positive -> s pinned at 0, peak 0 first at t=1
+    // item 3: plateau — peak reached twice, the FIRST day must win
+    val rows = Seq(
+      CusumRow(1, 1, 5), CusumRow(1, 2, -3), CusumRow(1, 3, 4),
+      CusumRow(1, 4, -10), CusumRow(1, 5, 2),
+      CusumRow(2, 1, -4), CusumRow(2, 2, -1),
+      CusumRow(3, 1, 7), CusumRow(3, 2, -7), CusumRow(3, 3, 7))
+    val got = cusumScan(rows.toDS())
+      .collect().map(o => o.item_id -> o).toMap
+    assert(got(1L) === CusumOut(1, 6, 3, 2, 5))
+    assert(got(2L) === CusumOut(2, 0, 1, 0, 2))
+    assert(got(3L) === CusumOut(3, 7, 1, 7, 3))
+  }
 }
