@@ -821,7 +821,92 @@ object TextOps {
       .orderBy(col("doc_id"), col("feature"))
   }
 
+  /** TF-IDF weight quantization scale for q197. 1e5 keeps every
+    * intermediate BIGINT-safe on realistic documents: wi <= tf·ln(N)·1e5
+    * (~5.5e7 at tf 40), wi² <= 3e15, and a shared-token dot of length L
+    * stays below 2^63 for L into the thousands. Coarser than the 6dp
+    * the raw doubles carry — deliberately: after quantization EVERY
+    * downstream sum (dots, norms) is an exact integer, so the join
+    * order, partial aggregation, and engine make no difference.
+    */
+  private val TfidfQuant = 100000L
+
+  /** q197 — exact all-pairs TF-IDF cosine within (lang, source) blocks,
+    * top-20: the weighted sibling of q48's Jaccard join — same inverted
+    * index (postings per token, candidates generated only where a term
+    * is SHARED), but the pair statistic is Σ w_a·w_b over quantized
+    * TF-IDF weights instead of a set intersection, so near-duplicates
+    * rank by what the retrieval stack actually scores with. Weights
+    * quantize once (ROUND(·,6) — the q64-proven cross-engine ln parity
+    * — then ×[[TfidfQuant]], floor) and everything after is exact
+    * BIGINT; the only serving-time doubles are the final IEEE
+    * dot/(|a||b|) divisions of exact integers. Norms cover the FULL
+    * vector (blocking restricts candidates, not the geometry).
+    * Scale shape = q48's: shuffle mass is Σ_token |posting|² within
+    * blocks, the co-occurrence mass of genuinely overlapping docs.
+    */
+  val q197 = oracled(
+    "q197_tfidf_cosine_pairs",
+    "inverted-index all-pairs TF-IDF cosine (quantized-integer weights), top-20",
+    s"""WITH tok AS (
+         SELECT doc_id, lang, source,
+           unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, lang, source, tok, COUNT(*) AS tf
+         FROM tok GROUP BY 1, 2, 3, 4),
+       df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       w AS (SELECT doc_id, lang, source, tf.tok,
+           CAST(FLOOR(ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+             * $TfidfQuant) AS BIGINT) AS wi
+         FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+       nrm AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2
+         FROM w GROUP BY 1),
+       dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.wi * b.wi) AS BIGINT) AS dot
+         FROM w a JOIN w b ON a.tok = b.tok AND a.lang = b.lang
+           AND a.source = b.source AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sc AS (SELECT doc_a, doc_b, dot,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         FROM dt JOIN nrm na ON na.doc_id = dt.doc_a
+                 JOIN nrm nb ON nb.doc_id = dt.doc_b)
+       SELECT doc_a, doc_b, dot, cosine FROM sc WHERE dot > 0
+       ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""") { (s, dir) =>
+    val toks = Dedup.tokenized(s, dir)
+    val tok = toks.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("toks")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"),
+        floor(round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+          * TfidfQuant).cast("long").as("wi"))
+    val nrm = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
+    val a = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("tok"), col("wi").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+      col("source").as("sb"), col("tok").as("tb"), col("wi").as("wb"))
+    val dot = a.join(b, col("tok") === col("tb") && col("lang") === col("lb")
+        && col("source") === col("sb") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .filter(col("dot") > 0)
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        (col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190)
+      q156, q168, q177, q185, q190, q197)
 }

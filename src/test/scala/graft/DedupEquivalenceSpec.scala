@@ -228,6 +228,20 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     assert(out.sameElements(out.sortBy(identity)), "output must be ordered by (doc_a, doc_b)")
   }
 
+  test("q197 cosines obey Cauchy-Schwarz and pair/order conventions") {
+    val out = graft.operators.TextOps.q197.run(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be (a < b), symmetric-free")
+      assert(r.getLong(2) > 0)
+      // exact integer vectors: dot <= |a||b| exactly, so the IEEE
+      // division can exceed 1 by at most an ulp
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
+    }
+    val cs = out.map(_.getDouble(3)).toSeq
+    assert(cs == cs.sortBy(-_), "must be ordered by cosine desc")
+  }
+
   test("q189 survivorship reconciles with q73 clusters and q83's rollup") {
     val surv = Dedup.q189.run(spark, sfDir).collect()
     val clusters = Dedup.q73.run(spark, sfDir)
