@@ -563,6 +563,102 @@ object Recommender {
       .orderBy(col("bucket"))
   }
 
+  /** Integer DCG discount table: w(i) = round(1e6 / log2(i+1)) for ranks
+    * 1..10, precomputed as LITERALS so no transcendental function (whose
+    * last-ulp behavior is engine-specific) ever executes in either
+    * engine — the same parity discipline as q64's 6dp ln rounding, taken
+    * to its endpoint for a table this small.
+    */
+  private val DcgWeights: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** q198 — NDCG@10 of the item-mean scorer, completing the eval ring
+    * (q32/q37 magnitude error, q186 global ordering, q187 calibration):
+    * NDCG grades the ORDERING EACH USER IS SERVED, position-discounted
+    * the way a ranked list is actually consumed. Per user: rank the
+    * rated items by predicted score (integer item mean, [[scoredLabeled]]'s
+    * grid), take the top 10, DCG = Σ rating·w(rank) with the literal
+    * integer discount table [[DcgWeights]]; IDCG from the
+    * rating-descending ideal order; per-user NDCG in exact ppm
+    * ((10^6·dcg) div idcg). Rows that tie on the full ordering key carry
+    * identical (score, item, rating), so row_number nondeterminism
+    * cannot change either sum. Plan: one partial-agg item-stats pass,
+    * one unhinted join (q185/q186 principle), two windows over the SAME
+    * per-user partition (one exchange, bounded ≤ `NumItems`·dup rows per
+    * user), one 1-row reduce — per-user list evaluation at corpus scale
+    * with no all-pairs step anywhere. Reference semantics: the per-item
+    * means of Movie.java:34-41 serving a ranked list.
+    */
+  val q198 = oracled(
+    "q198_ndcg_ranking",
+    "mean NDCG@10 of the item-mean scorer: literal integer log2 discounts, exact ppm per user",
+    s"""WITH r AS (SELECT user_id, event_id % 100 AS item_id,
+          CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        st AS (SELECT item_id,
+          CAST((1000 * CAST(SUM(rating) AS BIGINT)) // COUNT(*) AS BIGINT) AS score
+          FROM r GROUP BY item_id),
+        j AS (SELECT r.user_id, r.item_id, r.rating, st.score
+          FROM r JOIN st USING (item_id)),
+        w AS (SELECT user_id, rating,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY score DESC, item_id, rating DESC) AS prn,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY rating DESC, item_id) AS irn
+          FROM j),
+        ws AS (SELECT * FROM (VALUES ${DcgWeights.zipWithIndex
+            .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")})
+          AS t(rnk, wt)),
+        u AS (SELECT user_id,
+          CAST(SUM(CASE WHEN prn <= 10
+            THEN rating * (SELECT wt FROM ws WHERE rnk = prn) ELSE 0 END) AS BIGINT) AS dcg,
+          CAST(SUM(CASE WHEN irn <= 10
+            THEN rating * (SELECT wt FROM ws WHERE rnk = irn) ELSE 0 END) AS BIGINT) AS idcg
+          FROM w GROUP BY user_id),
+        p AS (SELECT user_id, (1000000 * dcg) // idcg AS ndcg_ppm FROM u)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(ndcg_ppm) AS BIGINT) AS sum_ndcg_ppm,
+          CAST(SUM(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_perfect,
+          CAST(SUM(ndcg_ppm) AS DOUBLE) / CAST(1000000 * COUNT(*) AS DOUBLE)
+            AS mean_ndcg
+        FROM p""") { (s, dir) =>
+    val r = ratings(s, dir)
+    val st = r.groupBy(col("item_id"))
+      .agg(expr("(1000 * sum(rating)) div count(1)").as("score"))
+    ndcgOf(r.join(st, "item_id"))
+  }
+
+  /** NDCG@10 summary of scored-and-labeled rating rows
+    * (user_id, item_id, rating, score) — see [[q198]] for the contract.
+    * Exercised on hand-computed orderings by RecommenderSpec.
+    */
+  private[graft] def ndcgOf(j: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("item_id"), col("rating").desc)
+    val wi = Window.partitionBy(col("user_id"))
+      .orderBy(col("rating").desc, col("item_id"))
+    val wt = array(DcgWeights.map(lit): _*)
+    val u = j
+      .select(col("user_id"), col("rating"),
+        row_number().over(wp).as("prn"), row_number().over(wi).as("irn"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("prn") <= 10, col("rating") * element_at(wt, col("prn")))
+          .otherwise(0L)).as("dcg"),
+        sum(when(col("irn") <= 10, col("rating") * element_at(wt, col("irn")))
+          .otherwise(0L)).as("idcg"))
+    u.select(col("user_id"),
+        expr("(1000000 * dcg) div idcg").as("ndcg_ppm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("ndcg_ppm")).as("sum_ndcg_ppm"),
+        sum(when(col("ndcg_ppm") === 1000000L, 1L).otherwise(0L)).as("n_perfect"),
+        (sum(col("ndcg_ppm")).cast("double")
+          / (lit(1000000L) * count(lit(1))).cast("double")).as("mean_ndcg"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86, q186, q187)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86, q186, q187, q198)
 }

@@ -305,6 +305,90 @@ object Graph {
     labels
   }
 
+  /** q200 — sampled harmonic centrality: for every user, Σ over a fixed
+    * 8-seed probe set S of 1/d(s, v) in 10^12 fixed point (the standard
+    * pivot-sampled estimator of harmonic closeness — the centrality that
+    * stays well-defined on disconnected graphs, where closeness
+    * diverges). The seed set is deterministic (8 smallest user ids), so
+    * the estimator itself is exact and hash-checkable; growing the
+    * sample, not the algorithm, is the accuracy knob. Spark side: ONE
+    * seed-labeled BFS — the q154 frontier loop with (seed, node) state —
+    * so per round it is still one pre-partitioned equi-join + distinct +
+    * anti-join, and total state is |S|·n rows with |S| pinned at 8,
+    * i.e. O(n) like every other vertex state in this family (the
+    * all-pairs version of this query is exactly what HyperBall replaces
+    * the seed labels with HLL counters for; this is the exact-sample
+    * rung below it). The DuckDB oracle grows (seed, node, dist)
+    * reachability declaratively and takes MIN per pair — independent
+    * formulation, identical integer math.
+    */
+  val q200 = oracled(
+    "q200_harmonic_centrality",
+    "8-seed sampled harmonic centrality via labeled multi-source BFS, 10^12 fixed point",
+    s"""WITH RECURSIVE $edgesCte,
+       seedset AS (SELECT user_id FROM nodes ORDER BY user_id LIMIT 8),
+       reach(seed, node, dist) AS (
+         SELECT user_id, user_id, 0 FROM seedset
+         UNION
+         SELECT r.seed, d.dst, r.dist + 1
+         FROM reach r JOIN d ON d.src = r.node
+         WHERE r.dist < $MaxHops),
+       md AS (SELECT seed, node, MIN(dist) AS dist
+         FROM reach GROUP BY seed, node),
+       h AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+         CAST(SUM($Scale // dist) AS BIGINT) AS harmonic
+         FROM md WHERE dist > 0 GROUP BY node)
+       SELECT n.user_id,
+         COALESCE(h.n_seeds_reached, 0) AS n_seeds_reached,
+         COALESCE(h.harmonic, 0) AS harmonic
+       FROM nodes n LEFT JOIN h ON h.node = n.user_id
+       ORDER BY n.user_id""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val seeds = nodes.orderBy(col("user_id")).limit(8)
+      .select(col("user_id").as("seed"))
+    val labels = bfsLabeled(edges, seeds)
+    val h = labels.filter(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr(s"$Scale div hops")).as("harmonic"))
+    nodes.join(h, nodes("user_id") === h("node"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_seeds_reached"), lit(0L)).as("n_seeds_reached"),
+        coalesce(col("harmonic"), lit(0L)).as("harmonic"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Seed-labeled multi-source BFS: like [[bfs]] but distances are kept
+    * PER SEED — state rows are (seed, node, hops), the frontier expands
+    * per seed, and the anti-join dedups on the (seed, node) pair. Used
+    * by q200; exercised on known graphs by GraphSpec.
+    */
+  private[graft] def bfsLabeled(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    var labels = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = labels.select(col("seed"), col("node"))
+    var hop = 0L
+    var done = frontier.isEmpty
+    while (!done) {
+      hop += 1
+      if (hop > MaxHops)
+        sys.error(s"bfsLabeled: frontier alive after $MaxHops hops — " +
+          "raise MaxHops in BOTH the loop and the q200 oracle CTE together")
+      val next = edges.join(frontier, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(labels, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(hop).as("hops"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        labels = labels.unionByName(next).localCheckpoint()
+        frontier = next.select(col("seed"), col("node"))
+      }
+    }
+    labels
+  }
+
   /** q162 — two-hop feature propagation (unnormalized message passing,
     * the aggregation step of a GNN layer): each user's feature is its
     * event count; hop 1 sums the feature over direct co-rating
@@ -853,5 +937,5 @@ object Graph {
   }
 
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188)
+    q180, q188, q200)
 }

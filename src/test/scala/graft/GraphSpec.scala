@@ -209,6 +209,24 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains(9L))
   }
 
+  test("bfsLabeled: per-seed distances, and min over seeds reproduces bfs") {
+    import spark.implicits._
+    // same graph as the bfs case: path 0-1-2-3-4, branch 2-5; seeds {0, 4}
+    val und = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (3, 4), (2, 5))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 4L).toDF("seed")
+    val got = operators.Graph.bfsLabeled(edges, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // per-seed distances differ where the min-hop bfs collapses them
+    assert(got((0L, 5L)) == 3L && got((4L, 5L)) == 3L)
+    assert(got((0L, 3L)) == 3L && got((4L, 3L)) == 1L)
+    assert(got((0L, 4L)) == 4L && got((4L, 0L)) == 4L)
+    val minOverSeeds = got.groupBy(_._1._2).map { case (n, m) => n -> m.values.min }
+    val plain = operators.Graph.bfs(edges, Seq(0L, 4L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minOverSeeds == plain)
+  }
+
   test("bfs: empty seed set returns an empty labeling") {
     import spark.implicits._
     val edges = Seq[(Long, Long)]((0, 1), (1, 0)).toDF("src", "dst")

@@ -224,4 +224,30 @@ class RecommenderSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1)) // npos <= n
     }
   }
+
+  test("ndcgOf: perfect ordering scores 1.0; reversed matches the hand-computed ppm") {
+    import spark.implicits._
+    // user 1: scores aligned with ratings (perfect); user 2: reversed.
+    // dcg weights: w1=1000000, w2=630930, w3=500000 (Recommender.DcgWeights)
+    // ideal dcg = 3*w1 + 2*w2 + 1*w3 = 4,761,860
+    // reversed dcg = 1*w1 + 2*w2 + 3*w3 = 3,761,860
+    val j = Seq(
+      (1L, 1L, 3L, 300L), (1L, 2L, 2L, 200L), (1L, 3L, 1L, 100L),
+      (2L, 1L, 3L, 100L), (2L, 2L, 2L, 200L), (2L, 3L, 1L, 300L))
+      .toDF("user_id", "item_id", "rating", "score")
+    val r = Recommender.ndcgOf(j).head()
+    assert(r.getLong(0) == 2L) // n_users
+    assert(r.getLong(2) == 1L) // only user 1 is perfect
+    val reversedPpm = 1000000L * 3761860L / 4761860L
+    assert(r.getLong(1) == 1000000L + reversedPpm,
+      s"sum_ndcg_ppm ${r.getLong(1)} != ${1000000L + reversedPpm}")
+  }
+
+  test("q198 fixture coherence: ndcg in (0,1], perfect users bounded by total") {
+    val r = Recommender.q198.run(spark, sfDir).head()
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(2) <= r.getLong(0))
+    val m = r.getDouble(3)
+    assert(m > 0.0 && m <= 1.0, s"mean ndcg $m out of range")
+  }
 }
