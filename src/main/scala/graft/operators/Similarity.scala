@@ -297,5 +297,127 @@ object Similarity {
         (array_position(sims, array_max(sims)) - 1).cast("int"))
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150)
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer
+    * (Steele/Lea/Flood, JDK SplittableRandom). Used ONLY at
+    * query-construction time to stamp the ±1 literals of q201's
+    * projection matrix; neither engine executes it. A mixer of this
+    * strength is necessary, not a flourish: any sign rule LINEAR in
+    * (r, d) — `(a·r + b·d) mod m`, multiplicative hashes included —
+    * makes every matrix row a shifted copy of one base sequence, and
+    * the measured cosine distortion then stops improving as dims are
+    * added (0.40 mean abs err at BOTH 16 and 32 dims on the fixture);
+    * splitmix signs reproduce true-random quality (0.153 at 16, 0.085
+    * at 32 — the 1/√k law JL promises).
+    */
+  private def splitmix(v0: Long): Long = {
+    var v = v0 * 0x9E3779B97F4A7C15L
+    v ^= (v >>> 30); v *= 0xBF58476D1CE4E5B9L
+    v ^= (v >>> 27); v *= 0x94D049BB133111EBL
+    v ^ (v >>> 31)
+  }
+
+  /** ±1 sign row r (1-based) of the JL projection matrix: bit 40 of
+    * splitmix64(r·64 + d) over dimensions d = 1..64.
+    */
+  private[graft] def projSignRow(r: Int): Seq[Double] =
+    Seq.tabulate(64) { d0 =>
+      if ((splitmix(r.toLong * 64 + d0 + 1) & (1L << 40)) != 0L) 1.0 else -1.0
+    }
+
+  private val ProjDims = 16
+
+  /** DuckDB fragment: compressed coordinate r — the same ascending fold
+    * over the SAME ±1 literal row the Spark side dots against (both
+    * sides stamp [[projSignRow]]'s constants; no hash evaluated by
+    * either engine — the DcgWeights/q198 literal-constant discipline).
+    */
+  private def duckProj(r: Int): String = {
+    val row = projSignRow(r).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * ($row)[i]),
+        (u, v) -> u + v)"""
+  }
+
+  /** DuckDB fragment: cosine between two [[ProjDims]]-dim compressed
+    * vectors (columns `$x.cemb`, `$y.cemb`) — same fold/sqrt/divide
+    * shape as [[duckCos]] so doubles stay bit-identical to Spark's.
+    */
+  private def duckCosC(x: String, y: String): String = {
+    def d(a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, ${ProjDims + 1}),
+          i -> $a.cemb[i] * $b.cemb[i]), (u, v) -> u + v)"""
+    s"""(${d(x, y)} / (sqrt(${d(x, x)}) * sqrt(${d(y, y)})))"""
+  }
+
+  /** Project embeddings to [[ProjDims]] (or `k`) dims: one codegen'd dot
+    * per output coordinate against a literal ±1 row — a pure map-side
+    * pass, no shuffle, no training. Output: (vec_id, cemb, cnrm).
+    */
+  private[graft] def jlProject(e: DataFrame, k: Int = ProjDims): DataFrame = {
+    val cemb = array((1 to k).map { r =>
+      dotF(col("embedding"), typedLit(projSignRow(r)))
+    }: _*)
+    e.select(col("vec_id"), col("embedding"), cemb.as("cemb"))
+      .withColumn("cnrm", l2Norm(col("cemb")))
+  }
+
+  /** q201 — random-projection (Johnson-Lindenstrauss) compression with
+    * its distortion measured as the oracle-checked contract. The missing
+    * rung of the ANN ladder: sign-LSH (q51) keeps 1 BIT per plane and
+    * can only equi-join buckets; PQ (q108) needs a trained codebook; JL
+    * keeps [[ProjDims]] doubles from a LITERAL ±1 matrix — one map-side
+    * codegen'd pass (16 dots/row, no shuffle, no training), after which
+    * every pairwise stage moves 4× less data. Because projection,
+    * cosine, and the error quantization are all deterministic, the
+    * QUALITY of the approximation is a hash-checkable fact (the
+    * q51/q63/q108 discipline): over all pairs of a bounded query sample
+    * (vec_id < 64), per-pair |cos16 − cos64| is floored to exact ppm
+    * BIGINTs (floor of bit-identical doubles — no rounding-mode or
+    * summation-order hazard) and aggregated into mean/max/tail-count.
+    * The 1/√k law this certifies is measured in SimilaritySpec (err@32
+    * < err@16); the fixture's 0.15 mean distortion at 16 dims matches
+    * true-random ±1 quality.
+    */
+  val q201 = oracled(
+    "q201_random_projection",
+    "JL ±1 sign projection 64→16; exact ppm cosine-distortion contract over a bounded pair sample",
+    s"""WITH p AS (
+         SELECT vec_id, embedding,
+           [${(1 to ProjDims).map(duckProj).mkString(",\n             ")}] AS cemb
+         FROM embeddings WHERE vec_id < 64),
+       pairs AS (
+         SELECT x.vec_id AS a, y.vec_id AS b,
+           CAST(FLOOR(ABS(${duckCosC("x", "y")} - ${duckCos("x", "y")})
+             * 1000000) AS BIGINT) AS err_ppm
+         FROM p x JOIN p y ON x.vec_id < y.vec_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(err_ppm) AS BIGINT) AS sum_err_ppm,
+         CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm,
+         CAST(SUM(CASE WHEN err_ppm > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tail,
+         CAST(SUM(err_ppm) AS DOUBLE) / CAST(1000000 * COUNT(*) AS DOUBLE)
+           AS mean_abs_err
+       FROM pairs""") { (s, dir) =>
+    val p = jlProject(Tables.embeddings(s, dir).filter(col("vec_id") < 64))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val x = p.alias("x")
+    val y = p.alias("y")
+    x.join(y, col("x.vec_id") < col("y.vec_id"))
+      .select(
+        floor(abs(
+          dotF(col("x.cemb"), col("y.cemb")) / (col("x.cnrm") * col("y.cnrm"))
+            - dotF(col("x.embedding"), col("y.embedding"))
+              / (col("x.nrm") * col("y.nrm")))
+          * 1000000).cast("long").as("err_ppm"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("err_ppm")).as("sum_err_ppm"),
+        max(col("err_ppm")).as("max_err_ppm"),
+        sum(when(col("err_ppm") > 250000L, 1L).otherwise(0L)).as("n_tail"),
+        (sum(col("err_ppm")).cast("double")
+          / (lit(1000000L) * count(lit(1))).cast("double")).as("mean_abs_err"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201)
 }

@@ -62,4 +62,32 @@ class SimilaritySemanticsSpec extends AnyFunSuite {
     // The fixture must actually exercise the rule (some drops happen).
     assert(nDropped > 0, "threshold 0.40 should drop at least one vector")
   }
+
+  /** q201's quality claim, measured: JL distortion follows the 1/√k
+    * law, so doubling the projection dims must SHRINK the mean absolute
+    * cosine error. A linear sign rule would plateau (see the splitmix
+    * scaladoc in Similarity) — this test is the tripwire that keeps the
+    * mixer honest if anyone "simplifies" it.
+    */
+  test("q201 JL law: mean |cosK - cos64| shrinks from k=16 to k=32 and is non-trivial at 16") {
+    import graft.functions.VecOps.l2Norm
+    val e = sources.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+      .withColumn("nrm", l2Norm(col("embedding")))
+
+    def meanErr(k: Int): Double = {
+      val p = Similarity.jlProject(e, k)
+      val full = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(p.select(col("vec_id"), col("cemb"), col("cnrm")), "vec_id")
+      full.alias("x").join(full.alias("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(abs(
+          dotF(col("x.cemb"), col("y.cemb")) / (col("x.cnrm") * col("y.cnrm"))
+            - dotF(col("x.embedding"), col("y.embedding"))
+              / (col("x.nrm") * col("y.nrm"))).as("err"))
+        .agg(avg(col("err"))).head().getDouble(0)
+    }
+
+    val (e16, e32) = (meanErr(16), meanErr(32))
+    assert(e16 < 0.30, s"16-dim JL should approximate cosine on the fixture (got $e16)")
+    assert(e32 < e16, s"doubling dims must reduce distortion (16: $e16, 32: $e32)")
+  }
 }
