@@ -51,14 +51,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events fixture is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op for the µs fixture; keeps a ns-encoded events file readable
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // --- phase 1: session + table warmup ---
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     graft.sources.Tables.names.foreach { t =>
       try {
-        // events needs the nanos-timestamp read conf its loader sets
+        // events goes through its loader's ts normalization
         if (t == "events") graft.sources.Tables.events(spark, sfDir).count()
         else graft.sources.Tables(spark, sfDir, t).count()
       } catch { case _: Throwable => () }

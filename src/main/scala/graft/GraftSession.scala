@@ -49,7 +49,7 @@ object GraftSession {
     GraftExtensions.register(spark)
     Tables.names.foreach { t =>
       val df = t match {
-        case "events" => Tables.events(spark, sfDir) // nanos→micros ts fix
+        case "events" => Tables.events(spark, sfDir) // ts encoding normalization
         case other    => Tables(spark, sfDir, other)
       }
       df.createOrReplaceTempView(t)

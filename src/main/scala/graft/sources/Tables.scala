@@ -25,21 +25,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright — read it as raw nanos (legacy conf) and
-    * floor-divide to microseconds, matching DuckDB's own nanos→micros
-    * truncation so both engines see the identical instant.
-    *
-    * Contract: sessions reading events should set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` in their builder (the
-    * repo's mains and specs do); the set below is a defensive no-op in
-    * that case, kept so a caller-supplied session that missed the conf
-    * still reads the fixture encoding instead of failing.
+  /** events.ts normalization. The fixture generator has shipped two
+    * encodings across rounds: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as raw nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros,
+    * matching DuckDB's own nanos→micros truncation) and, since round 7,
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * Downstream code and every oracle assume a session-zone TIMESTAMP
+    * under the repo's pinned UTC session, so both encodings normalize to
+    * TimestampType here — dispatch on the self-described file type, no
+    * conf sniffing. The NTZ→LTZ cast reinterprets the wall-clock in the
+    * session zone (UTC), i.e. the identical micros instant.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -20,25 +20,24 @@ import graft.functions.GraftFunctions.dec2
 object EventsStreaming {
 
   /** The events schema as written by the fixture generator (ts arrives
-    * as nanos INT64 — same legacy-read + convert dance as the batch
-    * loader, applied post-source).
+    * as TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ; the
+    * batch loader `Tables.events` applies the same NTZ→session-zone
+    * normalization post-source).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming source over a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Tumbling 6-hour window aggregation with a 10-minute watermark —
     * the streaming form of Olap.q28.
