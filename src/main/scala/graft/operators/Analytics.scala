@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -999,50 +999,127 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Shared by q183 + its r8 probe twin: per-segment exact winsorization
+    * thresholds in TWENTIETH-OF-CENTS (c_mktsegment, lo_x20, hi_x20).
+    * Spells out `quantile_cont` interpolation on exact integers so no
+    * engine quantile function (and no engine-version float policy) is
+    * in the loop: with per-segment values v_1..v_n ordered (1-based),
+    * pos = p·(n−1), k = ⌊pos⌋, f = pos−k, q = v_{k+1} + f·(v_{k+2}−v_{k+1}).
+    * For p ∈ {1/20, 19/20}, f is a twentieth, so 20·q is an exact
+    * BIGINT once values are cents. Ranks come from the distributed
+    * two-level [[graft.plans.PrefixSum]] ordinal (no single-task
+    * window), the two selected order statistics per quantile ride a
+    * 5-row broadcast.
+    */
+  private[operators] def winsorThresholds(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      col("c_custkey"))
+    val ranked = graft.plans.PrefixSum.withRowNumber(
+      cents, "rn", Seq("c_mktsegment"), "cents",
+      tiebreaks = Seq(col("c_custkey")))
+    val st = cents.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(col("c_mktsegment"),
+        (expr("(n - 1) div 20") + 1).as("r05a"),
+        least(expr("(n - 1) div 20") + 2, col("n")).as("r05b"),
+        expr("(n - 1) % 20").as("f05"),
+        (expr("(19 * (n - 1)) div 20") + 1).as("r95a"),
+        least(expr("(19 * (n - 1)) div 20") + 2, col("n")).as("r95b"),
+        expr("(19 * (n - 1)) % 20").as("f95"))
+    ranked.join(broadcast(st), Seq("c_mktsegment"))
+      .filter(col("rn") === col("r05a") || col("rn") === col("r05b") ||
+        col("rn") === col("r95a") || col("rn") === col("r95b"))
+      .groupBy(col("c_mktsegment"), col("f05"), col("f95"))
+      .agg(max(when(col("rn") === col("r05a"), col("cents"))).as("v05a"),
+        max(when(col("rn") === col("r05b"), col("cents"))).as("v05b"),
+        max(when(col("rn") === col("r95a"), col("cents"))).as("v95a"),
+        max(when(col("rn") === col("r95b"), col("cents"))).as("v95b"))
+      .select(col("c_mktsegment"),
+        (lit(20L) * col("v05a") + col("f05") * (col("v05b") - col("v05a")))
+          .as("lo_x20"),
+        (lit(20L) * col("v95a") + col("f95") * (col("v95b") - col("v95a")))
+          .as("hi_x20"))
+  }
+
+  /** The identical threshold derivation as oracle CTEs (through `p`);
+    * the caller appends the final SELECT.
+    */
+  private[operators] val winsorOracleCtes =
+    """WITH c AS (
+         SELECT c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           c_custkey
+         FROM customer),
+       r AS (
+         SELECT c_mktsegment, cents,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY cents, c_custkey) AS rn
+         FROM c),
+       s AS (SELECT c_mktsegment, COUNT(*) AS n FROM c GROUP BY c_mktsegment),
+       t AS (
+         SELECT c_mktsegment, n,
+           (n - 1) // 20 + 1 AS r05a, LEAST((n - 1) // 20 + 2, n) AS r05b,
+           (n - 1) % 20 AS f05,
+           (19 * (n - 1)) // 20 + 1 AS r95a,
+           LEAST((19 * (n - 1)) // 20 + 2, n) AS r95b,
+           (19 * (n - 1)) % 20 AS f95
+         FROM s),
+       p AS (
+         SELECT t.c_mktsegment,
+           20 * MAX(CASE WHEN rn = r05a THEN cents END)
+             + f05 * (MAX(CASE WHEN rn = r05b THEN cents END)
+                      - MAX(CASE WHEN rn = r05a THEN cents END)) AS lo_x20,
+           20 * MAX(CASE WHEN rn = r95a THEN cents END)
+             + f95 * (MAX(CASE WHEN rn = r95b THEN cents END)
+                      - MAX(CASE WHEN rn = r95a THEN cents END)) AS hi_x20
+         FROM t JOIN r ON r.c_mktsegment = t.c_mktsegment
+           AND rn IN (r05a, r05b, r95a, r95b)
+         GROUP BY t.c_mktsegment, f05, f95)"""
+
   /** q183 — per-group winsorization: clip `c_acctbal` to its segment's
     * [p05, p95] and account for the damage — the outlier-capping
     * normalization a feature/label-prep stage runs before training
     * (clipping beats dropping: rows survive, tails stop dominating
-    * gradients). Exact interpolated percentiles (the q58-proven
-    * Spark↔DuckDB parity) come from ONE aggregate over the group,
-    * broadcast back (5 rows), and the clamp + accounting is a second
-    * partial-aggregated pass: two scans, no window, no sort. The
-    * winsorized sum crosses the gate as DECIMAL(18,6): every clipped
-    * value is a percentile = 2dp value + (≤2dp fraction)·(≤2dp diff)
-    * ⇒ ≤4dp rational, whose double rounds identically to 6dp on both
-    * engines (no dyadic can tie at a 6dp half — denominator 5^k).
+    * gradients). r8 rewrite after the r7 driver-hash failure: the
+    * percentiles are no longer an engine `quantile_cont`/`percentile`
+    * call (interpolation policy proved DuckDB-version-sensitive) but
+    * the explicit order-statistic interpolation of [[winsorThresholds]]
+    * — all-integer twentieth-of-cents on BOTH engines. The clamp +
+    * accounting is one partial-aggregated pass against the 5-row
+    * threshold broadcast; the winsorized mass is Σ clamped_x20 (exact
+    * BIGINT) rendered as DECIMAL(18,4) by the exact multiply ×0.0005
+    * (scale-4 rational, both engines' decimal multiply is exact).
     */
   val q183 = oracled(
     "q183_winsorization",
-    "per-segment [p05,p95] clipping with clipped-row accounting and exact decimal mass",
-    """WITH p AS (
-         SELECT c_mktsegment,
-           quantile_cont(c_acctbal, 0.05) AS lo,
-           quantile_cont(c_acctbal, 0.95) AS hi
-         FROM customer GROUP BY c_mktsegment)
+    "per-segment [p05,p95] clipping via explicit integer order-statistic interpolation",
+    winsorOracleCtes +
+      """
        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(COUNT(*) FILTER (WHERE c_acctbal < lo) AS BIGINT) AS n_clipped_low,
-         CAST(COUNT(*) FILTER (WHERE c_acctbal > hi) AS BIGINT) AS n_clipped_high,
-         CAST(SUM(CAST(
-           CASE WHEN c_acctbal < lo THEN lo
-                WHEN c_acctbal > hi THEN hi
-                ELSE c_acctbal END AS DECIMAL(18,6))) AS DECIMAL(18,6))
-           AS winsorized_mass
-       FROM customer c JOIN p USING (c_mktsegment)
+         CAST(COUNT(*) FILTER (WHERE 20 * cents < lo_x20) AS BIGINT) AS n_clipped_low,
+         CAST(COUNT(*) FILTER (WHERE 20 * cents > hi_x20) AS BIGINT) AS n_clipped_high,
+         CAST(CAST(SUM(
+           CASE WHEN 20 * cents < lo_x20 THEN lo_x20
+                WHEN 20 * cents > hi_x20 THEN hi_x20
+                ELSE 20 * cents END) AS DECIMAL(28,0))
+           * CAST(0.0005 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS winsorized_mass
+       FROM c JOIN p ON c.c_mktsegment = p.c_mktsegment
        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""") { (s, dir) =>
-    val cust = Tables.customer(s, dir).select(col("c_mktsegment"), col("c_acctbal"))
-    val pct = cust.groupBy(col("c_mktsegment"))
-      .agg(percentile(col("c_acctbal"), lit(0.05)).as("lo"),
-        percentile(col("c_acctbal"), lit(0.95)).as("hi"))
-    cust.join(broadcast(pct), "c_mktsegment")
+    val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val x20 = lit(20L) * col("cents")
+    cents.join(broadcast(winsorThresholds(s, dir)), Seq("c_mktsegment"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        count(when(col("c_acctbal") < col("lo"), 1)).as("n_clipped_low"),
-        count(when(col("c_acctbal") > col("hi"), 1)).as("n_clipped_high"),
-        sum(when(col("c_acctbal") < col("lo"), col("lo"))
-          .when(col("c_acctbal") > col("hi"), col("hi"))
-          .otherwise(col("c_acctbal")).cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("winsorized_mass"))
+        count(when(x20 < col("lo_x20"), 1)).as("n_clipped_low"),
+        count(when(x20 > col("hi_x20"), 1)).as("n_clipped_high"),
+        sum(when(x20 < col("lo_x20"), col("lo_x20"))
+          .when(x20 > col("hi_x20"), col("hi_x20"))
+          .otherwise(x20)).as("mass_x20"))
+      .select(col("c_mktsegment"), col("n"), col("n_clipped_low"),
+        col("n_clipped_high"),
+        expr("CAST(CAST(mass_x20 AS DECIMAL(28,0)) * CAST(0.0005 AS DECIMAL(5,4)) AS DECIMAL(18,4))")
+          .as("winsorized_mass"))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -356,25 +356,35 @@ object Relational {
     * supplier's own nation), the yearly share of ECONOMY-part revenue in
     * the ASIA market supplied from NATION_7. The deep-join showcase:
     * five dimension hops broadcast, the single fact scan shuffles once
-    * for the year rollup, the share is a CASE-weighted quotient of two
-    * exact DECIMAL sums. Plan shape: every dimension is a
+    * for the year rollup. Plan shape: every dimension is a
     * BroadcastHashJoin under the one fact-side hash aggregate — the
     * 100 TB star-join discipline on the engine's widest query.
+    *
+    * Gate discipline (r8 rewrite): the share is EXACT parts-per-million
+    * by integer floor division — per-row volume is an exact BIGINT in
+    * 1e-4 units (dec2 price × dec(4,2) multiplier × 10000, scale-4 and
+    * integer-valued by construction), summed as DECIMAL(38,0); ppm =
+    * ⌊num·10^6 / den⌋ via Spark `div` (IntegralDivide on decimals) vs
+    * DuckDB HUGEINT `//` — both exact on non-negative integers, no
+    * double quotient, no ROUND, no engine rounding policy (the r7
+    * driver-hash failure was ROUND(double/double, 6), a
+    * DuckDB-version-sensitive construct).
     */
   val q167 = oracled(
     "q167_market_share",
-    "TPC-H Q8-style CASE-weighted market share over the full join graph",
+    "TPC-H Q8-style CASE-weighted market share over the full join graph (exact integer ppm)",
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
          CAST(COUNT(*) AS BIGINT) AS n_lines,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS volume,
-         ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
-               THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
-               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
-           AS mkt_share
+         CAST((CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+               THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+               ELSE 0 END) AS HUGEINT) * 1000000)
+           // CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+             AS HUGEINT) AS BIGINT)
+           AS mkt_share_ppm
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
@@ -387,6 +397,9 @@ object Relational {
        GROUP BY o_year ORDER BY o_year""") { (s, dir) =>
     val vol = dec2(col("l_extendedprice")) *
       (lit(1) - col("l_discount").cast("decimal(4,2)"))
+    // exact scale-4 volume as a per-row BIGINT in 1e-4 units: the ×10000
+    // shift of an integer-valued scale-4 decimal never rounds
+    val volU = (vol * 10000).cast("long")
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -407,9 +420,11 @@ object Relational {
       // the scale-4 sum crosses 2^53. The decimal sum has no such gap.
       .agg(count(lit(1)).as("n_lines"),
         sum(vol).cast("decimal(38,4)").as("volume"),
-        round(sum(when(col("sn_name") === "NATION_7", vol)
-            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
-          / sum(vol).cast("double"), 6).as("mkt_share"))
+        sum(when(col("sn_name") === "NATION_7", volU).otherwise(lit(0L))
+          .cast("decimal(38,0)")).as("num_u"),
+        sum(volU.cast("decimal(38,0)")).as("den_u"))
+      .select(col("o_year"), col("n_lines"), col("volume"),
+        expr("CAST((num_u * 1000000) div den_u AS BIGINT)").as("mkt_share_ppm"))
       .orderBy(col("o_year"))
   }
 

@@ -40,6 +40,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Defensive: a ns-encoded file fails Spark's parquet schema inference
+    // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))") before the
+    // LongType dispatch below can run unless the session reads nanos as
+    // raw longs. The repo's mains set this at build time; this keeps the
+    // "no conf needed by the caller" contract true for any session.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

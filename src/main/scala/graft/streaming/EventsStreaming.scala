@@ -23,6 +23,12 @@ object EventsStreaming {
     * as TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ; the
     * batch loader `Tables.events` applies the same NTZ→session-zone
     * normalization post-source).
+    *
+    * µs-only by design: a streaming source needs a DECLARED schema, so
+    * unlike the batch loader there is no per-file type dispatch — a
+    * directory holding a ns-encoded events file (pre-round-7 fixtures,
+    * FIXTURES.md) fails the schema match even under nanosAsLong=true.
+    * Stage current-format files (as the specs do) or re-encode first.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -53,8 +53,9 @@ class PipelineSpec extends AnyFunSuite {
 
   test("streaming windowed aggregation equals the batch twin on the same input") {
     import graft.sources.Tables
-    // stage the RAW fixture file (nanos INT64 ts) in its own directory —
-    // readEvents expects the fixture encoding, not a Spark re-write
+    // stage the RAW fixture file (TIMESTAMP(MICROS) NTZ ts) in its own
+    // directory — readEvents expects the fixture encoding, not a Spark
+    // re-write
     val dir = stageRawEvents("events_stream")
 
     val stream = EventsStreaming.readEvents(spark, dir)
