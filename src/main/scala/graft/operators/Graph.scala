@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -86,10 +87,20 @@ object Graph {
       // statically declared hashpartitioning(src) layout below.
       val sg = s.newSession()
       sg.conf.set("spark.sql.adaptive.enabled", "false")
+      // One shuffle for the dedup AND the pair join (r8 memo-cost work,
+      // VERDICT r7 #4): laying the ratings out on the JOIN key
+      // (item_id, rating) first lets the duplicate-drop aggregate run
+      // in place (hashpartitioning(item,rating) clusters every
+      // (user,item,rating) group) and the checkpointed layout then
+      // feeds both aliases of the pair self-join with ZERO exchanges —
+      // previously the distinct shuffled on all three columns and the
+      // join re-shuffled both sides on (item, rating).
       val r = Tables.events(sg, dir)
         .select(col("user_id"), (col("event_id") % 100).as("item_id"),
           (floor(col("value")).cast("long") % 5 + 1).as("rating"))
-        .distinct()
+        .repartition(sg.sessionState.conf.numShufflePartitions,
+          col("item_id"), col("rating"))
+        .dropDuplicates("user_id", "item_id", "rating")
         .localCheckpoint()
       val und = r.alias("a")
         .join(r.alias("b"),
@@ -115,10 +126,19 @@ object Graph {
         .select(col("ua").as("src"), col("ub").as("dst"), col("n_shared").as("w"))
         .unionByName(und
           .select(col("ub").as("src"), col("ua").as("dst"), col("n_shared").as("w")))
-      val outd = directed.groupBy(col("src"))
-        .agg(count(lit(1)).as("deg"), sum(col("w")).as("sw"))
-      val edges = directed.join(outd, "src")
+      // Degree + weight-sum annotation as a WINDOW over the final src
+      // layout instead of the previous groupBy + join-back + repartition
+      // stack: ONE shuffle of the edge table (the repartition below),
+      // the per-src aggregates computed in place by a partition-local
+      // sort, and the window preserves hashpartitioning(src) into the
+      // checkpoint (GraphSpec pins the declared layout) — r8 replaces
+      // three edge-table-sized exchanges with one.
+      val wSrc = Window.partitionBy(col("src"))
+      val edges = directed
         .repartition(sg.sessionState.conf.numShufflePartitions, col("src"))
+        .select(col("src"), col("dst"), col("w"),
+          count(lit(1)).over(wSrc).as("deg"),
+          sum(col("w")).over(wSrc).as("sw"))
         .localCheckpoint()
       val nodes = r.select(col("user_id")).distinct().localCheckpoint()
       (edges, nodes)
@@ -362,6 +382,13 @@ object Graph {
     * PER SEED — state rows are (seed, node, hops), the frontier expands
     * per seed, and the anti-join dedups on the (seed, node) pair. Used
     * by q200; exercised on known graphs by GraphSpec.
+    *
+    * Only the per-hop frontier is ever checkpointed (r8, VERDICT r7 #5):
+    * the accumulated label set is a LAZY union of the already-
+    * checkpointed hop frames, so the visited-set anti-join reads each
+    * hop's blocks in place instead of rewriting the whole growing table
+    * every hop (the previous per-hop `labels.localCheckpoint()` was an
+    * O(hops²) state rewrite at scale).
     */
   private[graft] def bfsLabeled(edges: DataFrame, seeds: DataFrame): DataFrame = {
     var labels = seeds
@@ -382,7 +409,7 @@ object Graph {
         .localCheckpoint()
       done = next.isEmpty
       if (!done) {
-        labels = labels.unionByName(next).localCheckpoint()
+        labels = labels.unionByName(next) // lazy: both sides checkpointed
         frontier = next.select(col("seed"), col("node"))
       }
     }
