@@ -369,6 +369,33 @@ object Recommender {
       .orderBy(col("user"), col("rank"))
   }
 
+  /** q39 — rating-matrix profile (fills the registry hole VERDICT r7 #7
+    * flagged): per rating value, the interaction count and the exact
+    * user/item coverage of the derived ratings relation — the density /
+    * cold-start screen a recommender pipeline runs before committing to
+    * a factorization (a rating level carried by few distinct users
+    * trains per-user bias, not signal). Shape: ONE multi-distinct
+    * aggregate over the 5-row rating domain — Spark plans the two
+    * COUNT(DISTINCT) via expand + partial aggregation (no per-key state
+    * beyond the distinct pairs), the 100 TB-safe form of a coverage
+    * profile.
+    */
+  val q39 = oracled(
+    "q39_rating_profile",
+    "per-rating-value interaction count + exact distinct user/item coverage",
+    s"""SELECT rating, CAST(COUNT(*) AS BIGINT) AS n_interactions,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
+       FROM $ratingsSql r
+       GROUP BY rating ORDER BY rating""") { (s, dir) =>
+    ratings(s, dir)
+      .groupBy(col("rating"))
+      .agg(count(lit(1)).as("n_interactions"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("item_id")).as("n_items"))
+      .orderBy(col("rating"))
+  }
+
   /** q86 — item-item collaborative similarity: cosine over the items'
     * user-rating vectors, computed sparsely — self-join on the shared
     * user (the only nonzero coordinates), one co-rating dot-product
@@ -660,5 +687,6 @@ object Recommender {
   }
 
   val all: Seq[GQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q86, q186, q187, q198)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q86, q186, q187,
+      q198)
 }

@@ -1123,6 +1123,74 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q199 — SpaceSaving heavy-hitter sketch under its merge-safe error
+    * CONTRACT (the q177/q19/q165 gate style, for the top-k sketch the
+    * family was missing — the count-min companion VERDICT r7 #8 asked
+    * for): ONE pass folds every event's user key into a 64-counter
+    * [[graft.functions.SpaceSavingAgg]] (fixed-size state, partial-agg
+    * mergeable via the parallel-SpaceSaving combine), then every
+    * tracked counter is audited against the EXACT per-key counts and
+    * four order-independent invariants cross the gate:
+    * `n_input` (stream length, exact), `n_counters` = min(64, |keys|)
+    * (a full merge tree always surfaces exactly that many), and two
+    * ZERO counters — `bound_violations` (a tracked key with est < true,
+    * est − err > true, or err·64 > N: each bound holds per key through
+    * ANY merge tree — tracked sides contribute (est, err), absent sides
+    * their minimum counter to both) and `missed_heavy` (a key with
+    * true·64 > 2N absent from the sketch; from the per-key bounds:
+    * if such k were cut, every kept j has est_j ≥ est_k ≥ f_k, so
+    * f_j ≥ f_k − N/64, and Σf_j ≤ N forces f_k ≤ 2N/64 — contradiction;
+    * the textbook 1·N/m presence bound needs single-stream Σest = N,
+    * which a merge tree does not preserve, hence the honest 2× margin).
+    * The oracle recomputes N and |keys| exactly and emits literal
+    * zeros. At 100 TB: 64 counters per partial regardless of key
+    * cardinality — the frequency scan that replaces a full-domain
+    * groupBy for trending-key / hot-shard detection.
+    */
+  val q199 = oracled(
+    "q199_spacesaving_topk",
+    "SpaceSaving(64) heavy-hitter sketch audited against exact counts: merge-safe bound contract",
+    """WITH k AS (SELECT user_id AS k FROM events),
+         n AS (SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS v FROM k)
+       SELECT 'bound_violations' AS metric, CAST(0 AS BIGINT) AS value FROM n
+       UNION ALL SELECT 'missed_heavy', 0 FROM n
+       UNION ALL SELECT 'n_counters', LEAST(64, v) FROM n
+       UNION ALL SELECT 'n_input', n FROM n
+       ORDER BY metric""") { (s, dir) =>
+    import graft.functions.SpaceSavingAgg.spaceSavingAgg
+    val m = 64
+    val keys = Tables.events(s, dir).select(col("user_id").as("k"))
+    val sk = keys.agg(spaceSavingAgg(col("k"), m).as("sk"),
+      count(lit(1)).as("n_input")).localCheckpoint()
+    val entries = sk
+      .select(col("n_input"),
+        expr("explode(sequence(0L, CAST(size(sk) AS BIGINT) div 3 - 1))").as("i"),
+        col("sk"))
+      .select(col("n_input"),
+        element_at(col("sk"), (col("i") * 3 + 1).cast("int")).as("key"),
+        element_at(col("sk"), (col("i") * 3 + 2).cast("int")).as("est"),
+        element_at(col("sk"), (col("i") * 3 + 3).cast("int")).as("err"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val audited = entries.join(exact, col("key") === col("k")).localCheckpoint()
+    val nIn = sk.select(lit("n_input").as("metric"),
+      col("n_input").cast("long").as("value"))
+    val nCnt = audited.agg(count(lit(1)).as("value"))
+      .select(lit("n_counters").as("metric"), col("value"))
+    val viol = audited
+      .agg(count(when(col("est") < col("c")
+        || col("est") - col("err") > col("c")
+        || col("err") * m > col("n_input"), 1)).as("value"))
+      .select(lit("bound_violations").as("metric"), col("value"))
+    val missed = exact
+      .join(broadcast(audited.select(col("key"))), col("k") === col("key"),
+        "left_anti")
+      .crossJoin(broadcast(sk.select(col("n_input"))))
+      .agg(count(when(col("c") * m > lit(2) * col("n_input"), 1)).as("value"))
+      .select(lit("missed_heavy").as("metric"), col("value"))
+    viol.unionByName(missed).unionByName(nCnt).unionByName(nIn)
+      .orderBy(col("metric"))
+  }
+
   /** q191 — Welch's unequal-variance t-test between every pair of
     * return-flag populations on `l_extendedprice`: the A/B significance
     * primitive an experimentation pipeline runs per metric. The gate
@@ -1193,5 +1261,5 @@ object Analytics {
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191)
+      q183, q191, q199)
 }

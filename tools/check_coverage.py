@@ -8,7 +8,7 @@ def main(verify_dir):
     registered = {d.split("/")[-1].split("_")[0]
                   for d in glob.glob(f"{verify_dir}/q*") if "." not in d.split("/")[-1]}
     cov = open("COVERAGE.md").read()
-    cited = set(re.findall(r"\bq\d+\b", cov))
+    cited = set(re.findall(r"\bq\d+[a-z]?\b", cov))
     missing_in_registry = sorted(c for c in cited if c not in registered)
     uncited = sorted(r for r in registered if r not in cited)
     if missing_in_registry:
