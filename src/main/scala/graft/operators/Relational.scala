@@ -428,6 +428,47 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** Correlated-subquery text shared verbatim by both engines: TPC-H
+    * Q17's shape (small-quantity outliers vs the PER-PART average) with
+    * the float-policy risk removed — the threshold compare is all
+    * integer (`5·qty·count < Σqty`, quantities are integral in the
+    * fixture and the oracle casts through BIGINT), revenue crosses the
+    * gate as an exact DECIMAL sum, and there is no division anywhere.
+    */
+  private val q202OracleSql =
+    """SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_small,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS small_rev
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_type = 'ECONOMY'
+         AND l_quantity * 5 * (SELECT COUNT(*) FROM lineitem l2
+                               WHERE l2.l_partkey = p_partkey)
+             < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+                WHERE l2.l_partkey = p_partkey)
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  /** q202 — correlated scalar subqueries through the SQL surface: the
+    * one relational capability the registry exercised only in its
+    * decorrelated form. The SAME text runs on both engines; Spark's
+    * analyzer must DECORRELATE the two per-part scalar subqueries into
+    * aggregate-plus-join form (RewriteCorrelatedScalarSubquery) or the
+    * plan degenerates to a per-row nested-loop re-scan of lineitem —
+    * the difference between O(N) and O(N²) at 100 TB. PlanContractSpec
+    * pins the decorrelation (no nested-loop/cartesian join, exactly one
+    * extra aggregate over the fact side). Temp views are per-invocation
+    * (`createOrReplaceTempView` on the dir's tables), so the query
+    * composes with the registry's (session, dir) contract.
+    */
+  val q202 = oracled(
+    "q202_correlated_subquery",
+    "TPC-H Q17-shaped correlated scalar subqueries, decorrelated by the analyzer (all-integer threshold)",
+    q202OracleSql) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(q202OracleSql)
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167)
+    q10, q11, q12, q13, q14, q167, q202)
 }

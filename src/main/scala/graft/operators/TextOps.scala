@@ -906,7 +906,101 @@ object TextOps {
       .limit(20)
   }
 
+  /** TextRank fixed-point scale (independent of Graph.Scale — no
+    * cross-module constant entanglement): ranks are integers ≤ 1e9,
+    * per-edge contributions ≤ rank·w < 2^53 at any fixture scale.
+    */
+  private val TrScale = 1000000000L
+  private val TrIters = 4
+  private val TrMinW = 5L
+
+  /** q203 — TextRank keyword extraction (Mihalcea & Tarau 2004): the
+    * graph ranking a keyword/keyphrase-extraction stage runs — tokens
+    * are nodes, undirected co-occurrence edges come from ADJACENT
+    * bigrams (weight = total occurrences both directions, min support
+    * [[TrMinW]]), and importance is weighted PageRank. The q152/q188
+    * gate discipline on a text-derived graph: all-BIGINT fixed-point
+    * recurrence `rank' = (15·S)//(100·n) + 85·(Σ rank·w // sw)//100`,
+    * identical floor arithmetic in the Spark loop and the oracle's
+    * unrolled CTE chain, so the gate is bit-exact — no damping-factor
+    * doubles anywhere. Scale shape: the ONE corpus-sized pass is the
+    * bigram aggregate (the q185 pattern); the graph and every
+    * iteration live on vocabulary² rows. The corpus never re-scans.
+    */
+  val q203 = oracled(
+    "q203_textrank_keywords",
+    "TextRank keywords: weighted integer PageRank over the adjacent-bigram co-occurrence graph",
+    {
+      def step(k: Int): String =
+        s"""pr$k AS (
+           SELECT nd.tok,
+             (15 * CAST($TrScale AS BIGINT)) // (100 * (SELECT COUNT(*) FROM nodes))
+               + (85 * COALESCE(fl.inflow, 0)) // 100 AS rnk
+           FROM nodes nd LEFT JOIN (
+             SELECT d.dst AS tok,
+               CAST(SUM((p.rnk * d.w) // sw.sw) AS BIGINT) AS inflow
+             FROM pr${k - 1} p
+             JOIN d ON d.src = p.tok
+             JOIN sw ON sw.src = d.src
+             GROUP BY d.dst) fl ON fl.tok = nd.tok)"""
+      s"""WITH t AS (SELECT string_split(trim(text), ' ') AS toks FROM documents),
+       bg AS (
+         SELECT w1, w2, COUNT(*) AS c FROM (
+           SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                  unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+           FROM t) GROUP BY w1, w2),
+       e AS (
+         SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+           CAST(SUM(c) AS BIGINT) AS w
+         FROM bg WHERE w1 <> w2
+         GROUP BY 1, 2 HAVING SUM(c) >= $TrMinW),
+       d AS (SELECT a AS src, b AS dst, w FROM e
+             UNION ALL SELECT b, a, w FROM e),
+       nodes AS (SELECT DISTINCT src AS tok FROM d),
+       sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM d GROUP BY src),
+       pr0 AS (SELECT tok,
+           $TrScale // (SELECT COUNT(*) FROM nodes) AS rnk FROM nodes),
+       ${(1 to TrIters).map(step).mkString(",\n       ")}
+       SELECT tok, CAST(rnk AS BIGINT) AS rank_fp
+       FROM pr$TrIters
+       ORDER BY rank_fp DESC, tok LIMIT 10"""
+    }) { (s, dir) =>
+    val pairs = Dedup.tokenized(s, dir)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val und = pairs.filter(col("w1") =!= col("w2"))
+      .groupBy(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TrMinW)
+    // vocabulary-sized graph from here down: one localCheckpoint'd edge
+    // table (the corpus work), then 4 lazy rank rounds over ≤ |V|² rows
+    val d = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    val sw = d.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
+    val nodes = d.select(col("src").as("tok")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var pr = nodes.select(col("tok"), lit(TrScale / n).as("rnk"))
+    (1 to TrIters).foreach { _ =>
+      val inflow = pr.join(d, col("tok") === col("src"))
+        .join(sw.withColumnRenamed("src", "sws"), col("sws") === col("src"))
+        .select(col("dst"), expr("(rnk * w) div sw").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      pr = nodes.join(inflow, col("tok") === col("dst"), "left")
+        .select(col("tok"),
+          (lit(15L * TrScale / (100L * n))
+            + expr("(85 * COALESCE(inflow, 0)) div 100")).as("rnk"))
+    }
+    pr.select(col("tok"), col("rnk").cast("long").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("tok"))
+      .limit(10)
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197)
+      q156, q168, q177, q185, q190, q197, q203)
 }

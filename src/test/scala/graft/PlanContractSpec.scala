@@ -236,6 +236,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"fact side should shuffle at most once (year rollup), found $dataExchanges\n$p")
   }
 
+  test("q202: correlated scalar subqueries decorrelate to aggregate+join") {
+    val p = plan(operators.Relational.q202)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a correlated subquery survived as a per-row nested-loop re-scan\n" + p)
+    // the two per-part scalar subqueries must share/land as standalone
+    // aggregates over lineitem joined back on l_partkey
+    assert("HashAggregate".r.findAllIn(p).length >= 3,
+      "decorrelated per-part aggregate missing\n" + p)
+  }
+
   test("q155: Apriori prune keeps the basket self-join behind a semi-join") {
     val p = plan(operators.Analytics.q155)
     assert(p.contains("LeftSemi"),
