@@ -882,6 +882,109 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** Prefix-filtered exact set-similarity join (Chaudhuri/Ganti/Kaushik
+    * 2006, Bayardo et al. 2007 — the PPJoin candidate rule): for
+    * Jaccard ≥ tn/td, sort every doc's shingle set by a GLOBAL order
+    * (document frequency asc, hash tiebreak — rarest first) and index
+    * ONLY the first `n − ⌈(tn/td)·n⌉ + 1` shingles; any qualifying pair
+    * must share a PREFIX shingle (if not, the overlap is confined to
+    * the two suffixes, which are too short: |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ >
+    * both suffix lengths). Candidates are then verified EXACTLY on the
+    * full sets. vs q48's index-every-shingle join: the posting table
+    * shrinks by ~t and — because prefixes hold the RAREST shingles —
+    * the candidate pair table collapses (hot shingles never generate
+    * pairs from their suffix occurrences), which is the 100 TB lever:
+    * candidate volume, not verification, dominates all-pairs similarity
+    * at scale. Completeness is GATED, not assumed: q204's oracle is the
+    * brute-force blocked all-pairs join, and DedupEquivalenceSpec
+    * proves prefix == full-index == brute force on adversarial corpora.
+    * The ceil and the final threshold compare are integer-exact
+    * (`inter·td ≥ tn·union` — no double in any pruning decision).
+    */
+  private[graft] def prefixFilteredPairs(
+      tokdf: DataFrame, tn: Long, td: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("toks")
+    val bigrams =
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b))
+    val hashed = array_distinct(transform(bigrams, b => RollingHash.rollingHash(b)))
+    val bg = tokdf
+      .select(col("doc_id"), col("lang"), col("source"), hashed.as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .localCheckpoint()
+    val posting = bg.select(col("doc_id"), col("lang"), col("source"),
+      col("n_sh"), explode(col("sh")).as("h"))
+    // global order = (document frequency asc, hash): rarest shingles
+    // land in prefixes, so hot shingles stop generating candidates
+    val dfq = posting.groupBy(col("h")).agg(count(lit(1)).as("dfq"))
+    val ranked = posting.join(dfq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("h"))))
+    // prefix length n − ⌈(tn/td)·n⌉ + 1; integer ceil
+    val prefix = ranked
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"($tn * n_sh + $td - 1) div $td") + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
+    val x = prefix.alias("x")
+    val y = prefix.alias("y")
+    val cand = x.join(y,
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the FULL sets (bounded per-doc arrays)
+    cand
+      .join(bg.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(bg.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (col("n_a") + col("n_b")).cast("long").as("szs"))
+      .filter(col("inter") * td >= lit(tn) * (col("szs") - col("inter")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("szs") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q204 — the prefix-filtered join at Jaccard ≥ 3/5 over the fixture
+    * corpus, gated by the same brute-force blocked all-pairs oracle
+    * shape as q48 (which finds the planted near-dup pair): the
+    * completeness of [[prefixFilteredPairs]]' pruning crosses the
+    * driver's hash gate.
+    */
+  val q204 = {
+    val hashSql = RollingHash.duckSql("b", sfx = "2")
+    oracled(
+      "q204_prefix_filter_simjoin",
+      "PPJoin-style prefix-filtered exact Jaccard ≥ 0.6 join == brute force",
+      s"""WITH t AS (
+           SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang, source,
+             list_sort(list_distinct(list_transform(
+               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               b -> $hashSql))) AS sh
+           FROM t)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+               THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               ELSE NULL END AS jaccard
+           FROM bg x JOIN bg y
+             ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
+         WHERE jaccard >= 0.6
+         ORDER BY doc_a, doc_b""") { (s, dir) =>
+      prefixFilteredPairs(tokenized(s, dir), 3L, 5L)
+    }
+  }
+
   val all: Seq[GQuery] =
-    Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189)
+    Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
+      q204)
 }

@@ -59,6 +59,36 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     df.select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("prefix-filtered join == brute force on fixture + adversarial corpora") {
+    // q204's completeness theorem at several RATIONAL thresholds: the
+    // prefix-pruned candidate set must lose no qualifying pair, on the
+    // fixture corpus and on the adversarial corpus (hot shingle, twins,
+    // subsets — the shapes where a wrong prefix bound would bite)
+    val fixture = graft.sources.Tables.documents(spark, sfDir)
+    for ((tn, td) <- Seq((1L, 10L), (1L, 2L), (3L, 5L), (4L, 5L))) {
+      val fast = asSet(Dedup.prefixFilteredPairs(Dedup.tokensOf(fixture), tn, td))
+      val slow = asSet(bruteForce(fixture, tn.toDouble / td))
+      assert(fast === slow, s"fixture mismatch at $tn/$td")
+    }
+    import spark.implicits._
+    val adv = Seq(
+      (1L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+      (3L, "en", "web", "alpha beta gamma delta epsilon eta"),
+      (4L, "en", "web", "alpha beta gamma"),
+      (5L, "en", "web", "omicron pi rho sigma tau"),
+      (6L, "fr", "web", "alpha beta gamma delta epsilon zeta"),
+      (7L, "en", "web", "hot spot aa bb cc dd ee ff"),
+      (8L, "en", "web", "hot spot ii jj kk ll mm nn"),
+      (9L, "en", "web", "hot spot aa bb cc dd ee zz"))
+      .toDF("doc_id", "lang", "source", "text")
+    for ((tn, td) <- Seq((1L, 10L), (1L, 2L), (3L, 5L), (9L, 10L))) {
+      val fast = asSet(Dedup.prefixFilteredPairs(Dedup.tokensOf(adv), tn, td))
+      val slow = asSet(bruteForce(adv, tn.toDouble / td))
+      assert(fast === slow, s"adversarial mismatch at $tn/$td")
+    }
+  }
+
   test("inverted-index join == brute force on the fixture corpus (several thresholds)") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     for (t <- Seq(0.05, 0.1, 0.5)) {
