@@ -468,5 +468,70 @@ object Ingest {
       .orderBy(col("fk_edge"))
   }
 
-  val all: Seq[GQuery] = Seq(q92, q105, q106, q123, q125, q139, q175, q192)
+  private val evoPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Two parquet "generations" of the documents table in one directory:
+    * gen1 (doc_id ≡ 0 mod 3) with the LEGACY 3-column schema, gen2 (the
+    * rest) with the full 5-column schema — the shape every long-lived
+    * 100 TB lake actually has after a schema migration. Memoized per
+    * (SparkContext, dir) like [[writeDirtyTsv]].
+    */
+  private[graft] def writeEvolvedParquet(s: SparkSession, dir: String): String =
+    graft.Memo.sync(evoPathCache, graft.Memo.key(s, dir))( {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q205_evo_${ProcessHandle.current().pid()}_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(out + "/gen=1")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(out + "/gen=2")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(out))))
+      out
+    })
+
+  /** q205 — schema-evolution read: `mergeSchema` unions the per-file
+    * schemas, legacy files surface the post-migration columns as NULL,
+    * and the query BACKFILLS them (`coalesce(n_chars, length(text))`,
+    * `coalesce(source, 'legacy')`) — the read-side migration pattern
+    * that avoids rewriting petabytes of old files. The oracle never
+    * sees the staged directory: it recomputes the same answer from the
+    * documents view with the generation rule inlined (`doc_id % 3`),
+    * so the gate proves the merged read dropped nothing, nulled exactly
+    * the legacy rows, and the backfill is exact-integer. Scan shape:
+    * schema merge is footer-only planning work; the data pass is one
+    * partial-aggregated groupBy.
+    */
+  val q205 = oracled(
+    "q205_schema_evolution",
+    "mergeSchema evolution read with exact-integer legacy backfill accounting",
+    """SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_legacy,
+         CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN LENGTH(text)
+                       ELSE n_chars END) AS BIGINT) AS chars_backfilled,
+         CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND source = 'web' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_web
+       FROM documents
+       GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(writeEvolvedParquet(s, dir))
+    merged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_chars").isNull, 1)).as("n_legacy"),
+        sum(coalesce(col("n_chars"), length(col("text")).cast("long")))
+          .cast("long").as("chars_backfilled"),
+        count(when(coalesce(col("source"), lit("legacy")) === "web", 1))
+          .as("n_web"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205)
 }
