@@ -40,7 +40,8 @@ object Bench {
     "q138_triangle_count",      // Analytics.triCache (per-vertex triangles; serves q158)
     "q92_dirty_ingest",         // Ingest.dirtyPathCache + parsedCache
     "q105_json_dirty_accounting", // Ingest.jsonlPathCache
-    "q123_orc_roundtrip"        // Ingest.orcPathCache
+    "q123_orc_roundtrip",       // Ingest.orcPathCache
+    "q205_schema_evolution"     // Ingest.evoPathCache (staged generations)
   )
 
   def main(args: Array[String]): Unit = {
