@@ -76,6 +76,35 @@ object Probes {
   private val p183c = subset(Analytics.q183, "c_probe_mass",
     Seq("c_mktsegment", "winsorized_mass"), "c_mktsegment")
 
+  // Data-free decimal-representation discriminator. r8 analysis: the
+  // ONLY queries in the r7 suite whose OUTPUT carries a decimal column
+  // are exactly the four red ones (plus green q193, decimal(18,2) —
+  // which is why this needs isolating). These are CONSTANTS — no scan,
+  // no aggregation, no arithmetic beyond exact literal casts — with
+  // values deliberately ABOVE 2^53 (9007199254740993 = 2^53 + 1) in
+  // three widths: if the driver's DuckDB/pandas path renders any
+  // decimal column through float64 (or formats it differently), this
+  // probe fails with zero data involvement and convicts the
+  // representation layer; if it stays green, the divergence is
+  // data-dependent arithmetic and the column-subset probes above carry
+  // the diagnosis.
+  private val p74d = oracled("q74d_probe_decimal_repr",
+    "r8 bisection probe: constant decimals (incl. 2^53+1) in the four output widths",
+    """SELECT CAST(1 AS BIGINT) AS k,
+         CAST(4100000000 AS DECIMAL(38,0)) AS c38_0_small,
+         CAST(9007199254740993 AS DECIMAL(38,0)) AS c38_0_big,
+         CAST(9007199254740993.11 AS DECIMAL(18,2)) AS c18_2_big,
+         CAST(900719925474.0993 AS DECIMAL(38,4)) AS c38_4
+       ORDER BY k""") { (s, dir) =>
+    import org.apache.spark.sql.functions.{lit, expr}
+    s.range(1).select(lit(1L).as("k"),
+      expr("CAST(4100000000 AS DECIMAL(38,0))").as("c38_0_small"),
+      expr("CAST(9007199254740993 AS DECIMAL(38,0))").as("c38_0_big"),
+      expr("CAST(9007199254740993.11 AS DECIMAL(18,2))").as("c18_2_big"),
+      expr("CAST(900719925474.0993 AS DECIMAL(38,4))").as("c38_4"))
+      .orderBy("k")
+  }
+
   val all: Seq[GQuery] = Seq(p74a, p74b, p74c, p167a, p167b,
-    p181a, p181b, p181c, p183a, p183b, p183c)
+    p181a, p181b, p181c, p183a, p183b, p183c, p74d)
 }
