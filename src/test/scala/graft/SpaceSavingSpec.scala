@@ -82,4 +82,47 @@ class SpaceSavingSpec extends AnyFunSuite {
     val got = sketch(keys, capacity = 64, parts = 3)
     assert(got === Seq((9L, 3L, 0L), (7L, 2L, 0L), (8L, 1L, 0L)))
   }
+
+  test("null keys are skipped, not counted") {
+    import spark.implicits._
+    val got = Seq(Some(1L), None, Some(1L), None, Some(2L))
+      .toDF("k")
+      .agg(spaceSavingAgg(col("k"), 8))
+      .head.getSeq[Long](0).grouped(3).map(t => (t(0), t(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("randomized bound invariants across capacities and partitionings") {
+    // 24 seeded configurations: skew profile × capacity × partitions.
+    // Every config must satisfy the full q199 contract vs exact counts —
+    // the property that must survive ANY merge tree Spark picks.
+    for {
+      seed <- Seq(1, 2, 3)
+      m <- Seq(2, 5, 16)
+      parts <- Seq(2, 7)
+    } {
+      val rnd = new scala.util.Random(seed)
+      // Zipf-ish skew: key k ~ 1/k weight over a 90-key domain
+      val keys = Seq.fill(3000) {
+        val u = rnd.nextDouble()
+        (math.exp(u * math.log(90)) - 0.5).toLong.max(0L) + 1L
+      }
+      val n = keys.size.toLong
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = sketch(keys, m, parts)
+      assert(got.size === math.min(m.toLong, exact.size.toLong),
+        s"seed=$seed m=$m parts=$parts: size")
+      got.foreach { case (k, est, err) =>
+        val f = exact(k)
+        assert(est >= f && est - err <= f && err * m <= n,
+          s"seed=$seed m=$m parts=$parts key=$k: ($est,$err) vs $f")
+      }
+      val tracked = got.map(_._1).toSet
+      exact.foreach { case (k, f) =>
+        if (f * m > 2 * n)
+          assert(tracked.contains(k),
+            s"seed=$seed m=$m parts=$parts: heavy $k (freq $f) missing")
+      }
+    }
+  }
 }
