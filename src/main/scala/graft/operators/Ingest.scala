@@ -532,6 +532,32 @@ object Ingest {
       .orderBy(col("lang"))
   }
 
+  /** q206 — scan-level aggregate pushdown: COUNT/MIN/MAX answered from
+    * parquet FOOTER STATISTICS, no row ever decoded — the difference
+    * between touching 100 TB of pages and touching kilobytes of
+    * metadata for the catalog/stats queries every engine runs
+    * constantly. Needs the DSv2 parquet path (`useV1SourceList=""`) +
+    * `parquet.aggregatePushdown`, isolated on a cloned session (the
+    * Graph AQE-clone pattern — the shared session's planner is never
+    * mutated). PlanContractSpec pins `PushedAggregation` in the scan;
+    * the oracle computes the same three values the slow way.
+    */
+  val q206 = oracled(
+    "q206_scan_agg_pushdown",
+    "footer-statistics COUNT/MIN/MAX: aggregate pushed into the parquet scan",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+         CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+       FROM lineitem""") { (s, dir) =>
+    val sp = s.newSession()
+    sp.conf.set("spark.sql.sources.useV1SourceList", "")
+    sp.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    Tables.lineitem(sp, dir)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205)
+    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206)
 }

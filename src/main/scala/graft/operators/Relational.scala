@@ -469,6 +469,45 @@ object Relational {
     s.sql(q202OracleSql)
   }
 
+  /** q207 — runtime bloom-filter join pruning: when a selective
+    * predicate sits on one side of a SHUFFLE join, Spark's
+    * InjectRuntimeFilter builds a bloom filter over that side's join
+    * keys at runtime and applies `might_contain` to the fact side
+    * BEFORE its shuffle — at 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~selectivity
+    * fraction that can possibly match. Broadcast is disabled on a
+    * cloned session to force the shuffle-join shape the optimization
+    * exists for (a broadcast dim needs no runtime filter);
+    * PlanContractSpec pins `bloom_filter_agg`/`might_contain` in the
+    * plan. The oracle computes the identical join the straightforward
+    * way — the filter is a pure pruning optimization, invisible in the
+    * result.
+    */
+  val q207 = oracled(
+    "q207_runtime_bloom_join",
+    "runtime bloom filter prunes the fact side of a selective shuffle join",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 500000""") { (s, dir) =>
+    val sp = s.newSession()
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    sp.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    // production default is 10GB — the fact side must be "big enough to
+    // bother"; the fixture obviously isn't, so the gate exercises the
+    // mechanism with the threshold floored (the 100 TB deployment keeps
+    // the default and triggers organically)
+    sp.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    Tables.lineitem(sp, dir)
+      .join(Tables.orders(sp, dir).filter(col("o_totalprice") > 500000),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202)
+    q10, q11, q12, q13, q14, q167, q202, q207)
 }

@@ -246,6 +246,20 @@ class PlanContractSpec extends AnyFunSuite {
       "decorrelated per-part aggregate missing\n" + p)
   }
 
+  test("q206: COUNT/MIN/MAX answered from parquet footers (PushedAggregation)") {
+    val p = plan(operators.Ingest.q206)
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+      "aggregate not pushed into the scan — rows would be decoded\n" + p)
+  }
+
+  test("q207: runtime bloom filter prunes the fact side before its shuffle") {
+    val p = plan(operators.Relational.q207)
+    assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+      "InjectRuntimeFilter did not fire — full fact shuffle\n" + p)
+    assert(p.contains("SortMergeJoin"),
+      "join must be the shuffle shape the runtime filter exists for\n" + p)
+  }
+
   test("q155: Apriori prune keeps the basket self-join behind a semi-join") {
     val p = plan(operators.Analytics.q155)
     assert(p.contains("LeftSemi"),
