@@ -508,6 +508,49 @@ object Relational {
         sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
   }
 
+  /** q208 — shuffle exchange reuse: the same aggregated subquery feeds
+    * TWO plan branches (the per-order revenue table and its global
+    * max), and Spark's ReuseExchange rule materializes the shuffle
+    * ONCE — the second branch reads the first's shuffle files
+    * (`ReusedExchange` in the plan). At 100 TB this is a whole fact
+    * shuffle not re-executed; the pattern shows up whenever a derived
+    * table is compared against its own aggregate (share-of-max,
+    * above-average filters, self-joined rollups). Result columns are
+    * exact integers (cents), so the gate is arithmetic-free; the plan
+    * contract pins the reuse.
+    */
+  val q208 = oracled(
+    "q208_reused_exchange",
+    "self-referencing aggregate plans ONE shuffle + ReusedExchange for the second branch",
+    """WITH r AS (
+         SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS rev_cents
+         FROM lineitem GROUP BY l_orderkey)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN 2 * rev_cents >= m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_half_max,
+         CAST(MAX(m) AS BIGINT) AS max_rev_cents
+       FROM r CROSS JOIN (SELECT MAX(rev_cents) AS m FROM r)""") { (s, dir) =>
+    // AQE-off clone (the Graph/q206/q207 isolation pattern): without AQE
+    // the ReuseExchange rule rewrites the second identical subtree to a
+    // static `ReusedExchange` node — deterministically visible to the
+    // plan contract. (Under AQE the same reuse happens at runtime via
+    // shuffle-stage reuse; the semantics are identical, the static plan
+    // just doesn't show it.)
+    val sp = s.newSession()
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    val r = Tables.lineitem(sp, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long"))
+        .cast("long").as("rev_cents"))
+    r.crossJoin(broadcast(r.agg(max(col("rev_cents")).as("m"))))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(lit(2) * col("rev_cents") >= col("m"), 1).otherwise(0))
+          .cast("long").as("n_above_half_max"),
+        max(col("m")).cast("long").as("max_rev_cents"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202, q207)
+    q10, q11, q12, q13, q14, q167, q202, q207, q208)
 }

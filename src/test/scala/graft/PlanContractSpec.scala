@@ -260,6 +260,18 @@ class PlanContractSpec extends AnyFunSuite {
       "join must be the shuffle shape the runtime filter exists for\n" + p)
   }
 
+  test("q208: the self-referenced aggregate shuffles once (ReusedExchange)") {
+    val p = plan(operators.Relational.q208)
+    assert(p.contains("ReusedExchange"),
+      "the per-order aggregate's shuffle planned twice\n" + p)
+    // the ReusedExchange node's own line repeats the reused exchange's
+    // description — count real Exchange NODES (lines), not substrings
+    val realExchanges = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey") && !l.contains("ReusedExchange"))
+    assert(realExchanges == 1,
+      s"expected exactly one planned l_orderkey shuffle, found $realExchanges\n" + p)
+  }
+
   test("q155: Apriori prune keeps the basket self-join behind a semi-join") {
     val p = plan(operators.Analytics.q155)
     assert(p.contains("LeftSemi"),
