@@ -419,5 +419,74 @@ object Similarity {
           / (lit(1000000L) * count(lit(1))).cast("double")).as("mean_abs_err"))
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201)
+  /** q209 — maximum-inner-product search (MIPS) via the norm-
+    * augmentation reduction (Bachrach et al. 2014 / Shrivastava &
+    * Li 2014): inner product is NOT a metric (no triangle inequality,
+    * a vector can be its own worst neighbor), so cosine/Euclidean ANN
+    * infrastructure cannot serve `argmax_x q·x` directly — the serving
+    * problem every recommender hits (q38's top-k IS a MIPS). The
+    * reduction appends one dimension carrying √(M²−|x|²) to each
+    * catalog vector (M = max catalog norm) and 0 to queries: augmented
+    * catalog vectors all have norm exactly M, so augmented COSINE
+    * ordering equals raw INNER-PRODUCT ordering — and the whole
+    * sign-LSH bucket machinery of q51 applies to augmented vectors
+    * unchanged (the scale path; composition documented, recall bounded
+    * by the same spec discipline). The gate runs BOTH paths: the
+    * brute-force dot ranking and the augmented-cosine ranking, and the
+    * `agrees_with_brute` contract column (oracle: literal TRUE over its
+    * own brute ranking) proves the reduction exact on every row at
+    * every scale — ties broken by vec_id identically on both paths.
+    * The augmented norm rides as the CONSTANT M (mathematically exact
+    * by construction), not a per-vector recomputed √(Σx²+(M²−Σx²)),
+    * which would reintroduce per-vector ulp noise into the ordering.
+    */
+  val q209 = oracled(
+    "q209_mips_norm_reduction",
+    "MIPS top-3 via norm augmentation == brute-force inner product (exact reduction contract)",
+    s"""SELECT * FROM (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckDot("x.embedding", "y.embedding")} AS dot,
+           TRUE AS agrees_with_brute,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ${duckDot("x.embedding", "y.embedding")} DESC, y.vec_id)
+             AS rn
+         FROM embeddings x JOIN embeddings y ON y.vec_id >= 5
+         WHERE x.vec_id < 5) t
+       WHERE rn <= 3
+       ORDER BY query_id, rn""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+    val queries = e.filter(col("vec_id") < 5)
+    val catalog = e.filter(col("vec_id") >= 5)
+    val m = catalog.agg(max(col("nrm")).as("m"))
+    // brute path: raw inner product, tie-broken on vec_id
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_raw").desc, col("vec_b"))
+    val brute = queries.alias("x").join(catalog.alias("y"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        dotF(col("x.embedding"), col("y.embedding")).as("dot_raw"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= 3)
+    // reduction path: augmented vectors (catalog +√(M²−|x|²), query +0),
+    // augmented catalog norm = the constant M; rank by augmented cosine
+    val wc = Window.partitionBy(col("aq"))
+      .orderBy(col("cos_aug").desc, col("ab"))
+    val reduced = queries.alias("x").join(catalog.alias("y")).crossJoin(broadcast(m))
+      .select(col("x.vec_id").as("aq"), col("y.vec_id").as("ab"),
+        (dotF(
+          concat(col("x.embedding"), array(lit(0.0f))),
+          concat(col("y.embedding"),
+            array(sqrt(col("m") * col("m") - col("y.nrm") * col("y.nrm"))
+              .cast("float"))))
+          / (col("x.nrm") * col("m"))).as("cos_aug"))
+      .withColumn("arn", row_number().over(wc))
+      .filter(col("arn") <= 3)
+    brute.join(reduced,
+        col("query_id") === col("aq") && col("rn") === col("arn"))
+      .select(col("query_id"), col("vec_b"),
+        col("dot_raw").as("dot"),
+        (col("vec_b") === col("ab")).as("agrees_with_brute"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209)
 }
