@@ -1191,6 +1191,49 @@ object Analytics {
       .orderBy(col("metric"))
   }
 
+  /** q210 — grouped top-k as a NATIVE AGGREGATE
+    * ([[graft.functions.TopKAgg]], the fifth member of the typed-
+    * aggregate family after MinHash/SimHash/CountMin/SpaceSaving): per
+    * market segment, the top-3 customers by account balance. The
+    * window formulation (`row_number().over(partitionBy(seg)
+    * .orderBy(...))` — q12's shape) SORTS and SHUFFLES every row of
+    * every group; the aggregate keeps ≤ k (score, id) pairs per
+    * partial and shuffles exactly k pairs per group — at 100 TB with
+    * millions of groups that is the whole fact table's sort vs a
+    * k-row-per-group hash aggregate. Exact top-k is a commutative
+    * associative selection, so (unlike SpaceSaving) the result is
+    * merge-order-independent and the gate is PLAIN EQUALITY against
+    * the window oracle — balances ride as exact integer cents, ties
+    * broken (cents desc, custkey asc) identically on both sides.
+    */
+  val q210 = oracled(
+    "q210_topk_aggregate",
+    "per-segment top-3 by balance via the bounded native top-k aggregate == window oracle",
+    """WITH r AS (
+         SELECT c_mktsegment, c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               DESC, c_custkey) AS rn
+         FROM customer)
+       SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, c_custkey, cents
+       FROM r WHERE rn <= 3
+       ORDER BY c_mktsegment, rn""") { (s, dir) =>
+    import graft.functions.TopKAgg.topKAgg
+    val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
+      col("c_custkey"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    cents.groupBy(col("c_mktsegment"))
+      .agg(topKAgg(col("cents"), col("c_custkey"), 3).as("tk"))
+      .select(col("c_mktsegment"),
+        expr("explode(sequence(0L, CAST(size(tk) AS BIGINT) div 2 - 1))").as("i"),
+        col("tk"))
+      .select(col("c_mktsegment"), (col("i") + 1).as("rn"),
+        element_at(col("tk"), (col("i") * 2 + 2).cast("int")).as("c_custkey"),
+        element_at(col("tk"), (col("i") * 2 + 1).cast("int")).as("cents"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   /** q191 — Welch's unequal-variance t-test between every pair of
     * return-flag populations on `l_extendedprice`: the A/B significance
     * primitive an experimentation pipeline runs per metric. The gate
@@ -1261,5 +1304,5 @@ object Analytics {
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199)
+      q183, q191, q199, q210)
 }
