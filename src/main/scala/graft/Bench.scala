@@ -85,7 +85,6 @@ object Bench {
     // the driver passes none and measures the full suite)
     val only = args.headOption.map(_.split(',').toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.contains("_probe")) // r8 bisection twins: correctness-gate-only
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>

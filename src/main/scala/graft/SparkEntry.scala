@@ -13,8 +13,7 @@ object SparkEntry {
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Temporal.all ++ operators.Advanced.all ++
       operators.Analytics.all ++ operators.Ingest.all ++
-      operators.Pipeline.all ++ operators.Graph.all ++
-      operators.Probes.all // TEMPORARY r8 bisection probes (Probes.scala)
+      operators.Pipeline.all ++ operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

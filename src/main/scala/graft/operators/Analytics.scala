@@ -965,7 +965,10 @@ object Analytics {
     * front-loaded remainder distribution differs; the oracle applies
     * the identical formula to a DuckDB row_number). Per bucket: size
     * (equi-depth: sizes differ by ≤1), value bounds, and the exact
-    * DECIMAL revenue mass. Ties across a bucket edge split by the
+    * price mass in integer CENTS (BIGINT — the r8 probe bisection
+    * convicted the driver's decimal output path, so the former
+    * DECIMAL(18,2) mass is now cents ×100; DuckDB's HUGEINT sum is
+    * cast back to BIGINT). Ties across a bucket edge split by the
     * (orderkey, linenumber) tiebreak identically on both engines.
     */
   val q181 = oracled(
@@ -980,7 +983,8 @@ object Analytics {
        SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
          MIN(p) AS lo, MAX(p) AS hi,
-         CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_mass
+         CAST(SUM(CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS price_mass_cents
        FROM r GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
     val B = 10
     val li = Tables.lineitem(s, dir)
@@ -995,7 +999,7 @@ object Analytics {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), min(col("p")).as("lo"),
         max(col("p")).as("hi"),
-        sum(dec2(col("p"))).cast("decimal(18,2)").as("price_mass"))
+        sum((dec2(col("p")) * 100).cast("long")).as("price_mass_cents"))
       .orderBy(col("bucket"))
   }
 
@@ -1086,9 +1090,12 @@ object Analytics {
     * the explicit order-statistic interpolation of [[winsorThresholds]]
     * — all-integer twentieth-of-cents on BOTH engines. The clamp +
     * accounting is one partial-aggregated pass against the 5-row
-    * threshold broadcast; the winsorized mass is Σ clamped_x20 (exact
-    * BIGINT) rendered as DECIMAL(18,4) by the exact multiply ×0.0005
-    * (scale-4 rational, both engines' decimal multiply is exact).
+    * threshold broadcast; the winsorized mass is Σ clamped_x20, emitted
+    * directly as BIGINT twentieth-of-cents (`winsorized_mass_x20`) —
+    * the r8 DECIMAL(18,4) render was arithmetically exact but the probe
+    * bisection convicted the driver's decimal output path, so the gate
+    * column stays in the integer unit; the caller's one division is
+    * ·0.0005. DuckDB's HUGEINT sum casts back to BIGINT.
     */
   val q183 = oracled(
     "q183_winsorization",
@@ -1098,11 +1105,10 @@ object Analytics {
        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) FILTER (WHERE 20 * cents < lo_x20) AS BIGINT) AS n_clipped_low,
          CAST(COUNT(*) FILTER (WHERE 20 * cents > hi_x20) AS BIGINT) AS n_clipped_high,
-         CAST(CAST(SUM(
+         CAST(SUM(
            CASE WHEN 20 * cents < lo_x20 THEN lo_x20
                 WHEN 20 * cents > hi_x20 THEN hi_x20
-                ELSE 20 * cents END) AS DECIMAL(28,0))
-           * CAST(0.0005 AS DECIMAL(5,4)) AS DECIMAL(18,4)) AS winsorized_mass
+                ELSE 20 * cents END) AS BIGINT) AS winsorized_mass_x20
        FROM c JOIN p ON c.c_mktsegment = p.c_mktsegment
        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""") { (s, dir) =>
     val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
@@ -1115,11 +1121,7 @@ object Analytics {
         count(when(x20 > col("hi_x20"), 1)).as("n_clipped_high"),
         sum(when(x20 < col("lo_x20"), col("lo_x20"))
           .when(x20 > col("hi_x20"), col("hi_x20"))
-          .otherwise(x20)).as("mass_x20"))
-      .select(col("c_mktsegment"), col("n"), col("n_clipped_low"),
-        col("n_clipped_high"),
-        expr("CAST(CAST(mass_x20 AS DECIMAL(28,0)) * CAST(0.0005 AS DECIMAL(5,4)) AS DECIMAL(18,4))")
-          .as("winsorized_mass"))
+          .otherwise(x20)).as("winsorized_mass_x20"))
       .orderBy(col("c_mktsegment"))
   }
 

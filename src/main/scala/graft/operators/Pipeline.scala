@@ -1035,8 +1035,11 @@ object Pipeline {
     * broadcast (the q101/q183 pattern — a transform artifact of
     * CONSTANT size regardless of corpus scale), binning is three
     * comparisons of identical doubles, and the per-bin mass crosses
-    * the gate as the exact DECIMAL(18,2) sum. One aggregate to fit,
-    * one partial-aggregated pass to apply: two scans total.
+    * the gate as an exact BIGINT cents sum (r9: the DECIMAL(18,2)
+    * render was green through r8 but the probe bisection made the
+    * no-decimal-output rule absolute — survivorship is not license).
+    * One aggregate to fit, one partial-aggregated pass to apply: two
+    * scans total.
     */
   val q193 = oracled(
     "q193_leakage_safe_binning",
@@ -1047,18 +1050,19 @@ object Pipeline {
                 quantile_cont(p, 0.50) AS p50,
                 quantile_cont(p, 0.75) AS p75 FROM tr),
         te AS (SELECT CAST(o_totalprice AS DOUBLE) AS p,
-                CAST(o_totalprice AS DECIMAL(18,2)) AS d FROM orders
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents FROM orders
           WHERE CAST(o_orderdate AS DATE) >= DATE '$BinCutoff')
         SELECT CAST(CASE WHEN p < p25 THEN 0 WHEN p < p50 THEN 1
                          WHEN p < p75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
           CAST(COUNT(*) AS BIGINT) AS n_test,
-          CAST(SUM(d) AS DECIMAL(18,2)) AS test_mass
+          CAST(SUM(cents) AS BIGINT) AS test_mass_cents
         FROM te CROSS JOIN e
         GROUP BY 1 ORDER BY bin""") { (s, dir) =>
     val o = Tables.orders(s, dir)
       .select(col("o_orderdate").cast("date").as("dt"),
         col("o_totalprice").cast("double").as("p"),
-        dec2(col("o_totalprice")).as("d"))
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
     val edges = o.filter(col("dt") < lit(BinCutoff).cast("date"))
       .agg(percentile(col("p"), lit(0.25)).as("p25"),
         percentile(col("p"), lit(0.50)).as("p50"),
@@ -1068,10 +1072,10 @@ object Pipeline {
       .select(
         when(col("p") < col("p25"), 0L).when(col("p") < col("p50"), 1L)
           .when(col("p") < col("p75"), 2L).otherwise(3L).as("bin"),
-        col("d"))
+        col("cents"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_test"),
-        sum(col("d")).cast("decimal(18,2)").as("test_mass"))
+        sum(col("cents")).as("test_mass_cents"))
       .orderBy(col("bin"))
   }
 

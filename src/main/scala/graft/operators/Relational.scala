@@ -360,23 +360,30 @@ object Relational {
     * BroadcastHashJoin under the one fact-side hash aggregate — the
     * 100 TB star-join discipline on the engine's widest query.
     *
-    * Gate discipline (r8 rewrite): the share is EXACT parts-per-million
-    * by integer floor division — per-row volume is an exact BIGINT in
-    * 1e-4 units (dec2 price × dec(4,2) multiplier × 10000, scale-4 and
-    * integer-valued by construction), summed as DECIMAL(38,0); ppm =
-    * ⌊num·10^6 / den⌋ via Spark `div` (IntegralDivide on decimals) vs
-    * DuckDB HUGEINT `//` — both exact on non-negative integers, no
-    * double quotient, no ROUND, no engine rounding policy (the r7
-    * driver-hash failure was ROUND(double/double, 6), a
-    * DuckDB-version-sensitive construct).
+    * Gate discipline (r8 rewrite, r9 re-render): the share is EXACT
+    * parts-per-million by integer floor division — per-row volume is an
+    * exact BIGINT in 1e-4 units (dec2 price × dec(4,2) multiplier ×
+    * 10000, scale-4 and integer-valued by construction), summed as
+    * DECIMAL(38,0) internally; ppm = ⌊num·10^6 / den⌋ via Spark `div`
+    * (IntegralDivide on decimals) vs DuckDB HUGEINT `//` — both exact
+    * on non-negative integers, no double quotient, no ROUND, no engine
+    * rounding policy (the r7 driver-hash failure was
+    * ROUND(double/double, 6), a DuckDB-version-sensitive construct).
+    * The r8 residual red was the DECIMAL(38,4) `volume` OUTPUT column —
+    * the r8 probe bisection (q167a integer columns GREEN, q167b volume
+    * RED, data-free q74d RED) convicted the driver's decimal rendering,
+    * so the gate column is now `volume_u4`: the same exact sum emitted
+    * as BIGINT 1e-4 units (DuckDB's SUM(BIGINT) returns HUGEINT — cast
+    * back to BIGINT on the oracle side). Decimals remain internal only.
     */
   val q167 = oracled(
     "q167_market_share",
     "TPC-H Q8-style CASE-weighted market share over the full join graph (exact integer ppm)",
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
          CAST(COUNT(*) AS BIGINT) AS n_lines,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS volume,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT)
+           AS volume_u4,
          CAST((CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
@@ -414,16 +421,16 @@ object Relational {
         col("s_nationkey") === col("sn_key"))
       .filter(col("r_name") === "ASIA" && col("p_type") === "ECONOMY")
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
-      // volume stays an exact DECIMAL: DuckDB's DECIMAL→DOUBLE cast is
-      // int128-then-/10^scale (two roundings) vs Spark's correctly-rounded
-      // BigDecimal path — a 1-ulp gap under an exact-equality gate once
-      // the scale-4 sum crosses 2^53. The decimal sum has no such gap.
+      // the ppm division runs on DECIMAL(38,0) sums internally (a long
+      // num_u·10^6 could overflow past 2^63 at scale), but the gate
+      // column volume_u4 is the same exact sum re-emitted as BIGINT —
+      // integer-valued by construction, exact below 2^63
       .agg(count(lit(1)).as("n_lines"),
-        sum(vol).cast("decimal(38,4)").as("volume"),
         sum(when(col("sn_name") === "NATION_7", volU).otherwise(lit(0L))
           .cast("decimal(38,0)")).as("num_u"),
         sum(volU.cast("decimal(38,0)")).as("den_u"))
-      .select(col("o_year"), col("n_lines"), col("volume"),
+      .select(col("o_year"), col("n_lines"),
+        col("den_u").cast("long").as("volume_u4"),
         expr("CAST((num_u * 1000000) div den_u AS BIGINT)").as("mkt_share_ppm"))
       .orderBy(col("o_year"))
   }
@@ -433,13 +440,18 @@ object Relational {
     * the float-policy risk removed — the threshold compare is all
     * integer (`5·qty·count < Σqty`, quantities are integral in the
     * fixture and the oracle casts through BIGINT), revenue crosses the
-    * gate as an exact DECIMAL sum, and there is no division anywhere.
+    * gate as an exact BIGINT cents sum (r9: the DECIMAL(38,2) render
+    * was green in r8 but the probe bisection made no-decimal-output
+    * absolute), and there is no division anywhere. Spark sums BIGINT
+    * to BIGINT while DuckDB widens to HUGEINT — the outer CAST
+    * normalizes both; the per-row cents value is integer-valued scale-2
+    * decimal × 100, exact in both engines.
     */
   private val q202OracleSql =
     """SELECT p_brand,
          CAST(COUNT(*) AS BIGINT) AS n_small,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-           AS small_rev
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS small_rev_cents
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE p_type = 'ECONOMY'
          AND l_quantity * 5 * (SELECT COUNT(*) FROM lineitem l2
@@ -456,17 +468,20 @@ object Relational {
     * plan degenerates to a per-row nested-loop re-scan of lineitem —
     * the difference between O(N) and O(N²) at 100 TB. PlanContractSpec
     * pins the decorrelation (no nested-loop/cartesian join, exactly one
-    * extra aggregate over the fact side). Temp views are per-invocation
-    * (`createOrReplaceTempView` on the dir's tables), so the query
-    * composes with the registry's (session, dir) contract.
+    * extra aggregate over the fact side). The views live on a CLONED
+    * session (the q206/q207/q208 isolation pattern — ADVICE r8: views on
+    * the shared session would persist past the call and could rebind any
+    * later `s.sql` text to this invocation's dir), so the query composes
+    * with the registry's (session, dir) contract.
     */
   val q202 = oracled(
     "q202_correlated_subquery",
     "TPC-H Q17-shaped correlated scalar subqueries, decorrelated by the analyzer (all-integer threshold)",
     q202OracleSql) { (s, dir) =>
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    Tables.part(s, dir).createOrReplaceTempView("part")
-    s.sql(q202OracleSql)
+    val sp = s.newSession()
+    Tables.lineitem(sp, dir).createOrReplaceTempView("lineitem")
+    Tables.part(sp, dir).createOrReplaceTempView("part")
+    sp.sql(q202OracleSql)
   }
 
   /** q207 — runtime bloom-filter join pruning: when a selective

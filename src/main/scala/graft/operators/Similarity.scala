@@ -171,13 +171,19 @@ object Similarity {
     * measured ±tens per group when tried. So the integer is SPLIT into
     * exact 32-bit halves, hi = ⌊v·2^31⌋ and lo = (v·2^31 − hi)·2^32,
     * each < 2^33 — every cast operand stays far below 2^53, where both
-    * engines' double→integer→decimal conversions are value-exact. The
+    * engines' double→integer conversions are value-exact. The
     * subtraction is exact (both operands exact, difference
     * representable) and both scalings are powers of two. No decimal
     * rounding mode, no float formatting, no >2^53 conversion anywhere.
     * History: double→DECIMAL(18,9) hit a half-even-vs-half-up tie at
     * sf0.1 (dyadic 0.1494140625); round 6's float→VARCHAR→DECIMAL was
-    * DuckDB-version-fragile (assumes shortest-round-trip printing).
+    * DuckDB-version-fragile (assumes shortest-round-trip printing);
+    * round 8's DECIMAL(38,0) sums were arithmetically exact but the r8
+    * probe bisection (data-free constant-decimal probe RED, every
+    * integer probe GREEN) convicted the driver's decimal OUTPUT path —
+    * so the gate columns are now plain BIGINT: per-row halves < 2^33
+    * sum to < 2^53 even at millions of rows per (label, dim) group, and
+    * DuckDB's HUGEINT sum is cast back to BIGINT on the oracle side.
     * The output IS the mergeable mean state (Σhi, Σlo, n) — the form a
     * distributed mean actually shuffles and merges; the caller's one
     * division is `(sum_hi·2^32 + sum_lo) / n / 2^63`.
@@ -187,9 +193,9 @@ object Similarity {
     "per-label centroid of 64-dim embeddings as the exact mergeable mean state (mantissa-scaled split sums, n)",
     """SELECT label, dim,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(FLOOR(d31) AS BIGINT)) AS DECIMAL(38,0))
+         CAST(SUM(CAST(FLOOR(d31) AS BIGINT)) AS BIGINT)
            AS centroid_sum_hi,
-         CAST(SUM(CAST((d31 - FLOOR(d31)) * 4294967296 AS BIGINT)) AS DECIMAL(38,0))
+         CAST(SUM(CAST((d31 - FLOOR(d31)) * 4294967296 AS BIGINT)) AS BIGINT)
            AS centroid_sum_lo
        FROM (SELECT label, CAST(t.i AS INT) AS dim,
                CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) * 2147483648 AS d31
@@ -203,8 +209,8 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(hi.cast("decimal(38,0)")).as("centroid_sum_hi"),
-        sum(lo.cast("decimal(38,0)")).as("centroid_sum_lo"))
+        sum(hi).as("centroid_sum_hi"),
+        sum(lo).as("centroid_sum_lo"))
       .orderBy(col("label"), col("dim"))
   }
 
