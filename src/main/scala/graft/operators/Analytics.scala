@@ -1165,6 +1165,10 @@ object Analytics {
     val sk = keys.agg(spaceSavingAgg(col("k"), m).as("sk"),
       count(lit(1)).as("n_input")).localCheckpoint()
     val entries = sk
+      // empty-sketch guard (ADVICE r8): sequence(0, -1) yields [0, -1]
+      // (negative step), and element_at(sk, 0) then throws — an empty
+      // sketch (empty input) must contribute no rows, not crash
+      .filter(size(col("sk")) > 0)
       .select(col("n_input"),
         expr("explode(sequence(0L, CAST(size(sk) AS BIGINT) div 3 - 1))").as("i"),
         col("sk"))
@@ -1227,6 +1231,10 @@ object Analytics {
       (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"))
     cents.groupBy(col("c_mktsegment"))
       .agg(topKAgg(col("cents"), col("c_custkey"), 3).as("tk"))
+      // empty-sketch guard (ADVICE r8): a group whose scores are all
+      // NULL yields an empty tk; sequence(0, -1) would step -1 and
+      // element_at(tk, 0) throw — such a group contributes no rows
+      .filter(size(col("tk")) > 0)
       .select(col("c_mktsegment"),
         expr("explode(sequence(0L, CAST(size(tk) AS BIGINT) div 2 - 1))").as("i"),
         col("tk"))

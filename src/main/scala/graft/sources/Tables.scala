@@ -45,7 +45,15 @@ object Tables {
     // LongType dispatch below can run unless the session reads nanos as
     // raw longs. The repo's mains set this at build time; this keeps the
     // "no conf needed by the caller" contract true for any session.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // DOCUMENTED MUTATION (ADVICE r8): for a caller-supplied session that
+    // did NOT set the conf, this writes it session-wide — a later
+    // nanos-parquet read on that session then sees raw longs instead of
+    // an error. Guarded so a caller's explicit setting (either value) is
+    // never overridden; the alternative (a cloned session per read) would
+    // hand back DataFrames bound to a different session than the caller's
+    // own tables, which breaks view registration and conf-sensitive plans.
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -42,6 +42,10 @@ object TopKStream {
     */
   def entries(perWindow: DataFrame): DataFrame =
     perWindow
+      // empty-sketch guard (ADVICE r8): sequence(0, -1) steps -1 and
+      // element_at(sk, 0) throws — an empty window sketch (all-NULL
+      // keys) must emit no counter rows, not spurious null-key rows
+      .filter(size(col("sk")) > 0)
       .select(col("win"), col("n_input"),
         expr("explode(sequence(0L, CAST(size(sk) AS BIGINT) div 3 - 1))")
           .as("i"),

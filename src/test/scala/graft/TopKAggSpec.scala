@@ -27,6 +27,7 @@ class TopKAggSpec extends AnyFunSuite {
   private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
     df.groupBy(col("g"))
       .agg(topKAgg(col("s"), col("id"), k).as("tk"))
+      .filter(size(col("tk")) > 0) // q210's empty-sketch guard (ADVICE r8)
       .select(col("g"),
         expr("explode(sequence(0L, CAST(size(tk) AS BIGINT) div 2 - 1))").as("i"),
         col("tk"))
@@ -64,5 +65,14 @@ class TopKAggSpec extends AnyFunSuite {
     val df = Seq(("a", Some(5L), 1L), ("a", None, 2L), ("b", Some(1L), 3L))
       .toDF("g", "s", "id")
     assert(viaAgg(df, 10) === Set(("a", 1L, 5L, 1L), ("b", 1L, 1L, 3L)))
+  }
+
+  test("a group whose scores are ALL null yields no rows (empty-sketch guard)") {
+    import spark.implicits._
+    // without the size()>0 guard, sequence(0, -1) steps -1 and
+    // element_at(tk, 0) throws 'SQL array indices start at 1' (ADVICE r8)
+    val df = Seq(("a", Option.empty[Long], 1L), ("a", Option.empty[Long], 2L),
+      ("b", Some(4L), 3L)).toDF("g", "s", "id")
+    assert(viaAgg(df, 3) === Set(("b", 1L, 4L, 3L)))
   }
 }
