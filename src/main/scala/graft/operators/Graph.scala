@@ -389,17 +389,23 @@ object Graph {
     * hop's blocks in place instead of rewriting the whole growing table
     * every hop (the previous per-hop `labels.localCheckpoint()` was an
     * O(hops²) state rewrite at scale).
+    *
+    * `cap`: when set, the expansion STOPS (normally, no error) once
+    * `cap` hops are labeled — the bounded-radius form q211's exact
+    * track needs (ball of radius H, not full reachability). None keeps
+    * q200's run-to-exhaustion semantics with the MaxHops guard.
     */
-  private[graft] def bfsLabeled(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  private[graft] def bfsLabeled(edges: DataFrame, seeds: DataFrame,
+      cap: Option[Long] = None): DataFrame = {
     var labels = seeds
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
       .localCheckpoint()
     var frontier = labels.select(col("seed"), col("node"))
     var hop = 0L
-    var done = frontier.isEmpty
+    var done = frontier.isEmpty || cap.contains(0L)
     while (!done) {
       hop += 1
-      if (hop > MaxHops)
+      if (cap.isEmpty && hop > MaxHops)
         sys.error(s"bfsLabeled: frontier alive after $MaxHops hops — " +
           "raise MaxHops in BOTH the loop and the q200 oracle CTE together")
       val next = edges.join(frontier, col("src") === col("node"))
@@ -411,6 +417,7 @@ object Graph {
       if (!done) {
         labels = labels.unionByName(next) // lazy: both sides checkpointed
         frontier = next.select(col("seed"), col("node"))
+        if (cap.exists(hop >= _)) done = true
       }
     }
     labels
@@ -963,6 +970,105 @@ object Graph {
         coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
+  /** Radius of the q211 HyperBall run — a PARAMETER of the algorithm
+    * (production runs iterate to the graph's effective diameter); the
+    * fixture pins 2 so the exact all-nodes track that anchors the gate
+    * stays affordable. Shared verbatim by the oracle CTE bound.
+    */
+  private val BallRadius = 2
+
+  /** q211 — HyperBall (Boldi–Vigna) ALL-NODES neighborhood/centrality
+    * via Spark's native DataSketches HLL functions — the sketch upgrade
+    * of q200's 8-seed exact sample. Every node carries one bounded HLL
+    * register set (`hll_sketch_agg` seeds B_0 = {v}); each round unions
+    * every neighbor's ball into the node's own (`hll_union_agg` under a
+    * broadcast join of the 1-sketch-per-node state against the static
+    * edge layout, then one `hll_union` with the previous state) — after
+    * H rounds the sketch estimates |B_H(v)|, the number of nodes within
+    * distance H. THE point of the sketch: per-node state is CONSTANT
+    * (one register array, ~KB) regardless of graph size, the union is
+    * commutative/associative/idempotent (register-wise max — any merge
+    * tree gives the same registers), so all-nodes centrality at 100 TB
+    * is H broadcast-join rounds over mergeable state — where the exact
+    * computation (q200's labeled BFS run from EVERY seed) is an O(n²)
+    * state explosion precisely on the dense graphs that matter.
+    *
+    * The gate is the q199/q209 contract style: the fixture-affordable
+    * EXACT track (bounded-radius labeled BFS from all nodes, `cap=H`)
+    * computes `n_pairs_within_2` and the 2-bounded harmonic-centrality
+    * mass (`Scale div dist`, all BIGINT) — both must EQUAL DuckDB's
+    * recursive-CTE reachability — and the sketch track must agree with
+    * the exact ball of every single node within max(3, 5%) — far wider
+    * than DataSketches' lgK=12 ±1.6% σ, yet deterministic (fixed hash,
+    * order-independent registers), so `est_ball_violations` crosses as
+    * a literal 0. Estimates stay INTERNAL doubles; every gate column is
+    * BIGINT.
+    */
+  val q211 = oracled(
+    "q211_hyperball_centrality",
+    "HyperBall all-nodes 2-ball sizes + bounded harmonic mass: HLL sketch track audited per-node against the exact BFS track",
+    s"""WITH RECURSIVE $edgesCte,
+       reach(seed, node, dist) AS (
+         SELECT user_id, user_id, 0 FROM nodes
+         UNION
+         SELECT r2.seed, d.dst, r2.dist + 1
+         FROM reach r2 JOIN d ON d.src = r2.node
+         WHERE r2.dist < $BallRadius),
+       md AS (SELECT seed, node, MIN(dist) AS dist
+         FROM reach GROUP BY seed, node),
+       agg AS (SELECT
+           (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           COUNT(*) FILTER (WHERE dist > 0) AS n_pairs,
+           SUM(CASE WHEN dist > 0 THEN $Scale // dist ELSE 0 END) AS hsum
+         FROM md)
+       SELECT 'est_ball_violations' AS metric, CAST(0 AS BIGINT) AS value
+         FROM agg
+       UNION ALL SELECT 'harmonic2_sum_exact', CAST(hsum AS BIGINT) FROM agg
+       UNION ALL SELECT 'n_nodes', CAST(n_nodes AS BIGINT) FROM agg
+       UNION ALL SELECT 'n_pairs_within_2', CAST(n_pairs AS BIGINT) FROM agg
+       ORDER BY metric""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    // sketch track: B_0 = {v} per node, then BallRadius union rounds
+    var state = nodes.select(col("user_id").as("node"))
+      .groupBy(col("node")).agg(hll_sketch_agg(col("node")).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to BallRadius) {
+      val nbr = edges.select(col("src"), col("dst"))
+        .join(broadcast(state), col("dst") === col("node"))
+        .groupBy(col("src")).agg(hll_union_agg(col("sk")).as("nsk"))
+      state = state.join(nbr, col("node") === col("src"), "left")
+        .select(col("node"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        .localCheckpoint()
+    }
+    val est = state.select(col("node"), hll_sketch_estimate(col("sk")).as("est2"))
+    // exact track (fixture-scale anchor; dropped at 100 TB — that's the
+    // documented trade the sketch exists to make)
+    val labels = bfsLabeled(edges,
+      nodes.select(col("user_id").as("seed")), cap = Some(BallRadius.toLong))
+    val exact = labels.groupBy(col("seed"))
+      .agg(count(lit(1)).as("ball2"), // includes self (dist 0), as B_0 does
+        count(when(col("hops") > 0, 1)).as("pairs2"),
+        sum(when(col("hops") > 0, expr(s"$Scale div hops"))
+          .otherwise(lit(0L))).as("h2"))
+    val joined = est.join(exact, est("node") === exact("seed"))
+      .localCheckpoint()
+    val nN = nodes.agg(count(lit(1)).as("value"))
+      .select(lit("n_nodes").as("metric"), col("value").cast("long"))
+    val pairs = joined.agg(sum(col("pairs2")).as("value"))
+      .select(lit("n_pairs_within_2").as("metric"), col("value").cast("long"))
+    val hsum = joined.agg(sum(col("h2")).as("value"))
+      .select(lit("harmonic2_sum_exact").as("metric"), col("value").cast("long"))
+    val viol = joined
+      .filter(abs(col("est2") - col("ball2").cast("double")) >
+        greatest(lit(3.0), col("ball2").cast("double") * lit(0.05)))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("est_ball_violations").as("metric"), col("value").cast("long"))
+    viol.unionByName(hsum).unionByName(nN).unionByName(pairs)
+      .orderBy(col("metric"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200)
+    q180, q188, q200, q211)
 }
