@@ -892,6 +892,84 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q212 — PRIORITY SAMPLING with the Duffield–Lund–Thorup estimator
+    * (the principled weighted-sample-without-replacement upgrade of
+    * q144, VERDICT r8 #7b): per item, priority q_i = w_i/u_i with
+    * u_i ∈ (0,1] a deterministic per-item uniform; keep the k largest
+    * priorities per language; τ = the (k+1)-th priority; every kept
+    * item gets the UNBIASED weight estimate ŵ_i = max(w_i, τ)
+    * (E[Σ_S ŵ] = Σ w over the whole population — the estimator that
+    * makes a 10-row sample answer subset-sum queries over the corpus).
+    *
+    * EXACT cross-engine order with no floats anywhere: u_i = h_i/2^20
+    * (h from the q144 LCG class, 1 ≤ h ≤ 1048573), and the sort key is
+    * `(w·2^40) div h` — for rationals w1/h1 ≠ w2/h2 the difference is
+    * ≥ 1/(h1·h2) ≥ 2^-40, so the 2^40-scaled floors still differ:
+    * floor order IS the exact rational priority order (ties = equal
+    * rationals, broken by doc_id on both engines). τ and ŵ stay in the
+    * same integer units (ŵ·2^20 = max(w·2^20, τ_scaled), documented
+    * scale — the no-decimal-output rule). A-ES exponential-jitter keys
+    * (u^(1/w)) would need a transcendental on BOTH engines — the exact
+    * rational form is the version-proof formulation of the same
+    * without-replacement semantics.
+    *
+    * Scale shape: the selection is q210's bounded native [[graft.functions.TopKAgg]]
+    * (k+1 pairs of state per partial, NO window sort of the corpus);
+    * the k·langs survivors broadcast back for weight recovery. One
+    * corpus scan total.
+    */
+  val q212 = oracled(
+    "q212_priority_sample_estimator",
+    "per-lang priority sampling (exact integer w/u keys) + Duffield–Lund–Thorup unbiased weight estimates",
+    """WITH p AS (
+         SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+           doc_id * 2654435761 % 1048573 + 1 AS h
+         FROM documents WHERE n_chars > 0),
+       q AS (SELECT lang, doc_id, w, w * 1099511627776 // h AS priority
+         FROM p),
+       r AS (SELECT lang, doc_id, w, priority,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY priority DESC, doc_id) AS rk
+         FROM q),
+       t AS (SELECT lang, MAX(CASE WHEN rk = 11 THEN priority END) AS tau
+         FROM r GROUP BY lang)
+       SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id, r.w, r.priority,
+         CAST(COALESCE(t.tau, 0) AS BIGINT) AS tau_scaled,
+         CAST(GREATEST(r.w * 1048576, COALESCE(t.tau, 0)) AS BIGINT)
+           AS w_hat_x2_20
+       FROM r JOIN t ON r.lang = t.lang
+       WHERE r.rk <= 10
+       ORDER BY r.lang, r.rk""") { (s, dir) =>
+    import graft.functions.TopKAgg.topKAgg
+    val docs = Tables.documents(s, dir).filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("h", expr("doc_id * 2654435761 % 1048573 + 1"))
+      .withColumn("priority", expr("w * 1099511627776 div h"))
+    val top = docs.groupBy(col("lang"))
+      .agg(topKAgg(col("priority"), col("doc_id"), 11).as("tk"))
+      .filter(size(col("tk")) > 0) // q210's empty-sketch guard
+      .select(col("lang"),
+        expr("explode(sequence(0L, CAST(size(tk) AS BIGINT) div 2 - 1))").as("i"),
+        col("tk"))
+      .select(col("lang"), (col("i") + 1).as("rk"),
+        element_at(col("tk"), (col("i") * 2 + 1).cast("int")).as("priority"),
+        element_at(col("tk"), (col("i") * 2 + 2).cast("int")).as("doc_id"))
+    val tau = top.filter(col("rk") === 11)
+      .select(col("lang"), col("priority").as("tau_scaled"))
+    // weight recovery: k·langs survivor rows broadcast against the
+    // corpus — the corpus is scanned once above and once here; no
+    // corpus-sized shuffle anywhere
+    docs.select(col("doc_id"), col("w"))
+      .join(broadcast(top.filter(col("rk") <= 10)), Seq("doc_id"))
+      .join(broadcast(tau), Seq("lang"), "left")
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("w"), col("priority"),
+        coalesce(col("tau_scaled"), lit(0L)).as("tau_scaled"),
+        greatest(col("w") * lit(1048576L),
+          coalesce(col("tau_scaled"), lit(0L))).as("w_hat_x2_20"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ------------------------------------------- mixture apportionment resample
 
   /** q174 — exact-budget mixture resampling (Hamilton largest-remainder
@@ -1081,5 +1159,5 @@ object Pipeline {
 
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193)
+      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193, q212)
 }

@@ -154,4 +154,23 @@ class PipelineSpec extends AnyFunSuite {
       .view.mapValues(_.length.toLong).toMap
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == binned)
   }
+
+  test("q212 floor-scaled priority keys preserve the exact rational w/u order") {
+    // the q212 exactness claim: for u = h/2^20 (1 <= h <= 1048573) and
+    // integer w, floor(w * 2^40 / h) orders EXACTLY like the rational
+    // w/h — distinct rationals never collide after the floor (their
+    // difference is >= 1/(h1*h2) >= 2^-40); equal rationals tie.
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(4000)((rnd.nextInt(100000).toLong + 1,
+      rnd.nextInt(1048573).toLong + 1))
+    for (Seq((w1, h1), (w2, h2)) <- items.sliding(2)) {
+      val k1 = w1 * 1099511627776L / h1
+      val k2 = w2 * 1099511627776L / h2
+      val exact = BigInt(w1) * h2 compare BigInt(w2) * h1 // w1/h1 vs w2/h2
+      if (exact != 0)
+        assert(k1.compare(k2).sign === exact.sign,
+          s"floor key flipped the exact order: ($w1/$h1) vs ($w2/$h2)")
+      else assert(k1 === k2)
+    }
+  }
 }
