@@ -41,7 +41,8 @@ object Bench {
     "q92_dirty_ingest",         // Ingest.dirtyPathCache + parsedCache
     "q105_json_dirty_accounting", // Ingest.jsonlPathCache
     "q123_orc_roundtrip",       // Ingest.orcPathCache
-    "q205_schema_evolution"     // Ingest.evoPathCache (staged generations)
+    "q205_schema_evolution",    // Ingest.evoPathCache (staged generations)
+    "q213_evolution_stream_join" // Ingest.evoEventsPathCache (staged event generations)
   )
 
   def main(args: Array[String]): Unit = {

@@ -532,6 +532,80 @@ object Ingest {
       .orderBy(col("lang"))
   }
 
+  private val evoEventsPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Two parquet generations of the EVENTS table for the streaming
+    * schema-evolution join (q213 + StreamEvolutionSpec): gen1
+    * (event_id ≡ 0 mod 3) with the legacy 4-column schema (no `value`,
+    * no `props`), gen2 the full 6 columns. Plain `gen1`/`gen2` dir
+    * names (not `gen=N`) so neither the batch mergeSchema read nor the
+    * declared-schema stream infers a partition column. Memoized per
+    * (SparkContext, dir) like [[writeEvolvedParquet]].
+    */
+  private[graft] def writeEvolvedEvents(s: SparkSession, dir: String): String =
+    graft.Memo.sync(evoEventsPathCache, graft.Memo.key(s, dir))( {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q213_evoev_${ProcessHandle.current().pid()}_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(out + "/gen1")
+      ev.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .write.mode("overwrite").parquet(out + "/gen2")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(out))))
+      out
+    })
+
+  /** q213 — the q205 schema-evolution shape as a WATERMARK-BOUNDED
+    * stream-stream interval join (VERDICT r8 #7c): (purchase, error)
+    * pairs for the same user within 30 minutes, over the two-generation
+    * events lake where legacy (gen1) purchases lack the `value` column
+    * entirely and backfill to 0 cents. The pairing logic lives in
+    * [[graft.streaming.EvolutionStream.purchaseErrorPairs]] and is
+    * shared VERBATIM by this batch twin and the streaming spec (which
+    * starts the stream on gen1 alone and drops gen2 in mid-stream —
+    * the schema evolving live under a declared merged schema). The
+    * batch read merges file schemas; the oracle recomputes from the
+    * events view with the generation rule inlined. Per purchase-hour:
+    * pair count, distinct matched purchases, exact pair cents.
+    */
+  val q213 = oracled(
+    "q213_evolution_stream_join",
+    "watermark-bounded purchase↔error interval join over the two-generation evolving events lake",
+    """WITH ev AS (
+         SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 3 = 0 THEN 0
+                ELSE COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0)
+           END AS cents
+         FROM events),
+       p AS (SELECT event_id AS pid, ts AS pts, user_id, cents FROM ev
+             WHERE event_type = 'purchase'),
+       e AS (SELECT event_id AS eid, ts AS ets, user_id FROM ev
+             WHERE event_type = 'error'),
+       j AS (SELECT p.pid, p.pts, p.cents
+             FROM p JOIN e ON e.user_id = p.user_id
+               AND e.ets >= p.pts AND e.ets < p.pts + INTERVAL 30 MINUTE)
+       SELECT date_trunc('hour', pts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+         CAST(SUM(cents) AS BIGINT) AS pair_cents
+       FROM j GROUP BY 1 ORDER BY hour""") { (s, dir) =>
+    val staged = writeEvolvedEvents(s, dir)
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(staged + "/gen1", staged + "/gen2")
+    graft.streaming.EvolutionStream.purchaseErrorPairs(merged)
+      .groupBy(date_trunc("hour", col("pts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("cents")).as("pair_cents"))
+      .orderBy(col("hour"))
+  }
+
   /** q206 — scan-level aggregate pushdown: COUNT/MIN/MAX answered from
     * parquet FOOTER STATISTICS, no row ever decoded — the difference
     * between touching 100 TB of pages and touching kilobytes of
@@ -559,5 +633,5 @@ object Ingest {
   }
 
   val all: Seq[GQuery] =
-    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206)
+    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213)
 }
