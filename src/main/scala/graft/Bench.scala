@@ -42,7 +42,8 @@ object Bench {
     "q105_json_dirty_accounting", // Ingest.jsonlPathCache
     "q123_orc_roundtrip",       // Ingest.orcPathCache
     "q205_schema_evolution",    // Ingest.evoPathCache (staged generations)
-    "q213_evolution_stream_join" // Ingest.evoEventsPathCache (staged event generations)
+    "q213_evolution_stream_join", // Ingest.evoEventsPathCache (staged event generations)
+    "q214_dynamic_partition_pruning" // Ingest.monthPartPathCache (month-partitioned layout)
   )
 
   def main(args: Array[String]): Unit = {

@@ -632,6 +632,87 @@ object Ingest {
         max(col("l_orderkey")).as("max_key"))
   }
 
+  private val monthPartPathCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Ship-month-partitioned physical layout of lineitem — the fact-table
+    * organization every 100 TB warehouse uses (one directory per month,
+    * `ship_mon=YYYY-MM/`). Rows carry the revenue pre-quantized to exact
+    * integer cents so the consumer aggregate is decimal-free. Memoized
+    * per (SparkContext, dir) like [[writeDirtyTsv]].
+    */
+  private[graft] def writeMonthPartitionedLineitem(
+      s: SparkSession, dir: String): String =
+    graft.Memo.sync(monthPartPathCache, graft.Memo.key(s, dir))( {
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q214_monthpart_${ProcessHandle.current().pid()}_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      Tables.lineitem(s, dir)
+        .select(
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_mon"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .write.mode("overwrite").partitionBy("ship_mon").parquet(out)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(out))))
+      out
+    })
+
+  /** q214 — DYNAMIC partition pruning: the month-dim side of the join
+    * is only known at runtime (months whose urgent-order count exceeds
+    * the all-months average — an aggregate of `orders`, not a literal),
+    * so static partition pruning cannot help; Spark's PartitionPruning
+    * rule instead plants a `DynamicPruningExpression` subquery on the
+    * fact scan, reusing the dim's broadcast to skip every non-qualifying
+    * `ship_mon=` directory before a single fact row is read. At 100 TB
+    * this is THE mechanism that turns a fact×filtered-dim join from a
+    * full-table scan into a read of the qualifying months only
+    * (roughly half here: 32/77 at sf0.001, 48/80 at sf0.1).
+    * PlanContractSpec pins `dynamicpruning` in the fact scan's
+    * partition filters. The threshold compare is kept integer-exact
+    * (`n_urgent · n_months > total_urgent`) so both engines agree
+    * without a float division; the oracle recomputes the whole answer
+    * from the unpartitioned lineitem view with the month key inlined.
+    */
+  val q214 = oracled(
+    "q214_dynamic_partition_pruning",
+    "runtime month-dim filter prunes fact partitions via DynamicPruningExpression",
+    """WITH m AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_urgent
+         FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+       d AS (
+         SELECT mon FROM m
+         WHERE n_urgent * (SELECT COUNT(*) FROM m) > (SELECT SUM(n_urgent) FROM m))
+       SELECT d.mon AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS rev_cents
+       FROM lineitem JOIN d ON strftime(l_shipdate, '%Y-%m') = d.mon
+       GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val sp = s.newSession()
+    sp.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // the staged fixture has no table stats; the fallback filter ratio
+    // (not stats) decides pruning benefit, and the broadcast is reused
+    // either way — the 100 TB deployment keeps useStats=true
+    sp.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val fact = sp.read.parquet(writeMonthPartitionedLineitem(sp, dir))
+    val monthly = Tables.orders(sp, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val totals = monthly.agg(sum(col("n_urgent")).as("total_urgent"),
+      count(lit(1)).as("n_months"))
+    val dim = monthly.crossJoin(broadcast(totals))
+      .filter(col("n_urgent") * col("n_months") > col("total_urgent"))
+      .select(col("mon"))
+    fact.join(dim, fact("ship_mon") === dim("mon"))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("cents")).cast("long").as("rev_cents"))
+      .orderBy(col("mon"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213)
+    Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
+      q214)
 }

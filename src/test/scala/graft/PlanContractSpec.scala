@@ -252,6 +252,15 @@ class PlanContractSpec extends AnyFunSuite {
       "aggregate not pushed into the scan — rows would be decoded\n" + p)
   }
 
+  test("q214: the runtime month dim prunes fact partitions (dynamicpruning)") {
+    val p = plan(operators.Ingest.q214)
+    assert(p.contains("dynamicpruning"),
+      "DynamicPruningExpression missing from the fact scan's partition " +
+        "filters — every ship_mon directory would be read\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "month dim must broadcast (DPP reuses that broadcast for free)\n" + p)
+  }
+
   test("q207: runtime bloom filter prunes the fact side before its shuffle") {
     val p = plan(operators.Relational.q207)
     assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
