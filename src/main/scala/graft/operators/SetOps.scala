@@ -331,6 +331,74 @@ object SetOps {
       .orderBy(col("day"))
   }
 
+  /** q216 — day-over-day RETENTION from persisted sketches (the q176
+    * persistence pattern, upgraded with the intersection HLL cannot
+    * do): one theta sketch of the active-user set per day, and
+    * |A_d ∩ A_{d+1}| answered from the SKETCH TABLE alone — at 100 TB
+    * the raw stream is never re-read for retention/churn dashboards;
+    * the per-day sketch table (a few KB/day, any key domain) is. The
+    * per-(day,user) distinct level feeds both the sketches and the
+    * exact audit track (a shifted-day self-join, the q157
+    * sorted-neighborhood shape) off the SAME deduped frame; the
+    * retained estimate crosses the gate as a ±3σ bound boolean.
+    * lgNom=7 (128 entries): marginal estimation at sf0.01 (~130
+    * active users/day), full estimation at sf0.1 (~1300) — at lgNom=6
+    * one of 29 sf0.01 day-pairs landed just past its 3σ intersection
+    * bound (intersection bounds carry the compounded uncertainty of
+    * both inputs, so their tails are fatter than single-sketch
+    * bounds); one size up every bound holds at all three fixtures and
+    * determinism freezes that outcome. `streaming/AudienceStream` is
+    * the live twin — canonical bytes make the stream-built sketch
+    * table bit-identical to this batch one (AudienceStreamSpec).
+    */
+  val q216 = oracled(
+    "q216_theta_retention",
+    "day-over-day retained audience from a persisted theta sketch table (±3σ contract)",
+    """WITH u AS (
+         SELECT DISTINCT CAST(ts AS TIMESTAMP)::DATE AS day, user_id
+         FROM events),
+       d AS (SELECT day, COUNT(*) AS n_active FROM u GROUP BY day),
+       r AS (
+         SELECT a.day AS day, COUNT(*) AS n_retained
+         FROM u a JOIN u b
+           ON b.user_id = a.user_id AND b.day = a.day + 1
+         GROUP BY a.day)
+       SELECT d1.day AS day,
+         CAST(d1.n_active AS BIGINT) AS n_active,
+         CAST(d2.n_active AS BIGINT) AS n_active_next,
+         CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained,
+         TRUE AS retained_in_bounds
+       FROM d d1
+       JOIN d d2 ON d2.day = d1.day + 1
+       LEFT JOIN r ON r.day = d1.day
+       ORDER BY day""") { (s, dir) =>
+    import graft.functions.ThetaSketchAgg.thetaSketchAgg
+    import graft.functions.ThetaSetOp.thetaIntersect
+    import graft.functions.ThetaInBounds.thetaInBounds
+    val perUser = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val daily = perUser.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        thetaSketchAgg(col("user_id"), 7).as("sk"))
+    val exactRet = perUser.as("a")
+      .join(perUser.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("rday"))
+      .agg(count(lit(1)).cast("long").as("n_retained"))
+    val d2 = daily.select(col("day").as("next_day"),
+      col("n_active").as("n_active_next"), col("sk").as("sk_next"))
+    daily
+      .join(d2, col("next_day") === date_add(col("day"), 1))
+      .join(exactRet, col("rday") === col("day"), "left")
+      .select(col("day"), col("n_active"), col("n_active_next"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        thetaInBounds(thetaIntersect(col("sk"), col("sk_next")),
+          coalesce(col("n_retained"), lit(0L)), 3).as("retained_in_bounds"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215)
+    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216)
 }
