@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.{oracled, rowsOnly}
@@ -399,6 +400,64 @@ object SetOps {
       .orderBy(col("day"))
   }
 
+  /** q217 — quantiles with a worst-case CERTIFICATE: the native
+    * deterministic MRL summary ([[graft.functions.MrlQuantileAgg]])
+    * carries its own accumulated rank-error bound, so the gate checks a
+    * THEOREM (|rank(v_φ) − ⌈φ·n⌉| ≤ errBound + maxWeight, always true
+    * by construction) instead of a confidence interval — the first
+    * sketch in the registry whose contract cannot fail even in
+    * principle, which is precisely what a bit-reproducible 100 TB gate
+    * wants from its quantile operator. q165 contracts Spark's built-in
+    * GK sketch from outside; this one is mergeable partial-aggregation
+    * state (O(k·log(n/k)) longs per group, no corpus sort) whose
+    * certificate travels WITH the state through any merge tree. Values
+    * are priced in exact integer cents; the returned quantile values
+    * depend on the merge tree and stay internal — only n and the
+    * always-true bound booleans cross the gate (tie-aware overlap, the
+    * q165 trick).
+    */
+  val q217 = oracled(
+    "q217_mrl_quantile_certificate",
+    "deterministic MRL quantile summary: worst-case rank certificate vs exact ranks",
+    """SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         TRUE AS p50_ok, TRUE AS p90_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    import graft.functions.MrlQuantileAgg.mrlQuantileAgg
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        mrlQuantileAgg(col("cents"), 256, Seq(0.5, 0.9)).as("m"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("m"), 2).as("err"),
+        element_at(col("m"), 3).as("maxw"),
+        element_at(col("m"), 4).as("v50"),
+        element_at(col("m"), 5).as("v90"))
+    val ranks = li.join(broadcast(sk), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("cents") < col("v50"), 1)).as("lt50"),
+        count(when(col("cents") <= col("v50"), 1)).as("le50"),
+        count(when(col("cents") < col("v90"), 1)).as("lt90"),
+        count(when(col("cents") <= col("v90"), 1)).as("le90"))
+    // the certificate: the value's tie-aware 1-based rank interval
+    // [lt+1, le] must overlap [t − err − maxw, t + err + maxw],
+    // t = ⌈φ·n⌉ — guaranteed by the compaction error accounting
+    def ok(q: Double, lt: Column, le: Column) = {
+      val t = ceil(lit(q) * col("n")).cast("long")
+      val slack = col("err") + col("maxw")
+      le >= t - slack && lt + 1 <= t + slack
+    }
+    sk.join(ranks, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+        ok(0.9, col("lt90"), col("le90")).as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216)
+    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216, q217)
 }
