@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, NormalizeText, RollingHash, SortedIntersectCount}
+import graft.functions.{DotProduct, NormalizeText, RollingHash, SortedIntersectCount, ThetaInBounds, ThetaSetOp}
 
 /** Registers graft's native Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT rolling_hash(text) ...")` works alongside the
@@ -57,7 +57,23 @@ object GraftExtensions {
       arity("sorted_intersect_count", 2)(es => SortedIntersectCount(es(0), es(1)))),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonicalization"),
-      arity("nfc_normalize", 1)(es => NormalizeText(es.head, "NFC"))))
+      arity("nfc_normalize", 1)(es => NormalizeText(es.head, "NFC"))),
+    ("theta_intersect",
+      info("theta_intersect",
+        "theta_intersect(sk, sk) - intersection of two theta sketches (bytes)"),
+      arity("theta_intersect", 2)(es => ThetaSetOp(es(0), es(1), "intersect"))),
+    ("theta_union",
+      info("theta_union",
+        "theta_union(sk, sk) - union of two theta sketches (bytes)"),
+      arity("theta_union", 2)(es => ThetaSetOp(es(0), es(1), "union"))),
+    ("theta_anotb",
+      info("theta_anotb",
+        "theta_anotb(sk, sk) - set difference A\\B of two theta sketches (bytes)"),
+      arity("theta_anotb", 2)(es => ThetaSetOp(es(0), es(1), "anotb"))),
+    ("theta_in_bounds",
+      info("theta_in_bounds",
+        "theta_in_bounds(sk, exact) - TRUE iff exact lies in the sketch's 3-sigma bounds"),
+      arity("theta_in_bounds", 2)(es => ThetaInBounds(es(0), es(1), 3))))
 
   /** Register on a live session (functionRegistry path). */
   def register(spark: SparkSession): Unit = {

@@ -35,6 +35,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) === 2)
   }
 
+  test("theta scalar functions are callable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    // 60 keys < 64 nominal: exact mode, so the bound checks are
+    // deterministic identities (|A∩B|=31, |A∪B|=60, |A∖B|=29)
+    (1L to 60L).toDF("k")
+      .agg(
+        graft.functions.ThetaSketchAgg.thetaSketchAgg(col("k"), 6).as("a"),
+        graft.functions.ThetaSketchAgg
+          .thetaSketchAgg(when(col("k") >= 30, col("k")), 6).as("b"))
+      .createOrReplaceTempView("theta_ext")
+    val r = spark.sql(
+      """SELECT theta_in_bounds(theta_intersect(a, b), 31L) AS i,
+                theta_in_bounds(theta_union(a, b), 60L) AS u,
+                theta_in_bounds(theta_anotb(a, b), 29L) AS d
+         FROM theta_ext""").head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("SQL rolling_hash matches the Column-API expression over real data") {
     GraftExtensions.register(spark)
     graft.sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_ext")
