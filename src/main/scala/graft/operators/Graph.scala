@@ -1069,6 +1069,100 @@ object Graph {
       .orderBy(col("metric"))
   }
 
+  /** Weighted single-source shortest paths by frontier Bellman-Ford:
+    * per round, relax only the edges leaving nodes whose distance
+    * improved last round — `cand = frontier ⋈ edges`, map-side min per
+    * destination, then an improvement check against the label table.
+    * The edge table stays put in its checkpointed hashpartitioning(src)
+    * layout; only (node, dist) state moves — the same cost model as
+    * [[bfs]]/PageRank. Distances beyond `bound` are pruned as part of
+    * the query's semantics ("reachable within budget"), which also
+    * bounds the round count: every round the frontier's minimum
+    * distance grows by at least the minimum edge length, so the loop
+    * fails loudly after `maxRounds` rather than spinning.
+    * edges: (src, dst, len); seeds: (node). Output (node, dist),
+    * unordered. Exercised on known graphs by GraphSpec.
+    */
+  private[graft] def sssp(edges: DataFrame, seeds: DataFrame,
+      bound: Long = SsspBound, maxRounds: Int = 80): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        sys.error(s"sssp: frontier alive after $maxRounds rounds — " +
+          "bound/len changed? keep loop and oracle bounds in lockstep")
+      val cand = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("len")).as("d"))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .filter(col("d") < bound)
+      val improved = cand.join(dist.withColumnRenamed("dist", "od"),
+          Seq("node"), "left")
+        .filter(col("od").isNull || col("d") < col("od"))
+        .select(col("node"), col("d").as("dist"))
+        .localCheckpoint()
+      done = improved.isEmpty
+      if (!done) {
+        dist = dist.unionByName(improved).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")).localCheckpoint()
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** Shortest-path budget for q221: paths costing this much or more are
+    * outside the query (and terminate the oracle's recursion). Edge
+    * lengths are 1000 div n_shared ∈ [10, 71] at MinShared=14, so the
+    * bound also caps relaxation rounds at 60 ≪ the loop's 80-round
+    * failsafe.
+    */
+  private val SsspBound = 600L
+
+  /** q221 — weighted shortest paths from the seed set (user_id % 10 = 3)
+    * over the co-rating graph, edge length = 1000 div n_shared (strong
+    * agreement = short hop — the standard inverse-affinity metric).
+    * All-integer costs make the distances hash-exact. The Spark side is
+    * the frontier Bellman-Ford above; the DuckDB oracle grows (node,
+    * dist) rows declaratively under the same cost bound and takes MIN —
+    * two independent formulations, like q154's BFS pair. Unreachable
+    * (or over-budget) nodes are absent from both.
+    */
+  val q221 = oracled(
+    "q221_weighted_sssp",
+    "frontier Bellman-Ford weighted distances == recursive-CTE min-cost oracle",
+    s"""WITH RECURSIVE rr AS (SELECT DISTINCT user_id,
+           event_id % 100 AS item_id,
+           CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+       ee AS (SELECT a.user_id AS ua, b.user_id AS ub,
+           CAST(COUNT(*) AS BIGINT) AS ns
+         FROM rr a JOIN rr b
+           ON a.item_id = b.item_id AND a.rating = b.rating
+          AND a.user_id < b.user_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
+       dw AS (SELECT ua AS src, ub AS dst, 1000 // ns AS len FROM ee
+              UNION ALL SELECT ub, ua, 1000 // ns FROM ee),
+       sd AS (SELECT DISTINCT user_id FROM rr WHERE user_id % 10 = 3),
+       reach(node, dist) AS (
+         SELECT user_id, 0 FROM sd
+         UNION
+         SELECT dw.dst, w.dist + dw.len
+         FROM reach w JOIN dw ON dw.src = w.node
+         WHERE w.dist + dw.len < $SsspBound)
+       SELECT node AS user_id, CAST(MIN(dist) AS BIGINT) AS dist
+       FROM reach GROUP BY node ORDER BY user_id""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val el = edges.select(col("src"), col("dst"),
+      expr("1000 div w").as("len"))
+    val seeds = nodes.filter(col("user_id") % 10 === 3)
+      .select(col("user_id").as("node"))
+    sssp(el, seeds)
+      .select(col("node").as("user_id"), col("dist").cast("long").as("dist"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211)
+    q180, q188, q200, q211, q221)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
@@ -800,7 +801,206 @@ object Temporal {
       .orderBy(col("item_id"))
   }
 
+  /** Per-user funnel stage timestamps over an event log already
+    * projected to (user_id, us, event_id, event_type): the first 'view',
+    * the first 'click' at-or-after that view, and the first 'purchase'
+    * at-or-after that qualified click — the ordered-prefix semantics
+    * every product-analytics funnel uses (a click BEFORE the user's
+    * first view does not convert; re-orderings within the same
+    * microsecond resolve by event_id, identically on both engines).
+    *
+    * One window shuffle on user_id does all the sequencing: a running
+    * `min(view us)` marks each row's funnel entry, a second running min
+    * over view-qualified clicks marks click conversion, and the final
+    * groupBy(user_id) — same key, zero extra exchanges — collapses to
+    * one row per user. No self-joins, no per-user collect: at 100 TB
+    * this is one shuffle of the event log and nothing else.
+    * Output: (user_id, v_us, c_us, p_us), later stages null when the
+    * user never reached them.
+    */
+  private[graft] def funnelPerUser(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("rv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qc_us",
+        when(col("event_type") === "click" && col("rv").isNotNull, col("us")))
+      .withColumn("rc", min(col("qc_us")).over(w))
+      .withColumn("qp_us",
+        when(col("event_type") === "purchase" && col("rc").isNotNull,
+          col("us")))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"),
+        min(col("qc_us")).as("c_us"),
+        min(col("qp_us")).as("p_us"))
+  }
+
+  /** q218 — funnel conversion: view → click → purchase with ordered
+    * first-qualifying semantics (see [[funnelPerUser]]), rolled up to
+    * the three stage rows a conversion dashboard shows: users reaching
+    * the stage and the total view→stage delay in whole seconds. All
+    * outputs are BIGINT (delays floor-divided from exact micros — the
+    * repo-wide no-decimal-output rule). The DuckDB oracle rebuilds the
+    * same two-layer running-min windows declaratively — an independent
+    * formulation of the same prefix semantics.
+    */
+  val q218 = oracled(
+    "q218_funnel_conversion",
+    "view→click→purchase funnel: stage reach counts + summed view→stage delay seconds",
+    """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           event_id, event_type
+         FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       s1 AS (SELECT *,
+           MIN(CASE WHEN event_type = 'view' THEN us END) OVER
+             (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS rv
+         FROM ev),
+       s2 AS (SELECT *,
+           MIN(CASE WHEN event_type = 'click' AND rv IS NOT NULL
+                    THEN us END) OVER
+             (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS rc
+         FROM s1),
+       per AS (SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN us END) AS v_us,
+           MIN(CASE WHEN event_type = 'click' AND rv IS NOT NULL
+                    THEN us END) AS c_us,
+           MIN(CASE WHEN event_type = 'purchase' AND rc IS NOT NULL
+                    THEN us END) AS p_us
+         FROM s2 GROUP BY user_id),
+       g AS (SELECT CAST(COUNT(v_us) AS BIGINT) AS n_view,
+           CAST(COUNT(c_us) AS BIGINT) AS n_click,
+           CAST(COUNT(p_us) AS BIGINT) AS n_purchase,
+           CAST(COALESCE(SUM((c_us - v_us) // 1000000), 0) AS BIGINT) AS cd,
+           CAST(COALESCE(SUM((p_us - v_us) // 1000000), 0) AS BIGINT) AS pd
+         FROM per)
+       SELECT '1_view' AS stage, n_view AS n_users,
+         CAST(0 AS BIGINT) AS sum_delay_s FROM g
+       UNION ALL SELECT '2_click', n_click, cd FROM g
+       UNION ALL SELECT '3_purchase', n_purchase, pd FROM g
+       ORDER BY stage""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val g = funnelPerUser(ev).agg(
+      coalesce(sum(when(col("v_us").isNotNull, 1L)), lit(0L)).as("n_view"),
+      coalesce(sum(when(col("c_us").isNotNull, 1L)), lit(0L)).as("n_click"),
+      coalesce(sum(when(col("p_us").isNotNull, 1L)), lit(0L))
+        .as("n_purchase"),
+      coalesce(sum(expr("(c_us - v_us) div 1000000")), lit(0L)).as("cd"),
+      coalesce(sum(expr("(p_us - v_us) div 1000000")), lit(0L)).as("pd"))
+    g.select(expr(
+      """stack(3,
+           '1_view', n_view, 0L,
+           '2_click', n_click, cd,
+           '3_purchase', n_purchase, pd) AS (stage, n_users, sum_delay_s)"""))
+      .orderBy(col("stage"))
+  }
+
+  /** q219 — SCD Type-2 dimension build: each customer's order-priority
+    * history as half-open validity intervals — the slowly-changing-
+    * dimension table every warehouse derives from a mutable attribute
+    * stream. Orders sort per customer by (date, orderkey); runs of equal
+    * priority collapse to one interval [valid_from, valid_to) where
+    * valid_to is the next run's start (NULL = current). The change flag
+    * is a lag() compare, the run id a running sum of flags, the interval
+    * a groupBy over (customer, run) — one window shuffle on custkey,
+    * then an agg and a second window on the already-tiny run table,
+    * both key-compatible with the first shuffle's partitioning. The
+    * oracle states the identical islands-and-gaps construction in SQL.
+    */
+  val q219 = oracled(
+    "q219_scd2_priority_history",
+    "SCD Type-2 validity intervals of each customer's order priority (islands via lag + running sum)",
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP)::DATE AS d, o_orderpriority AS pr
+         FROM orders),
+       f AS (SELECT *,
+           CASE WHEN pr IS DISTINCT FROM
+                  lag(pr) OVER (PARTITION BY o_custkey
+                                ORDER BY d, o_orderkey)
+                THEN 1 ELSE 0 END AS chg
+         FROM o),
+       r AS (SELECT *,
+           SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS seq
+         FROM f),
+       iv AS (SELECT o_custkey, seq, pr,
+           MIN(d) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM r GROUP BY 1, 2, 3)
+       SELECT o_custkey, CAST(seq AS BIGINT) AS seq, pr AS priority,
+         valid_from,
+         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+           AS valid_to,
+         n_orders
+       FROM iv ORDER BY o_custkey, seq""") { (s, dir) =>
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val runs = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderpriority").as("pr"))
+      .withColumn("chg",
+        when(not(col("pr") <=> lag(col("pr"), 1).over(wo)), 1L)
+          .otherwise(0L))
+      .withColumn("seq",
+        sum(col("chg")).over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("o_custkey"), col("seq"), col("pr"))
+      .agg(min(col("d")).as("valid_from"), count(lit(1)).as("n_orders"))
+    runs
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("seq"))))
+      .select(col("o_custkey"), col("seq"), col("pr").as("priority"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  /** q220 — event-type transition matrix: first-order Markov estimates
+    * of P(next | current) over each user's event sequence — the
+    * behavioral fingerprint a recommendation or anomaly pipeline keeps.
+    * Per user, lead() in (ts, event_id) order pairs each event with its
+    * successor; the (src, dst) counts and their row-normalized
+    * probabilities in integer ppm (count·10^6 div row total — exact,
+    * no decimal/double output) come from one agg over the pair stream
+    * plus a window over the 25-row matrix. One window shuffle on
+    * user_id, one agg shuffle on (src, dst); the normalizing window
+    * touches only |types|² rows.
+    */
+  val q220 = oracled(
+    "q220_event_transition_matrix",
+    "per-user event bigrams → Markov transition counts + row-normalized ppm",
+    """WITH nx AS (SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS dst
+         FROM events),
+       c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+         FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2)
+       SELECT src, dst, n,
+         CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+           AS p_ppm
+       FROM c ORDER BY src, dst""") { (s, dir) =>
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wu))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179, q196)
+      q163, q178, q179, q196, q218, q219, q220)
 }

@@ -300,4 +300,33 @@ class GraphSpec extends AnyFunSuite {
     val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(byId(2L)._2 == 1000000L)
   }
+
+  test("sssp: weighted distances prefer the cheap long way around") {
+    import spark.implicits._
+    // 0→1 direct costs 10; 0→2→3→1 costs 1+1+1: Bellman-Ford must
+    // keep improving node 1 after first labeling it via the direct edge
+    val und = Seq[(Long, Long, Long)](
+      (0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1), (1, 4, 2))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "len")
+    val seeds = Seq(0L).toDF("node")
+    val got = operators.Graph.sssp(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 2L -> 1L, 3L -> 2L, 1L -> 3L, 4L -> 5L))
+  }
+
+  test("sssp: the cost bound excludes over-budget nodes, multi-seed takes the min") {
+    import spark.implicits._
+    val und = Seq[(Long, Long, Long)]((0, 1, 4), (1, 2, 4), (2, 3, 4))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "len")
+    // bound 9: node 2 (dist 8) in, node 3 (dist 12) out
+    val one = operators.Graph.sssp(edges, Seq(0L).toDF("node"), bound = 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 0L, 1L -> 4L, 2L -> 8L))
+    // seeding both ends halves the worst distance
+    val two = operators.Graph.sssp(edges, Seq(0L, 3L).toDF("node"), bound = 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(0L -> 0L, 3L -> 0L, 1L -> 4L, 2L -> 4L))
+  }
 }
