@@ -458,6 +458,49 @@ object SetOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q222 — self-join-size (F2) estimation via the AMS/Count-Sketch
+    * aggregate: per returnflag, the exact Σ c_partkey² (what
+    * `lineitem ⋈ lineitem ON l_partkey` would produce within the
+    * group — the number a join planner and a skew monitor both want)
+    * next to [[graft.functions.AmsF2Agg]]'s constant-state estimate,
+    * gated as a ±3σ relative-bound boolean (265‰ at buckets=256 —
+    * one group's bound; the 5-group median lands well inside it).
+    * The exact track needs the full per-key count table (a shuffle
+    * whose width is the key cardinality); the sketch needs
+    * 5×256 longs per group TOTAL — at 100 TB only the sketch
+    * column survives, and its partial states merge by vector
+    * addition in the same map-side combine as any SUM.
+    */
+  val q222 = oracled(
+    "q222_ams_f2_selfjoin",
+    "per-returnflag exact self-join size on partkey + AMS F2 estimate bound contract",
+    """WITH c AS (SELECT l_returnflag, l_partkey, COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2)
+       SELECT l_returnflag,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n * n) AS BIGINT) AS exact_f2,
+         TRUE AS est_in_bounds
+       FROM c GROUP BY 1 ORDER BY l_returnflag""") { (s, dir) =>
+    import graft.functions.AmsF2Agg.amsF2Agg
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+    val exact = li.groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("n") * col("n")).cast("long").as("exact_f2"))
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(amsF2Agg(col("l_partkey"), 256, 5).as("est_f2"))
+    exact.join(est, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_keys"),
+        col("exact_f2"),
+        (abs(col("est_f2") - col("exact_f2")) <=
+          expr("exact_f2 * 265 div 1000")).as("est_in_bounds"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216, q217)
+    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216, q217, q222)
 }
