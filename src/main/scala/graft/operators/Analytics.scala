@@ -1311,8 +1311,88 @@ object Analytics {
       .orderBy(col("flag_a"), col("flag_b"))
   }
 
+  /** q223 — A/B chi-square in EXACT integer micro-units: users
+    * hash-split into two arms (user_id parity — the deterministic
+    * assignment an experiment platform would persist), outcome =
+    * "more purchases than errors" (balanced at this fixture, unlike
+    * any ever-did-X flag, which saturates for heavy users), stratified
+    * by activity tier (event count div 10 — the covariate an analysis
+    * would block on). The 2×2 chi-square statistic is a RATIONAL
+    * number — N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — so both engines
+    * compute it in exact wide-integer arithmetic (DECIMAL(38,0) here,
+    * HUGEINT in the oracle) and emit floor(10^6·χ²) as BIGINT: no
+    * sqrt, no doubles, hash-stable. Tiers with an empty margin are
+    * excluded on both sides (χ² undefined). Scale shape: one
+    * groupBy(user) over the event log, one groupBy(tier) over the
+    * per-user table; the wide-decimal math runs on the tiny 2×2 table
+    * only.
+    */
+  val q223 = oracled(
+    "q223_ab_chisquare",
+    "per-activity-tier 2×2 chi-square, exact rational → BIGINT micro-units",
+    """WITH per AS (SELECT user_id,
+           COUNT(*) // 10 AS tier,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS conv,
+           user_id % 2 AS arm
+         FROM events GROUP BY user_id),
+       ct AS (SELECT CAST(tier AS BIGINT) AS tier,
+           CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+         FROM per GROUP BY 1)
+       SELECT tier, a + b + c + d AS n_users,
+         a AS arm0_conv, b AS arm0_non, c AS arm1_conv, d AS arm1_non,
+         CAST((1000000 * CAST(a + b + c + d AS HUGEINT)
+             * CAST(a * d - b * c AS HUGEINT)
+             * CAST(a * d - b * c AS HUGEINT))
+           // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+           AS BIGINT) AS chi2_u6
+       FROM ct
+       WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+       ORDER BY tier""") { (s, dir) =>
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("count(1) div 10").as("tier"),
+        when(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)),
+          1L).otherwise(0L).as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val ct = per.groupBy(col("tier"))
+      .agg(
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L))
+          .as("d"))
+    ct.filter(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+        col("a") + col("c") > 0 && col("b") + col("d") > 0)
+      .select(col("tier"),
+        (col("a") + col("b") + col("c") + col("d")).as("n_users"),
+        col("a").as("arm0_conv"), col("b").as("arm0_non"),
+        col("c").as("arm1_conv"), col("d").as("arm1_non"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0))
+                  * CAST(a + b + c + d AS DECIMAL(38,0))
+                  * CAST(a*d - b*c AS DECIMAL(38,0))
+                  * CAST(a*d - b*c AS DECIMAL(38,0)))
+                div (CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0))
+                  * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0)))
+             """).as("chi2_u6"))
+      .orderBy(col("tier"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210)
+      q183, q191, q199, q210, q223)
 }
