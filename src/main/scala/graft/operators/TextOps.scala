@@ -1000,7 +1000,141 @@ object TextOps {
       .limit(10)
   }
 
+  /** One greedy pair-merge round over a token stream (doc_id, p, tok):
+    * count adjacent pairs, pick the globally most frequent (ties by
+    * pair lexicographically — deterministic), apply it greedily
+    * left-to-right (for an A=A pair, only even offsets within each
+    * equal-token run merge — the textbook BPE overlap rule), and
+    * renumber. Every window in the chain shares ONE (doc_id, p)
+    * exchange+sort; the chosen pair rides in as a 1-row broadcast; the
+    * rewrite never leaves doc_id partitioning — per round the stream
+    * moves once, which is the 100 TB cost model of every distributed
+    * BPE/phrase-mining trainer. Returns (next stream, 1-row stats).
+    */
+  private[graft] def mergeRound(st: org.apache.spark.sql.DataFrame,
+      round: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // nx feeds BOTH the argmax pass and the rewrite: persist it so the
+    // (doc_id, p) exchange+sort chain runs once per round, not twice
+    val nx = st
+      .withColumn("nxt", lead(col("tok"), 1).over(wdoc))
+      .withColumn("prev", lag(col("tok"), 1).over(wdoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = nx.filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+    val v = nx.crossJoin(broadcast(top))
+      // run offset: p − last run start (a running max — no extra shuffle)
+      .withColumn("off", col("p") -
+        max(when(not(col("tok") <=> col("prev")), col("p"))).over(wrun))
+      .withColumn("valid",
+        coalesce(col("tok") === col("a") && col("nxt") === col("b"),
+          lit(false)) &&
+          (col("a") =!= col("b") || col("off") % 2 === 0))
+    val cs = v.withColumn("consumed",
+      coalesce(lag(col("valid"), 1).over(wdoc), lit(false)))
+    val out = cs.filter(!col("consumed"))
+      .select(col("doc_id"),
+        row_number().over(wdoc).cast("long").as("p"), // keep p LongType round-over-round
+        when(col("valid"), concat_ws(" ", col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every merge removes exactly one token, so n_merged is the length
+    // delta — no second pass over the window chain needed
+    val stats = top
+      .crossJoin(nx.agg(count(lit(1)).as("len_before")))
+      .crossJoin(out.agg(count(lit(1)).as("len_after"),
+        countDistinct(col("tok")).as("vocab_after")))
+      .select(lit(round.toLong).as("round"),
+        concat_ws(" ", col("a"), col("b")).as("pair"),
+        col("c").as("n_matches"),
+        (col("len_before") - col("len_after")).as("n_merged"),
+        col("len_after"), col("vocab_after"))
+    (out, stats, nx)
+  }
+
+  /** The DuckDB side of one merge round: CTEs `nx$i`, `top$i`, `v$i`
+    * from stream `st$i`, producing `st${i+1}` and stats `m$i` — the
+    * identical greedy-left rule stated declaratively.
+    */
+  private def mergeRoundSql(i: Int): String = {
+    val n = i + 1
+    s"""nx$i AS (SELECT doc_id, p, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt,
+           lag(tok)  OVER (PARTITION BY doc_id ORDER BY p) AS prev
+         FROM st$i),
+       top$i AS (SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+         FROM nx$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+         ORDER BY c DESC, a, b LIMIT 1),
+       v$i AS (SELECT x.*, t.a, t.b, t.c,
+           (COALESCE(x.tok = t.a AND x.nxt = t.b, FALSE)
+             AND (t.a <> t.b OR (x.p -
+               MAX(CASE WHEN x.tok IS DISTINCT FROM x.prev THEN x.p END)
+                 OVER (PARTITION BY x.doc_id ORDER BY x.p
+                       ROWS UNBOUNDED PRECEDING)) % 2 = 0)) AS valid
+         FROM nx$i x CROSS JOIN top$i t),
+       c$i AS (SELECT *, COALESCE(lag(valid)
+             OVER (PARTITION BY doc_id ORDER BY p), FALSE) AS consumed
+         FROM v$i),
+       st$n AS (SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY p) AS p,
+           CASE WHEN valid THEN tok || ' ' || nxt ELSE tok END AS tok
+         FROM c$i WHERE NOT consumed),
+       m$i AS (SELECT CAST($i AS BIGINT) AS round, a || ' ' || b AS pair,
+           c AS n_matches,
+           (SELECT CAST(COUNT(*) FILTER (WHERE valid) AS BIGINT) FROM c$i)
+             AS n_merged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM st$n) AS len_after,
+           (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM st$n)
+             AS vocab_after
+         FROM top$i)"""
+  }
+
+  /** q224 — BPE-style merge learning (word-level phrase mining): three
+    * greedy pair-merge rounds over the corpus token stream — the inner
+    * loop of every tokenizer trainer (BPE/word2phrase), expressed as
+    * per-round window passes instead of a driver-side loop over
+    * sequences. Per round: ONE pair-count aggregate picks the global
+    * argmax pair (ties lexicographic), a 1-row broadcast carries it
+    * back, and the greedy left-to-right application (equal-pair runs
+    * merge at even offsets only — the overlap rule naive implementations
+    * get wrong) is a window chain sharing a single (doc_id, p) sort.
+    * The oracle unrolls the identical three rounds declaratively;
+    * n_matches vs n_merged differ exactly when an odd-length A A run
+    * leaves an orphan — the observable that proves the greedy rule.
+    */
+  val q224 = oracled(
+    "q224_bpe_merge_learning",
+    "3 greedy pair-merge rounds: argmax pair, greedy-left apply, stream rewrite",
+    s"""WITH t AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       st1 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+           unnest(toks) AS tok FROM t),
+       ${mergeRoundSql(1)},
+       ${mergeRoundSql(2)},
+       ${mergeRoundSql(3)}
+       SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
+       SELECT * FROM m3 ORDER BY round""") { (s, dir) =>
+    val st1 = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("tok"))
+    val (st2, m1, nx1) = mergeRound(st1, 1)
+    val (st3, m2, nx2) = mergeRound(st2, 2)
+    val (st4, m3, nx3) = mergeRound(st3, 3)
+    val res = m1.unionByName(m2).unionByName(m3).orderBy(col("round"))
+      .localCheckpoint() // materialize before unpersisting the streams
+    Seq(st2, st3, st4, nx1, nx2, nx3).foreach(_.unpersist())
+    res
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197, q203)
+      q156, q168, q177, q185, q190, q197, q203, q224)
 }

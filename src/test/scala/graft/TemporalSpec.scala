@@ -60,4 +60,45 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase")))
     assert(got(1L) == ((None, None, None)))
   }
+
+  // --- q224's greedy pair-merge round (operators.TextOps.mergeRound) ---
+
+  private def streamOf(docs: Seq[Seq[String]])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    docs.zipWithIndex.flatMap { case (toks, d) =>
+      toks.zipWithIndex.map { case (t, i) => (d.toLong, (i + 1).toLong, t) }
+    }.toDF("doc_id", "p", "tok")
+  }
+
+  private def runRound(docs: Seq[Seq[String]])
+      : (Seq[Seq[String]], (String, Long, Long, Long, Long)) = {
+    val (next, stats, nx) = operators.TextOps.mergeRound(streamOf(docs), 1)
+    val out = next.orderBy("doc_id", "p").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(1)).map(_.getString(2)).toSeq)
+    val s = stats.head()
+    next.unpersist(); nx.unpersist()
+    (out, (s.getString(1), s.getLong(2), s.getLong(3), s.getLong(4),
+      s.getLong(5)))
+  }
+
+  test("mergeRound: equal-token runs merge greedily left-to-right") {
+    // "a a a a a" : 4 matches of (a,a) but only 2 greedy merges; odd
+    // run "a a a" leaves an orphan
+    val (out, (pair, nMatches, nMerged, lenAfter, _)) =
+      runRound(Seq(Seq("a", "a", "a", "a", "a"), Seq("a", "a", "a")))
+    assert(pair == "a a" && nMatches == 6 && nMerged == 3)
+    assert(out == Seq(Seq("a a", "a a", "a"), Seq("a a", "a")))
+    assert(lenAfter == 5)
+  }
+
+  test("mergeRound: argmax pair with lexicographic ties, rewrite renumbers") {
+    // (b,c) and (x,y) both occur twice: lexicographically smaller wins
+    val (out, (pair, nMatches, nMerged, _, vocab)) = runRound(Seq(
+      Seq("b", "c", "x", "y"), Seq("b", "c", "x", "y", "z")))
+    assert(pair == "b c" && nMatches == 2 && nMerged == 2)
+    assert(out == Seq(Seq("b c", "x", "y"), Seq("b c", "x", "y", "z")))
+    assert(vocab == 4) // {b c, x, y, z}
+  }
 }
