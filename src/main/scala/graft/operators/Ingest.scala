@@ -712,7 +712,119 @@ object Ingest {
       .orderBy(col("mon"))
   }
 
+  /** q225 — data-contract validation: the per-constraint audit a
+    * production pipeline runs before publishing a dataset — primary-key
+    * uniqueness, referential integrity, domain/range rules, null rules,
+    * freshness — as integer metrics (violations + ppm rate), never a
+    * per-row dump. Scale shape: ONE pass per table — the RI probe folds
+    * into the same scan as the profile rules (left join to the parent
+    * key, then a single conditional aggregate computes every constraint
+    * together), so adding a tenth rule costs zero extra scans; the
+    * per-constraint rows unfold from the one aggregate row with stack.
+    * Range thresholds are CONTRACT parameters set tighter than the
+    * fixture's actual envelope (qty ≤ 45, ship before 2001-07-01) so
+    * the report exercises both zero and non-zero violation paths.
+    */
+  val q225 = oracled(
+    "q225_data_contract",
+    "one-pass-per-table constraint audit: PK/FK/domain/range/null/freshness → integer metrics",
+    """WITH lj AS (SELECT l.*, o.o_orderkey AS ok
+         FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+             AS BIGINT) AS v_pk,
+           CAST(COUNT(*) FILTER (WHERE ok IS NULL) AS BIGINT) AS v_fk,
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL
+             OR l_quantity < 1 OR l_quantity > 45) AS BIGINT) AS v_qty,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL
+             OR l_extendedprice <= 0) AS BIGINT) AS v_price,
+           CAST(COUNT(*) FILTER (WHERE l_discount IS NULL
+             OR l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS v_disc,
+           CAST(COUNT(*) FILTER (WHERE CAST(l_shipdate AS TIMESTAMP)
+             >= TIMESTAMP '2001-07-01 00:00:00') AS BIGINT) AS v_fresh
+         FROM lj),
+       oj AS (SELECT o.*, c.c_custkey AS ck
+         FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+       oa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+           CAST(COUNT(*) FILTER (WHERE ck IS NULL) AS BIGINT) AS v_fk,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
+             OR o_orderstatus IS NULL) AS BIGINT) AS v_dom
+         FROM oj),
+       ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v_pk,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT)
+             AS v_null
+         FROM customer),
+       r AS (
+         SELECT 'customer_acctbal_nonnull' AS rule, n, v_null AS v
+           FROM ca
+         UNION ALL SELECT 'customer_pk_unique', n, v_pk FROM ca
+         UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM la
+         UNION ALL SELECT 'lineitem_fk_orders', n, v_fk FROM la
+         UNION ALL SELECT 'lineitem_freshness', n, v_fresh FROM la
+         UNION ALL SELECT 'lineitem_pk_unique', n, v_pk FROM la
+         UNION ALL SELECT 'lineitem_price_positive', n, v_price FROM la
+         UNION ALL SELECT 'lineitem_qty_range', n, v_qty FROM la
+         UNION ALL SELECT 'orders_fk_customer', n, v_fk FROM oa
+         UNION ALL SELECT 'orders_pk_unique', n, v_pk FROM oa
+         UNION ALL SELECT 'orders_status_domain', n, v_dom FROM oa)
+       SELECT rule, n AS n_checked, v AS n_violations,
+         v * 1000000 // n AS viol_ppm
+       FROM r ORDER BY rule""") { (s, dir) =>
+    def ppmRows(agg: DataFrame, names: Seq[(String, String)]): DataFrame = {
+      val stack = names.map { case (c, v) => s"'$c', $v" }.mkString(", ")
+      agg.select(expr(
+        s"stack(${names.size}, $stack) AS (rule, n_violations)"),
+        col("n").as("n_checked"))
+    }
+    val la = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("ok")),
+        col("ok") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"),
+          col("l_linenumber"))).as("v_pk"),
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
+          col("l_quantity") > 45, 1L).otherwise(0L)).as("v_qty"),
+        sum(when(col("l_extendedprice").isNull ||
+          col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("l_discount").isNull || col("l_discount") < 0 ||
+          col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("l_shipdate").cast("timestamp") >=
+          lit("2001-07-01 00:00:00").cast("timestamp"), 1L).otherwise(0L))
+          .as("v_fresh"))
+    val oa = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey").as("ck")),
+        col("ck") === col("o_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+        sum(when(col("ck").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("v_dom"))
+    val ca = Tables.customer(s, dir)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("v_pk"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("v_null"))
+    ppmRows(la, Seq(
+        "lineitem_pk_unique" -> "v_pk", "lineitem_fk_orders" -> "v_fk",
+        "lineitem_qty_range" -> "v_qty",
+        "lineitem_price_positive" -> "v_price",
+        "lineitem_discount_range" -> "v_disc",
+        "lineitem_freshness" -> "v_fresh"))
+      .unionByName(ppmRows(oa, Seq(
+        "orders_pk_unique" -> "v_pk", "orders_fk_customer" -> "v_fk",
+        "orders_status_domain" -> "v_dom")))
+      .unionByName(ppmRows(ca, Seq(
+        "customer_pk_unique" -> "v_pk",
+        "customer_acctbal_nonnull" -> "v_null")))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        expr("n_violations * 1000000 div n_checked").as("viol_ppm"))
+      .orderBy(col("rule"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214)
+      q214, q225)
 }
