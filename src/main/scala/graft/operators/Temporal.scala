@@ -1000,7 +1000,165 @@ object Temporal {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** q226 — OHLC downsampling bars: the time-series compaction every
+    * monitoring/market pipeline runs — raw ticks → per-(series, window)
+    * open/high/low/close/volume/turnover. Values go through the exact
+    * DECIMAL(18,2)→cents route (no double min/max/sum order
+    * dependence); open and close are rank-1 picks under the total
+    * (ts, event_id) order, so same-microsecond ticks resolve
+    * identically on both engines. One window pass and one aggregate,
+    * both keyed (event_type, bar) — a single shuffle of the tick
+    * stream, which is the 100 TB shape (bars are why you can afford to
+    * keep years of ticks).
+    */
+  val q226 = oracled(
+    "q226_ohlc_bars",
+    "6-hour OHLC/volume/turnover bars per event_type, exact cents, rank-1 open/close",
+    """WITH t AS (SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       r AS (SELECT *,
+           us // 21600000000 AS bar,
+           row_number() OVER (PARTITION BY event_type, us // 21600000000
+             ORDER BY us, event_id) AS rn,
+           row_number() OVER (PARTITION BY event_type, us // 21600000000
+             ORDER BY us DESC, event_id DESC) AS rnd
+         FROM t)
+       SELECT event_type, CAST(bar * 21600 AS BIGINT) AS bar_start_s,
+         CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_c,
+         CAST(MAX(cents) AS BIGINT) AS high_c,
+         CAST(MIN(cents) AS BIGINT) AS low_c,
+         CAST(MAX(CASE WHEN rnd = 1 THEN cents END) AS BIGINT) AS close_c,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks,
+         CAST(SUM(cents) AS BIGINT) AS turnover_c
+       FROM r GROUP BY event_type, bar
+       ORDER BY event_type, bar_start_s""") { (s, dir) =>
+    val barUs = 21600000000L // 6 hours
+    val t = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("bar", expr(s"us div $barUs"))
+    val wAsc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    t.withColumn("rn", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(max(when(col("rn") === 1, col("cents"))).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max(when(col("rnd") === 1, col("cents"))).as("close_c"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("cents")).as("turnover_c"))
+      .select(col("event_type"), (col("bar") * 21600).as("bar_start_s"),
+        col("open_c"), col("high_c"), col("low_c"), col("close_c"),
+        col("n_ticks"), col("turnover_c"))
+      .orderBy(col("event_type"), col("bar_start_s"))
+  }
+
+  /** q227 — calendar gap-fill with LINEAR INTERPOLATION in exact
+    * integer arithmetic: per item, the daily close series on a full
+    * min..max day grid, missing days interpolated between the
+    * surrounding observed closes as (c0·(t1−t) + c1·(t−t0)) div
+    * (t1−t0) — the numerator is a positive BIGINT, so truncating and
+    * flooring division agree and the filled values are hash-exact (the
+    * naive c0 + Δ·slope form floors differently on the two engines
+    * when the series falls). Grid endpoints are observed by
+    * construction, so every gap is interior. Shapes: daily closes via
+    * one keyed window (q226's rank-1 pick), the grid via
+    * explode(sequence) (q196's pattern), fill via last/first
+    * ignoreNulls windows over the grid — all partitioned by item, one
+    * shuffle chain end to end.
+    */
+  val q227 = oracled(
+    "q227_gapfill_interpolate",
+    "per-item daily grid, interior gaps linearly interpolated in exact integer cents",
+    """WITH e AS (SELECT event_id % 100 AS item_id,
+           CAST(ts AS TIMESTAMP)::DATE AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       cl AS (SELECT item_id, day, cents AS close_c FROM (
+           SELECT *, row_number() OVER (PARTITION BY item_id, day
+             ORDER BY us DESC, event_id DESC) AS rn FROM e)
+         WHERE rn = 1),
+       span AS (SELECT item_id, MIN(day) AS d0, MAX(day) AS d1 FROM cl
+         GROUP BY 1),
+       grid AS (SELECT s.item_id, CAST(g.d AS DATE) AS day
+         FROM span s, UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY))
+           AS g(d)),
+       j AS (SELECT g.item_id, g.day, c.close_c,
+           (g.day - DATE '1970-01-01') AS t
+         FROM grid g LEFT JOIN cl c
+           ON c.item_id = g.item_id AND c.day = g.day),
+       f AS (SELECT *,
+           last_value(close_c IGNORE NULLS) OVER (PARTITION BY item_id
+             ORDER BY day ROWS UNBOUNDED PRECEDING) AS c0,
+           last_value(CASE WHEN close_c IS NOT NULL THEN t END IGNORE NULLS)
+             OVER (PARTITION BY item_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS t0,
+           first_value(close_c IGNORE NULLS) OVER (PARTITION BY item_id
+             ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS c1,
+           first_value(CASE WHEN close_c IS NOT NULL THEN t END IGNORE NULLS)
+             OVER (PARTITION BY item_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+         FROM j),
+       v AS (SELECT item_id, day, close_c IS NULL AS filled,
+           CASE WHEN close_c IS NOT NULL THEN close_c
+                ELSE (c0 * (t1 - t) + c1 * (t - t0)) // (t1 - t0) END AS vc
+         FROM f)
+       SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COUNT(*) FILTER (WHERE NOT filled) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) FILTER (WHERE filled) AS BIGINT) AS n_filled,
+         CAST(COALESCE(SUM(vc) FILTER (WHERE filled), 0) AS BIGINT)
+           AS sum_filled_c,
+         CAST(SUM(vc) AS BIGINT) AS sum_all_c
+       FROM v GROUP BY item_id ORDER BY item_id""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select((col("event_id") % 100).as("item_id"),
+        col("ts").cast("date").as("day"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val cl = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("item_id"), col("day"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("item_id"), col("day"), col("cents").as("close_c"))
+    val grid = cl.groupBy(col("item_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("item_id"), explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+    val wPrev = Window.partitionBy(col("item_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("item_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = grid.join(cl, Seq("item_id", "day"), "left")
+      .withColumn("t", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("c0", last(col("close_c"), ignoreNulls = true).over(wPrev))
+      .withColumn("t0", last(when(col("close_c").isNotNull, col("t")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("c1", first(col("close_c"), ignoreNulls = true).over(wNext))
+      .withColumn("t1", first(when(col("close_c").isNotNull, col("t")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("filled", col("close_c").isNull)
+      .withColumn("vc", when(!col("filled"), col("close_c"))
+        .otherwise(expr("(c0 * (t1 - t) + c1 * (t - t0)) div (t1 - t0)")))
+    f.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(!col("filled"), 1L).otherwise(0L)).as("n_obs"),
+        sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"),
+        coalesce(sum(when(col("filled"), col("vc"))), lit(0L))
+          .as("sum_filled_c"),
+        sum(col("vc")).as("sum_all_c"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179, q196, q218, q219, q220)
+      q163, q178, q179, q196, q218, q219, q220, q226, q227)
 }
