@@ -93,6 +93,72 @@ object ThetaSketchAgg {
         .toAggregateExpression())
 }
 
+/** Union-merge aggregate over ALREADY-BUILT sketches: folds a column of
+  * serialized theta sketches into their union — the re-aggregation
+  * operator that makes a persisted per-day sketch table answer any
+  * coarser-grained distinct question (weekly, rolling, per-segment)
+  * without re-reading raw data. Union's canonical cutback makes the
+  * emitted bytes a pure function of the union SET, so merging per-day
+  * sketches is bit-identical to sketching the raw keys of the window
+  * directly (ThetaSketchSpec pins the equality).
+  */
+case class ThetaMergeAgg(
+    child: Expression,
+    lgNom: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  require(lgNom >= 4 && lgNom <= 26, "theta sketch needs 4 <= lgNom <= 26")
+
+  override def prettyName: String = "theta_merge_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgNom).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(CompactSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(b1: Union, b2: Union): Union = {
+    b1.union(b2.getResult(true, null))
+    b1
+  }
+
+  override def eval(buf: Union): Any = buf.getResult(true, null).toByteArray
+
+  override def serialize(buf: Union): Array[Byte] =
+    buf.getResult(true, null).toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(CompactSketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaMergeAgg =
+    copy(child = newChildren.head)
+}
+
+object ThetaMergeAgg {
+  /** `theta_merge_agg(sketchCol)`: the union of a column of sketches. */
+  def thetaMergeAgg(c: Column, lgNom: Int): Column =
+    GraftSqlBridge.toColumn(
+      ThetaMergeAgg(GraftSqlBridge.toExpression(c), lgNom)
+        .toAggregateExpression())
+}
+
 /** Static helpers the scalar theta expressions call — plain (codegen'd
   * call sites reference them as static methods, so the expressions stay
   * inside whole-stage codegen even though the sketch math itself is

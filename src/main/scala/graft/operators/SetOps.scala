@@ -501,6 +501,65 @@ object SetOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q228 — rolling 7-day distinct users from the PER-DAY SKETCH TABLE:
+    * the sliding-window distinct question exact COUNT(DISTINCT) cannot
+    * answer incrementally (distinct doesn't subtract), solved the way a
+    * 100 TB deployment does — build one theta sketch per day (q216's
+    * persisted-table pattern), then UNION-MERGE 7 sketch rows per
+    * window with [[graft.functions.ThetaMergeAgg]]. The rolling pass
+    * touches only the tiny sketch table: each daily sketch explodes to
+    * the ≤7 window days it serves (a bounded equi-join — no range
+    * join), and the union's canonical cutback keeps the merged bytes a
+    * pure function of the window's user set. The exact audit track
+    * recomputes each window's distinct from the per-(day,user) frame;
+    * the estimate crosses the gate as a ±3σ bound boolean.
+    */
+  val q228 = oracled(
+    "q228_rolling_distinct",
+    "rolling 7-day distinct users via per-day theta sketches union-merged per window",
+    """WITH pu AS (SELECT DISTINCT CAST(ts AS TIMESTAMP)::DATE AS day,
+           user_id FROM events),
+       days AS (SELECT DISTINCT day FROM pu),
+       wd AS (SELECT d.day AS wday, CAST(COUNT(*) AS BIGINT) AS win_days
+         FROM days d JOIN days e ON e.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1),
+       win AS (SELECT d.day AS wday, p.user_id
+         FROM days d JOIN pu p ON p.day BETWEEN d.day - 6 AND d.day)
+       SELECT w.wday AS day, wd.win_days,
+         CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS exact_u,
+         TRUE AS in_bounds
+       FROM win w JOIN wd ON wd.wday = w.wday
+       GROUP BY 1, 2 ORDER BY day""") { (s, dir) =>
+    import graft.functions.ThetaSketchAgg.thetaSketchAgg
+    import graft.functions.ThetaMergeAgg.thetaMergeAgg
+    import graft.functions.ThetaInBounds.thetaInBounds
+    val lgNom = 8
+    val pu = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days1 = pu.select(col("day")).distinct()
+    val daily = pu.groupBy(col("day"))
+      .agg(thetaSketchAgg(col("user_id"), lgNom).as("sk"))
+    def toWindows(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("wday") +: df.columns.filter(_ != "day").map(col): _*)
+      .join(days1.withColumnRenamed("day", "wday"), Seq("wday"),
+        "left_semi")
+    val sk7 = toWindows(daily)
+      .groupBy(col("wday"))
+      .agg(thetaMergeAgg(col("sk"), lgNom).as("wsk"),
+        count(lit(1)).as("win_days"))
+    val exact = toWindows(pu)
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact_u"))
+    sk7.join(exact, Seq("wday"))
+      .select(col("wday").as("day"), col("win_days"), col("exact_u"),
+        thetaInBounds(col("wsk"), col("exact_u"), 3).as("in_bounds"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
-    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216, q217, q222)
+    Seq(q15, q16, q17, q18, q19, q165, q176, q182, q215, q216, q217, q222,
+      q228)
 }

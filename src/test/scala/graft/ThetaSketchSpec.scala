@@ -94,4 +94,30 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1))
     assert(est(r.getAs[Array[Byte]]("inter")) == 0.0)
   }
+
+  test("merge-agg of per-group sketches == direct sketch of the raw keys") {
+    import graft.functions.ThetaMergeAgg.thetaMergeAgg
+    import spark.implicits._
+    // 40 groups, overlapping key ranges, enough keys for estimation mode
+    val rows = (0 until 40).flatMap(g =>
+      (0 until 200).map(i => (g.toLong, (g * 150 + i * 7).toLong)))
+    val df = rows.toDF("g", "k")
+    val direct = df.agg(thetaSketchAgg(col("k"), 6).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val merged = df.groupBy(col("g"))
+      .agg(thetaSketchAgg(col("k"), 6).as("s"))
+      .agg(thetaMergeAgg(col("s"), 6).as("m"))
+      .head.getAs[Array[Byte]]("m")
+    // canonical cutback: the union of per-group sketches is bit-equal
+    // to sketching the union's raw keys — the property that makes a
+    // persisted sketch table answer any coarser rollup (q228)
+    assert(java.util.Arrays.equals(direct, merged))
+    // and across partitionings of the sketch rows
+    val merged13 = df.groupBy(col("g"))
+      .agg(thetaSketchAgg(col("k"), 6).as("s"))
+      .repartition(13)
+      .agg(thetaMergeAgg(col("s"), 6).as("m"))
+      .head.getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(direct, merged13))
+  }
 }
