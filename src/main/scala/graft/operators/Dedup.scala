@@ -984,7 +984,71 @@ object Dedup {
     }
   }
 
+  /** q230 — leakage-safe train/val/test split: assign documents to
+    * splits by their NEAR-DUP CLUSTER, not their own id — the split
+    * discipline that keeps a training corpus from leaking its own test
+    * set through near-duplicates (the q99 decontamination problem,
+    * prevented at split time instead of patched later). Split =
+    * cluster-label mod 10 (8/1/1), so every member of a near-dup
+    * cluster lands together BY CONSTRUCTION: the query reports zero
+    * contaminated clusters for the cluster scheme next to the naive
+    * doc-id scheme's real contamination count on the same corpus — the
+    * measurable difference between the two policies. Reuses the
+    * memoized CC labels (q73's artifact): assignment is a scan of the
+    * 2-column label table; contamination is one groupBy(cluster) with
+    * a distinct-split count.
+    */
+  val q230 = oracled(
+    "q230_leakage_safe_split",
+    "cluster-aware 8/1/1 split: zero contaminated near-dup clusters vs the naive split's count",
+    s"""WITH RECURSIVE $ccOracleCte,
+       asg AS (SELECT doc_id, cluster,
+           CASE WHEN cluster % 10 < 8 THEN 'train'
+                WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS cs,
+           CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS ns
+         FROM cc),
+       per AS (
+         SELECT 'cluster' AS scheme, 'docs_' || cs AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value FROM asg GROUP BY 2
+         UNION ALL
+         SELECT 'naive', 'docs_' || ns, CAST(COUNT(*) AS BIGINT)
+           FROM asg GROUP BY 2),
+       cont AS (
+         SELECT 'cluster' AS scheme, 'contaminated_clusters' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value FROM (
+             SELECT cluster FROM asg GROUP BY cluster
+             HAVING COUNT(DISTINCT cs) > 1)
+         UNION ALL
+         SELECT 'naive', 'contaminated_clusters', CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT cluster FROM asg GROUP BY cluster
+                 HAVING COUNT(DISTINCT ns) > 1))
+       SELECT scheme, metric, value FROM per
+       UNION ALL SELECT scheme, metric, value FROM cont
+       ORDER BY scheme, metric""") { (s, dir) =>
+    def splitOf(c: Column): Column =
+      when(pmod(c, lit(10L)) < 8, "train")
+        .when(pmod(c, lit(10L)) === 8, "val").otherwise("test")
+    val asg = ccLabels(s, dir)
+      .select(col("doc_id"), col("cluster"),
+        splitOf(col("cluster")).as("cs"), splitOf(col("doc_id")).as("ns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def per(c: String, scheme: String) = asg.groupBy(col(c))
+      .agg(count(lit(1)).as("value"))
+      .select(lit(scheme).as("scheme"),
+        concat(lit("docs_"), col(c)).as("metric"), col("value"))
+    def cont(c: String, scheme: String) = asg.groupBy(col("cluster"))
+      .agg(countDistinct(col(c)).as("nsp"))
+      .filter(col("nsp") > 1)
+      .agg(count(lit(1)).as("value"))
+      .select(lit(scheme).as("scheme"),
+        lit("contaminated_clusters").as("metric"), col("value"))
+    per("cs", "cluster").unionByName(per("ns", "naive"))
+      .unionByName(cont("cs", "cluster")).unionByName(cont("ns", "naive"))
+      .orderBy(col("scheme"), col("metric"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204)
+      q204, q230)
 }

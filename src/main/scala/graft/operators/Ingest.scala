@@ -824,7 +824,117 @@ object Ingest {
       .orderBy(col("rule"))
   }
 
+  /** q229 — snapshot diff / reconciliation: the "what changed between
+    * yesterday's table and today's" audit every warehouse job and
+    * every cross-system migration runs. Snapshot B derives from orders
+    * by deterministic rules (drop orderkey ≡ 1 mod 89; rewrite status
+    * and priority on ≡ 2 mod 97; clone ≡ 3 mod 101 under shifted
+    * keys), so both engines reconstruct the identical B. The diff is
+    * ONE full-outer join on the key plus ONE conditional aggregate:
+    * added/removed/changed/same row classes and per-column change
+    * counts all come out of the same pass — adding a compared column
+    * costs an expression, not a scan — then unfold with stack. Null
+    * semantics via null-safe compares (a changed-to-NULL cell counts
+    * as changed, a NULL==NULL cell doesn't).
+    */
+  val q229 = oracled(
+    "q229_snapshot_diff",
+    "full-outer reconciliation of two snapshots: row classes + per-column change counts in one pass",
+    """WITH b AS (
+         SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 97 = 2 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice, o_orderdate,
+           CASE WHEN o_orderkey % 97 = 2 THEN '9-CHANGED'
+                ELSE o_orderpriority END AS o_orderpriority
+         FROM orders WHERE o_orderkey % 89 <> 1
+         UNION ALL
+         SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 101 = 3),
+       j AS (SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+           a.o_custkey IS DISTINCT FROM b.o_custkey AS d_cust,
+           a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS d_status,
+           a.o_totalprice IS DISTINCT FROM b.o_totalprice AS d_price,
+           a.o_orderdate IS DISTINCT FROM b.o_orderdate AS d_date,
+           a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS d_prio
+         FROM orders a FULL OUTER JOIN b ON b.o_orderkey = a.o_orderkey),
+       g AS (SELECT
+           CAST(COUNT(*) FILTER (WHERE ak IS NULL) AS BIGINT) AS added,
+           CAST(COUNT(*) FILTER (WHERE bk IS NULL) AS BIGINT) AS removed,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND (d_cust OR d_status OR d_price OR d_date OR d_prio))
+             AS BIGINT) AS changed,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND NOT (d_cust OR d_status OR d_price OR d_date OR d_prio))
+             AS BIGINT) AS same,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND d_cust) AS BIGINT) AS c_cust,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND d_status) AS BIGINT) AS c_status,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND d_price) AS BIGINT) AS c_price,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND d_date) AS BIGINT) AS c_date,
+           CAST(COUNT(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+             AND d_prio) AS BIGINT) AS c_prio
+         FROM j)
+       SELECT 'col_changed_custkey' AS metric, c_cust AS value FROM g
+       UNION ALL SELECT 'col_changed_orderdate', c_date FROM g
+       UNION ALL SELECT 'col_changed_priority', c_prio FROM g
+       UNION ALL SELECT 'col_changed_status', c_status FROM g
+       UNION ALL SELECT 'col_changed_totalprice', c_price FROM g
+       UNION ALL SELECT 'rows_added', added FROM g
+       UNION ALL SELECT 'rows_changed', changed FROM g
+       UNION ALL SELECT 'rows_removed', removed FROM g
+       UNION ALL SELECT 'rows_same', same FROM g
+       ORDER BY metric""") { (s, dir) =>
+    val a = Tables.orders(s, dir)
+    val b = a.filter(col("o_orderkey") % 89 =!= 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 97 === 2, "X")
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        when(col("o_orderkey") % 97 === 2, "9-CHANGED")
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      .unionByName(a.filter(col("o_orderkey") % 101 === 3)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val j = a.alias("a").join(b.alias("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(col("a.o_orderkey").as("ak") +: col("b.o_orderkey").as("bk")
+        +: cols.map(c =>
+          not(col(s"a.$c") <=> col(s"b.$c")).as(s"d_$c")): _*)
+    val both = col("ak").isNotNull && col("bk").isNotNull
+    val anyD = cols.map(c => col(s"d_$c")).reduce(_ || _)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    j.agg(
+        cnt(col("ak").isNull).as("added"),
+        cnt(col("bk").isNull).as("removed"),
+        cnt(both && anyD).as("changed"),
+        cnt(both && !anyD).as("same"),
+        cnt(both && col("d_o_custkey")).as("c_cust"),
+        cnt(both && col("d_o_orderstatus")).as("c_status"),
+        cnt(both && col("d_o_totalprice")).as("c_price"),
+        cnt(both && col("d_o_orderdate")).as("c_date"),
+        cnt(both && col("d_o_orderpriority")).as("c_prio"))
+      .select(expr("""stack(9,
+          'col_changed_custkey', c_cust,
+          'col_changed_orderdate', c_date,
+          'col_changed_priority', c_prio,
+          'col_changed_status', c_status,
+          'col_changed_totalprice', c_price,
+          'rows_added', added,
+          'rows_changed', changed,
+          'rows_removed', removed,
+          'rows_same', same) AS (metric, value)"""))
+      .orderBy(col("metric"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214, q225)
+      q214, q225, q229)
 }
