@@ -494,5 +494,71 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209)
+  /** q231 — exact Gram matrix of the embedding corpus: G[i,j] =
+    * Σ_vec e_i·e_j over all vectors — the d×d sufficient statistic
+    * behind PCA/whitening/linear-probe fits, where the WHOLE point at
+    * 100 TB is that G is tiny (d²) while the corpus is not. Floats
+    * quantize to integer thousandths (identical double-promote + round
+    * on both engines), so every sum is an exact BIGINT.
+    *
+    * Spark side: the classic per-partition Gramian fold — a
+    * `mapPartitions` carve-out (the q161/q196 rule: Catalyst can't
+    * express "accumulate a d²-cell array across rows without
+    * materializing d² rows per input row"; the declarative
+    * explode-per-row version was measured at 194 s vs ~1 s for this
+    * fold at sf0.1). Each partition folds its rows into ONE
+    * d(d+1)/2-long accumulator in a tight integer loop and emits that
+    * single array; the 32 partial vectors reduce with a 2080-group
+    * aggregate. This is also the faithful scale-correct descendant of
+    * the reference's MatrixRow accumulator (see
+    * [[graft.functions.VectorSumAggregator]]) — exact, exactly-once,
+    * in-plan. The DuckDB oracle is the independent exploded self-join
+    * formulation.
+    */
+  val q231 = oracled(
+    "q231_embedding_gram",
+    "exact integer-quantized d×d Gram matrix via per-partition Gramian fold",
+    """WITH e AS (SELECT vec_id,
+           unnest(range(0, len(embedding))) AS i,
+           unnest(list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) AS q
+         FROM embeddings)
+       SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram_q
+       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY 1, 2 ORDER BY a.i, b.i""") { (s, dir) =>
+    import s.implicits._
+    val d = 64
+    val quant = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+      .as[Array[Long]]
+    val partials = quant.mapPartitions { it =>
+      val acc = new Array[Long](d * (d + 1) / 2)
+      it.foreach { q =>
+        require(q.length == d, s"embedding dim ${q.length} != $d")
+        var idx = 0
+        var i = 0
+        while (i < d) {
+          val qi = q(i)
+          var j = i
+          while (j < d) { acc(idx) += qi * q(j); j += 1; idx += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }
+    // (pos -> (i, j)) for the row-major upper triangle, generated once
+    val map = s.range(0, d).select(col("id").cast("long").as("i"))
+      .select(col("i"), explode(sequence(col("i"), lit(d - 1L))).as("j"))
+      .withColumn("pos",
+        expr(s"cast(i * $d - (i * (i - 1)) div 2 + j - i as int)"))
+    partials.toDF("acc")
+      .select(posexplode(col("acc")).as(Seq("pos", "p")))
+      .groupBy(col("pos")).agg(sum(col("p")).as("gram_q"))
+      .join(map, Seq("pos"))
+      .select(col("i"), col("j"), col("gram_q"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231)
 }

@@ -55,6 +55,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
 
+  test("aggregate functions are callable from SQL: theta aggs + ams_f2") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (1L to 60L).map(k => (k % 3, k)).toDF("g", "k")
+      .createOrReplaceTempView("agg_ext")
+    // per-group sketches union-merged == direct sketch, both via SQL;
+    // 60 distinct keys < 64 nominal so the bound is an exact identity
+    val r = spark.sql(
+      """WITH per AS (SELECT g, theta_sketch_agg(k, 6) AS sk
+           FROM agg_ext GROUP BY g)
+         SELECT theta_in_bounds(
+             (SELECT theta_merge_agg(sk, 6) FROM per), 60L) AS ok""").head()
+    assert(r.getBoolean(0))
+    // AMS F2: 60 singletons -> exact F2 = 60, estimate within the bound
+    val f2 = spark.sql("SELECT ams_f2_agg(k) FROM agg_ext").head().getLong(0)
+    assert(math.abs(f2 - 60L) <= 60L * 265 / 1000)
+    // non-literal sketch size is rejected loudly, not silently misused
+    val e = intercept[Exception](
+      spark.sql("SELECT theta_sketch_agg(k, CAST(g AS INT)) FROM agg_ext")
+        .head())
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("SQL rolling_hash matches the Column-API expression over real data") {
     GraftExtensions.register(spark)
     graft.sources.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_ext")
