@@ -1157,7 +1157,66 @@ object Pipeline {
       .orderBy(col("bin"))
   }
 
+  /** q232 — per-source distribution drift in EXACT integer ppm: the
+    * total-variation distance between each source's unigram
+    * distribution and the corpus-wide one — the mixture-monitoring
+    * number a data-mixing stage alarms on (KL needs logs and doubles;
+    * TV = ½·Σ|p_s − p_g| is RATIONAL, so with the common denominator
+    * N_s·N_g it is floor(10⁶·Σ_t |c_s(t)·N_g − c_g(t)·N_s| /
+    * (2·N_s·N_g)) — every term an exact BIGINT product). Tokens a
+    * source has never seen still contribute |0·N_g − c_g·N_s| mass,
+    * which the LEFT join from the global vocabulary supplies as
+    * COALESCE(c_s, 0). Shapes: one (source, token) count aggregate,
+    * re-aggregated per token for the global side (q176's rollup
+    * pattern), one join keyed on token, one per-source aggregate.
+    * Magnitudes: c·N ≤ 3·10⁵·3·10⁶ ≈ 10¹² per term, far under BIGINT.
+    */
+  val q232 = oracled(
+    "q232_source_distribution_drift",
+    "per-source total-variation distance vs the corpus unigram distribution, exact ppm",
+    """WITH t AS (SELECT source,
+           unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM t GROUP BY 1, 2),
+       g AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+       ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st
+         GROUP BY 1),
+       ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ntot FROM g),
+       terms AS (SELECT s.source, ABS(COALESCE(x.c, 0) * ng.ntot
+             - g.cg * s.n) AS d
+         FROM ns s CROSS JOIN ng
+         JOIN g ON TRUE
+         LEFT JOIN st x ON x.source = s.source AND x.tok = g.tok)
+       SELECT t.source, s.n AS n_tokens,
+         CAST(SUM(t.d) * 1000000 // (2 * s.n * ng.ntot) AS BIGINT)
+           AS tv_ppm
+       FROM terms t JOIN ns s ON s.source = t.source CROSS JOIN ng
+       GROUP BY t.source, s.n, ng.ntot
+       ORDER BY t.source""") { (s, dir) =>
+    val st = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = st.groupBy(col("tok")).agg(sum(col("c")).as("cg"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val ng = g.agg(sum(col("cg")).as("ntot"))
+    // every (source, token-in-vocab) pair, unseen tokens at c = 0
+    ns.crossJoin(broadcast(ng))
+      .crossJoin(g) // the full (source × vocab) grid — 20 × |vocab| rows
+      .join(st.withColumnRenamed("c", "cs"), Seq("source", "tok"), "left")
+      .groupBy(col("source"), col("n"), col("ntot"))
+      .agg(sum(abs(coalesce(col("cs"), lit(0L)) * col("ntot")
+        - col("cg") * col("n"))).as("dsum"))
+      .select(col("source"), col("n").as("n_tokens"),
+        expr("dsum * 1000000 div (2 * n * ntot)").as("tv_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
-      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193, q212)
+      q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
+      q212, q232)
 }
