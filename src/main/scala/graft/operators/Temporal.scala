@@ -1158,7 +1158,65 @@ object Temporal {
       .orderBy(col("item_id"))
   }
 
+  /** q233 — top session paths: the most frequent 3-event journeys
+    * WITHIN a session (30-minute gap sessionization) — the clickstream
+    * path-analysis staple, and deliberately different from q220's
+    * global bigrams: a path never crosses a session boundary. The
+    * session id (gap-flag running sum), both lookahead types AND their
+    * session ids come from ONE user-partitioned window chain — the
+    * boundary check is "lead's sid == mine", so no second shuffle on
+    * (user, session) is ever needed. Top-10 by (count desc, path asc)
+    * with an explicit rank, identical tie order on both engines.
+    */
+  val q233 = oracled(
+    "q233_session_paths",
+    "top-10 within-session 3-event paths, 30-min gap sessions, one window chain",
+    """WITH e AS (SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+         FROM events),
+       f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+                 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         FROM f),
+       h AS (SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2, lead(sid, 1) OVER w AS s2,
+           lead(event_type, 2) OVER w AS t3, lead(sid, 2) OVER w AS s3,
+           sid
+         FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       c AS (SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM h WHERE s2 = sid AND s3 = sid GROUP BY 1)
+       SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT)
+           AS rank, path, n
+       FROM c ORDER BY n DESC, path LIMIT 10""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wrun))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("s2", lead(col("sid"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sid"), 2).over(w))
+      .filter(col("s2") === col("sid") && col("s3") === col("sid"))
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179, q196, q218, q219, q220, q226, q227)
+      q163, q178, q179, q196, q218, q219, q220, q226, q227, q233)
 }
