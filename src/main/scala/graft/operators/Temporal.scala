@@ -1216,7 +1216,74 @@ object Temporal {
       .orderBy(col("n").desc, col("path")).limit(10)
   }
 
+  /** q234 — Theil–Sen robust trend per item: the median of all
+    * pairwise day-close slopes — the estimator that shrugs off the
+    * outlier days a least-squares fit chases. Slopes stay EXACT
+    * RATIONALS (num = c2−c1 cents, den = t2−t1 days, den > 0): the
+    * median is selected by ordering on the IEEE double num/den (both
+    * engines divide the same integers → identical doubles → identical
+    * order) with the (num, den) pair as the deterministic tiebreak for
+    * equal-valued fractions, and the OUTPUT is the selected pair's
+    * integers — no rounded quotient ever crosses the gate. Cost is the
+    * Theil–Sen bound: pairs per item ≤ day-span², independent of raw
+    * row count (the daily-close compaction runs first); the pair join
+    * is item-keyed, so it shuffles the tiny close table once.
+    */
+  val q234 = oracled(
+    "q234_theilsen_trend",
+    "per-item Theil–Sen median slope as an exact rational, double-order + integer tiebreak",
+    """WITH e AS (SELECT event_id % 100 AS item_id,
+           CAST(ts AS TIMESTAMP)::DATE AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       cl AS (SELECT item_id, (day - DATE '1970-01-01') AS t,
+           cents AS c FROM (
+           SELECT *, row_number() OVER (PARTITION BY item_id, day
+             ORDER BY us DESC, event_id DESC) AS rn FROM e)
+         WHERE rn = 1),
+       pr AS (SELECT a.item_id, b.c - a.c AS num,
+           CAST(b.t - a.t AS BIGINT) AS den
+         FROM cl a JOIN cl b ON a.item_id = b.item_id AND a.t < b.t),
+       rk AS (SELECT *,
+           row_number() OVER (PARTITION BY item_id
+             ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+           COUNT(*) OVER (PARTITION BY item_id) AS np
+         FROM pr)
+       SELECT item_id, CAST(np AS BIGINT) AS n_pairs,
+         CAST(num AS BIGINT) AS slope_num, den AS slope_den
+       FROM rk WHERE rn = (np - 1) // 2 + 1
+       ORDER BY item_id""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select((col("event_id") % 100).as("item_id"),
+        col("ts").cast("date").as("day"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val cl = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("item_id"), col("day"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("item_id"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("t"),
+        col("cents").as("c"))
+    val pr = cl.alias("a").join(cl.alias("b"),
+        col("a.item_id") === col("b.item_id") && col("a.t") < col("b.t"))
+      .select(col("a.item_id").as("item_id"),
+        (col("b.c") - col("a.c")).as("num"),
+        (col("b.t") - col("a.t")).as("den"))
+    val wi = Window.partitionBy(col("item_id"))
+    pr.withColumn("rn", row_number().over(
+        wi.orderBy(col("num").cast("double") / col("den"), col("num"),
+          col("den"))))
+      .withColumn("np", count(lit(1)).over(wi))
+      .filter(col("rn") === expr("(np - 1) div 2 + 1"))
+      .select(col("item_id"), col("np").as("n_pairs"),
+        col("num").as("slope_num"), col("den").as("slope_den"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179, q196, q218, q219, q220, q226, q227, q233)
+      q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234)
 }
