@@ -1283,7 +1283,75 @@ object Temporal {
       .orderBy(col("item_id"))
   }
 
+  /** q235 — per-item OLS trend in EXACT RATIONAL form, the classical
+    * companion to q234's robust Theil–Sen: slope = (nΣtc − Σt·Σc) /
+    * (nΣt² − (Σt)²) and intercept = (Σc·Σt² − Σt·Σtc) / same — both
+    * ratios of exact BIGINT moment sums over the daily-close table, so
+    * the gate carries the integer numerators and the common
+    * denominator, never a rounded quotient. Days re-zero to the item's
+    * first day (t − min t) to keep every moment product far from
+    * overflow (t ≤ span ≈ 30, Σt² ≤ n·span²). ONE aggregate per item
+    * over the compacted closes — this is the textbook "sufficient
+    * statistics, not data movement" regression shape: at 100 TB the
+    * five moments stream through map-side partial sums.
+    */
+  val q235 = oracled(
+    "q235_ols_trend",
+    "per-item OLS slope/intercept as exact rationals from five moment sums",
+    """WITH e AS (SELECT event_id % 100 AS item_id,
+           CAST(ts AS TIMESTAMP)::DATE AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       cl AS (SELECT item_id, (day - DATE '1970-01-01') AS t0,
+           cents AS c FROM (
+           SELECT *, row_number() OVER (PARTITION BY item_id, day
+             ORDER BY us DESC, event_id DESC) AS rn FROM e)
+         WHERE rn = 1),
+       z AS (SELECT item_id,
+           CAST(t0 - MIN(t0) OVER (PARTITION BY item_id) AS BIGINT) AS t,
+           c FROM cl),
+       m AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(t * c) AS BIGINT) AS stc,
+           CAST(SUM(t * t) AS BIGINT) AS stt
+         FROM z GROUP BY 1)
+       SELECT item_id, n AS n_days,
+         n * stc - st * sc AS slope_num,
+         sc * stt - st * stc AS intercept_num,
+         n * stt - st * st AS den
+       FROM m WHERE n * stt - st * st > 0
+       ORDER BY item_id""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select((col("event_id") % 100).as("item_id"),
+        col("ts").cast("date").as("day"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val cl = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("item_id"), col("day"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("item_id"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("t0"),
+        col("cents").as("c"))
+    cl.withColumn("t",
+        col("t0") - min(col("t0")).over(Window.partitionBy(col("item_id"))))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("c")).as("sc"), sum(col("t") * col("c")).as("stc"),
+        sum(col("t") * col("t")).as("stt"))
+      .filter(col("n") * col("stt") - col("st") * col("st") > 0)
+      .select(col("item_id"), col("n").as("n_days"),
+        (col("n") * col("stc") - col("st") * col("sc")).as("slope_num"),
+        (col("sc") * col("stt") - col("st") * col("stc"))
+          .as("intercept_num"),
+        (col("n") * col("stt") - col("st") * col("st")).as("den"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
-      q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234)
+      q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
+      q235)
 }
