@@ -1391,8 +1391,64 @@ object Analytics {
       .orderBy(col("tier"))
   }
 
+  /** q236 — association rules (market-basket): for the top co-occurring
+    * part pairs across orders, support, directed confidence and lift —
+    * all EXACT integer ppm (conf = n_ab·10⁶ div n_a; lift =
+    * n_ab·N·10⁶ div (n_a·n_b) — rationals, no doubles). The candidate
+    * pass is the id-ordered basket self-join (a < b — each unordered
+    * pair counted once, q138's triangle discipline) over the DISTINCT
+    * (order, part) basket table; singles re-aggregate from the same
+    * table; the N scalar rides in as a 1-row broadcast. Top-100 by
+    * (support desc, a, b) keeps the output bounded and the tie order
+    * engine-identical. Scale: baskets shuffle once on the order key;
+    * pair fan-out is Σ(basket size choose 2), the Apriori floor.
+    */
+  val q236 = oracled(
+    "q236_association_rules",
+    "top basket pairs: support, confidence, lift in exact integer ppm",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem),
+       n1 AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS na FROM b GROUP BY 1),
+       nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+       pairs AS (SELECT x.pk AS a, y.pk AS b2,
+           CAST(COUNT(*) AS BIGINT) AS nab
+         FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+         GROUP BY 1, 2),
+       top AS (SELECT * FROM pairs ORDER BY nab DESC, a, b2 LIMIT 100)
+       SELECT t.a, t.b2 AS b, t.nab,
+         t.nab * 1000000 // sa.na AS conf_ab_ppm,
+         t.nab * 1000000 // sb.na AS conf_ba_ppm,
+         CAST(t.nab * nn.n * 1000000 // (sa.na * sb.na) AS BIGINT)
+           AS lift_ppm
+       FROM top t JOIN n1 sa ON sa.pk = t.a JOIN n1 sb ON sb.pk = t.b2
+       CROSS JOIN nn
+       ORDER BY t.nab DESC, t.a, t.b2""") { (s, dir) =>
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = b.groupBy(col("pk")).agg(count(lit(1)).as("na"))
+    val nn = b.agg(countDistinct(col("ok")).as("n"))
+    val pairs = b.alias("x").join(b.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("nab"))
+      .orderBy(col("nab").desc, col("a"), col("b")).limit(100)
+    pairs
+      .join(broadcast(n1.select(col("pk").as("a"), col("na").as("na_a"))),
+        Seq("a"))
+      .join(broadcast(n1.select(col("pk").as("b"), col("na").as("na_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(nn))
+      .select(col("a"), col("b"), col("nab"),
+        expr("nab * 1000000 div na_a").as("conf_ab_ppm"),
+        expr("nab * 1000000 div na_b").as("conf_ba_ppm"),
+        expr("nab * n * 1000000 div (na_a * na_b)").as("lift_ppm"))
+      .orderBy(col("nab").desc, col("a"), col("b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223)
+      q183, q191, q199, q210, q223, q236)
 }
