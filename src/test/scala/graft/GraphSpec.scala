@@ -315,6 +315,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 2L -> 1L, 3L -> 2L, 1L -> 3L, 4L -> 5L))
   }
 
+  test("sssp: randomized graphs match a serial Dijkstra reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(8)
+      val und = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (i.toLong, j.toLong, 1L + rnd.nextInt(9))).toSeq
+      val directed = und ++ und.map(e => (e._2, e._1, e._3))
+      val seeds = Seq(0L, (n / 2).toLong).distinct
+      // serial Dijkstra (multi-source) under the same cost bound
+      val adj = directed.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(e => (e._2, e._3))
+      }
+      val bound = 25L
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue(
+        seeds.map(s => (-0L, s)): _*)(Ordering.by(_._1))
+      while (pq.nonEmpty) {
+        val (nd, u) = pq.dequeue()
+        if (-nd == dist(u))
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            val alt = -nd + w
+            if (alt < bound && alt < dist.getOrElse(v, Long.MaxValue)) {
+              dist(v) = alt; pq.enqueue((-alt, v))
+            }
+          }
+      }
+      val got = operators.Graph.sssp(directed.toDF("src", "dst", "len"),
+          seeds.toDF("node"), bound = bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist.toMap, s"trial $trial: n=$n edges=${und.size}")
+    }
+  }
+
   test("sssp: the cost bound excludes over-budget nodes, multi-seed takes the min") {
     import spark.implicits._
     val und = Seq[(Long, Long, Long)]((0, 1, 4), (1, 2, 4), (2, 3, 4))

@@ -93,6 +93,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(lenAfter == 5)
   }
 
+  test("mergeRound: randomized streams match a serial greedy reference") {
+    val rnd = new scala.util.Random(99)
+    def serialRound(docs: Seq[Seq[String]]): (Seq[Seq[String]], String) = {
+      val counts = docs.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val (a, b) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+      val merged = docs.map { d =>
+        val out = scala.collection.mutable.Buffer[String]()
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == a && d(i + 1) == b) {
+            out += s"$a $b"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.toSeq
+      }
+      (merged, s"$a $b")
+    }
+    for (trial <- 1 to 5) {
+      val alphabet = Seq("a", "b", "c")
+      val docs = Seq.fill(4 + rnd.nextInt(3))(
+        Seq.fill(5 + rnd.nextInt(10))(alphabet(rnd.nextInt(3))))
+      val (expectDocs, expectPair) = serialRound(docs)
+      val (gotDocs, (gotPair, _, _, _, _)) = runRound(docs)
+      assert(gotPair == expectPair, s"trial $trial pair")
+      assert(gotDocs == expectDocs, s"trial $trial docs=$docs")
+    }
+  }
+
   test("mergeRound: argmax pair with lexicographic ties, rewrite renumbers") {
     // (b,c) and (x,y) both occur twice: lexicographically smaller wins
     val (out, (pair, nMatches, nMerged, _, vocab)) = runRound(Seq(
