@@ -1447,8 +1447,55 @@ object Analytics {
       .orderBy(col("nab").desc, col("a"), col("b"))
   }
 
+  /** q237 — weighted median per group in exact integers: the
+    * quantity-weighted median price per returnflag — the "typical
+    * price actually paid" number plain median misstates when line
+    * sizes vary. Values collapse to (group, price-cents) weight sums
+    * first, so the windowed scan runs over distinct prices, not rows;
+    * the pick is the first price whose doubled running weight reaches
+    * the group total (the standard lower weighted median — exact
+    * integer compare, no halving division). One aggregate + one
+    * group-keyed window chain.
+    */
+  val q237 = oracled(
+    "q237_weighted_median",
+    "quantity-weighted median price per returnflag, exact integer rule",
+    """WITH w AS (SELECT l_returnflag AS flag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS pc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+         FROM lineitem GROUP BY 1, 2),
+       r AS (SELECT *,
+           SUM(wt) OVER (PARTITION BY flag ORDER BY pc
+             ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(wt) OVER (PARTITION BY flag) AS tot
+         FROM w),
+       p AS (SELECT *, row_number() OVER (PARTITION BY flag
+             ORDER BY pc) AS rn
+         FROM r WHERE 2 * run >= tot)
+       SELECT flag AS l_returnflag, CAST(tot AS BIGINT) AS total_weight,
+         CAST(pc AS BIGINT) AS wmedian_cents
+       FROM p WHERE rn = 1 ORDER BY l_returnflag""") { (s, dir) =>
+    val w = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("pc"))
+      .agg(sum(col("l_quantity").cast("long")).as("wt"))
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy(col("flag"))
+    val r = w
+      .withColumn("run", sum(col("wt")).over(wf.orderBy(col("pc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wt")).over(wf))
+    r.filter(col("run") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(wf.orderBy(col("pc"))))
+      .filter(col("rn") === 1)
+      .select(col("flag").as("l_returnflag"),
+        col("tot").as("total_weight"), col("pc").as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236)
+      q183, q191, q199, q210, q223, q236, q237)
 }
