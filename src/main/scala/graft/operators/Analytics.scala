@@ -1494,8 +1494,74 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q238 — item-item kNN (the OTHER classic recommender, next to the
+    * ALS track): each item's top-3 neighbors by rating-vector cosine
+    * over the shared-user dot products. Cosine needs a sqrt — so the
+    * ranking uses cos² = dot²/(‖i‖²·‖j‖²), an EXACT RATIONAL that
+    * orders identically to cosine for the non-negative ratings here,
+    * emitted as integer ppm. Pair dots come from the user-keyed
+    * self-join (fan-out = Σ per-user items², the item-CF floor);
+    * norms re-aggregate from the same distinct ratings frame;
+    * neighbor selection is a per-item rank with (cos² desc, dot desc,
+    * neighbor asc) — fully deterministic ties.
+    */
+  val q238 = oracled(
+    "q238_item_knn",
+    "top-3 item neighbors by exact rational cos² ppm over shared-user dots",
+    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item,
+           CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rt FROM events),
+       n AS (SELECT item, CAST(SUM(rt * rt) AS BIGINT) AS nrm
+         FROM r GROUP BY 1),
+       d AS (SELECT a.item AS i, b.item AS j,
+           CAST(SUM(a.rt * b.rt) AS BIGINT) AS dot
+         FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
+         GROUP BY 1, 2),
+       sym AS (SELECT i, j, dot FROM d
+               UNION ALL SELECT j, i, dot FROM d),
+       s AS (SELECT sym.i AS item_id, sym.j AS neighbor, sym.dot,
+           sym.dot * sym.dot * 1000000 // (ni.nrm * nj.nrm) AS cos2_ppm
+         FROM sym JOIN n ni ON ni.item = sym.i
+                  JOIN n nj ON nj.item = sym.j),
+       k AS (SELECT *, row_number() OVER (PARTITION BY item_id
+             ORDER BY cos2_ppm DESC, dot DESC, neighbor) AS rank
+         FROM s)
+       SELECT item_id, CAST(rank AS BIGINT) AS rank, neighbor,
+         CAST(cos2_ppm AS BIGINT) AS cos2_ppm, dot
+       FROM k WHERE rank <= 3 ORDER BY item_id, rank""") { (s, dir) =>
+    val r = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item"),
+        (floor(col("value")).cast("long") % 5 + 1).as("rt"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = r.groupBy(col("item")).agg(sum(col("rt") * col("rt")).as("nrm"))
+    val d = r.alias("a").join(r.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(sum(col("a.rt") * col("b.rt")).as("dot"))
+    val sym = d.unionByName(
+      d.select(col("j").as("i"), col("i").as("j"), col("dot")))
+    val scored = sym
+      .join(broadcast(n.select(col("item").as("i"), col("nrm").as("ni"))),
+        Seq("i"))
+      .join(broadcast(n.select(col("item").as("j"), col("nrm").as("nj"))),
+        Seq("j"))
+      .select(col("i").as("item_id"), col("j").as("neighbor"), col("dot"),
+        expr("dot * dot * 1000000 div (ni * nj)").as("cos2_ppm"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item_id"))
+          .orderBy(col("cos2_ppm").desc, col("dot").desc, col("neighbor")))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("item_id"), col("rank"), col("neighbor"),
+        col("cos2_ppm"), col("dot"))
+      .orderBy(col("item_id"), col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236, q237)
+      q183, q191, q199, q210, q223, q236, q237, q238)
 }
