@@ -1163,6 +1163,148 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
+  /** Strongly connected components of a DIRECTED graph by the
+    * forward-max / backward-collect coloring algorithm (the FW-BW
+    * family every distributed SCC implementation descends from —
+    * undirected CC machinery cannot see direction):
+    *
+    *   repeat until no nodes remain:
+    *     1. COLOR: propagate the MAX node id forward along edges to
+    *        fixpoint — color(v) = the largest id that can reach v.
+    *        A node with color(v) = v is a ROOT.
+    *     2. COLLECT: from all roots simultaneously, walk edges
+    *        BACKWARD, restricted to nodes of the same color; every
+    *        node collected with root r is in r's SCC (forward-reach
+    *        via the color certificate + backward-reach via the walk =
+    *        mutual reachability).
+    *     3. Remove the finished SCCs; surviving edges re-filter to
+    *        remaining nodes.
+    *
+    * Every color class loses its root's whole SCC per outer round, so
+    * rounds are bounded by the longest chain of SCCs, not their count;
+    * the loop fails loudly at `maxRounds`. All three inner shapes are
+    * the repo's standard iteration cost model: edge table re-filtered
+    * by semi-join, (node, state) frames moving through
+    * localCheckpoints. Output: (node, scc = MIN member id, the
+    * engine-wide canonical component label).
+    */
+  private[graft] def scc(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    var remaining = nodes.select(col("node")).distinct().localCheckpoint()
+    var out = remaining.select(col("node"), col("node").as("root"))
+      .filter(lit(false)).localCheckpoint()
+    var round = 0
+    while (!remaining.isEmpty) {
+      round += 1
+      if (round > maxRounds)
+        sys.error(s"scc: nodes remain after $maxRounds rounds — " +
+          "pathological SCC chain? raise maxRounds")
+      val er = edges
+        .join(remaining.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(remaining.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+        .localCheckpoint()
+      // 1. forward max-id propagation to fixpoint
+      var color = remaining.select(col("node"), col("node").as("c"))
+        .localCheckpoint()
+      var stable = false
+      while (!stable) {
+        val upd = er.join(color.select(col("node").as("src"),
+            col("c").as("cs")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(max(col("cs")).as("cin"))
+        val nc = color.join(upd, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("c"), coalesce(col("cin"), col("c"))).as("c"))
+          .localCheckpoint()
+        stable = nc.alias("n").join(color.alias("o"), Seq("node"))
+          .filter(col("n.c") =!= col("o.c")).isEmpty
+        color = nc
+      }
+      // 2. backward collect from roots within each color class
+      var sccF = color.filter(col("node") === col("c"))
+        .select(col("node"), col("c").as("root")).localCheckpoint()
+      var frontier = sccF
+      while (!frontier.isEmpty) {
+        val next = er.join(frontier.select(col("node").as("dst"),
+            col("root")), Seq("dst"))
+          .select(col("src").as("node"), col("root")).distinct()
+          .join(color, Seq("node"))
+          .filter(col("c") === col("root"))
+          .select(col("node"), col("root"))
+          .join(sccF, Seq("node"), "left_anti")
+          .localCheckpoint()
+        frontier = next
+        if (!next.isEmpty) sccF = sccF.unionByName(next).localCheckpoint()
+      }
+      // 3. retire the finished components
+      out = out.unionByName(sccF).localCheckpoint()
+      remaining = remaining.join(sccF, Seq("node"), "left_anti")
+        .localCheckpoint()
+    }
+    // canonical label: the component's MIN member id
+    val lbl = out.groupBy(col("root")).agg(min(col("node")).as("scc"))
+    out.join(lbl, Seq("root")).select(col("node"), col("scc"))
+  }
+
+  /** q239 — SCC over the item-transition digraph: items are strongly
+    * connected when users' event streams flow between them in BOTH
+    * directions (the "browsing basin" structure a session-graph
+    * analysis wants; weakly-connected CC would collapse one-way feeder
+    * items into the basin). Edges: consecutive-event item pairs per
+    * user WITHIN a 30-minute session gap (the q233 boundary rule at
+    * item granularity), deduplicated — session-bounding is what gives
+    * the fixture a real spectrum: all-singleton at sf0.001 (pure DAG),
+    * a 98-node basin + 2 singletons at sf0.01, one giant SCC at
+    * sf0.1, so every branch of the coloring loop runs somewhere.
+    * Spark side is [[scc]]; the DuckDB oracle takes the transitive
+    * closure and intersects it with its transpose — mutual
+    * reachability stated declaratively, labels = min member on both
+    * sides.
+    */
+  val q239 = oracled(
+    "q239_item_scc",
+    "strongly connected components of the item-transition digraph == closure ∩ transpose oracle",
+    s"""WITH RECURSIVE ev AS (SELECT user_id, event_id % 100 AS item,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+       nx AS (SELECT item AS a, lead(item) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS b,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) - us AS gap
+         FROM ev),
+       e AS (SELECT DISTINCT a AS src, b AS dst FROM nx
+         WHERE b IS NOT NULL AND a <> b AND gap <= 1800000000),
+       vtx AS (SELECT DISTINCT item AS node FROM ev),
+       reach(a, b) AS (
+         SELECT src, dst FROM e
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+       mutual AS (SELECT r1.a, r1.b FROM reach r1
+         JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       lab AS (SELECT n.node,
+           LEAST(n.node, COALESCE(MIN(m.b), n.node)) AS scc
+         FROM vtx n LEFT JOIN mutual m ON m.a = n.node GROUP BY n.node)
+       SELECT node AS item_id, CAST(scc AS BIGINT) AS scc,
+         CAST(COUNT(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size
+       FROM lab ORDER BY item_id""") { (s, dir) =>
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val e = ev.withColumn("b", lead(col("item"), 1).over(wu))
+      .withColumn("gap", lead(col("us"), 1).over(wu) - col("us"))
+      .filter(col("b").isNotNull && col("item") =!= col("b") &&
+        col("gap") <= 1800000000L)
+      .select(col("item").as("src"), col("b").as("dst")).distinct()
+    val vtx = ev.select(col("item").as("node")).distinct()
+    scc(e, vtx)
+      .withColumn("scc_size",
+        count(lit(1)).over(Window.partitionBy(col("scc"))).cast("long"))
+      .select(col("node").as("item_id"), col("scc"), col("scc_size"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221)
+    q180, q188, q200, q211, q221, q239)
 }

@@ -315,6 +315,48 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 2L -> 1L, 3L -> 2L, 1L -> 3L, 4L -> 5L))
   }
 
+  test("scc: cycles, one-way bridges, DAG tails on a known digraph") {
+    import spark.implicits._
+    // two 3-cycles joined by a ONE-WAY bridge (2→3), a tail 6 fed
+    // one-way (5→6), and an isolated node 9: SCCs {0,1,2}, {3,4,5},
+    // {6}, {9} — weakly-connected CC would merge the first three
+    val e = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (2, 3),
+      (3, 4), (4, 5), (5, 3), (5, 6)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val got = operators.Graph.scc(e, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L, 9L -> 9L))
+  }
+
+  test("scc: randomized digraphs match a serial mutual-reachability reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(6)
+      val e = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.18
+      } yield (i.toLong, j.toLong)).toSeq
+      // serial reference: boolean transitive closure, mutual classes
+      val reach = Array.fill(n, n)(false)
+      e.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val expect = (0 until n).map { v =>
+        val members = (0 until n).filter(u =>
+          u == v || (reach(v)(u) && reach(u)(v)))
+        v.toLong -> members.min.toLong
+      }.toMap
+      val got = operators.Graph.scc(
+          if (e.isEmpty) Seq((0L, 0L)).toDF("src", "dst").filter(lit(false))
+          else e.toDF("src", "dst"),
+          (0 until n).map(_.toLong).toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial n=$n edges=$e")
+    }
+  }
+
   test("sssp: randomized graphs match a serial Dijkstra reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
