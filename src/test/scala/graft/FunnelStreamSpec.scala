@@ -105,4 +105,43 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(batch(4L) == ((Some(T0 + 8 * M), None, None)))
     } finally q.stop()
   }
+
+  test("funnel state (folded triple + parked buffer) survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_funnel_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_funnel_out").toString
+    val M = 60L * 1000000L
+    val in = MemoryStream[FunnelStream.FEv]
+    def start() = FunnelStream.track(in.toDS(), "10 minutes")
+      .toDF().writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    // incarnation 1: the view arrives and is still PARKED (watermark
+    // hasn't passed it) when the query stops
+    val q1 = start()
+    in.addData(ev(1, 5 * M, 1, "view"), ev(1, 6 * M, 2, "click"))
+    q1.processAllAvailable()
+    in.addData(ev(1, 14 * M, 3, "purchase"))
+    q1.processAllAvailable()
+    q1.stop()
+    // incarnation 2: the purchase + flush sentinel; the parked view and
+    // click recovered from state must still qualify the later stages
+    val q2 = start()
+    in.addData(ev(99, 10000 * M, 999, "view"))
+    q2.processAllAvailable()
+    in.addData(ev(99, 10001 * M, 1000, "view"))
+    q2.processAllAvailable()
+    q2.stop()
+    val last = spark.read.parquet(out)
+      .filter(col("user_id") === 1L)
+      .collect().maxBy(_.getLong(4)) // max n_done
+    assert(last.getLong(5) == 0L, "parked events not drained")
+    assert(last.getLong(1) == 5 * M + T0 && last.getLong(2) == 6 * M + T0
+      && last.getLong(3) == 14 * M + T0,
+      s"restart lost ordered-fold state: $last")
+  }
 }
