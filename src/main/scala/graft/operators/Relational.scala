@@ -566,6 +566,86 @@ object Relational {
         max(col("m")).cast("long").as("max_rev_cents"))
   }
 
+  /** q240 — join-size estimation from count-min sketches: the
+    * cardinality number a cost-based planner wants BEFORE running a
+    * join — |orders ⋈ lineitem ON day| = Σ_d o(d)·l(d) — estimated as
+    * the minimum over hash rows of the sketch INNER PRODUCT
+    * Σ_j cm₁[i][j]·cm₂[i][j] (the classic AGMS/CM join-size
+    * estimator; every row's dot = exact + non-negative collision
+    * cross-terms, so the estimate provably never undershoots — the
+    * emitted `overestimate` row is the visible slack). The sketches
+    * are the native [[graft.functions.CountMinAgg]] state at width
+    * 4096 (4×4096 cells ≈ 128 KB — sized so the fixture's ~2500-day
+    * key domain actually collides: the measured overestimate is a
+    * visible but planner-usable slack, not zero and not garbage);
+    * because the hash family is plain affine arithmetic, the ORACLE
+    * REBUILDS THE EXACT SKETCH CELLS in SQL and the estimate crosses
+    * the gate hash-exact — no bound boolean needed. Two table scans
+    * into two constant-size states, one 16k-element dot: the whole
+    * estimate costs O(1) space per table, which is the point at
+    * 100 TB.
+    */
+  val q240 = oracled(
+    "q240_join_size_estimation",
+    "CM-sketch inner-product join cardinality == oracle-rebuilt sketch, exact overestimate",
+    """WITH od AS (SELECT ((CAST(o_orderdate AS TIMESTAMP)::DATE
+             - DATE '1970-01-01') * 2654435761) % 4294967296 AS d
+         FROM orders),
+       ld AS (SELECT ((CAST(l_shipdate AS TIMESTAMP)::DATE
+             - DATE '1970-01-01') * 2654435761) % 4294967296 AS d
+         FROM lineitem),
+       oc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM od GROUP BY 1),
+       lc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM ld GROUP BY 1),
+       ex AS (SELECT CAST(COALESCE(SUM(oc.c * lc.c), 0) AS BIGINT) AS v
+         FROM oc JOIN lc USING (d)),
+       rws AS (SELECT unnest(range(0, 4)) AS i),
+       c1 AS (SELECT r.i,
+           ((od.d * (131 + 2 * r.i) + (977 + 5 * r.i)) % 1000000007) % 4096
+             AS j, CAST(COUNT(*) AS BIGINT) AS c
+         FROM od CROSS JOIN rws r GROUP BY 1, 2),
+       c2 AS (SELECT r.i,
+           ((ld.d * (131 + 2 * r.i) + (977 + 5 * r.i)) % 1000000007) % 4096
+             AS j, CAST(COUNT(*) AS BIGINT) AS c
+         FROM ld CROSS JOIN rws r GROUP BY 1, 2),
+       dots AS (SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+         FROM c1 a JOIN c2 b ON a.i = b.i AND a.j = b.j GROUP BY 1),
+       es AS (SELECT CAST(MIN(dot) AS BIGINT) AS v FROM dots)
+       SELECT 'cm_estimate' AS metric, es.v AS value FROM es
+       UNION ALL SELECT 'exact_join_rows', ex.v FROM ex
+       UNION ALL SELECT 'overestimate', es.v - ex.v FROM es, ex
+       ORDER BY metric""") { (s, dir) =>
+    import graft.functions.CountMinAgg.countMinAgg
+    val (depth, width, p) = (4, 4096, 1000000007L)
+    // Knuth multiplicative scramble: a CONTIGUOUS day domain under the
+    // affine row hash is injective below the width (131 ⊥ 4096, span <
+    // 4096) — the sketch would be silently exact and the demo vacuous;
+    // scrambling the key first makes cell collisions the real
+    // birthday-bound phenomenon the estimator is designed around.
+    def days(c: org.apache.spark.sql.Column) =
+      pmod(datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+        * 2654435761L, lit(4294967296L))
+    val od = Tables.orders(s, dir).select(days(col("o_orderdate")).as("d"))
+    val ld = Tables.lineitem(s, dir).select(days(col("l_shipdate")).as("d"))
+    val exact = od.groupBy(col("d")).agg(count(lit(1)).as("oc"))
+      .join(ld.groupBy(col("d")).agg(count(lit(1)).as("lc")), Seq("d"))
+      .agg(coalesce(sum(col("oc") * col("lc")), lit(0L)).as("v"))
+    val sk = od.agg(countMinAgg(col("d"), depth, width, p).as("c1"))
+      .crossJoin(ld.agg(countMinAgg(col("d"), depth, width, p).as("c2")))
+    val est = sk
+      .select(posexplode(zip_with(col("c1"), col("c2"), _ * _))
+        .as(Seq("idx", "prod")))
+      .groupBy(expr(s"idx div $width").as("row"))
+      .agg(sum(col("prod")).as("dot"))
+      .agg(min(col("dot")).as("v"))
+    est.crossJoin(exact.withColumnRenamed("v", "ex"))
+      .select(expr(
+        """stack(3,
+             'cm_estimate', v,
+             'exact_join_rows', ex,
+             'overestimate', v - ex) AS (metric, value)"""))
+      .orderBy(col("metric"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202, q207, q208)
+    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240)
 }
