@@ -482,7 +482,80 @@ object Olap {
       .orderBy(col("o_custkey"))
   }
 
+  /** q241 — hierarchical (BOM-style) subtree rollup: every node's
+    * totals over its whole subtree in a fixed 4-ary item hierarchy
+    * (parent(i) = (i−1) div 4, root 0) — the bill-of-materials /
+    * org-rollup shape warehouses usually reach for recursive CTEs to
+    * get. With an ARITHMETIC hierarchy the ancestor chain is CLOSED
+    * FORM (≤5 ancestors per node), so the whole rollup is: one
+    * per-item aggregate over the fact scan, an explode of each item
+    * row to its ancestor list, and a re-aggregate — no recursion, no
+    * iteration, and the explode touches 100×5 rows, not the fact
+    * table. Depth comes from the same chain arithmetic. The oracle
+    * states the identical chain with nested CASE levels.
+    */
+  val q241 = oracled(
+    "q241_hierarchy_rollup",
+    "subtree totals over a closed-form 4-ary hierarchy: explode ancestors + re-aggregate",
+    """WITH per AS (SELECT event_id % 100 AS item,
+           CAST(COUNT(*) AS BIGINT) AS own_n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS own_c
+         FROM events GROUP BY 1),
+       ch AS (SELECT *,
+           CASE WHEN item > 0 THEN (item - 1) // 4 END AS l1 FROM per),
+       ch2 AS (SELECT *,
+           CASE WHEN l1 > 0 THEN (l1 - 1) // 4 END AS l2 FROM ch),
+       ch3 AS (SELECT *,
+           CASE WHEN l2 > 0 THEN (l2 - 1) // 4 END AS l3 FROM ch2),
+       ch4 AS (SELECT *,
+           CASE WHEN l3 > 0 THEN (l3 - 1) // 4 END AS l4 FROM ch3),
+       up AS (SELECT unnest(list_filter([item, l1, l2, l3, l4],
+             x -> x IS NOT NULL)) AS node, own_n, own_c
+         FROM ch4),
+       sub AS (SELECT node, CAST(SUM(own_n) AS BIGINT) AS subtree_n,
+           CAST(SUM(own_c) AS BIGINT) AS subtree_c
+         FROM up GROUP BY 1),
+       dep AS (SELECT item AS node,
+           CAST(CASE WHEN l1 IS NULL THEN 0 WHEN l2 IS NULL THEN 1
+                WHEN l3 IS NULL THEN 2 WHEN l4 IS NULL THEN 3
+                ELSE 4 END AS BIGINT) AS depth,
+           own_n, own_c
+         FROM ch4)
+       SELECT d.node, d.depth, d.own_n, d.own_c AS own_cents,
+         s.subtree_n, s.subtree_c AS subtree_cents
+       FROM dep d JOIN sub s ON s.node = d.node
+       ORDER BY d.node""") { (s, dir) =>
+    val per = Tables.events(s, dir)
+      .groupBy((col("event_id") % 100).as("item"))
+      .agg(count(lit(1)).as("own_n"),
+        sum((dec2(col("value")) * 100).cast("long")).as("own_c"))
+      .withColumn("l1", when(col("item") > 0,
+        expr("(item - 1) div 4")))
+      .withColumn("l2", when(col("l1") > 0, expr("(l1 - 1) div 4")))
+      .withColumn("l3", when(col("l2") > 0, expr("(l2 - 1) div 4")))
+      .withColumn("l4", when(col("l3") > 0, expr("(l3 - 1) div 4")))
+    val sub = per
+      .select(explode(filter(
+          array(col("item"), col("l1"), col("l2"), col("l3"), col("l4")),
+          x => x.isNotNull)).as("node"),
+        col("own_n"), col("own_c"))
+      .groupBy(col("node"))
+      .agg(sum(col("own_n")).as("subtree_n"),
+        sum(col("own_c")).as("subtree_c"))
+    per
+      .select(col("item").as("node"),
+        when(col("l1").isNull, 0L).when(col("l2").isNull, 1L)
+          .when(col("l3").isNull, 2L).when(col("l4").isNull, 3L)
+          .otherwise(4L).as("depth"),
+        col("own_n"), col("own_c").as("own_cents"))
+      .join(sub, Seq("node"))
+      .select(col("node"), col("depth"), col("own_n"), col("own_cents"),
+        col("subtree_n"), col("subtree_c").as("subtree_cents"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111, q136, q140, q141,
-      q195)
+      q195, q241)
 }
