@@ -1350,8 +1350,75 @@ object Temporal {
       .orderBy(col("item_id"))
   }
 
+  /** q242 — OHLC RE-AGGREGATION: daily bars composed from the 6-hour
+    * bars, never from raw ticks — the property that makes bar tables a
+    * storage hierarchy (keep fine bars, answer any coarser granularity
+    * from them): open = the earliest sub-bar's open, close = the
+    * latest's close, high/low/volume/turnover = max/min/sums. Both
+    * engines build the same 6-hour bar table first (q226's rank-1
+    * construction) and then roll it up with min_by/max_by over
+    * bar_start — so the oracle doubles as a proof that bar composition
+    * loses nothing: its daily rows are byte-for-byte what direct daily
+    * bars over the ticks would produce.
+    */
+  val q242 = oracled(
+    "q242_ohlc_reaggregation",
+    "daily bars composed from 6h bars (min_by/max_by roll-up), not from ticks",
+    """WITH t AS (SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       r AS (SELECT *,
+           us // 21600000000 AS bar,
+           row_number() OVER (PARTITION BY event_type, us // 21600000000
+             ORDER BY us, event_id) AS rn,
+           row_number() OVER (PARTITION BY event_type, us // 21600000000
+             ORDER BY us DESC, event_id DESC) AS rnd
+         FROM t),
+       b AS (SELECT event_type, bar,
+           MAX(CASE WHEN rn = 1 THEN cents END) AS open_c,
+           MAX(cents) AS high_c, MIN(cents) AS low_c,
+           MAX(CASE WHEN rnd = 1 THEN cents END) AS close_c,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS turn
+         FROM r GROUP BY 1, 2)
+       SELECT event_type, CAST(bar // 4 AS BIGINT) AS day_idx,
+         CAST(min_by(open_c, bar) AS BIGINT) AS open_c,
+         CAST(MAX(high_c) AS BIGINT) AS high_c,
+         CAST(MIN(low_c) AS BIGINT) AS low_c,
+         CAST(max_by(close_c, bar) AS BIGINT) AS close_c,
+         CAST(SUM(n) AS BIGINT) AS n_ticks,
+         CAST(SUM(turn) AS BIGINT) AS turnover_c
+       FROM b GROUP BY event_type, bar // 4
+       ORDER BY event_type, day_idx""") { (s, dir) =>
+    val barUs = 21600000000L
+    val t = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("bar", expr(s"us div $barUs"))
+    val wAsc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val bars = t
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(max(when(col("rn") === 1, col("cents"))).as("open_c"),
+        max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max(when(col("rnd") === 1, col("cents"))).as("close_c"),
+        count(lit(1)).as("n"), sum(col("cents")).as("turn"))
+    bars
+      .groupBy(col("event_type"), expr("bar div 4").as("day_idx"))
+      .agg(min_by(col("open_c"), col("bar")).as("open_c"),
+        max(col("high_c")).as("high_c"), min(col("low_c")).as("low_c"),
+        max_by(col("close_c"), col("bar")).as("close_c"),
+        sum(col("n")).as("n_ticks"), sum(col("turn")).as("turnover_c"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235)
+      q235, q242)
 }
