@@ -1417,8 +1417,58 @@ object Temporal {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
+  /** q243 — restatement audit: which published daily totals CHANGED
+    * between two report cutoffs — the "yesterday's dashboard said X,
+    * today it says Y" reconciliation every late-arriving-data pipeline
+    * owes its consumers. Cutoffs are deterministic functions of the
+    * data (full = max event time; early = full − 7 days, a 1-row
+    * broadcast, no driver round-trip); both as-of totals come from ONE
+    * scan with conditional aggregation — computing the early total is
+    * a `sum(when us ≤ cutoff)` beside the full sum, not a second read.
+    * Only restated days are reported, with exact integer deltas.
+    */
+  val q243 = oracled(
+    "q243_restatement_audit",
+    "daily totals as-of two cutoffs in one conditional-agg scan; restated days + exact deltas",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP)::DATE AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       w AS (SELECT MAX(us) - 7 * 86400000000 AS early FROM ev),
+       g AS (SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(SUM(cents) AS BIGINT) AS cents_full,
+           CAST(COUNT(*) FILTER (WHERE us <= w.early) AS BIGINT)
+             AS n_early,
+           CAST(COALESCE(SUM(cents) FILTER (WHERE us <= w.early), 0)
+             AS BIGINT) AS cents_early
+         FROM ev CROSS JOIN w GROUP BY day)
+       SELECT day, n_early, n_full, cents_early, cents_full,
+         cents_full - cents_early AS delta_cents
+       FROM g WHERE n_full <> n_early
+       ORDER BY day""") { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("us"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val w = ev.agg((max(col("us")) - 7L * 86400000000L).as("early"))
+    ev.crossJoin(broadcast(w))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(col("cents")).as("cents_full"),
+        sum(when(col("us") <= col("early"), 1L).otherwise(0L))
+          .as("n_early"),
+        coalesce(sum(when(col("us") <= col("early"), col("cents"))),
+          lit(0L)).as("cents_early"))
+      .filter(col("n_full") =!= col("n_early"))
+      .select(col("day"), col("n_early"), col("n_full"),
+        col("cents_early"), col("cents_full"),
+        (col("cents_full") - col("cents_early")).as("delta_cents"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242)
+      q235, q242, q243)
 }
