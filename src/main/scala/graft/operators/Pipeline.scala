@@ -1215,8 +1215,46 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** q244 — rank (quantile) normalization: each document's length
+    * score mapped to its global percentile rank in integer basis
+    * points — the monotone feature transform that makes heterogeneous
+    * per-source score scales comparable before mixing. Ranks come from
+    * the DISTRIBUTED ordinal (q12's [[graft.plans.Ordinal]] scale
+    * path — per-partition index stitching, no single-task global
+    * window); bps = (rank−1)·10⁴ div (N−1) is exact; the per-source
+    * roll-up reports mean/min/max bps — a near-uniform mean per source
+    * is the observable the transform exists to produce. Tie order
+    * (score, doc_id) is total, so both engines rank identically.
+    */
+  val q244 = oracled(
+    "q244_rank_normalization",
+    "global percentile-rank bps via the distributed ordinal; per-source uniformity roll-up",
+    """WITH r AS (SELECT source,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+           COUNT(*) OVER () AS n
+         FROM documents),
+       b AS (SELECT source, (rk - 1) * 10000 // (n - 1) AS bps FROM r)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(bps) // COUNT(*) AS BIGINT) AS mean_bps,
+         CAST(MIN(bps) AS BIGINT) AS min_bps,
+         CAST(MAX(bps) AS BIGINT) AS max_bps
+       FROM b GROUP BY source ORDER BY source""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val ranked = graft.plans.Ordinal.withGlobalOrdinal(
+      docs, "rk", col("n_chars"), col("doc_id"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bps", expr("(rk - 1) * 10000 div (n - 1)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(bps) div count(1)").as("mean_bps"),
+        min(col("bps")).as("min_bps"), max(col("bps")).as("max_bps"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232)
+      q212, q232, q244)
 }
