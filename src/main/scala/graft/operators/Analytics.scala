@@ -865,45 +865,67 @@ object Analytics {
     * the count of readings beyond 3 scaled MADs — the robust alternative
     * to q134's mean/σ z-score (one corrupted burst inflates σ and hides
     * itself; the median/MAD breakdown point is 50%). Distributed shape:
-    * TWO exact grouped percentiles (sort-based, partial-merge
-    * aggregates) with the per-group medians broadcast back between them
-    * — group cardinality is event-type-bounded, so the broadcast is a
-    * handful of rows at any corpus size; nothing is ever collected.
-    * Interpolated-percentile parity with DuckDB is already proven by
-    * q58; the 1.4826 normal-consistency constant multiplies identically
-    * on both engines.
+    * TWO exact grouped medians with the per-group values broadcast back
+    * between them — group cardinality is event-type-bounded, so the
+    * broadcast is a handful of rows at any corpus size; nothing is ever
+    * collected. r10 rewrite: both medians go through the shared
+    * [[graft.plans.ExactQuantile]] order-statistic template on integer
+    * MICRO-units (v = ⌊value·10⁶⌋ — the same double on both engines,
+    * floored BEFORE the BIGINT cast because Spark truncates where
+    * DuckDB rounds), retiring the engine-percentile calls that were the
+    * rounds-6..8 red class. Units: the value median is ×2 micros, the
+    * MAD (a median of ×2-unit deviations) is ×4 micros; the 3·1.4826
+    * outlier cut is the exact integer cross-multiplication
+    * 20000·|2v − med_x2| > 44478·mad_x4 (both sides ≲ 10¹⁵ — no
+    * overflow, no float anywhere in the gate).
     */
   val q160 = oracled(
     "q160_mad_outliers",
-    "per-type median/MAD robust outlier counts (two grouped exact percentiles)",
-    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-         FROM events GROUP BY event_type),
-       dev AS (SELECT e.event_type, e.value, m.med,
-           abs(e.value - m.med) AS adev
-         FROM events e JOIN med m ON m.event_type = e.event_type),
-       mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
-         FROM dev GROUP BY event_type)
-       SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(ANY_VALUE(d.med), 6) AS med,
-         ROUND(ANY_VALUE(a.mad), 6) AS mad,
-         CAST(COUNT(*) FILTER (WHERE a.mad > 0
-           AND abs(d.value - d.med) > 3 * 1.4826 * a.mad) AS BIGINT) AS n_outliers
-       FROM dev d JOIN mad a ON a.event_type = d.event_type
-       GROUP BY d.event_type ORDER BY d.event_type""") { (s, dir) =>
-    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    "per-type median/MAD robust outlier counts (integer order-statistic medians)",
+    """WITH qsrc AS (SELECT event_type,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+         FROM events),
+       """ +
+      graft.plans.ExactQuantile.oracleCtes("m", "qsrc", Seq("event_type"),
+        Seq(graft.plans.ExactQuantile.Q("med_x2_us", 1, 2))) +
+      """,
+       dsrc AS (SELECT e.event_type,
+           ABS(2 * e.v - m.med_x2_us) AS v
+         FROM qsrc e JOIN mq m ON m.event_type = e.event_type),
+       """ +
+      graft.plans.ExactQuantile.oracleCtes("d", "dsrc", Seq("event_type"),
+        Seq(graft.plans.ExactQuantile.Q("mad_x4_us", 1, 2))) +
+      """
+       SELECT s.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ANY_VALUE(m.med_x2_us) AS BIGINT) AS med_x2_us,
+         CAST(ANY_VALUE(d.mad_x4_us) AS BIGINT) AS mad_x4_us,
+         CAST(COUNT(*) FILTER (WHERE d.mad_x4_us > 0
+           AND 20000 * ABS(2 * s.v - m.med_x2_us)
+               > 44478 * d.mad_x4_us) AS BIGINT) AS n_outliers
+       FROM qsrc s
+       JOIN mq m ON m.event_type = s.event_type
+       JOIN dq d ON d.event_type = s.event_type
+       GROUP BY s.event_type ORDER BY s.event_type""") { (s, dir) =>
+    import graft.plans.ExactQuantile
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      floor(col("value") * 1000000).cast("long").as("v_us"), col("event_id"))
+    val med = ExactQuantile.grouped(ev, Seq("event_type"), "v_us",
+      Seq(ExactQuantile.Q("med_x2_us", 1, 2)), Seq(col("event_id")))
+      .select(col("event_type"), col("med_x2_us"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      .withColumn("adev_x2", abs(lit(2L) * col("v_us") - col("med_x2_us")))
+    val mad = ExactQuantile.grouped(
+        dev.select(col("event_type"), col("adev_x2"), col("event_id")),
+        Seq("event_type"), "adev_x2",
+        Seq(ExactQuantile.Q("mad_x4_us", 1, 2)), Seq(col("event_id")))
+      .select(col("event_type"), col("mad_x4_us"))
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(first(col("med")), 6).as("med"),
-        round(first(col("mad")), 6).as("mad"),
-        count(when(col("mad") > 0
-          && abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"),
+        first(col("med_x2_us")).as("med_x2_us"),
+        first(col("mad_x4_us")).as("mad_x4_us"),
+        count(when(col("mad_x4_us") > 0
+          && lit(20000L) * col("adev_x2") > lit(44478L) * col("mad_x4_us"),
           1)).as("n_outliers"))
       .orderBy(col("event_type"))
   }

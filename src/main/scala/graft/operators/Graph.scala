@@ -982,14 +982,18 @@ object Graph {
     * of q200's 8-seed exact sample. Every node carries one bounded HLL
     * register set (`hll_sketch_agg` seeds B_0 = {v}); each round unions
     * every neighbor's ball into the node's own (`hll_union_agg` under a
-    * broadcast join of the 1-sketch-per-node state against the static
-    * edge layout, then one `hll_union` with the previous state) — after
-    * H rounds the sketch estimates |B_H(v)|, the number of nodes within
-    * distance H. THE point of the sketch: per-node state is CONSTANT
-    * (one register array, ~KB) regardless of graph size, the union is
+    * co-partitioned shuffle join of the 1-sketch-per-node state against
+    * the static edge layout — NO broadcast hint: the state is ~KB per
+    * node, so its total size grows linearly with |V| and must shuffle
+    * on the node key, not ship to every executor; AQE is free to pick
+    * broadcast when the graph actually fits — then one `hll_union` with
+    * the previous state. After H rounds the sketch estimates |B_H(v)|,
+    * the number of nodes within distance H. THE point of the sketch:
+    * PER-NODE state is CONSTANT (one register array, ~KB) regardless of
+    * graph size, the union is
     * commutative/associative/idempotent (register-wise max — any merge
     * tree gives the same registers), so all-nodes centrality at 100 TB
-    * is H broadcast-join rounds over mergeable state — where the exact
+    * is H key-partitioned join rounds over mergeable state — where the exact
     * computation (q200's labeled BFS run from EVERY seed) is an O(n²)
     * state explosion precisely on the dense graphs that matter.
     *
@@ -1034,7 +1038,7 @@ object Graph {
       .localCheckpoint()
     for (_ <- 1 to BallRadius) {
       val nbr = edges.select(col("src"), col("dst"))
-        .join(broadcast(state), col("dst") === col("node"))
+        .join(state, col("dst") === col("node"))
         .groupBy(col("src")).agg(hll_union_agg(col("sk")).as("nsk"))
       state = state.join(nbr, col("node") === col("src"), "left")
         .select(col("node"),

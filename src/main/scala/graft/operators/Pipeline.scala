@@ -1108,48 +1108,62 @@ object Pipeline {
     * it — the fit/transform discipline that keeps a temporal holdout
     * honest (edges fitted on the full table leak future distribution
     * shift into the features; PipelineSpec proves the edges differ).
-    * The exact interpolated percentiles are the q58-proven
-    * Spark↔DuckDB parity; the fitted edges ride the plan as a 1-row
+    * r10: the fit goes through the shared
+    * [[graft.plans.ExactQuantile]] integer order-statistic template —
+    * quartile edges in exact QUARTER-CENTS (×4), binning three exact
+    * integer comparisons `4·cents < edge_x4` (the last engine-quantile
+    * + double-comparison pair is gone; interpolation policy was the
+    * rounds-6..8 red class). The fitted edges ride the plan as a 1-row
     * broadcast (the q101/q183 pattern — a transform artifact of
-    * CONSTANT size regardless of corpus scale), binning is three
-    * comparisons of identical doubles, and the per-bin mass crosses
-    * the gate as an exact BIGINT cents sum (r9: the DECIMAL(18,2)
-    * render was green through r8 but the probe bisection made the
-    * no-decimal-output rule absolute — survivorship is not license).
-    * One aggregate to fit, one partial-aggregated pass to apply: two
-    * scans total.
+    * CONSTANT size regardless of corpus scale), and the per-bin mass
+    * crosses the gate as an exact BIGINT cents sum (r9: the
+    * DECIMAL(18,2) render was green through r8 but the probe bisection
+    * made the no-decimal-output rule absolute — survivorship is not
+    * license). One ordinal pass to fit, one partial-aggregated pass to
+    * apply.
     */
   val q193 = oracled(
     "q193_leakage_safe_binning",
     "train-only quartile cutpoints applied to the temporal holdout, exact bin masses",
-    s"""WITH tr AS (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    s"""WITH qsrc AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders
           WHERE CAST(o_orderdate AS DATE) < DATE '$BinCutoff'),
-        e AS (SELECT quantile_cont(p, 0.25) AS p25,
-                quantile_cont(p, 0.50) AS p50,
-                quantile_cont(p, 0.75) AS p75 FROM tr),
-        te AS (SELECT CAST(o_totalprice AS DOUBLE) AS p,
-                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        """ +
+      graft.plans.ExactQuantile.oracleCtes("e", "qsrc", Seq.empty,
+        Seq(graft.plans.ExactQuantile.Q("p25_x4", 1, 4),
+          graft.plans.ExactQuantile.Q("p50_x4", 2, 4),
+          graft.plans.ExactQuantile.Q("p75_x4", 3, 4))) +
+      s""",
+        te AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                   AS cents FROM orders
           WHERE CAST(o_orderdate AS DATE) >= DATE '$BinCutoff')
-        SELECT CAST(CASE WHEN p < p25 THEN 0 WHEN p < p50 THEN 1
-                         WHEN p < p75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        SELECT CAST(CASE WHEN 4 * cents < p25_x4 THEN 0
+                         WHEN 4 * cents < p50_x4 THEN 1
+                         WHEN 4 * cents < p75_x4 THEN 2 ELSE 3 END AS BIGINT) AS bin,
           CAST(COUNT(*) AS BIGINT) AS n_test,
           CAST(SUM(cents) AS BIGINT) AS test_mass_cents
-        FROM te CROSS JOIN e
+        FROM te CROSS JOIN eq
         GROUP BY 1 ORDER BY bin""") { (s, dir) =>
+    import graft.plans.ExactQuantile
     val o = Tables.orders(s, dir)
       .select(col("o_orderdate").cast("date").as("dt"),
-        col("o_totalprice").cast("double").as("p"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-    val edges = o.filter(col("dt") < lit(BinCutoff).cast("date"))
-      .agg(percentile(col("p"), lit(0.25)).as("p25"),
-        percentile(col("p"), lit(0.50)).as("p50"),
-        percentile(col("p"), lit(0.75)).as("p75"))
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val edges = ExactQuantile.grouped(
+        o.filter(col("dt") < lit(BinCutoff).cast("date"))
+          .select(col("cents"), col("o_orderkey")),
+        Seq.empty, "cents",
+        Seq(ExactQuantile.Q("p25_x4", 1, 4), ExactQuantile.Q("p50_x4", 2, 4),
+          ExactQuantile.Q("p75_x4", 3, 4)),
+        Seq(col("o_orderkey")))
+      .select(col("p25_x4"), col("p50_x4"), col("p75_x4"))
+    val x4 = lit(4L) * col("cents")
     o.filter(col("dt") >= lit(BinCutoff).cast("date"))
       .crossJoin(broadcast(edges))
       .select(
-        when(col("p") < col("p25"), 0L).when(col("p") < col("p50"), 1L)
-          .when(col("p") < col("p75"), 2L).otherwise(3L).as("bin"),
+        when(x4 < col("p25_x4"), 0L).when(x4 < col("p50_x4"), 1L)
+          .when(x4 < col("p75_x4"), 2L).otherwise(3L).as("bin"),
         col("cents"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_test"),
@@ -1239,8 +1253,16 @@ object Pipeline {
          CAST(MIN(bps) AS BIGINT) AS min_bps,
          CAST(MAX(bps) AS BIGINT) AS max_bps
        FROM b GROUP BY source ORDER BY source""") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-      .select(col("source"), col("n_chars"), col("doc_id"))
+    rankNormalization(Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), col("doc_id")))
+  }
+
+  /** q244 core, factored for the hand-built-fixture spec: `docs` has
+    * (source, n_chars, doc_id); global rank by (n_chars, doc_id) via
+    * the distributed ordinal, bps = (rk−1)·10⁴ div (N−1), per-source
+    * mean/min/max roll-up.
+    */
+  private[graft] def rankNormalization(docs: DataFrame): DataFrame = {
     val ranked = graft.plans.Ordinal.withGlobalOrdinal(
       docs, "rk", col("n_chars"), col("doc_id"))
     val n = ranked.agg(count(lit(1)).as("n"))

@@ -118,20 +118,42 @@ object SetOps {
     * Spark emits the bound check computed from its sketch; the oracle
     * emits literal TRUE from exact data — if the sketch ever degrades
     * past its contract, the hash gate fails. The rank join-back is one
-    * broadcast (5 medians) + one aggregate; the exact median is the
-    * oracle-proven percentile parity from q58.
+    * broadcast (5 medians) + one aggregate. r10: the crossing exact
+    * median is no longer an engine `percentile`/`quantile_cont` pair
+    * (the rounds-6..8 red class) but the shared
+    * [[graft.plans.ExactQuantile]] integer order-statistic template —
+    * the gate column is BIGINT half-cents (`exact_median_x2_cents`);
+    * the sketch and its rank check stay double-internal, as contract
+    * machinery should.
     */
   val q165 = oracled(
     "q165_approx_percentile_contract",
     "approx_percentile rank-error bound vs exact rank (sketch accuracy contract)",
-    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
-         quantile_cont(c_acctbal, 0.5) AS exact_median,
+    """WITH qsrc AS (
+         SELECT c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+         FROM customer),
+       """ +
+      graft.plans.ExactQuantile.oracleCtes("e", "qsrc", Seq("c_mktsegment"),
+        Seq(graft.plans.ExactQuantile.Q("exact_median_x2_cents", 1, 2))) +
+      """
+       SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+         CAST(exact_median_x2_cents AS BIGINT) AS exact_median_x2_cents,
          TRUE AS within_rank_error
-       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
-    val cust = Tables.customer(s, dir).select(col("c_mktsegment"), col("c_acctbal"))
+       FROM eq ORDER BY c_mktsegment""") { (s, dir) =>
+    import graft.plans.ExactQuantile
+    val cust = Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    val exact = ExactQuantile.grouped(
+        cust.select(col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+          col("c_custkey")),
+        Seq("c_mktsegment"), "cents",
+        Seq(ExactQuantile.Q("exact_median_x2_cents", 1, 2)),
+        Seq(col("c_custkey")))
+      .select(col("c_mktsegment"), col("exact_median_x2_cents"))
     val stats = cust.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        percentile(col("c_acctbal"), lit(0.5)).as("exact_median"),
         approx_percentile(col("c_acctbal"), lit(0.5), lit(1000)).as("approx_median"))
     // TIE-AWARE rank check: the sketch's guarantee is about SOME instance
     // of the returned value, whose positions span (count(<), count(<=)].
@@ -143,8 +165,8 @@ object SetOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(when(col("c_acctbal") < col("approx_median"), 1)).as("rank_lt"),
         count(when(col("c_acctbal") <= col("approx_median"), 1)).as("rank_le"))
-    stats.join(ranks, "c_mktsegment")
-      .select(col("c_mktsegment"), col("n"), col("exact_median"),
+    stats.join(ranks, "c_mktsegment").join(broadcast(exact), "c_mktsegment")
+      .select(col("c_mktsegment"), col("n"), col("exact_median_x2_cents"),
         (col("rank_lt") <= col("n") / lit(2.0) + col("n") / lit(1000.0) + 1 &&
           col("rank_le") >= col("n") / lit(2.0) - col("n") / lit(1000.0) - 1)
           .as("within_rank_error"))

@@ -77,25 +77,43 @@ object Temporal {
   }
 
   /** q58 — exact interpolated percentiles per group (median + p90 of
-    * customer balances). Spark `percentile` and DuckDB `quantile_cont`
-    * both use the (n-1)*p linear-interpolation definition.
+    * customer balances), spelled out as integer order-statistic
+    * arithmetic through the shared [[graft.plans.ExactQuantile]]
+    * template (r10: the engine `percentile`/`quantile_cont` pair this
+    * query used through r9 is the construct class that produced every
+    * rounds-6..8 driver red — interpolation/float policy is
+    * engine-version property, not semantics; "matched for 2+ rounds"
+    * was survivorship, not proof). Values are exact CENTS; both
+    * quantiles share the ×10 unit (p=5/10 and p=9/10), so the gate
+    * columns are BIGINT tenth-of-cents: caller's one division is
+    * ·0.001. Ranks come from the distributed two-level
+    * [[graft.plans.PrefixSum]] ordinal; the 4 selected order
+    * statistics per segment ride a 5-row broadcast.
     */
   val q58 = oracled(
     "q58_percentiles",
-    "exact interpolated median/p90 per segment",
-    """SELECT c_mktsegment,
-       COUNT(*) AS n,
-       quantile_cont(c_acctbal, 0.5) AS median_bal,
-       quantile_cont(c_acctbal, 0.9) AS p90_bal
-       FROM customer
-       GROUP BY c_mktsegment
-       ORDER BY c_mktsegment""") { (s, dir) =>
-    Tables.customer(s, dir)
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        count(lit(1)).as("n"),
-        percentile(col("c_acctbal"), lit(0.5)).as("median_bal"),
-        percentile(col("c_acctbal"), lit(0.9)).as("p90_bal"))
+    "exact interpolated median/p90 per segment (integer order-statistic arithmetic)",
+    """WITH qsrc AS (
+         SELECT c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+         FROM customer),
+       """ +
+      graft.plans.ExactQuantile.oracleCtes("e", "qsrc", Seq("c_mktsegment"),
+        Seq(graft.plans.ExactQuantile.Q("median_x10_cents", 5, 10),
+          graft.plans.ExactQuantile.Q("p90_x10_cents", 9, 10))) +
+      """
+       SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+         CAST(median_x10_cents AS BIGINT) AS median_x10_cents,
+         CAST(p90_x10_cents AS BIGINT) AS p90_x10_cents
+       FROM eq ORDER BY c_mktsegment""") { (s, dir) =>
+    import graft.plans.ExactQuantile
+    val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      col("c_custkey"))
+    ExactQuantile.grouped(cents, Seq("c_mktsegment"), "cents",
+        Seq(ExactQuantile.Q("median_x10_cents", 5, 10),
+          ExactQuantile.Q("p90_x10_cents", 9, 10)),
+        tiebreaks = Seq(col("c_custkey")))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -1447,11 +1465,19 @@ object Temporal {
          cents_full - cents_early AS delta_cents
        FROM g WHERE n_full <> n_early
        ORDER BY day""") { (s, dir) =>
-    val ev = Tables.events(s, dir)
+    restatementAudit(Tables.events(s, dir)
       .select(col("ts").cast("date").as("day"),
         unix_micros(col("ts")).as("us"),
-        (dec2(col("value")) * 100).cast("long").as("cents"))
-    val w = ev.agg((max(col("us")) - 7L * 86400000000L).as("early"))
+        (dec2(col("value")) * 100).cast("long").as("cents")),
+      lagUs = 7L * 86400000000L)
+  }
+
+  /** q243 core, factored for the hand-built-fixture spec: `ev` has
+    * (day, us, cents); early cutoff = max(us) − lagUs. One
+    * conditional-agg scan; only restated days survive.
+    */
+  private[graft] def restatementAudit(ev: DataFrame, lagUs: Long): DataFrame = {
+    val w = ev.agg((max(col("us")) - lagUs).as("early"))
     ev.crossJoin(broadcast(w))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_full"),

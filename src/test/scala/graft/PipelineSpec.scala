@@ -135,22 +135,30 @@ class PipelineSpec extends AnyFunSuite {
     val rows = operators.Pipeline.q193.run(spark, sfDir).collect()
     assert(rows.map(_.getLong(1)).sum == holdout, "bins must partition the holdout")
     assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
-    // leakage check: quartiles fitted on train differ from quartiles
+    // leakage check: quartile edges fitted on train differ from edges
     // fitted on the full table — if the query used full-table edges,
     // the bin populations would shift (the spec would catch a refactor
-    // that "simplifies" the fit onto the whole relation)
-    def quartiles(df: org.apache.spark.sql.DataFrame): Seq[Double] =
-      df.agg(percentile(col("p"), lit(0.25)), percentile(col("p"), lit(0.5)),
-          percentile(col("p"), lit(0.75)))
-        .head().toSeq.map(_.asInstanceOf[Double])
-    val trainE = quartiles(o.filter(col("dt") < lit(cutoff)))
-    val fullE = quartiles(o)
-    assert(trainE != fullE, "fixture degenerate: train and full quartiles identical")
+    // that "simplifies" the fit onto the whole relation). Serial
+    // reimplementation of the query's EXACT integer order-statistic
+    // interpolation (quarter-cents): q_x4 = 4·v_{k+1} + f·(v_{k+2}−v_{k+1})
+    // with pos = num·(n−1), k = pos div 4, f = pos mod 4, on sorted cents.
+    def centsOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.select((col("p").cast("decimal(18,2)") * 100).cast("long"))
+        .collect().map(_.getLong(0)).sorted
+    def edgesX4(v: Array[Long]): Seq[Long] = (1 to 3).map { num =>
+      val pos = num.toLong * (v.length - 1)
+      val k = (pos / 4).toInt
+      val f = pos % 4
+      val vb = v(math.min(k + 1, v.length - 1))
+      4L * v(k) + f * (vb - v(k))
+    }
+    val trainE = edgesX4(centsOf(o.filter(col("dt") < lit(cutoff))))
+    val fullE = edgesX4(centsOf(o))
+    assert(trainE != fullE, "fixture degenerate: train and full quartile edges identical")
     // and the shipped bin counts match a driver-side re-binning on train edges
-    val binned = o.filter(col("dt") >= lit(cutoff)).select(col("p")).collect()
-      .map(_.getDouble(0))
-      .groupBy(p => if (p < trainE(0)) 0L else if (p < trainE(1)) 1L
-        else if (p < trainE(2)) 2L else 3L)
+    val binned = centsOf(o.filter(col("dt") >= lit(cutoff)))
+      .groupBy(c => if (4 * c < trainE(0)) 0L else if (4 * c < trainE(1)) 1L
+        else if (4 * c < trainE(2)) 2L else 3L)
       .view.mapValues(_.length.toLong).toMap
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == binned)
   }
@@ -172,5 +180,43 @@ class PipelineSpec extends AnyFunSuite {
           s"floor key flipped the exact order: ($w1/$h1) vs ($w2/$h2)")
       else assert(k1 === k2)
     }
+  }
+
+  test("q244 rankNormalization: bps pins at the ordinal boundaries") {
+    import spark.implicits._
+    // 5 docs, distinct n_chars → ranks are the sort order; N−1 = 4:
+    // bps = (rk−1)·10⁴ div 4 ∈ {0, 2500, 5000, 7500, 10000}.
+    val docs = Seq(
+      ("s1", 10L, 1L), ("s1", 30L, 2L), ("s2", 20L, 3L),
+      ("s2", 40L, 4L), ("s2", 50L, 5L)
+    ).toDF("source", "n_chars", "doc_id")
+    val got = operators.Pipeline.rankNormalization(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // s1 holds ranks 1 (10) and 3 (30) → bps {0, 5000}: mean 2500
+    // s2 holds ranks 2,4,5 → bps {2500, 7500, 10000}: mean 6666 (div)
+    assert(got == Seq(
+      ("s1", 2L, 2500L, 0L, 5000L),
+      ("s2", 3L, 6666L, 2500L, 10000L)))
+    // the global extremes are exactly 0 and 10000 — the boundary pin
+    assert(got.map(_._4).min == 0L && got.map(_._5).max == 10000L)
+  }
+
+  test("q244 rankNormalization: equal scores tie-break by doc_id, bps stays monotone") {
+    import spark.implicits._
+    // all five docs share n_chars — ranks follow doc_id alone; the doc
+    // with the smallest id must get bps 0 and the largest 10000
+    val docs = Seq(
+      ("a", 7L, 11L), ("b", 7L, 12L), ("a", 7L, 13L),
+      ("b", 7L, 14L), ("a", 7L, 15L)
+    ).toDF("source", "n_chars", "doc_id")
+    val got = operators.Pipeline.rankNormalization(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // a: ids 11,13,15 → ranks 1,3,5 → bps 0,5000,10000 → mean 5000
+    // b: ids 12,14    → ranks 2,4   → bps 2500,7500    → mean 5000
+    assert(got == Seq(
+      ("a", 3L, 5000L, 0L, 10000L),
+      ("b", 2L, 5000L, 2500L, 7500L)))
   }
 }

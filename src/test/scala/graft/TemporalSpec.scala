@@ -131,4 +131,34 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Seq(Seq("b c", "x", "y"), Seq("b c", "x", "y", "z")))
     assert(vocab == 4) // {b c, x, y, z}
   }
+
+  test("q243 restatementAudit: only restated days survive, deltas exact") {
+    import spark.implicits._
+    // max(us) = 100; lag 10 → early cutoff = 90. Day semantics:
+    //  dayA: both rows ≤ 90                  → NOT restated (filtered out)
+    //  dayB: one row ≤ 90, one after         → restated, delta = late cents
+    //  dayC: all rows after the cutoff       → restated from zero
+    //  dayD: boundary — us == 90 counts as early (<= cutoff)
+    val ev = Seq(
+      ("dayA", 10L, 5L), ("dayA", 20L, 7L),
+      ("dayB", 30L, 11L), ("dayB", 95L, 13L),
+      ("dayC", 96L, 17L), ("dayC", 100L, 19L),
+      ("dayD", 90L, 23L), ("dayD", 91L, 29L)
+    ).toDF("day", "us", "cents")
+    val got = operators.Temporal.restatementAudit(ev, lagUs = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("dayB", 1L, 2L, 11L, 24L, 13L),
+      ("dayC", 0L, 2L, 0L, 36L, 36L),
+      ("dayD", 1L, 2L, 23L, 52L, 29L)))
+  }
+
+  test("q243 restatementAudit: nothing restated when all data is early") {
+    import spark.implicits._
+    val ev = Seq(("d1", 1L, 2L), ("d2", 3L, 4L)).toDF("day", "us", "cents")
+    // cutoff = 3 - 0 = 3; both rows <= 3 → empty result
+    assert(operators.Temporal.restatementAudit(ev, lagUs = 0L).count() == 0L)
+  }
 }
