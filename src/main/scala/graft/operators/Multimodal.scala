@@ -3,19 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GQuery
-import graft.GQuery.{oracled, rowsOnly}
+import graft.GQuery.oracled
 import graft.sources.Tables
 
 /** Multimodal-column plumbing (north-star set): media as opaque BINARY
   * payloads with typed metadata, processed partition-wise.
   *
-  * The container ships no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (see [[DecodeStub]]) — but the
-  * Spark-side plumbing is real: schema, binary payload handling,
-  * partition-wise batch iteration (`mapPartitions` over a typed Dataset,
-  * the Scala analogue of `mapInPandas` batches), and the feature-table
-  * output shape a real decoder would produce. Swapping the stub for a
-  * JNI/codec call changes one function, not the pipeline.
+  * The container ships no image/audio codec LIBRARIES, but BMP is a
+  * pure header+pixel format decodable with nothing but byte arithmetic
+  * — so since r10 the decode step is a REAL decoder ([[BmpCodec]]:
+  * little-endian header parse, 4-byte row stride, bottom-up row order,
+  * BGR channel order), retiring the r1–r9 deterministic stub. The
+  * Spark-side plumbing is the same carve-out a JPEG/PNG JNI decoder
+  * would use: schema, binary payload handling, partition-wise batch
+  * iteration (`mapPartitions` over a typed Dataset, the Scala analogue
+  * of `mapInPandas` batches), and a fixed-schema feature-table output.
+  * Swapping BMP for a JNI codec call changes one function, not the
+  * pipeline.
   */
 object Multimodal {
 
@@ -30,56 +34,139 @@ object Multimodal {
       payload: Array[Byte],
       declared_len: Long)
 
-  /** Decoded feature row a real image/audio decoder would emit. */
-  final case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      n_bytes: Long,
-      checksum: Long,
-      width: Int,
-      height: Int,
-      n_frames: Int)
-
-  /** ??? real decoder goes here ??? — the container has no image/audio
-    * libraries, so this computes deterministic pseudo-features from the
-    * payload bytes: checksum = polynomial byte fold, width/height/frames
-    * derived from it. Signature and batch shape match a real decoder
-    * (bytes in, fixed-schema features out, called per partition batch).
+  /** Decoded feature row the BMP decoder emits: dimensions from the
+    * header, per-channel pixel sums, and a position-weighted checksum
+    * Σ (p+1)·(B + 2G + 3R) over pixels in IMAGE order (p = y·w + x,
+    * top-left origin) — the weighted term is what makes the gate
+    * order-SENSITIVE: plain channel sums are invariant to pixel
+    * permutation, so a decoder that ignored BMP's bottom-up row
+    * storage would still pass them; it cannot pass the weighted sum.
     */
-  object DecodeStub {
-    def decode(b: MediaBlob): MediaFeatures = {
-      import graft.functions.RollingHash.{DefaultBase, DefaultMod}
-      var h = 0L
-      var i = 0
-      while (i < b.payload.length) {
-        h = (h * DefaultBase + (b.payload(i) & 0xff)) % DefaultMod
-        i += 1
+  final case class BmpFeatures(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      n_bytes: Long,
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long,
+      weighted_checksum: Long)
+
+  /** Minimal real BMP (Windows BITMAPINFOHEADER, 24 bpp, uncompressed)
+    * encoder + decoder in pure JVM byte arithmetic — no codec library.
+    * Format facts exercised: 14-byte file header ('BM', file size,
+    * pixel-data offset at byte 10), 40-byte info header (width at 18,
+    * height at 22, planes, bpp at 28, BI_RGB compression at 30), pixel
+    * rows stored BOTTOM-UP, each row padded to a 4-byte stride, pixels
+    * in BGR channel order.
+    */
+  object BmpCodec {
+    def stride(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+    /** Synthesizes the fixture image for `media_id`: w×h 24-bpp BMP
+      * whose pixel at image position p = y·w + x is
+      *   B = (media_id·7 + p) mod 256,
+      *   G = (p² + 3) mod 256,
+      *   R = (n_chars + 5p) mod 256
+      * — closed forms the DuckDB oracle recomputes independently, so
+      * the whole encode→decode round trip is oracle-gated.
+      */
+    def encode(mediaId: Long, w: Int, h: Int, nChars: Long): Array[Byte] = {
+      val st = stride(w)
+      val size = 54 + st * h
+      val buf = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(size)
+      buf.putInt(0)            // reserved
+      buf.putInt(54)           // pixel-data offset
+      buf.putInt(40)           // BITMAPINFOHEADER size
+      buf.putInt(w)
+      buf.putInt(h)
+      buf.putShort(1)          // planes
+      buf.putShort(24)         // bpp
+      buf.putInt(0)            // BI_RGB (uncompressed)
+      buf.putInt(st * h)
+      buf.putInt(2835).putInt(2835) // 72 dpi
+      buf.putInt(0).putInt(0)
+      var y = h - 1            // rows stored bottom-up
+      while (y >= 0) {
+        var x = 0
+        var written = 0
+        while (x < w) {
+          val p = y.toLong * w + x
+          buf.put(((mediaId * 7 + p) % 256).toByte)
+          buf.put(((p * p + 3) % 256).toByte)
+          buf.put(((nChars + 5 * p) % 256).toByte)
+          written += 3
+          x += 1
+        }
+        while (written < st) { buf.put(0.toByte); written += 1 }
+        y -= 1
       }
-      MediaFeatures(
-        media_id = b.media_id,
-        kind = b.kind,
-        n_bytes = b.payload.length.toLong,
-        checksum = h,
-        width = (h % 1920).toInt + 1,
-        height = (h % 1080).toInt + 1,
-        n_frames = if (b.kind == "video") (h % 240).toInt + 1 else 1)
+      buf.array()
+    }
+
+    /** Parses any 24-bpp uncompressed BMP (not just [[encode]]'s): the
+      * header fields drive the pixel walk, so a wrong offset, stride,
+      * row order, or channel order shows up in the features.
+      */
+    def decode(mediaId: Long, bytes: Array[Byte]): BmpFeatures = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && buf.get(0) == 'B'.toByte &&
+        buf.get(1) == 'M'.toByte, s"media $mediaId: not a BMP")
+      val off = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      require(buf.getShort(28) == 24, s"media $mediaId: only 24 bpp supported")
+      require(buf.getInt(30) == 0, s"media $mediaId: compressed BMP unsupported")
+      require(w > 0 && h > 0 && off + stride(w).toLong * h <= bytes.length,
+        s"media $mediaId: truncated pixel array")
+      val st = stride(w)
+      var sb = 0L; var sg = 0L; var sr = 0L; var wsum = 0L
+      var y = 0
+      while (y < h) {
+        val rowOff = off + (h - 1 - y) * st // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val i = rowOff + 3 * x
+          val b = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val r = bytes(i + 2) & 0xff
+          sb += b; sg += g; sr += r
+          val p = y.toLong * w + x
+          wsum += (p + 1) * (b + 2L * g + 3L * r)
+          x += 1
+        }
+        y += 1
+      }
+      BmpFeatures(mediaId, w.toLong, h.toLong, bytes.length.toLong,
+        sb, sg, sr, wsum)
     }
   }
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes of
-    * the text (deterministic stand-in for real image/audio bytes), kind
-    * assigned round-robin.
+  /** Synthesize the media table from documents: every doc becomes a
+    * real BMP image whose dimensions are metadata arithmetic
+    * (w = n_chars mod 13 + 3, h = doc_id mod 7 + 2) — encode runs
+    * distributed in a typed map, exactly where a render/transcode stage
+    * would.
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
-      col("n_chars").as("declared_len"))
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val w = (nChars % 13 + 3).toInt
+        val h = (docId % 7 + 2).toInt
+        MediaBlob(docId, "image", BmpCodec.encode(docId, w, h, nChars),
+          declared_len = 54L + BmpCodec.stride(w).toLong * h)
+      }.toDF()
+  }
 
   /** The partition-wise decode pipeline: typed Dataset → mapPartitions
-    * (one stub-decoder instance per partition, amortized like a model
+    * (one decoder instance per partition, amortized like a model
     * handle in a Pandas UDF) → feature DataFrame.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
@@ -88,7 +175,7 @@ object Multimodal {
     val ds: Dataset[MediaBlob] = media.as[MediaBlob]
     ds.mapPartitions { it =>
       // per-partition setup happens here (codec init in a real decoder)
-      it.map(DecodeStub.decode)
+      it.map(b => BmpCodec.decode(b.media_id, b.payload))
     }.toDF()
   }
 
@@ -114,21 +201,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** q53 — the full stub decode pipeline (rows-only: mapPartitions over
-    * a typed Dataset is not SQL-expressible; MultimodalSpec asserts the
-    * deterministic feature values instead).
+  /** q53 — the full encode→decode pipeline, ORACLED since r10 (it was
+    * the registry's last honest stub, `no_oracle` rows r1–r9): every
+    * document renders to a real 24-bpp BMP in a distributed typed map,
+    * the partition-wise [[BmpCodec.decode]] parses header + pixel array
+    * back, and the gate compares the extracted integer features against
+    * DuckDB's independent closed-form recomputation — dimensions from
+    * the metadata arithmetic, per-channel sums and the
+    * position-weighted checksum from the pixel formulas via an unnest
+    * over p ∈ [0, w·h), and n_bytes from the format's own size formula
+    * 54 + h·stride(w) (which proves the 4-byte row padding round-trips
+    * through both the encoder and the decoder's offset walk). The
+    * `mapPartitions` carve-out stays a documented exception: a byte
+    * format is imperative per-row work, not relational algebra.
     */
-  val q53 = rowsOnly(
-    "q53_multimodal_decode_stub",
-    "partition-wise media decode (stub) -> per-kind feature aggregates") { (s, dir) =>
-    decodeFeatures(mediaTable(s, dir))
-      .groupBy(col("kind"))
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        countDistinct(col("checksum")).as("n_distinct_payloads"),
-        max(col("n_frames")).as("max_frames"))
-      .orderBy(col("kind"))
+  val q53 = oracled(
+    "q53_bmp_decode",
+    "real BMP encode→decode round trip: header/stride/bottom-up/BGR parse vs closed-form oracle",
+    """WITH d AS (SELECT doc_id AS media_id,
+           n_chars % 13 + 3 AS w, doc_id % 7 + 2 AS h, n_chars
+         FROM documents),
+       px AS (SELECT media_id, w, h, n_chars, u.p AS p
+         FROM d, unnest(range(0, w * h)) u(p)),
+       f AS (SELECT media_id, w, h, n_chars,
+           SUM((media_id * 7 + p) % 256) AS sum_b,
+           SUM((p * p + 3) % 256) AS sum_g,
+           SUM((n_chars + 5 * p) % 256) AS sum_r,
+           SUM((p + 1) * ((media_id * 7 + p) % 256
+             + 2 * ((p * p + 3) % 256)
+             + 3 * ((n_chars + 5 * p) % 256))) AS wsum
+         FROM px GROUP BY 1, 2, 3, 4)
+       SELECT media_id, CAST(w AS BIGINT) AS width,
+         CAST(h AS BIGINT) AS height,
+         CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+         CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+         CAST(sum_r AS BIGINT) AS sum_r,
+         CAST(wsum AS BIGINT) AS weighted_checksum
+       FROM f ORDER BY media_id""") { (s, dir) =>
+    decodeFeatures(mediaTable(s, dir)).orderBy(col("media_id"))
   }
 
   /** q94 — video frame sampling: every video expands to one row per

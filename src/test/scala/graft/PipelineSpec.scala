@@ -44,11 +44,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.distinct.length === pairs.length)
   }
 
-  test("multimodal decode stub is deterministic across runs and kinds are complete") {
+  test("multimodal BMP decode is deterministic across runs, one feature row per doc") {
     val f1 = Multimodal.q53.run(spark, sfDir).collect().map(_.toSeq)
     val f2 = Multimodal.q53.run(spark, sfDir).collect().map(_.toSeq)
     assert(f1.toSeq === f2.toSeq)
-    assert(f1.map(_.head).toSet === Set("audio", "image", "video"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(f1.length.toLong === nDocs)
+  }
+
+  test("BMP decoder reads the actual format: hand-assembled 2x2 image") {
+    // Built byte-by-byte from the BMP spec, NOT via BmpCodec.encode —
+    // proves the decoder parses the real format (little-endian header,
+    // pixel-data offset, bottom-up row order, BGR channels, 4-byte row
+    // padding), so an encoder/decoder bug pair can't cancel out.
+    // Image (top-left origin): (0,0)=BGR(1,2,3)   (1,0)=BGR(4,5,6)
+    //                          (0,1)=BGR(7,8,9)   (1,1)=BGR(10,11,12)
+    // Stored bottom-up, stride 8 (2 px * 3 B = 6, padded to 8).
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    val bytes = (
+      Seq('B'.toInt, 'M'.toInt) ++ le32(70) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++        // info header
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Seq(7, 8, 9, 10, 11, 12, 0, 0) ++   // stored row 0 = image row y=1
+      Seq(1, 2, 3, 4, 5, 6, 0, 0)         // stored row 1 = image row y=0
+    ).map(_.toByte).toArray
+    assert(bytes.length === 70)
+    val f = Multimodal.BmpCodec.decode(99L, bytes)
+    assert(f.width === 2L && f.height === 2L && f.n_bytes === 70L)
+    assert(f.sum_b === 22L && f.sum_g === 26L && f.sum_r === 30L)
+    // wsum in IMAGE order: 1*(1+4+9) + 2*(4+10+18) + 3*(7+16+27) + 4*(10+22+36)
+    assert(f.weighted_checksum === 14L + 64L + 150L + 272L)
+  }
+
+  test("BMP encode→decode round trip matches the closed forms") {
+    for ((id, nChars) <- Seq((0L, 0L), (5L, 260L), (123L, 999L))) {
+      val w = (nChars % 13 + 3).toInt
+      val h = (id % 7 + 2).toInt
+      val f = Multimodal.BmpCodec.decode(id,
+        Multimodal.BmpCodec.encode(id, w, h, nChars))
+      val px = (0L until w.toLong * h)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      assert(f.n_bytes === 54L + Multimodal.BmpCodec.stride(w).toLong * h)
+      assert(f.sum_b === px.map(p => (id * 7 + p) % 256).sum)
+      assert(f.sum_g === px.map(p => (p * p + 3) % 256).sum)
+      assert(f.sum_r === px.map(p => (nChars + 5 * p) % 256).sum)
+      assert(f.weighted_checksum === px.map(p => (p + 1) * ((id * 7 + p) % 256
+        + 2 * ((p * p + 3) % 256) + 3 * ((nChars + 5 * p) % 256))).sum)
+    }
   }
 
   test("streaming windowed aggregation equals the batch twin on the same input") {
