@@ -907,17 +907,22 @@ object Analytics {
        JOIN dq d ON d.event_type = s.event_type
        GROUP BY s.event_type ORDER BY s.event_type""") { (s, dir) =>
     import graft.plans.ExactQuantile
+    // the template's contract: chained quantile calls re-scan their
+    // input 3x each — persist the 2-column projection once (16 B/row;
+    // Verify/Bench/PlanDump clearCache between queries, q232 precedent)
     val ev = Tables.events(s, dir).select(col("event_type"),
-      floor(col("value") * 1000000).cast("long").as("v_us"), col("event_id"))
+        floor(col("value") * 1000000).cast("long").as("v_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = ExactQuantile.grouped(ev, Seq("event_type"), "v_us",
-      Seq(ExactQuantile.Q("med_x2_us", 1, 2)), Seq(col("event_id")))
+      Seq(ExactQuantile.Q("med_x2_us", 1, 2)))
       .select(col("event_type"), col("med_x2_us"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("adev_x2", abs(lit(2L) * col("v_us") - col("med_x2_us")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = ExactQuantile.grouped(
-        dev.select(col("event_type"), col("adev_x2"), col("event_id")),
+        dev.select(col("event_type"), col("adev_x2")),
         Seq("event_type"), "adev_x2",
-        Seq(ExactQuantile.Q("mad_x4_us", 1, 2)), Seq(col("event_id")))
+        Seq(ExactQuantile.Q("mad_x4_us", 1, 2)))
       .select(col("event_type"), col("mad_x4_us"))
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"))

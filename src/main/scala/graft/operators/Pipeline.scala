@@ -1063,6 +1063,19 @@ object Pipeline {
     * `user·100 + item`, computed in DECIMAL(38,0) so the multiply
     * stays total over the full BIGINT range (the ANSI-overflow trap),
     * while the oracle keeps the plain integer spelling.
+    *
+    * At 100 TB: the full user×catalog grid materialized here is sound
+    * ONLY because the catalog is fixture-bounded (100 items); with an
+    * unbounded catalog (10⁸ items) the grid is the scale-killer. The
+    * scale-safe alternative — the same upgrade posture q51/q63 state
+    * for their LSH/IVF paths — is HASHED CANDIDATE SAMPLING: per user,
+    * probe k·c candidate items by a deterministic hash sequence
+    * h(user, attempt) mod |catalog| (attempt = 0..k·c−1), anti-join
+    * ONLY those candidates against the interaction set, and keep the
+    * first k survivors in attempt order — O(users·k·c) rows instead of
+    * O(users·|catalog|), same reproducibility (the hash is the random
+    * order), with c chosen so P(k survivors) ≈ 1 given the user's
+    * interaction density (c = 2 suffices below 50% density).
     */
   val q184 = oracled(
     "q184_negative_sampling",
@@ -1148,15 +1161,13 @@ object Pipeline {
     import graft.plans.ExactQuantile
     val o = Tables.orders(s, dir)
       .select(col("o_orderdate").cast("date").as("dt"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
-        col("o_orderkey"))
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
     val edges = ExactQuantile.grouped(
         o.filter(col("dt") < lit(BinCutoff).cast("date"))
-          .select(col("cents"), col("o_orderkey")),
+          .select(col("cents")),
         Seq.empty, "cents",
         Seq(ExactQuantile.Q("p25_x4", 1, 4), ExactQuantile.Q("p50_x4", 2, 4),
-          ExactQuantile.Q("p75_x4", 3, 4)),
-        Seq(col("o_orderkey")))
+          ExactQuantile.Q("p75_x4", 3, 4)))
       .select(col("p25_x4"), col("p50_x4"), col("p75_x4"))
     val x4 = lit(4L) * col("cents")
     o.filter(col("dt") >= lit(BinCutoff).cast("date"))

@@ -146,11 +146,9 @@ object SetOps {
       .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
     val exact = ExactQuantile.grouped(
         cust.select(col("c_mktsegment"),
-          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
-          col("c_custkey")),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents")),
         Seq("c_mktsegment"), "cents",
-        Seq(ExactQuantile.Q("exact_median_x2_cents", 1, 2)),
-        Seq(col("c_custkey")))
+        Seq(ExactQuantile.Q("exact_median_x2_cents", 1, 2)))
       .select(col("c_mktsegment"), col("exact_median_x2_cents"))
     val stats = cust.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),

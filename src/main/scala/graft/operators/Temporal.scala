@@ -86,9 +86,10 @@ object Temporal {
     * was survivorship, not proof). Values are exact CENTS; both
     * quantiles share the ×10 unit (p=5/10 and p=9/10), so the gate
     * columns are BIGINT tenth-of-cents: caller's one division is
-    * ·0.001. Ranks come from the distributed two-level
-    * [[graft.plans.PrefixSum]] ordinal; the 4 selected order
-    * statistics per segment ride a 5-row broadcast.
+    * ·0.001. Rank selection is the template's two-scan histogram
+    * narrowing (q194's shape) — no total sort, no per-row rank; the 4
+    * selected order statistics per segment ride a targets-sized
+    * broadcast.
     */
   val q58 = oracled(
     "q58_percentiles",
@@ -108,12 +109,10 @@ object Temporal {
        FROM eq ORDER BY c_mktsegment""") { (s, dir) =>
     import graft.plans.ExactQuantile
     val cents = Tables.customer(s, dir).select(col("c_mktsegment"),
-      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
-      col("c_custkey"))
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"))
     ExactQuantile.grouped(cents, Seq("c_mktsegment"), "cents",
         Seq(ExactQuantile.Q("median_x10_cents", 5, 10),
-          ExactQuantile.Q("p90_x10_cents", 9, 10)),
-        tiebreaks = Seq(col("c_custkey")))
+          ExactQuantile.Q("p90_x10_cents", 9, 10)))
       .orderBy(col("c_mktsegment"))
   }
 

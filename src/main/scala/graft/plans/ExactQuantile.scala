@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT interpolated quantiles over integer-unit values, spelled out as
@@ -10,7 +11,7 @@ import org.apache.spark.sql.functions._
   * rounds-6..8 driver reds, `Analytics.winsorThresholds`) into the one
   * shared implementation all quantile consumers use, on BOTH sides of
   * the gate: [[grouped]] builds the Spark plan and [[oracleCtes]] emits
-  * the structurally-identical DuckDB CTE chain from the same
+  * a DuckDB CTE chain computing the same definition from the same
   * (numerator, denominator) list, so the two engines cannot drift.
   *
   * Definition (the `quantile_cont`/`percentile` linear interpolation,
@@ -22,13 +23,54 @@ import org.apache.spark.sql.functions._
   * quantile scaled ×den; one final division (if a human-facing number
   * is ever needed) stays OUTSIDE the gate columns.
   *
-  * Distributed shape: ranks come from the two-level [[PrefixSum]]
-  * ordinal (no single-task global window), per-group (n, rank targets)
-  * ride a groups-sized broadcast, and only the ≤ 2·|quantiles| selected
-  * order statistics per group survive the filter into a tiny pivot
-  * aggregate — O(rows) scan + O(groups) state at any corpus size.
+  * Distributed shape — q194's HISTOGRAM SELECTION, generalized to
+  * groups, interpolated rank pairs, and RANGE-ADAPTIVE buckets (NOT a
+  * full ranking: an order statistic needs 2 rows per quantile, so
+  * ranking every row — even with the two-level PrefixSum ordinal —
+  * does O(rows) shuffle+sort work to answer an O(1)-row question):
+  *   pass 0: per-group (min, max) bounds — pure arithmetic then gives
+  *     every row its bucket b = (v − lo) div w with width
+  *     w = (hi − lo) div [[Buckets]] + 1, so the histogram is ≤
+  *     [[Buckets]]+1 counters per group REGARDLESS of the value
+  *     domain (a fixed width dies on wide domains: micro-unit values
+  *     spanning 10⁹ would make domain/4096 ≈ the row count — the
+  *     PrefixSum bounds-pass trick, reused);
+  *   pass 1: one partial-aggregated (group, bucket) histogram; group
+  *     sizes n and per-bucket cumulative offsets re-aggregate from the
+  *     BUCKET table, never from the data;
+  *   target derivation: each quantile contributes rank targets ra/rb
+  *     (a `stack` over the groups-sized n table); the winning bucket
+  *     per target comes from joining targets to the bucket prefix —
+  *     all bucket-table-sized work;
+  *   pass 2: re-scan ONLY rows in winning buckets (bucket-pruned
+  *     semi-join against a targets-sized broadcast), count by exact
+  *     value, and pick each target's crossing value with a window over
+  *     ≤ w distinct values per target.
+  * Three scans of the input (bounds + histogram + winning buckets), no
+  * total sort, no per-row rank, per-group state bounded by
+  * [[Buckets]] + w, not the row count. Chained calls (q160's
+  * median-of-absolute-deviations) cost 3 scans each; callers for whom
+  * the source re-scan dominates (wide upstream joins) persist their
+  * input frame — the helper does not cache behind the caller's back.
+  *
+  * `(v − lo) div w` is non-negative, so truncating and flooring
+  * division agree and buckets are contiguous ordered value ranges.
+  * Ties need no tiebreak column at all: order statistics are
+  * tiebreak-invariant, and the crossing-value pick counts duplicates
+  * in one hash-aggregate row. Caller contract: values are unit-scaled
+  * measures (cents, micros) whose per-group range hi − lo does not
+  * overflow Long — not adversarial full-range Longs.
   */
 object ExactQuantile {
+
+  /** Histogram resolution: pass-1 state is ≤ Buckets+1 counters per
+    * group; pass-2 windows run over ≤ (range div Buckets)+1 distinct
+    * values per target. 2¹³ keeps the bucket table broadcast-small at
+    * any group count that can also afford the groups-sized broadcasts
+    * (measured: 8192 vs 65536 shaves the bucket-table shuffles at
+    * identical pass-2 bounds on unit-scaled domains).
+    */
+  val Buckets = 8192L
 
   /** One requested quantile: output column `name` = quantile(num/den)
     * scaled ×den (exact BIGINT in `den × value-unit`).
@@ -40,23 +82,15 @@ object ExactQuantile {
   /** Per-group exact quantiles of BIGINT column `valueCol` in `df`.
     * Returns one row per group: `group` columns, `n` (group size,
     * BIGINT), and one ×den column per requested quantile. `group` may
-    * be empty (global quantiles — a constant key feeds the ordinal;
-    * the optimizer folds the constant out of the window partition
-    * specs, so WindowExec logs a single-partition WARN for the OFFSETS
-    * window — that window runs over the ≤ buckets-row subtotal relation
-    * by design (q181 precedent); the data-bearing local window stays
-    * partitioned by bucket).
-    * `tiebreaks` only make the rank assignment deterministic; the
-    * SELECTED VALUES are tiebreak-invariant (equal values are
-    * interchangeable under any order statistic), which is why the
-    * oracle side needs no tiebreak at all.
+    * be empty (global quantiles — a constant key stands in; it folds
+    * out of the window partition specs, whose inputs here are all
+    * bucket-table-sized, the q194 precedent).
     */
   def grouped(
       df: DataFrame,
       group: Seq[String],
       valueCol: String,
-      qs: Seq[Q],
-      tiebreaks: Seq[Column] = Nil): DataFrame = {
+      qs: Seq[Q]): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.map(_.name).distinct.size == qs.size, "duplicate quantile names")
     require(!df.columns.contains("n"), "input must not already have a column 'n'")
@@ -64,41 +98,88 @@ object ExactQuantile {
     val base = if (group.nonEmpty) df else df.withColumn(g0, lit(0))
     val gNames = if (group.nonEmpty) group else Seq(g0)
     val gCols = gNames.map(col)
-    val ranked = PrefixSum.withRowNumber(base, "__eq_rn", gNames, valueCol, tiebreaks)
-    var st = base.groupBy(gCols: _*).agg(count(lit(1)).as("n"))
-    for (q <- qs) {
-      val pos = expr(s"(${q.num}L * (n - 1)) div ${q.den}")
-      st = st
-        .withColumn(s"__${q.name}_ra", pos + 1)
-        .withColumn(s"__${q.name}_rb", least(pos + 2, col("n")))
-        .withColumn(s"__${q.name}_f", expr(s"(${q.num}L * (n - 1)) % ${q.den}"))
+    // pass 0: per-group bounds → range-adaptive bucket width. The two
+    // SMALL artifacts (bounds: groups rows; histogram: ≤ Buckets+1 per
+    // group) are localCheckpointed: they are each consumed by several
+    // downstream branches, and without lineage truncation every
+    // reference re-prints (and for uncached inputs re-executes) the
+    // whole upstream subtree — the graph-loop discipline, applied to a
+    // fan-out DAG.
+    val bounds = base.groupBy(gCols: _*)
+      .agg(min(col(valueCol)).as("__eq_lo"), max(col(valueCol)).as("__eq_hi"))
+      .localCheckpoint()
+    def bucketed = base.join(broadcast(bounds), gNames)
+      .withColumn("__eq_w", expr(s"(__eq_hi - __eq_lo) div $Buckets + 1"))
+      .withColumn("__eq_b", expr(s"($valueCol - __eq_lo) div __eq_w"))
+    // pass 1: bounded bucket histogram; n and cumulative offsets are
+    // re-aggregations of the bucket table (no extra data scan)
+    val cnts = bucketed
+      .groupBy((gCols :+ col("__eq_b")): _*)
+      .agg(count(lit(1)).as("__eq_cnt"))
+      .localCheckpoint()
+    val wb = Window.partitionBy(gCols: _*).orderBy(col("__eq_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cnts.withColumn("__eq_cb",
+      coalesce(sum(col("__eq_cnt")).over(wb), lit(0L)))
+    val ns = cnts.groupBy(gCols: _*).agg(sum(col("__eq_cnt")).as("n"))
+    // rank targets: 2 per quantile (ra, rb) per group
+    val pairs = qs.flatMap { q =>
+      val pos = s"(${q.num}L * (n - 1)) div ${q.den}"
+      Seq(s"'${q.name}__a', ($pos) + 1",
+        s"'${q.name}__b', least(($pos) + 2, n)")
     }
-    val wanted = qs
-      .map(q => col("__eq_rn") === col(s"__${q.name}_ra") ||
-        col("__eq_rn") === col(s"__${q.name}_rb"))
-      .reduce(_ || _)
-    val fCols = qs.map(q => col(s"__${q.name}_f"))
+    val targets = ns.select((gCols :+
+      expr(s"stack(${pairs.size}, ${pairs.mkString(", ")})")
+        .as(Seq("__eq_lbl", "__eq_k"))): _*)
+    val win = targets.join(cum, gNames)
+      .filter(col("__eq_cb") < col("__eq_k") &&
+        col("__eq_k") <= col("__eq_cb") + col("__eq_cnt"))
+      .select((gNames.map(g => col(g).as(s"__eq_t_$g")) ++
+        Seq(col("__eq_lbl"), col("__eq_k"), col("__eq_b").as("__eq_tb"),
+          col("__eq_cb"))): _*)
+    // pass 2: bucket-pruned rescan; crossing pick over exact values
+    val joined = bucketed.join(broadcast(win),
+      gNames.map(g => col(g) === col(s"__eq_t_$g")).reduce(_ && _) &&
+        col("__eq_b") === col("__eq_tb"))
+    val wv = Window.partitionBy((gCols :+ col("__eq_lbl")): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = joined
+      .groupBy((gCols ++ Seq(col("__eq_lbl"), col("__eq_k"), col("__eq_cb"),
+        col(valueCol))): _*)
+      .agg(count(lit(1)).as("__eq_c2"))
+      .withColumn("__eq_ce", col("__eq_cb") + sum(col("__eq_c2")).over(wv))
+      .filter(col("__eq_ce") - col("__eq_c2") < col("__eq_k") &&
+        col("__eq_k") <= col("__eq_ce"))
+      .select((gCols ++ Seq(col("__eq_lbl"), col(valueCol).as("__eq_v"))): _*)
+    // pivot the ≤ 2·|qs| selected order statistics per group, then
+    // interpolate against the groups-sized n table
     val aggs = qs.flatMap(q => Seq(
-      max(when(col("__eq_rn") === col(s"__${q.name}_ra"), col(valueCol)))
+      max(when(col("__eq_lbl") === s"${q.name}__a", col("__eq_v")))
         .as(s"__${q.name}_va"),
-      max(when(col("__eq_rn") === col(s"__${q.name}_rb"), col(valueCol)))
+      max(when(col("__eq_lbl") === s"${q.name}__b", col("__eq_v")))
         .as(s"__${q.name}_vb")))
-    val picked = ranked.join(broadcast(st), gNames)
-      .filter(wanted)
-      .groupBy((gCols :+ col("n")) ++ fCols: _*)
-      .agg(aggs.head, aggs.tail: _*)
-    val outs = qs.map(q =>
+    val piv = sel.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = qs.map { q =>
+      val f = expr(s"(${q.num}L * (n - 1)) % ${q.den}")
       (lit(q.den.toLong) * col(s"__${q.name}_va")
-        + col(s"__${q.name}_f") * (col(s"__${q.name}_vb") - col(s"__${q.name}_va")))
-        .as(q.name))
-    picked.select((gCols :+ col("n")) ++ outs: _*).drop(g0)
+        + f * (col(s"__${q.name}_vb") - col(s"__${q.name}_va")))
+        .as(q.name)
+    }
+    piv.join(ns, gNames)
+      .select((gCols :+ col("n")) ++ outs: _*).drop(g0)
   }
 
-  /** The identical derivation as DuckDB CTE text (no leading `WITH`;
+  /** The identical definition as DuckDB CTE text (no leading `WITH`;
     * the caller splices it into its own chain). Reads a prior CTE
     * `src` with columns `group ++ (v BIGINT)`; defines `<prefix>q`
     * holding one row per group: the group columns, `n`, and the ×den
-    * quantile columns — the exact mirror of [[grouped]]'s output.
+    * quantile columns — the exact mirror of [[grouped]]'s output. The
+    * oracle brute-forces the rank selection with `ROW_NUMBER` over a
+    * full sort — affordable at fixture scale, which is the point (the
+    * q194 asymmetry): the INTERPOLATION arithmetic is shared verbatim,
+    * the rank-finding strategies are independent, so a selection bug
+    * on either side breaks the hash gate.
     * `//` is DuckDB's integer division (Spark's `div`).
     */
   def oracleCtes(

@@ -15,8 +15,11 @@ import graft.plans.ExactQuantile.Q
   *   pos = num·(n−1), k = pos div den, f = pos mod den,
   *   q·den = den·v_{k+1} + f·(v_{k+2} − v_{k+1})
   * on each group's sorted values — including duplicate-heavy data
-  * (order statistics are tiebreak-invariant), singleton groups (rb
-  * clamps to n), and the empty-group global path.
+  * (order statistics need no tiebreak; the crossing pick counts ties
+  * in one aggregate row), values straddling the histogram bucket
+  * boundaries and negative values (bucket 0 spans (−W, W) under
+  * truncating division), singleton groups (rb clamps to n), and the
+  * empty-group global path.
   */
 class ExactQuantileSpec extends AnyFunSuite {
 
@@ -47,7 +50,7 @@ class ExactQuantileSpec extends AnyFunSuite {
     }
     val df = data.toDF("grp", "v", "tb")
     val qs = Seq(Q("p25_x4", 1, 4), Q("med_x10", 5, 10), Q("p90_x10", 9, 10))
-    val got = ExactQuantile.grouped(df, Seq("grp"), "v", qs, Seq(col("tb")))
+    val got = ExactQuantile.grouped(df, Seq("grp"), "v", qs)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -61,30 +64,38 @@ class ExactQuantileSpec extends AnyFunSuite {
     }
   }
 
-  test("empty-group (global) path matches, and is PrefixSum-distributed") {
+  test("empty-group (global) path matches; values span negative buckets") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
-    val vs = Seq.fill(777)(rnd.nextInt(1000).toLong - 500L)
-    val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "tb")
+    // span several SelWidth buckets on both sides of zero
+    val vs = Seq.fill(777)(rnd.nextInt(40000).toLong - 20000L)
+    val df = vs.map(Tuple1(_)).toDF("v")
     val out = ExactQuantile.grouped(df, Seq.empty, "v",
-      Seq(Q("med_x2", 1, 2), Q("p75_x4", 3, 4)), Seq(col("tb")))
+      Seq(Q("med_x2", 1, 2), Q("p75_x4", 3, 4)))
     val r = out.collect()
     assert(r.length == 1)
     assert(r(0).getAs[Long]("n") == 777L)
     assert(r(0).getAs[Long]("med_x2") == serialXDen(vs, 1, 2))
     assert(r(0).getAs[Long]("p75_x4") == serialXDen(vs, 3, 4))
-    // the plan must carry the two-level ordinal's bucketed local window,
-    // not a single global sort-window over the data
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan)
+  }
+
+  test("rank pair straddling a bucket boundary selects from two buckets") {
+    import spark.implicits._
+    // 4 values spanning range 21 → adaptive width w = 1, so every
+    // distinct value is its own bucket: the median pair (ranks 2, 3 =
+    // values 10, 11) forces the interpolation to read its two order
+    // statistics from DIFFERENT buckets
+    val vs = Seq(0L, 10L, 11L, 21L)
+    val r = ExactQuantile.grouped(vs.map(Tuple1(_)).toDF("v"), Seq.empty, "v",
+      Seq(Q("med_x2", 1, 2))).collect()(0)
+    assert(r.getAs[Long]("med_x2") == serialXDen(vs, 1, 2)) // = 2·10 + 1
   }
 
   test("extremes p=0 / p=1 select min·den and max·den exactly") {
     import spark.implicits._
     val vs = Seq(7L, -3L, 12L, 12L, 0L)
-    val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "tb")
-    val r = ExactQuantile.grouped(df, Seq.empty, "v",
-      Seq(Q("lo_x1", 0, 1), Q("hi_x1", 1, 1)), Seq(col("tb"))).collect()(0)
+    val r = ExactQuantile.grouped(vs.map(Tuple1(_)).toDF("v"), Seq.empty, "v",
+      Seq(Q("lo_x1", 0, 1), Q("hi_x1", 1, 1))).collect()(0)
     assert(r.getAs[Long]("lo_x1") == -3L)
     assert(r.getAs[Long]("hi_x1") == 12L)
   }

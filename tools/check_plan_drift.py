@@ -93,5 +93,54 @@ def main(old_path, new_path):
     return 1 if drifted else 0
 
 
+def selftest():
+    """Deliberate-regression proof (VERDICT r9 #8): a query whose
+    broadcast join silently becomes a shuffle join between generations
+    MUST be flagged — the q211-class authoring-time catch. Writes two
+    synthetic PLANS.md generations to temp files and asserts the diff.
+    """
+    import tempfile, os
+    old = """## q999_regression_probe
+```
+*(3) HashAggregate(keys=[k], functions=[sum(v)])
++- *(3) Project [k, v]
+   +- *(3) BroadcastHashJoin [k], [k2], Inner, BuildRight
+      :- *(3) ColumnarToRow
+      :  +- FileScan parquet [k,v]
+      +- BroadcastExchange HashedRelationBroadcastMode
+         +- FileScan parquet [k2]
+```
+"""
+    new = """## q999_regression_probe
+```
+*(5) HashAggregate(keys=[k], functions=[sum(v)])
++- *(5) Project [k, v]
+   +- *(5) SortMergeJoin [k], [k2], Inner
+      :- *(2) Sort [k ASC]
+      :  +- Exchange hashpartitioning(k, 32)
+      :     +- FileScan parquet [k,v]
+      +- *(4) Sort [k2 ASC]
+         +- Exchange hashpartitioning(k2, 32)
+            +- FileScan parquet [k2]
+```
+"""
+    with tempfile.TemporaryDirectory() as d:
+        po, pn = os.path.join(d, "old.md"), os.path.join(d, "new.md")
+        open(po, "w").write(old)
+        open(pn, "w").write(new)
+        o, n = parse(po), parse(pn)
+        q = "q999_regression_probe"
+        assert o[q]["broadcast_hash_join"] == 1 and o[q]["broadcast_exchange"] == 1, o[q]
+        assert n[q]["sort_merge_join"] == 1 and n[q]["exchange"] == 2 and n[q]["sort"] == 2, n[q]
+        rc = main(po, pn)
+        assert rc == 1, "drift tool failed to flag a broadcast->shuffle join regression"
+        # and the no-change direction stays quiet
+        assert main(po, po) == 0
+    print("[plan-drift] selftest ok: broadcast->shuffle join regression is flagged")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
