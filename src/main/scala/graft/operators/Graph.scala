@@ -1309,6 +1309,63 @@ object Graph {
       .orderBy(col("item_id"))
   }
 
+  /** Connected-component labels as a first-class graph API (VERDICT r9
+    * #7c): `(node, component = component min id)` for every node in
+    * `nodes`. Thin adapter over the pointer-doubled min-label
+    * propagation that has powered the dedup family since r4
+    * ([[Dedup.connectedComponents]] — see q73's scaladoc for the
+    * algorithm, its convergence bound, and the singleton fast path);
+    * exposing it here makes the graph family and the dedup family
+    * provably share ONE implementation (GraphSpec pins the q73
+    * equivalence) instead of growing a second CC.
+    *
+    * @param nodes single-column (node) node set
+    * @param pairs undirected edges, ONE row per edge (either
+    *              orientation; both directions are materialized inside)
+    */
+  def cc(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+        nodes.select(col(nodes.columns.head).as("doc_id")),
+        pairs.select(col(pairs.columns(0)).as("doc_a"),
+          col(pairs.columns(1)).as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
+  /** q246 — connected components of the co-rating graph through the
+    * [[cc]] API: per user, the component label (min user id in the
+    * component) and component size — the community-extraction /
+    * audience-segmentation primitive, and the PROOF that the dedup
+    * family's CC (q73, pointer-doubling over near-dup pairs) and the
+    * graph family run the same operator. The memoized co-rating edge
+    * layout feeds the loop exactly as it feeds PageRank/BFS/SCC; the
+    * oracle recomputes labels as a recursive-CTE transitive closure
+    * with MIN-label aggregation (fixture-affordable, the q211
+    * reachability pattern). Like q73: listing is per-node, sizes via
+    * one component-keyed window.
+    */
+  val q246 = oracled(
+    "q246_graph_components",
+    "co-rating graph connected components via the shared pointer-doubling cc API",
+    s"""WITH RECURSIVE $edgesCte,
+       reach(u, lbl) AS (
+         SELECT user_id, user_id FROM nodes
+         UNION
+         SELECT d.dst, r2.lbl FROM reach r2 JOIN d ON d.src = r2.u),
+       comp AS (SELECT u AS user_id, MIN(lbl) AS component
+         FROM reach GROUP BY u)
+       SELECT user_id, CAST(component AS BIGINT) AS component,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+           AS component_size
+       FROM comp ORDER BY user_id""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    cc(nodes.select(col("user_id")),
+        edges.filter(col("src") < col("dst")).select(col("src"), col("dst")))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+      .select(col("node").as("user_id"), col("component"),
+        col("component_size"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239)
+    q180, q188, q200, q211, q221, q239, q246)
 }

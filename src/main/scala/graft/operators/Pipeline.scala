@@ -970,6 +970,83 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q245 — A-ES weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis) with an EXACT-INTEGER exponential jitter —
+    * the true A-ES upgrade of q212's priority sampling (VERDICT r9 #7a;
+    * q212's scaladoc dismissed A-ES as needing a transcendental on both
+    * engines — this query removes that blocker). A-ES: item i gets an
+    * exponential race time T_i = E_i/w_i with E_i ~ Exp(1); the k
+    * SMALLEST T form an exact without-replacement weighted sample. The
+    * version-proof trick is a LOG2-LINEARIZED jitter in pure integer
+    * arithmetic: u = h/2³² from the q144/q212 hash class, and
+    *   E ≈ −log2(u),  E_x20 = (33 − bl)·2²⁰ − ((h − 2^(bl−1))·2²⁰) div 2^(bl−1)
+    * where bl = length(bin(h)) — the binary-digit count gives the
+    * octave, the in-octave linear interpolation the fraction; both
+    * engines evaluate the IDENTICAL integer formula (`bin`/`length` +
+    * shifts exist in Spark and DuckDB; max interpolation error vs the
+    * real −log2 is the log2-chord bound 0.0861, PipelineSpec-pinned,
+    * and E is measured in log2 units — a constant ln2 factor of the
+    * exponential rate, irrelevant to the ORDER that defines the
+    * sample). Selection order T = E/w is an exact rational; the sort
+    * key is `E_x20·2²² div w` — the q212 floor-scale lemma (distinct
+    * rationals differ by ≥ 1/(w₁w₂) ≥ 2⁻²² for w ≤ 2¹¹ = 2048 ≥
+    * max(n_chars), so floors never flip the order; PipelineSpec pins
+    * the lemma for this key family too).
+    *
+    * Scale shape (q212's): the per-lang selection is the bounded
+    * native [[graft.functions.TopKAgg]] (k pairs of state per partial,
+    * no corpus window sort); survivors broadcast back for weight
+    * recovery. One corpus scan + one broadcast probe.
+    */
+  val q245 = oracled(
+    "q245_aes_weighted_sample",
+    "A-ES weighted sampling w/o replacement: exact-integer log2-linearized exponential jitter, per-lang top-10",
+    """WITH p AS (
+         SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+           doc_id * 2654435761 % 4294967295 + 1 AS h
+         FROM documents WHERE n_chars > 0),
+       e AS (SELECT lang, doc_id, w,
+           (33 - length(bin(h))) * 1048576
+             - (h - (CAST(1 AS BIGINT) << (length(bin(h)) - 1))) * 1048576
+               // (CAST(1 AS BIGINT) << (length(bin(h)) - 1)) AS e_x20
+         FROM p),
+       k AS (SELECT lang, doc_id, w, e_x20,
+           e_x20 * 4194304 // w AS key_x22
+         FROM e),
+       r AS (SELECT lang, doc_id, w, e_x20, key_x22,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY key_x22, doc_id) AS rk
+         FROM k)
+       SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, w,
+         CAST(e_x20 AS BIGINT) AS e_x20, CAST(key_x22 AS BIGINT) AS key_x22
+       FROM r WHERE rk <= 10 ORDER BY lang, rk""") { (s, dir) =>
+    import graft.functions.TopKAgg.topKAgg
+    val docs = Tables.documents(s, dir).filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("h", expr("doc_id * 2654435761L % 4294967295L + 1L"))
+      .withColumn("bl", length(expr("bin(h)")).cast("long"))
+      .withColumn("e_x20",
+        expr("(33 - bl) * 1048576 - (h - shiftleft(1L, cast(bl as int) - 1)) * 1048576" +
+          " div shiftleft(1L, cast(bl as int) - 1)"))
+      .withColumn("key_x22", expr("e_x20 * 4194304 div w"))
+    // TopKAgg keeps the LARGEST priorities: negate the ascending race
+    // key so the k smallest T survive; ties break by doc_id like q212
+    val top = docs.groupBy(col("lang"))
+      .agg(topKAgg(-col("key_x22"), col("doc_id"), 10).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("lang"),
+        expr("explode(sequence(0L, CAST(size(tk) AS BIGINT) div 2 - 1))").as("i"),
+        col("tk"))
+      .select(col("lang"), (col("i") + 1).as("rk"),
+        (-element_at(col("tk"), (col("i") * 2 + 1).cast("int"))).as("key_x22"),
+        element_at(col("tk"), (col("i") * 2 + 2).cast("int")).as("doc_id"))
+    docs.select(col("doc_id"), col("w"), col("e_x20"))
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("w"), col("e_x20"), col("key_x22"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ------------------------------------------- mixture apportionment resample
 
   /** q174 — exact-budget mixture resampling (Hamilton largest-remainder
@@ -1289,5 +1366,5 @@ object Pipeline {
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244)
+      q212, q232, q244, q245)
 }

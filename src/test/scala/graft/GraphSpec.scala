@@ -407,4 +407,30 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == Map(0L -> 0L, 3L -> 0L, 1L -> 4L, 2L -> 4L))
   }
+
+  test("Graph.cc == Dedup.connectedComponents == serial union-find (shared implementation)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(246)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val nodes = (0L until n).toSeq
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // serial union-find with min-id relabeling
+      val parent = scala.collection.mutable.ArrayBuffer.range(0, n)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val viaGraph = operators.Graph.cc(nodes.toDF("node"), pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDedup = operators.Dedup.connectedComponents(
+          nodes.toDF("doc_id"), pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaGraph == expect, s"trial $trial: Graph.cc != union-find")
+      assert(viaGraph == viaDedup, s"trial $trial: adapter drifted from Dedup CC")
+    }
+  }
 }

@@ -225,6 +225,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q245 log2-linearized jitter: integer formula tracks -log2(u) within the chord bound") {
+    // E_x20/2^20 approximates −log2(h/2^32) by linear interpolation
+    // between octave endpoints; the chord error max |log2(x)−(x−1)| on
+    // [1,2] is 1/ln2 − 1 − log2(ln 2) ≈ 0.0861. The floor adds < 2^-20.
+    val rnd = new scala.util.Random(245)
+    for (_ <- 1 to 5000) {
+      val h = (rnd.nextLong().abs % 4294967295L) + 1
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(h)
+      val p2 = 1L << (bl - 1)
+      val eX20 = (33L - bl) * 1048576L - (h - p2) * 1048576L / p2
+      val exact = -(math.log(h.toDouble / 4294967296.0) / math.log(2.0))
+      val err = math.abs(eX20.toDouble / 1048576.0 - exact)
+      assert(err <= 0.0862, s"h=$h bl=$bl e=$eX20 exact=$exact err=$err")
+      assert(eX20 >= 1L && eX20 <= 32L * 1048576L, s"jitter out of range: $eX20")
+    }
+  }
+
+  test("q245 floor-scaled A-ES keys preserve the exact rational E/w order") {
+    // the q212 lemma for the E_x20/w family: for integer E_x20 and
+    // w <= 2^11, floor(E_x20 * 2^22 / w) orders exactly like E_x20/w
+    val rnd = new scala.util.Random(22)
+    val items = Seq.fill(4000)((rnd.nextInt(32 * 1048576).toLong + 1,
+      rnd.nextInt(2000).toLong + 1))
+    for (Seq((e1, w1), (e2, w2)) <- items.sliding(2)) {
+      val k1 = e1 * 4194304L / w1
+      val k2 = e2 * 4194304L / w2
+      val exact = BigInt(e1) * w2 compare BigInt(e2) * w1
+      if (exact != 0)
+        assert(k1.compare(k2).sign === exact.sign,
+          s"floor key flipped the exact order: ($e1/$w1) vs ($e2/$w2)")
+      else assert(k1 === k2)
+    }
+  }
+
   test("q244 rankNormalization: bps pins at the ordinal boundaries") {
     import spark.implicits._
     // 5 docs, distinct n_chars → ranks are the sort order; N−1 = 4:
