@@ -1048,7 +1048,58 @@ object Dedup {
       .orderBy(col("scheme"), col("metric"))
   }
 
+  /** q247 — edit-distance near-dup via the SYMSPELL deletion
+    * neighborhood: pairs of documents whose 10-char normalized prefixes
+    * are within Levenshtein distance 1 — the typo/OCR-noise duplicate
+    * class that token-set similarity (Jaccard/containment/PPJoin) and
+    * bit-fingerprints (SimHash/MinHash) both miss, completing the
+    * dedup family's similarity-measure inventory. Candidate
+    * generation is the symmetric-delete trick: every key expands to
+    * its 11 one-deletion variants (i = 10 keeps the identity, so
+    * exact matches ride the same join); equal-length strings within
+    * one SUBSTITUTION share the variant at the edited index, so the
+    * variant equi-join is COMPLETE for dist ≤ 1 over fixed-length
+    * keys — a bounded 11× explode + equi-join (the q45 banding shape:
+    * work ∝ Σ bucket², never all-pairs), then every candidate is
+    * VERIFIED with the engine `levenshtein` (classic DP, integer
+    * result, bit-identical across engines). The oracle brute-forces
+    * all pairs with the same verifier — affordable at fixture scale,
+    * which is the point (the q194/q204 asymmetry): candidate
+    * generation strategies are independent, so an incomplete
+    * neighborhood on the Spark side breaks the hash gate.
+    */
+  val q247 = oracled(
+    "q247_symspell_editdist",
+    "Levenshtein<=1 prefix near-dup pairs via symmetric-delete candidates + exact verify",
+    """WITH k AS (SELECT doc_id, substr(lower(trim(text)), 1, 10) AS s
+         FROM documents
+         WHERE length(substr(lower(trim(text)), 1, 10)) = 10)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+       FROM k a JOIN k b ON a.doc_id < b.doc_id
+         AND levenshtein(a.s, b.s) <= 1
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val k = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 10).as("s"))
+      .filter(length(col("s")) === 10)
+    val variants = k
+      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 10)")).as("i"))
+      .select(col("doc_id"), col("s"),
+        concat(expr("substring(s, 1, i)"), expr("substring(s, i + 2)")).as("v"))
+    val cand = variants.alias("a")
+      .join(variants.alias("b"),
+        col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.s").as("sa"),
+        col("b.doc_id").as("doc_b"), col("b.s").as("sb"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230)
+      q204, q230, q247)
 }

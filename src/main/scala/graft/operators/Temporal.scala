@@ -976,6 +976,68 @@ object Temporal {
       .orderBy(col("o_custkey"), col("seq"))
   }
 
+  /** q248 — POINT-IN-TIME dimension join (the consumption side of
+    * q219's SCD-2 table): every lineitem priced under the customer
+    * priority that was ACTIVE on its ship date — the effective-dated
+    * fact/dimension join every warehouse runs against slowly-changing
+    * dimensions, and the classic place silent lookahead leakage creeps
+    * into training features (joining today's attribute onto yesterday's
+    * fact). Semantics: active attribute at date d = the last
+    * observation ≤ d under the (date, orderkey) total order — identical
+    * to interval containment in q219's [valid_from, valid_to) table,
+    * because the active interval at d is the one opened by the last
+    * change-point ≤ d. Scale shape: NOT a per-fact interval-range join
+    * (per-key fan-out) but the q56 as-of composition — union dimension
+    * observations and facts, ONE custkey shuffle, and a carry-forward
+    * `last(attr) ignoreNulls` window in (d, isFact, okey) order (dims
+    * sort before facts at equal d, so a same-day change applies to that
+    * day's shipments); the oracle states the same semantics as a
+    * correlated last-observation subquery. The 'none' bucket holds
+    * pre-history facts — non-empty on this fixture because the
+    * synthetic generator does not enforce shipdate ≥ orderdate, which
+    * is exactly the row class a leakage-guarded join must surface
+    * rather than silently match to a FUTURE attribute.
+    */
+  val q248 = oracled(
+    "q248_point_in_time_join",
+    "facts joined to the SCD-2 attribute active at ship date: as-of carry-forward, one custkey shuffle",
+    """WITH o AS (SELECT o_custkey AS c, o_orderkey AS k,
+           CAST(o_orderdate AS TIMESTAMP)::DATE AS d, o_orderpriority AS pr
+         FROM orders),
+       f AS (SELECT o.o_custkey AS c,
+           CAST(l.l_shipdate AS TIMESTAMP)::DATE AS d,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       m AS (SELECT f.q,
+           (SELECT pr FROM o WHERE o.c = f.c AND o.d <= f.d
+            ORDER BY o.d DESC, o.k DESC LIMIT 1) AS pr
+         FROM f)
+       SELECT COALESCE(pr, 'none') AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(q) AS BIGINT) AS qty_x100
+       FROM m GROUP BY 1 ORDER BY priority""") { (s, dir) =>
+    val ords = Tables.orders(s, dir).select(col("o_custkey").as("c"),
+      col("o_orderkey").as("k"), col("o_orderdate").cast("date").as("d"),
+      col("o_orderpriority").as("pr"))
+    val dims = ords.select(col("c"), col("d"), col("k"), col("pr"),
+      lit(0).as("isFact"), lit(null).cast("long").as("q"))
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("d"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q"))
+      .join(ords.select(col("k").as("l_orderkey"), col("c")), Seq("l_orderkey"))
+      .select(col("c"), col("d"), col("l_orderkey").as("k"),
+        lit(null).cast("string").as("pr"), lit(1).as("isFact"), col("q"))
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("d"), col("isFact"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dims.unionByName(facts)
+      .withColumn("active_pr", last(col("pr"), ignoreNulls = true).over(w))
+      .filter(col("isFact") === 1)
+      .groupBy(coalesce(col("active_pr"), lit("none")).as("priority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("q")).as("qty_x100"))
+      .orderBy(col("priority"))
+  }
+
   /** q220 — event-type transition matrix: first-order Markov estimates
     * of P(next | current) over each user's event sequence — the
     * behavioral fingerprint a recommendation or anomaly pipeline keeps.
@@ -1495,5 +1557,5 @@ object Temporal {
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243)
+      q235, q242, q243, q248)
 }

@@ -301,4 +301,33 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       assert(r.getLong(2) == want, s"canonical pick for cluster ${r.getLong(0)}")
     }
   }
+
+  test("q247 symmetric-delete neighborhood is COMPLETE for dist<=1 on fixed-length keys") {
+    // serial simulation of the candidate join on random length-10
+    // strings with planted single substitutions: every Levenshtein<=1
+    // pair must share a one-deletion variant (i=10 keeps the identity,
+    // covering the dist-0 case), so the equi-join candidates ⊇ truth
+    val rnd = new scala.util.Random(247)
+    def variants(s: String): Set[String] =
+      (0 to s.length).map(i => s.take(i) + s.drop(i + 1)).toSet // i=len → s
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = Seq.fill(60)((1 to 10).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val edited = base.map { s =>
+      val i = rnd.nextInt(10)
+      s.updated(i, ('a' + rnd.nextInt(4)).toChar)
+    }
+    val pool = (base ++ edited).distinct
+    for (a <- pool; b <- pool if a < b) {
+      val close = lev(a, b) <= 1
+      val shared = variants(a).intersect(variants(b)).nonEmpty
+      if (close) assert(shared, s"missed pair: $a / $b (dist=${lev(a, b)})")
+    }
+  }
 }
