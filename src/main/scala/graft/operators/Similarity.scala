@@ -560,5 +560,73 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231)
+  /** q249 — LATE-INTERACTION retrieval (ColBERT MaxSim): each vector is
+    * read as 8 pseudo-token sub-vectors of 8 dims, and the
+    * query→document score is Σ_i max_j ⟨q_i, d_j⟩ — every query token
+    * matches its best document token, the retrieval scorer that beats
+    * single-vector cosine on multi-aspect documents, over the
+    * engine's existing embedding plumbing. Implementation is pure
+    * straight-line codegen: the 64 token-pair dots are 64
+    * [[graft.functions.VecOps.dotF]] native expressions over `slice`s
+    * (512 multiplies per pair inside one projection — no explode, no
+    * token-level shuffle, no UDF), maxes via `greatest`, the token sum
+    * a left-associated `+` chain; the oracle spells the identical
+    * ascending-index folds and left-associated sum so every double is
+    * BIT-IDENTICAL across engines (the q49/q50 ordered-fold
+    * discipline), and the gate column is ⌊ms·10⁶⌋ BIGINT (identical
+    * doubles → identical floors; ranking happens on the double
+    * internally). Brute force over the catalog is the q50-style recall
+    * anchor; the 100 TB path is the library's own shortlist→rerank:
+    * q51/q209 ANN candidates, then THIS scorer as the rerank stage.
+    */
+  val q249 = {
+    def duckTokDot(i: Int, j: Int): String =
+      s"""list_reduce(list_transform(range(1, 9),
+          t -> CAST(x.embedding[${8 * i} + t] AS DOUBLE)
+             * CAST(y.embedding[${8 * j} + t] AS DOUBLE)), (u, v) -> u + v)"""
+    val duckMs = (0 until 8).map(i =>
+      "GREATEST(" + (0 until 8).map(j => duckTokDot(i, j)).mkString(", ") + ")")
+      .mkString("(", " + ", ")")
+    oracled(
+      "q249_maxsim_late_interaction",
+      "ColBERT-style MaxSim top-5: 8x8 token sub-vector dots, greatest-per-query-token, ordered sum",
+      s"""WITH m AS (
+           SELECT x.vec_id AS query_id, y.vec_id AS vec_b, $duckMs AS ms
+           FROM embeddings x JOIN embeddings y
+             ON x.vec_id < 5 AND y.vec_id <> x.vec_id),
+         r AS (SELECT query_id, vec_b, ms,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ms DESC, vec_b) AS rn
+           FROM m)
+         SELECT query_id, vec_b,
+           CAST(FLOOR(ms * 1000000) AS BIGINT) AS maxsim_x1e6,
+           CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= 5
+         ORDER BY query_id, rn""") { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val d = e.select(col("vec_id").as("vec_b"), col("embedding").as("de"))
+      def tok(c: Column, i: Int) = slice(c, i * 8 + 1, 8)
+      val ms = (0 until 8).map { i =>
+        (0 until 8).map(j => dotF(tok(col("qe"), i), tok(col("de"), j)))
+          .reduce((a, b) => greatest(a, b))
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ms").desc, col("vec_b"))
+      // the 5-row query side broadcasts; the catalog STREAMS (BNLJ with
+      // the bounded side as build — the orientation that survives a
+      // large catalog; a large query set goes through shortlist→rerank)
+      d.join(broadcast(q), col("query_id") =!= col("vec_b"))
+        .select(col("query_id"), col("vec_b"), ms.as("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("vec_b"),
+          floor(col("ms") * 1000000).cast("long").as("maxsim_x1e6"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("query_id"), col("rn"))
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231, q249)
 }
