@@ -979,14 +979,13 @@ object Pipeline {
     * SMALLEST T form an exact without-replacement weighted sample. The
     * version-proof trick is a LOG2-LINEARIZED jitter in pure integer
     * arithmetic: u = h/2³² from the q144/q212 hash class, and
-    *   E ≈ −log2(u),  E_x20 = (33 − bl)·2²⁰ − ((h − 2^(bl−1))·2²⁰) div 2^(bl−1)
-    * where bl = length(bin(h)) — the binary-digit count gives the
-    * octave, the in-octave linear interpolation the fraction; both
-    * engines evaluate the IDENTICAL integer formula (`bin`/`length` +
-    * shifts exist in Spark and DuckDB; max interpolation error vs the
-    * real −log2 is the log2-chord bound 0.0861, PipelineSpec-pinned,
-    * and E is measured in log2 units — a constant ln2 factor of the
-    * exponential rate, irrelevant to the ORDER that defines the
+    *   E ≈ −log2(u),  E_x20 = 32·2²⁰ − L2_x20(h)
+    * with L2_x20 the shared [[graft.functions.IntLog2]] integer
+    * piecewise-linear log2 (binary-digit-count octave + in-octave
+    * interpolation; both engines evaluate the identical formula — see
+    * IntLog2's scaladoc for the 0.0861 chord bound, PipelineSpec-
+    * pinned; E is measured in log2 units — a constant ln2 factor of
+    * the exponential rate, irrelevant to the ORDER that defines the
     * sample). Selection order T = E/w is an exact rational; the sort
     * key is `E_x20·2²² div w` — the q212 floor-scale lemma (distinct
     * rationals differ by ≥ 1/(w₁w₂) ≥ 2⁻²² for w ≤ 2¹¹ = 2048 ≥
@@ -1001,14 +1000,12 @@ object Pipeline {
   val q245 = oracled(
     "q245_aes_weighted_sample",
     "A-ES weighted sampling w/o replacement: exact-integer log2-linearized exponential jitter, per-lang top-10",
-    """WITH p AS (
+    s"""WITH p AS (
          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
            doc_id * 2654435761 % 4294967295 + 1 AS h
          FROM documents WHERE n_chars > 0),
        e AS (SELECT lang, doc_id, w,
-           (33 - length(bin(h))) * 1048576
-             - (h - (CAST(1 AS BIGINT) << (length(bin(h)) - 1))) * 1048576
-               // (CAST(1 AS BIGINT) << (length(bin(h)) - 1)) AS e_x20
+           33554432 - ${graft.functions.IntLog2.duckSql("h")} AS e_x20
          FROM p),
        k AS (SELECT lang, doc_id, w, e_x20,
            e_x20 * 4194304 // w AS key_x22
@@ -1024,10 +1021,8 @@ object Pipeline {
     val docs = Tables.documents(s, dir).filter(col("n_chars") > 0)
       .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
       .withColumn("h", expr("doc_id * 2654435761L % 4294967295L + 1L"))
-      .withColumn("bl", length(expr("bin(h)")).cast("long"))
       .withColumn("e_x20",
-        expr("(33 - bl) * 1048576 - (h - shiftleft(1L, cast(bl as int) - 1)) * 1048576" +
-          " div shiftleft(1L, cast(bl as int) - 1)"))
+        expr(s"33554432L - ${graft.functions.IntLog2.sparkSql("h")}"))
       .withColumn("key_x22", expr("e_x20 * 4194304 div w"))
     // TopKAgg keeps the LARGEST priorities: negate the ascending race
     // key so the k smallest T survive; ties break by doc_id like q212

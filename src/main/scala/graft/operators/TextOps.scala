@@ -1134,7 +1134,70 @@ object TextOps {
     res
   }
 
+  /** q250 — bigram-LM surprisal as an EXACT-INTEGER quality score: the
+    * language-model filter every CCNet-style pipeline runs (docs whose
+    * token sequences the corpus LM finds improbable are boilerplate,
+    * gibberish, or the wrong language), made hash-gateable by scoring
+    * in the shared [[graft.functions.IntLog2]] integer log2 units
+    * instead of float logprobs. Model: corpus bigram MLE
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) with c(w₁·) the prefix total (both
+    * plain counts, ≥ 1 for every observed bigram — the corpus scores
+    * itself, so no smoothing is needed);
+    * per-doc surprisal_x20 = Σ over the doc's bigrams of
+    * (L2_x20(c(w₁·)) − L2_x20(c(w₁w₂))) ≥ 0 — a log2 likelihood ratio
+    * in exact BIGINTs, identical on both engines. Shapes: bigram pairs
+    * form ARRAY-side (`transform(sequence)` over the token array — no
+    * window, no per-token shuffle), one (w₁,w₂) count aggregate
+    * re-aggregated to prefix totals (the q176 rollup pattern), one
+    * equi-join back, one per-doc aggregate. The per-doc mean
+    * (`mean_x20 = surprisal div n`) is what a filter thresholds —
+    * kept integer.
+    */
+  val q250 = {
+    import graft.functions.IntLog2
+    oracled(
+      "q250_bigram_lm_surprisal",
+      "corpus bigram-LM doc surprisal in exact integer log2 units (the LM quality filter)",
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) u(i)),
+         cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbi
+           FROM b GROUP BY 1, 2),
+         cp AS (SELECT w1, CAST(SUM(cbi) AS BIGINT) AS cpre
+           FROM cb GROUP BY 1),
+         s AS (SELECT b.doc_id,
+             ${IntLog2.duckSql("cp.cpre")} - ${IntLog2.duckSql("cb.cbi")}
+               AS sup
+           FROM b JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+                  JOIN cp ON cp.w1 = b.w1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sup) AS BIGINT) AS surprisal_x20,
+           CAST(SUM(sup) // COUNT(*) AS BIGINT) AS mean_x20
+         FROM s GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      // size >= 2 guard: Spark's sequence(1, 0) DESCENDS where DuckDB's
+      // range(1, 1) is empty — single-token docs must yield no bigrams
+      val b = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbi"))
+      val cp = cb.groupBy(col("w1")).agg(sum(col("cbi")).as("cpre"))
+      b.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"),
+          expr(s"${IntLog2.sparkSql("cpre")} - ${IntLog2.sparkSql("cbi")}")
+            .as("sup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sup")).as("surprisal_x20"),
+          expr("sum(sup) div count(1)").as("mean_x20"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197, q203, q224)
+      q156, q168, q177, q185, q190, q197, q203, q224, q250)
 }
