@@ -1366,6 +1366,88 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
+  /** q251 — INCREMENTAL connected components by contraction: the
+    * maintenance shape a 100 TB graph actually runs — yesterday's
+    * converged labels are an ARTIFACT, and today's delta edges update
+    * them WITHOUT re-clustering the full edge set. Construction: the
+    * undirected item co-session graph (q239's transition pairs,
+    * symmetrized) with each pair's FIRST occurrence time; edges split
+    * at the deterministic midpoint cutoff into base (≤ cut) and delta
+    * (> cut). Base labels come from one [[cc]] run; every delta edge
+    * is CONTRACTED through those labels ((lb(u), lb(v)), dropped when
+    * equal — already merged), and a second [[cc]] runs on the
+    * contracted graph, whose node set is the base COMPONENT set —
+    * delta-sized work, not corpus-sized. Final label = l2(lb(node)),
+    * and min-of-mins composes: the result is the min node id of the
+    * merged component, exactly what full CC computes. The oracle
+    * recomputes components over ALL edges in one recursive-CTE
+    * closure — equality of the incremental composition with the
+    * from-scratch answer IS the gate (the q93 delta-dedup discipline,
+    * lifted to graph clustering).
+    */
+  val q251 = oracled(
+    "q251_incremental_cc",
+    "delta-edge component maintenance: contract through base labels, re-cluster the contraction == full CC",
+    s"""WITH RECURSIVE ev AS (SELECT user_id, event_id % 100 AS item,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+       nx AS (SELECT item AS a, lead(item) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS b,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) - us AS gap,
+           us FROM ev),
+       p AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+         FROM nx WHERE b IS NOT NULL AND a <> b AND gap <= 1800000000
+         GROUP BY 1, 2),
+       d AS (SELECT u AS src, v AS dst FROM p
+             UNION ALL SELECT v, u FROM p),
+       vtx AS (SELECT DISTINCT item AS node FROM ev),
+       reach(s, n) AS (
+         SELECT node, node FROM vtx
+         UNION
+         SELECT r.s, d.dst FROM reach r JOIN d ON d.src = r.n),
+       comp AS (SELECT n AS node, MIN(s) AS component
+         FROM reach GROUP BY n)
+       SELECT node AS item_id, CAST(component AS BIGINT) AS component,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+           AS component_size
+       FROM comp ORDER BY item_id""") { (s, dir) =>
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val pairs = ev.withColumn("b", lead(col("item"), 1).over(wu))
+      .withColumn("gap", lead(col("us"), 1).over(wu) - col("us"))
+      .filter(col("b").isNotNull && col("item") =!= col("b") &&
+        col("gap") <= 1800000000L)
+      .select(least(col("item"), col("b")).as("u"),
+        greatest(col("item"), col("b")).as("v"), col("us"))
+      .groupBy(col("u"), col("v")).agg(min(col("us")).as("etime"))
+      .localCheckpoint() // consumed by bounds, base, and delta branches
+    val cut = pairs.agg(expr("(min(etime) + max(etime)) div 2").as("cut"))
+    val split = pairs.crossJoin(broadcast(cut))
+    val base = split.filter(col("etime") <= col("cut")).select(col("u"), col("v"))
+    val delta = split.filter(col("etime") > col("cut")).select(col("u"), col("v"))
+    val nodes = ev.select(col("item").as("node")).distinct()
+    val lb = cc(nodes, base).localCheckpoint() // yesterday's artifact
+    // contract delta edges through the base labels; equal endpoints are
+    // already-merged pairs and drop out
+    val dl = delta
+      .join(lb.select(col("node").as("u"), col("component").as("cu")), Seq("u"))
+      .join(lb.select(col("node").as("v"), col("component").as("cv")), Seq("v"))
+      .filter(col("cu") =!= col("cv"))
+      .select(least(col("cu"), col("cv")).as("a"),
+        greatest(col("cu"), col("cv")).as("b"))
+      .distinct()
+    val l2 = cc(lb.select(col("component")).distinct(), dl)
+      .toDF("component", "final") // (supernode = base label, merged label)
+    lb.join(l2, Seq("component"))
+      .select(col("node").as("item_id"), col("final").as("component"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+      .orderBy(col("item_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246)
+    q180, q188, q200, q211, q221, q239, q246, q251)
 }
