@@ -1448,6 +1448,108 @@ object Graph {
       .orderBy(col("item_id"))
   }
 
+  /** q252 — TEMPORAL (time-respecting) reachability: earliest arrival
+    * from the seed items when an edge can only be taken AT its
+    * timestamp and never before you have arrived — the semantics
+    * static reachability gets WRONG on interaction graphs (A→B at
+    * noon then B→C at 9am is not a path; q154's BFS would say it is).
+    * Edges are the item-transition events (one (src, dst, t) row per
+    * transition, times kept — multiplicity matters here, unlike
+    * q239's distinct pairs) on a deterministic user slice; arrival
+    * times are RELATIVE to the slice's first event so seeds start at
+    * 0. The Spark side is the q221 frontier label-correcting loop
+    * with the temporal admission rule (an edge relaxes only if
+    * t ≥ arr(src); improvements only ever DECREASE arrivals, and a
+    * smaller arrival only ADMITS MORE edges, so the fixpoint is the
+    * true minimum); the oracle grows the (node, time) closure
+    * declaratively — ≤ |E| states, since every non-seed state is an
+    * edge's (dst, t) — and takes MIN per node. Loud round bound, the
+    * sssp discipline.
+    */
+  val q252 = oracled(
+    "q252_temporal_reachability",
+    "earliest time-respecting arrival from seed items == recursive temporal-closure oracle",
+    s"""WITH RECURSIVE ev AS (SELECT user_id, event_id % 100 AS item,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events
+         WHERE user_id % 5 = 0),
+       t0 AS (SELECT MIN(us) AS t0 FROM ev),
+       nx AS (SELECT item AS a, lead(item) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS b,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS bus,
+           lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) - us AS gap
+         FROM ev),
+       e AS (SELECT DISTINCT a AS src, b AS dst, bus - t0.t0 AS t
+         FROM nx CROSS JOIN t0
+         WHERE b IS NOT NULL AND a <> b AND gap <= 1800000000),
+       seeds AS (SELECT DISTINCT item AS node FROM ev WHERE item % 10 = 0),
+       reach(n, t) AS (
+         SELECT node, CAST(0 AS BIGINT) FROM seeds
+         UNION
+         SELECT e.dst, e.t FROM reach r JOIN e
+           ON e.src = r.n AND e.t >= r.t)
+       SELECT n AS item_id, CAST(MIN(t) AS BIGINT) AS arrival_us
+       FROM reach GROUP BY n ORDER BY item_id""") { (s, dir) =>
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), (col("event_id") % 100).as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val t0 = ev.agg(min(col("us")).as("t0"))
+    val edges = ev.withColumn("b", lead(col("item"), 1).over(wu))
+      .withColumn("bus", lead(col("us"), 1).over(wu))
+      .withColumn("gap", col("bus") - col("us"))
+      .filter(col("b").isNotNull && col("item") =!= col("b") &&
+        col("gap") <= 1800000000L)
+      .crossJoin(broadcast(t0))
+      .select(col("item").as("src"), col("b").as("dst"),
+        (col("bus") - col("t0")).as("t"))
+      .distinct()
+      .localCheckpoint() // static relation for the rounds
+    val seeds = ev.filter(col("item") % 10 === 0)
+      .select(col("item").as("node")).distinct()
+    temporalEarliestArrival(edges, seeds)
+      .select(col("node").as("item_id"), col("arr").as("arrival_us"))
+      .orderBy(col("item_id"))
+  }
+
+  /** q252's loop, factored for the hand-built-graph spec: earliest
+    * time-respecting arrival per reachable node. `edges` has
+    * (src, dst, t); `seeds` a single `node` column (arrival 0 — times
+    * must be ≥ 0). Frontier label-correcting with the temporal
+    * admission rule t ≥ arr(src).
+    */
+  private[graft] def temporalEarliestArrival(edges: DataFrame,
+      seeds: DataFrame, maxRounds: Int = 200): DataFrame = {
+    var arr = seeds.select(col("node"), lit(0L).as("arr")).localCheckpoint()
+    var frontier = arr
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        sys.error(s"temporal reachability: frontier alive after $maxRounds rounds")
+      val cand = edges.join(frontier, col("src") === col("node") &&
+          col("t") >= col("arr"))
+        .groupBy(col("dst")).agg(min(col("t")).as("cArr"))
+      val improved = cand
+        .join(arr.select(col("node").as("dst"), col("arr").as("oArr")),
+          Seq("dst"), "left")
+        .filter(col("oArr").isNull || col("cArr") < col("oArr"))
+        .select(col("dst").as("node"), col("cArr").as("arr"))
+        .localCheckpoint()
+      done = improved.isEmpty
+      if (!done) {
+        arr = arr.unionByName(improved).groupBy(col("node"))
+          .agg(min(col("arr")).as("arr")).localCheckpoint()
+        frontier = improved
+      }
+    }
+    arr
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252)
 }

@@ -408,6 +408,31 @@ class GraphSpec extends AnyFunSuite {
     assert(two == Map(0L -> 0L, 3L -> 0L, 1L -> 4L, 2L -> 4L))
   }
 
+  test("temporal reachability: out-of-order edges are NOT paths; waiting is allowed") {
+    import spark.implicits._
+    // A→B at t=100, B→C at t=50: static reachability says A reaches C,
+    // time-respecting says NO (you arrive at B after B→C fired).
+    // B→D at t=200: waiting at B from 100 to 200 is fine.
+    // E→A at t=10 gives a later chain E→A(10)→B(100)→D(200).
+    val edges = Seq(
+      (1L, 2L, 100L), (2L, 3L, 50L), (2L, 4L, 200L), (5L, 1L, 10L)
+    ).toDF("src", "dst", "t")
+    val one = operators.Graph.temporalEarliestArrival(
+        edges, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 100L, 4L -> 200L), s"got $one")
+    assert(!one.contains(3L), "took the out-of-order B->C edge")
+    val fromE = operators.Graph.temporalEarliestArrival(
+        edges, Seq(5L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromE == Map(5L -> 0L, 1L -> 10L, 2L -> 100L, 4L -> 200L))
+    // a seed ON the late edge still catches it
+    val fromB = operators.Graph.temporalEarliestArrival(
+        edges, Seq(2L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromB == Map(2L -> 0L, 3L -> 50L, 4L -> 200L))
+  }
+
   test("Graph.cc == Dedup.connectedComponents == serial union-find (shared implementation)") {
     import spark.implicits._
     val rnd = new scala.util.Random(246)
