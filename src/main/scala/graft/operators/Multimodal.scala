@@ -146,6 +146,99 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio feature row ([[WavCodec.decode]]): sample count,
+    * total absolute amplitude, zero-crossing count (the classic cheap
+    * voicing/noise discriminator), and a position-weighted checksum —
+    * order-sensitive for the same reason as [[BmpFeatures]]'s.
+    */
+  final case class WavFeatures(
+      media_id: Long,
+      n_samples: Long,
+      n_bytes: Long,
+      sum_abs: Long,
+      n_zero_cross: Long,
+      weighted_checksum: Long)
+
+  /** Minimal real WAV (RIFF, 16-bit mono PCM) encoder + decoder in pure
+    * JVM byte arithmetic — the audio sibling of [[BmpCodec]]. Format
+    * facts exercised: RIFF/WAVE magic, chunk walking by declared size
+    * (the encoder plants an unknown `cue ` chunk before `data`, so a
+    * decoder that assumes a fixed 44-byte layout fails), `fmt ` fields
+    * (PCM, mono, 16-bit), little-endian signed samples.
+    */
+  object WavCodec {
+    /** Deterministic fixture signal: sample p of media m is
+      * ((m·31 + p·17) mod 65536) − 32768 — a closed form the oracle
+      * recomputes.
+      */
+    def sample(mediaId: Long, p: Long): Int =
+      (((mediaId * 31 + p * 17) % 65536) - 32768).toInt
+
+    def encode(mediaId: Long, nSamples: Int): Array[Byte] = {
+      val dataLen = 2 * nSamples
+      val size = 44 + 12 + dataLen // header + planted cue chunk + data
+      val buf = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(size - 8)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1)          // PCM
+      buf.putShort(1)          // mono
+      buf.putInt(8000)         // sample rate
+      buf.putInt(16000)        // byte rate
+      buf.putShort(2)          // block align
+      buf.putShort(16)         // bits per sample
+      buf.put("cue ".getBytes("US-ASCII")).putInt(4).putInt(0) // must be skipped
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var p = 0
+      while (p < nSamples) {
+        buf.putShort(sample(mediaId, p).toShort)
+        p += 1
+      }
+      buf.array()
+    }
+
+    def decode(mediaId: Long, bytes: Array[Byte]): WavFeatures = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"media $mediaId: not a RIFF/WAVE file")
+      var off = 12
+      var dataOff = -1
+      var dataLen = -1
+      var fmtOk = false
+      while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+        val id = tag(off)
+        val len = buf.getInt(off + 4)
+        if (id == "fmt ") {
+          require(buf.getShort(off + 8) == 1 && buf.getShort(off + 10) == 1 &&
+            buf.getShort(off + 22) == 16,
+            s"media $mediaId: only 16-bit mono PCM supported")
+          fmtOk = true
+        } else if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(fmtOk && dataOff >= 0 && dataOff + dataLen <= bytes.length,
+        s"media $mediaId: missing/truncated fmt or data chunk")
+      val n = dataLen / 2
+      var sumAbs = 0L; var zc = 0L; var wsum = 0L
+      var prevNeg = false
+      var p = 0
+      while (p < n) {
+        val s = buf.getShort(dataOff + 2 * p).toInt
+        sumAbs += math.abs(s).toLong
+        val neg = s < 0
+        if (p > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        wsum += (p + 1).toLong * s
+        p += 1
+      }
+      WavFeatures(mediaId, n.toLong, bytes.length.toLong, sumAbs, zc, wsum)
+    }
+  }
+
   /** Synthesize the media table from documents: every doc becomes a
     * real BMP image whose dimensions are metadata arithmetic
     * (w = n_chars mod 13 + 3, h = doc_id mod 7 + 2) — encode runs
@@ -241,6 +334,68 @@ object Multimodal {
     decodeFeatures(mediaTable(s, dir)).orderBy(col("media_id"))
   }
 
+  /** The audio twin of [[mediaTable]]: every doc becomes a real 16-bit
+    * mono PCM WAV, n = doc_id mod 50 + 20 samples of the closed-form
+    * signal, with a planted unknown chunk the decoder must skip.
+    */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (id % 50 + 20).toInt
+        MediaBlob(id, "audio", WavCodec.encode(id, n),
+          declared_len = 56L + 2L * n)
+      }.toDF()
+  }
+
+  /** Partition-wise WAV decode (same carve-out shape as [[decodeFeatures]]). */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.map(b => WavCodec.decode(b.media_id, b.payload))
+    }.toDF()
+  }
+
+  /** q253 — real WAV encode→decode round trip (the audio sibling of
+    * q53, completing the multimodal family's REAL-decoder coverage):
+    * every document renders to a 16-bit mono PCM WAV in a distributed
+    * typed map; the partition-wise [[WavCodec.decode]] walks the RIFF
+    * chunk list (skipping the planted unknown chunk — a fixed-offset
+    * parser fails), validates `fmt `, and extracts integer features —
+    * sample count, total |amplitude|, ZERO CROSSINGS (the classic
+    * cheap voicing/noise discriminator, and inherently ORDER-sensitive
+    * like q53's weighted checksum), and the position-weighted sum.
+    * DuckDB recomputes everything from the closed-form signal,
+    * including n_bytes from the container's own layout (56 + 2n —
+    * which proves the chunk arithmetic round-trips).
+    */
+  val q253 = oracled(
+    "q253_wav_decode",
+    "real RIFF/WAV decode: chunk walk + PCM features vs closed-form oracle",
+    """WITH d AS (SELECT doc_id AS media_id, doc_id % 50 + 20 AS n
+         FROM documents),
+       px AS (SELECT media_id, n, u.p AS p
+         FROM d, unnest(range(0, n)) u(p)),
+       s AS (SELECT media_id, n, p,
+           (media_id * 31 + p * 17) % 65536 - 32768 AS sv,
+           CASE WHEN p >= 1
+             THEN (media_id * 31 + (p - 1) * 17) % 65536 - 32768 END AS pv
+         FROM px),
+       f AS (SELECT media_id, n,
+           SUM(ABS(sv)) AS sum_abs,
+           COUNT(*) FILTER (WHERE p >= 1 AND (sv < 0) <> (pv < 0)) AS zc,
+           SUM((p + 1) * sv) AS wsum
+         FROM s GROUP BY 1, 2)
+       SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+         CAST(56 + 2 * n AS BIGINT) AS n_bytes,
+         CAST(sum_abs AS BIGINT) AS sum_abs,
+         CAST(zc AS BIGINT) AS n_zero_cross,
+         CAST(wsum AS BIGINT) AS weighted_checksum
+       FROM f ORDER BY media_id""") { (s, dir) =>
+    decodeWavFeatures(wavTable(s, dir)).orderBy(col("media_id"))
+  }
+
   /** q94 — video frame sampling: every video expands to one row per
     * sampled frame (stride 10 over its frame count), the row-explosion
     * shape real frame extraction produces — a generated per-key range,
@@ -320,5 +475,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53, q94, q95)
+  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253)
 }

@@ -91,6 +91,20 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("med_x2") == serialXDen(vs, 1, 2)) // = 2·10 + 1
   }
 
+  test("degenerate skew: an all-equal group collapses to one bucket, stays exact") {
+    import spark.implicits._
+    // hi == lo → width 1, every row in bucket 0; the crossing pick
+    // must still come from ONE hash-aggregate row per value (no
+    // per-row sort of the pile-up)
+    val df = (Seq.fill(500)(42L) ++ Seq.fill(3)(7L)).map(Tuple1(_)).toDF("v")
+    val r = ExactQuantile.grouped(df, Seq.empty, "v",
+      Seq(Q("med_x2", 1, 2), Q("p25_x4", 1, 4))).collect()(0)
+    val vs = Seq.fill(500)(42L) ++ Seq.fill(3)(7L)
+    assert(r.getAs[Long]("n") == 503L)
+    assert(r.getAs[Long]("med_x2") == serialXDen(vs, 1, 2))
+    assert(r.getAs[Long]("p25_x4") == serialXDen(vs, 1, 4))
+  }
+
   test("extremes p=0 / p=1 select min·den and max·den exactly") {
     import spark.implicits._
     val vs = Seq(7L, -3L, 12L, 12L, 0L)

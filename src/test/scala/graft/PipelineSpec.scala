@@ -77,6 +77,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.weighted_checksum === 14L + 64L + 150L + 272L)
   }
 
+  test("WAV decoder walks real RIFF chunks: hand-assembled 4-sample file") {
+    // Built byte-by-byte from the RIFF spec, NOT via WavCodec.encode;
+    // chunk order differs from the encoder's (data BEFORE an unknown
+    // trailing chunk, plus an ODD-length junk chunk whose pad byte the
+    // walker must skip) — proves real chunk arithmetic.
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def ascii(s: String) = s.getBytes("US-ASCII").map(_.toInt).toSeq
+    // samples: 100, -3, 0, -32768  →  sum_abs = 100+3+0+32768 = 32871
+    // zero crossings (neg-flag flips): 100(+)→-3(−)=1, -3(−)→0(+)=2,
+    // 0(+)→-32768(−)=3 ;  wsum = 1·100 − 2·3 + 3·0 − 4·32768 = -131978
+    val bytes = (
+      ascii("RIFF") ++ le32(4 + 8 + 3 + 1 + 8 + 16 + 8 + 8) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(3) ++ Seq(9, 9, 9, 0) ++          // odd len + pad
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(8) ++
+        le16(100) ++ le16(0xfffd) ++ le16(0) ++ le16(0x8000)
+    ).map(_.toByte).toArray
+    val f = Multimodal.WavCodec.decode(7L, bytes)
+    assert(f.n_samples === 4L && f.n_bytes === bytes.length.toLong)
+    assert(f.sum_abs === 32871L)
+    assert(f.n_zero_cross === 3L)
+    assert(f.weighted_checksum === 1L * 100 - 2L * 3 + 3L * 0 - 4L * 32768)
+  }
+
   test("BMP encode→decode round trip matches the closed forms") {
     for ((id, nChars) <- Seq((0L, 0L), (5L, 260L), (123L, 999L))) {
       val w = (nChars % 13 + 3).toInt
