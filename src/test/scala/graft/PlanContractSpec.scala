@@ -342,4 +342,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "bounds/offsets/n must broadcast, never shuffle the fact table\n" + p)
   }
+
+  test("q58: exact quantiles select from buckets — no sort of the input relation") {
+    val p = plan(operators.Temporal.q58)
+    assert(p.contains("__eq_b"), "histogram-selection bucketing missing\n" + p)
+    // the data-bearing relation must never be globally sorted: the only
+    // Sort nodes belong to bucket-table windows and the tiny final
+    // orderBy — a Sort directly over the customer scan is the regression
+    assert(!p.contains("RangePartitioning(cents"),
+      "input relation range-sorted — full ranking crept back\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bounds/targets must broadcast against the scan\n" + p)
+  }
+
+  test("q249: MaxSim is one straight-line projection — no token Generate, no token shuffle") {
+    val p = plan(operators.Similarity.q249)
+    assert(!p.contains("Generate"),
+      "token explode crept into the MaxSim projection\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query side must broadcast; the catalog streams\n" + p)
+  }
+
+  test("q248: point-in-time join is ONE carry-forward window, no interval fan-out join") {
+    val p = plan(operators.Temporal.q248)
+    // exactly one Window (the carry-forward); a per-fact interval range
+    // join would appear as a second join after the union
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1,
+      "expected exactly the carry-forward window\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval fan-out join crept in\n" + p)
+  }
 }
