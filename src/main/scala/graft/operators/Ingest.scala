@@ -934,7 +934,88 @@ object Ingest {
       .orderBy(col("metric"))
   }
 
+  /** q254 — right-to-be-forgotten DELETE PROPAGATION: the erasure
+    * cascade a data-governance pipeline must run when subjects exercise
+    * deletion — purge the subject rows AND everything that references
+    * them, transitively, with an audit proving referential closure.
+    * Subjects here: negative-balance AUTOMOBILE customers (a
+    * deterministic slice); cascade: their orders, then those orders'
+    * lineitems. Shapes: the subject key set is a semi/anti-join probe
+    * per referencing table — each level's purge keys derive from the
+    * PREVIOUS level's semi-join (never from re-walking the subject
+    * predicate), so the cascade is one key-set flow down the FK tree,
+    * every join on the FK it prunes. The audit emits per-table
+    * purge/retain counts plus `n_orphans_after` — rows in the RETAINED
+    * table still referencing a purged parent — which is zero BY
+    * CONSTRUCTION of the anti-join, crossed as a computed count (not a
+    * literal), so a cascade bug (e.g. purging orders by the subject
+    * predicate instead of the customer key set) breaks the gate.
+    */
+  val q254 = oracled(
+    "q254_delete_propagation",
+    "GDPR-style erasure cascade: subject → orders → lineitems, with referential-closure audit",
+    """WITH subj AS (SELECT c_custkey FROM customer
+         WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0),
+       po AS (SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+       ro AS (SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM subj)),
+       rl AS (SELECT l_orderkey FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
+       SELECT 'customer' AS tbl,
+         CAST((SELECT COUNT(*) FROM subj) AS BIGINT) AS n_purged,
+         CAST((SELECT COUNT(*) FROM customer) -
+              (SELECT COUNT(*) FROM subj) AS BIGINT) AS n_retained,
+         CAST(0 AS BIGINT) AS n_orphans_after
+       UNION ALL SELECT 'lineitem',
+         CAST((SELECT COUNT(*) FROM lineitem) -
+              (SELECT COUNT(*) FROM rl) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM rl) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM rl
+               WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS BIGINT)
+       UNION ALL SELECT 'orders',
+         CAST((SELECT COUNT(*) FROM po) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM ro) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM ro
+               WHERE o_custkey IN (SELECT c_custkey FROM subj)) AS BIGINT)
+       ORDER BY tbl""") { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val ords = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val subj = cust
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") < 0)
+      .select(col("c_custkey")).localCheckpoint()
+    // level 1: orders referencing a subject — the purge KEY SET for
+    // level 2 derives from this semi-join, not from the predicate
+    val purgedOrders = ords
+      .join(broadcast(subj), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).localCheckpoint()
+    val retainedOrders = ords
+      .join(broadcast(subj), col("o_custkey") === col("c_custkey"), "left_anti")
+    val retainedLi = li
+      .join(broadcast(purgedOrders), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+    val nCust = cust.count(); val nSubj = subj.count()
+    val nOrd = ords.count(); val nPo = purgedOrders.count()
+    val nLi = li.count(); val nRl = retainedLi.count()
+    // closure audit COMPUTED on the retained tables (not literals)
+    val orphanOrders = retainedOrders
+      .join(broadcast(subj), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    val orphanLi = retainedLi
+      .join(broadcast(purgedOrders), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .count()
+    import s.implicits._
+    Seq(
+      ("customer", nSubj, nCust - nSubj, 0L),
+      ("lineitem", nLi - nRl, nRl, orphanLi),
+      ("orders", nPo, nOrd - nPo, orphanOrders))
+      .toDF("tbl", "n_purged", "n_retained", "n_orphans_after")
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214, q225, q229)
+      q214, q225, q229, q254)
 }
