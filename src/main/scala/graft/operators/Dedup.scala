@@ -96,7 +96,10 @@ object Dedup {
       .agg(minhashAgg(col("h"), perms, P).as("mh"))
   }
 
-  private def minhashSql: String = {
+  /** The minhash→signature→band-join derivation as CTE text (through
+    * `pairs`), shared by q45's oracle and q255's closure oracle.
+    */
+  private def minhashPairCtes: String = {
     val mins = (0 until NumHashes)
       .map(i => s"MIN((h*${permA(i)} + ${permB(i)}) % $P) AS mh$i").mkString(",\n           ")
     val sigs = (0 until NumBands).map { b =>
@@ -107,7 +110,7 @@ object Dedup {
       s"""SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM sig x JOIN sig y ON x.sig$b = y.sig$b AND x.doc_id < y.doc_id"""
     }.mkString("\n          UNION\n          ")
-    s"""WITH tok AS (
+    s"""tok AS (
          SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
          FROM documents),
        th AS (SELECT doc_id, ${RollingHash.duckSql("tok")} AS h FROM tok),
@@ -118,15 +121,42 @@ object Dedup {
            $sigs
          FROM mh),
        pairs AS (
-          $bandJoins)
-       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""
+          $bandJoins)"""
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashPairCtes
+       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""
 
   /** Memoized (doc_id, mh, gid) signature-group frame for q45 — one row
     * per doc, labeled with the min doc_id sharing its full signature.
     */
   private val labeledCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Label every doc with its signature-group id — a shared artifact
+    * memoized per (context, dir) like `tokenized`: repeat invocations
+    * reuse one materialization instead of leaking a fresh cache each
+    * (localCheckpoint blocks die with the context; no unpersist needed).
+    * Shared by q45 (pair listing) and q255 (pair-free clustering).
+    */
+  private def labeledSignatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Memo.sync(labeledCache, graft.Memo.key(s, dir))( {
+      import org.apache.spark.sql.expressions.Window
+      minhashSignatures(tokenized(s, dir))
+        .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+        .localCheckpoint()
+    })
+
+  /** One row per DISTINCT signature per band — the collision-join side. */
+  private def bandReps(labeled: DataFrame): DataFrame =
+    labeled.filter(col("doc_id") === col("gid"))
+      .select(col("gid"),
+        posexplode(array((0 until NumBands).map { b =>
+          concat_ws("-", (0 until BandSize).map(j =>
+            element_at(col("mh"), b * BandSize + j + 1)): _*)
+        }: _*)).as(Seq("band", "sig")))
 
   /** q45 — MinHash-LSH near-dup candidates: shingle→minhash→band→
     * bucket-join. 16 hashes, 4 bands × 4 rows (candidate threshold
@@ -153,24 +183,9 @@ object Dedup {
     "q45_dedup_minhash_lsh",
     "MinHash-LSH banding candidate pairs (16 hashes, 4 bands)",
     minhashSql) { (s, dir) =>
-    // label every doc with its signature-group id — a shared artifact
-    // memoized per (context, dir) like `tokenized`: repeat invocations
-    // reuse one materialization instead of leaking a fresh cache each
-    // (localCheckpoint blocks die with the context; no unpersist needed)
-    val labeled = graft.Memo.sync(labeledCache, graft.Memo.key(s, dir))( {
-      import org.apache.spark.sql.expressions.Window
-      minhashSignatures(tokenized(s, dir))
-        .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
-        .localCheckpoint()
-    })
+    val labeled = labeledSignatures(s, dir)
     val members = labeled.select(col("gid"), col("doc_id"))
-    // one row per DISTINCT signature per band for the collision join
-    val reps = labeled.filter(col("doc_id") === col("gid"))
-      .select(col("gid"),
-        posexplode(array((0 until NumBands).map { b =>
-          concat_ws("-", (0 until BandSize).map(j =>
-            element_at(col("mh"), b * BandSize + j + 1)): _*)
-        }: _*)).as(Seq("band", "sig")))
+    val reps = bandReps(labeled)
     val gx = reps.alias("gx")
     val gy = reps.alias("gy")
     val candGroups = gx.join(gy,
@@ -1099,7 +1114,80 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q255 — PAIR-FREE near-dup clustering by STAR CONTRACTION: the
+    * scale upgrade of the pair-listing LSH family, and the answer to
+    * the sf1 probe's one honest quadratic (q45's candidate pairs grow
+    * ~bucket², 0.35 s → 138 s at 10× under densification — correct for
+    * PAIR-LISTING semantics, but CLUSTERING never needed the pairs).
+    * Connectivity is preserved by two LINEAR edge sets: within each
+    * full-signature group, doc → group-min (the star); across groups,
+    * per (band, signature) bucket with ≥ 2 members, group → bucket-min
+    * (a star per hyperedge). Docs sharing a bucket are connected
+    * through its hub, so the connected components — and hence the
+    * min-id cluster labels — EQUAL the components of q45's full pair
+    * graph, at O(docs + distinct-sigs × bands) edges instead of
+    * Σ bucket². [[graft.operators.Graph.cc]] runs the propagation; the
+    * oracle computes the closure at the SIGNATURE-GROUP level (the
+    * doc-level pair closure is Σ cluster-size² states — first tried,
+    * it ran for CPU-hours at sf0.1 on this duplicate-dense corpus) and
+    * expands group labels to docs: same-signature docs agree on every
+    * band (trivially one component), two groups connect iff they share
+    * a band value — the identical group↔pair equivalence q45's own
+    * brute-force gate already proves for this fixture, so the
+    * group-closure oracle is exact, over dozens of nodes instead of
+    * millions of reach states.
+    */
+  val q255 = oracled(
+    "q255_pairfree_lsh_clustering",
+    "near-dup clusters via star contraction per LSH bucket — linear edges, == signature-graph closure",
+    s"""WITH RECURSIVE $minhashPairCtes,
+       grp AS (SELECT doc_id, sig0, sig1, sig2, sig3,
+           MIN(doc_id) OVER (PARTITION BY sig0, sig1, sig2, sig3) AS gid
+         FROM sig),
+       reps AS (SELECT DISTINCT gid, sig0, sig1, sig2, sig3 FROM grp),
+       ge AS (
+          SELECT x.gid AS a, y.gid AS b FROM reps x JOIN reps y
+            ON x.sig0 = y.sig0 AND x.gid < y.gid
+          UNION SELECT x.gid, y.gid FROM reps x JOIN reps y
+            ON x.sig1 = y.sig1 AND x.gid < y.gid
+          UNION SELECT x.gid, y.gid FROM reps x JOIN reps y
+            ON x.sig2 = y.sig2 AND x.gid < y.gid
+          UNION SELECT x.gid, y.gid FROM reps x JOIN reps y
+            ON x.sig3 = y.sig3 AND x.gid < y.gid),
+       gd AS (SELECT a AS src, b AS dst FROM ge
+              UNION ALL SELECT b, a FROM ge),
+       reach(s, n) AS (
+         SELECT gid, gid FROM reps
+         UNION
+         SELECT r.s, gd.dst FROM reach r JOIN gd ON gd.src = r.n),
+       gcomp AS (SELECT n AS gid, MIN(s) AS cluster
+         FROM reach GROUP BY n)
+       SELECT grp.doc_id, CAST(gcomp.cluster AS BIGINT) AS cluster,
+         CAST(COUNT(*) OVER (PARTITION BY gcomp.cluster) AS BIGINT)
+           AS cluster_size
+       FROM grp JOIN gcomp ON gcomp.gid = grp.gid
+       ORDER BY grp.doc_id""") { (s, dir) =>
+    val labeled = labeledSignatures(s, dir)
+    val starWithin = labeled.filter(col("doc_id") =!= col("gid"))
+      .select(col("doc_id").as("a"), col("gid").as("b"))
+    val reps = bandReps(labeled)
+    val bucketMin = reps.groupBy(col("band"), col("sig"))
+      .agg(min(col("gid")).as("bmin"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val starAcross = reps.join(bucketMin, Seq("band", "sig"))
+      .filter(col("gid") =!= col("bmin"))
+      .select(col("gid").as("a"), col("bmin").as("b"))
+      .distinct()
+    val nodes = Tables.documents(s, dir).select(col("doc_id"))
+    Graph.cc(nodes, starWithin.unionByName(starAcross).distinct())
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247)
+      q204, q230, q247, q255)
 }
