@@ -212,6 +212,11 @@ object Multimodal {
       while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
         val id = tag(off)
         val len = buf.getInt(off + 4)
+        // A corrupt/negative declared length (e.g. -8) would otherwise
+        // stall the walk (off += 8 + len + pad stops advancing) or slip a
+        // negative dataLen past the truncation check below and decode
+        // zero samples silently — malformed input must fail loudly.
+        require(len >= 0, s"media $mediaId: chunk '$id' declares negative length $len")
         if (id == "fmt ") {
           require(buf.getShort(off + 8) == 1 && buf.getShort(off + 10) == 1 &&
             buf.getShort(off + 22) == 16,
@@ -220,7 +225,8 @@ object Multimodal {
         } else if (id == "data") { dataOff = off + 8; dataLen = len }
         off += 8 + len + (len & 1) // chunks are word-aligned
       }
-      require(fmtOk && dataOff >= 0 && dataOff + dataLen <= bytes.length,
+      require(fmtOk && dataOff >= 0 && dataLen >= 0 &&
+        dataOff + dataLen <= bytes.length,
         s"media $mediaId: missing/truncated fmt or data chunk")
       val n = dataLen / 2
       var sumAbs = 0L; var zc = 0L; var wsum = 0L

@@ -902,7 +902,11 @@ object Pipeline {
     * makes a 10-row sample answer subset-sum queries over the corpus).
     *
     * EXACT cross-engine order with no floats anywhere: u_i = h_i/2^20
-    * (h from the q144 LCG class, 1 ≤ h ≤ 1048573), and the sort key is
+    * (h from the q144 LCG class, 1 ≤ h ≤ 1048573; doc_id is reduced
+    * mod 100003 BEFORE the Knuth multiply — the q72/q184 overflow
+    * discipline — so the product stays < 2.66e14 and the draw is
+    * ANSI-safe for every BIGINT doc_id, not just ids below ~3.46e9),
+    * and the sort key is
     * `(w·2^40) div h` — for rationals w1/h1 ≠ w2/h2 the difference is
     * ≥ 1/(h1·h2) ≥ 2^-40, so the 2^40-scaled floors still differ:
     * floor order IS the exact rational priority order (ties = equal
@@ -923,7 +927,7 @@ object Pipeline {
     "per-lang priority sampling (exact integer w/u keys) + Duffield–Lund–Thorup unbiased weight estimates",
     """WITH p AS (
          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
-           doc_id * 2654435761 % 1048573 + 1 AS h
+           (doc_id % 100003) * 2654435761 % 1048573 + 1 AS h
          FROM documents WHERE n_chars > 0),
        q AS (SELECT lang, doc_id, w, w * 1099511627776 // h AS priority
          FROM p),
@@ -943,7 +947,7 @@ object Pipeline {
     import graft.functions.TopKAgg.topKAgg
     val docs = Tables.documents(s, dir).filter(col("n_chars") > 0)
       .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
-      .withColumn("h", expr("doc_id * 2654435761 % 1048573 + 1"))
+      .withColumn("h", expr("(doc_id % 100003) * 2654435761 % 1048573 + 1"))
       .withColumn("priority", expr("w * 1099511627776 div h"))
     val top = docs.groupBy(col("lang"))
       .agg(topKAgg(col("priority"), col("doc_id"), 11).as("tk"))
@@ -980,6 +984,8 @@ object Pipeline {
     * version-proof trick is a LOG2-LINEARIZED jitter in pure integer
     * arithmetic: u = h/2³² from the q144/q212 hash class, and
     *   E ≈ −log2(u),  E_x20 = 32·2²⁰ − L2_x20(h)
+    * (doc_id reduced mod 100003 before the Knuth multiply, the q212
+    * overflow discipline — BIGINT-safe for every doc_id)
     * with L2_x20 the shared [[graft.functions.IntLog2]] integer
     * piecewise-linear log2 (binary-digit-count octave + in-octave
     * interpolation; both engines evaluate the identical formula — see
@@ -1002,7 +1008,7 @@ object Pipeline {
     "A-ES weighted sampling w/o replacement: exact-integer log2-linearized exponential jitter, per-lang top-10",
     s"""WITH p AS (
          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
-           doc_id * 2654435761 % 4294967295 + 1 AS h
+           (doc_id % 100003) * 2654435761 % 4294967295 + 1 AS h
          FROM documents WHERE n_chars > 0),
        e AS (SELECT lang, doc_id, w,
            33554432 - ${graft.functions.IntLog2.duckSql("h")} AS e_x20
@@ -1020,7 +1026,7 @@ object Pipeline {
     import graft.functions.TopKAgg.topKAgg
     val docs = Tables.documents(s, dir).filter(col("n_chars") > 0)
       .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
-      .withColumn("h", expr("doc_id * 2654435761L % 4294967295L + 1L"))
+      .withColumn("h", expr("(doc_id % 100003L) * 2654435761L % 4294967295L + 1L"))
       .withColumn("e_x20",
         expr(s"33554432L - ${graft.functions.IntLog2.sparkSql("h")}"))
       .withColumn("key_x22", expr("e_x20 * 4194304 div w"))

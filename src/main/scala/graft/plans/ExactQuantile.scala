@@ -94,6 +94,9 @@ object ExactQuantile {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.map(_.name).distinct.size == qs.size, "duplicate quantile names")
     require(!df.columns.contains("n"), "input must not already have a column 'n'")
+    require(!df.columns.exists(_.startsWith("__eq_")),
+      "input must not contain columns with the reserved __eq_ prefix " +
+        "(the template's internal working columns)")
     val g0 = "__eq_g"
     val base = if (group.nonEmpty) df else df.withColumn(g0, lit(0))
     val gNames = if (group.nonEmpty) group else Seq(g0)
