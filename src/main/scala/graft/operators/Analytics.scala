@@ -503,10 +503,17 @@ object Analytics {
   val q138 = oracled(
     "q138_triangle_count",
     "per-user triangle counts, degree-oriented wedge join == id-ordered oracle",
-    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+    s"""WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
           CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        rc AS (SELECT user_id, item_id, rating FROM (
+            SELECT user_id, item_id, rating,
+              ROW_NUMBER() OVER (PARTITION BY item_id, rating
+                ORDER BY (user_id % 100003) * 2654435761 % 1000000007,
+                  user_id) AS rn
+            FROM r) t
+          WHERE rn <= ${Graph.CoRatingGroupCap}),
         e AS (SELECT a.user_id AS ua, b.user_id AS ub
-          FROM r a JOIN r b
+          FROM rc a JOIN rc b
             ON a.item_id = b.item_id AND a.rating = b.rating
            AND a.user_id < b.user_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 14),
@@ -823,10 +830,17 @@ object Analytics {
   val q158 = oracled(
     "q158_clustering_coefficient",
     "local clustering coefficient from shared triangle + degree artifacts",
-    """WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+    s"""WITH r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
           CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+        rc AS (SELECT user_id, item_id, rating FROM (
+            SELECT user_id, item_id, rating,
+              ROW_NUMBER() OVER (PARTITION BY item_id, rating
+                ORDER BY (user_id % 100003) * 2654435761 % 1000000007,
+                  user_id) AS rn
+            FROM r) t
+          WHERE rn <= ${Graph.CoRatingGroupCap}),
         e AS (SELECT a.user_id AS ua, b.user_id AS ub
-          FROM r a JOIN r b
+          FROM rc a JOIN rc b
             ON a.item_id = b.item_id AND a.rating = b.rating
            AND a.user_id < b.user_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 14),

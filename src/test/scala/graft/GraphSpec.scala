@@ -458,4 +458,30 @@ class GraphSpec extends AnyFunSuite {
       assert(viaGraph == viaDedup, s"trial $trial: adapter drifted from Dedup CC")
     }
   }
+
+  test("capGroups: identity under the cap, deterministic hash-ordered sample over it") {
+    import spark.implicits._
+    // group (1,1): 10 users; group (2,2): 3 users; group (1,2): 1 user
+    val rows = (1L to 10L).map(u => (u * 17 + 3, 1L, 1L)) ++
+      Seq((5L, 2L, 2L), (900L, 2L, 2L), (31L, 2L, 2L), (77L, 1L, 2L))
+    val df = rows.toDF("user_id", "item_id", "rating")
+    def key(u: Long): (Long, Long) = ((u % 100003) * 2654435761L % 1000000007L, u)
+    // cap >= max group: bit-identical pass-through
+    val all = operators.Graph.capGroups(df, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == rows.toSet)
+    // cap 4: the big group keeps EXACTLY its 4 smallest under the
+    // (hash, user_id) total order — the serial reference sample
+    val capped = operators.Graph.capGroups(df, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val expectBig = (1L to 10L).map(_ * 17 + 3)
+      .sortBy(key).take(4).map((_, 1L, 1L)).toSet
+    val expectRest = Seq((5L, 2L, 2L), (900L, 2L, 2L), (31L, 2L, 2L),
+      (77L, 1L, 2L)).toSet
+    assert(capped == expectBig ++ expectRest)
+    // partitioning-independence: the kept set is a function of the data
+    val reshuffled = operators.Graph.capGroups(df.repartition(7), 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reshuffled == capped)
+  }
 }
