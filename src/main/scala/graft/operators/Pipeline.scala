@@ -514,12 +514,17 @@ object Pipeline {
     * the lexical ranking (q114's BM25) and a semantic ranking (exact
     * cosine against the vec_id-0 query embedding, ids shared with
     * documents) fuse as Σ 1/(k + rank) — the standard RAG hybrid-search
-    * combiner. Each 1/(k+rank) term is rounded 6dp and summed as
-    * DECIMAL(18,6) (the q114 trick), so the fused float ranking is
-    * hash-checkable; a doc missing from one ranking contributes 0 from
-    * that side (full outer fusion). Both rankings are rank windows over
-    * hash-aggregate/broadcast plans — nothing new is shuffled by the
-    * fusion itself beyond the final outer join on id.
+    * combiner. Each 1/(k+rank) term is the exact integer floor
+    * `10⁹ div (k + rank)` (ROUNDDIV burndown, VERDICT r10 #7 — ranks
+    * are small positive integers, so the scaled floor loses < 1e-9 of
+    * resolution per term and both engines' non-negative integer
+    * division agrees bit-for-bit; no float, no ROUND policy); a doc
+    * missing from one ranking contributes 0 from that side (full outer
+    * fusion, NULL rank → NULL div → COALESCE 0 — computed from the
+    * RAW side columns, not the 0-defaulted output aliases). Both
+    * rankings are rank windows over hash-aggregate/broadcast plans —
+    * nothing new is shuffled by the fusion itself beyond the final
+    * outer join on id.
     */
   val q116 = oracled(
     "q116_hybrid_rrf",
@@ -535,13 +540,14 @@ object Pipeline {
          WHERE x.vec_id = 0),
        fused AS (
          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-           COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
-           COALESCE(CAST(ROUND(1.0/(60 + lex_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
-             + COALESCE(CAST(ROUND(1.0/(60 + sem_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+           COALESCE(lex.lex_rank, 0) AS lex_rank,
+           COALESCE(sem.sem_rank, 0) AS sem_rank,
+           COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+             + COALESCE(1000000000 // (60 + sem.sem_rank), 0) AS rrf_x9
          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
        SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
-         CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf AS DOUBLE) AS rrf
-       FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""") { (s, dir) =>
+         CAST(sem_rank AS BIGINT) AS sem_rank, CAST(rrf_x9 AS BIGINT) AS rrf_x9
+       FROM fused ORDER BY rrf_x9 DESC, doc_id LIMIT 10""") { (s, dir) =>
     import graft.functions.VecOps.{dotF, l2Norm}
     val lex = TextOps.bm25Scores(s, dir)
       .withColumn("lex_rank", row_number().over(
@@ -556,15 +562,14 @@ object Pipeline {
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))))
       .select(col("doc_id"), col("sem_rank"))
-    val zeroDec = lit(0).cast("decimal(18,6)")
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
         coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"),
-        (coalesce(round(lit(1.0) / (lit(60) + col("lex_rank")), 6).cast("decimal(18,6)"), zeroDec)
-          + coalesce(round(lit(1.0) / (lit(60) + col("sem_rank")), 6).cast("decimal(18,6)"), zeroDec))
-          .cast("double").as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
+        (coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L))
+          + coalesce(expr("1000000000L div (60 + sem_rank)"), lit(0L)))
+          .cast("long").as("rrf_x9"))
+      .orderBy(col("rrf_x9").desc, col("doc_id"))
       .limit(10)
   }
 

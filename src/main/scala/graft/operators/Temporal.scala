@@ -403,13 +403,18 @@ object Temporal {
     * Determinism: Δt is exact BIGINT micros, value goes through the
     * fixture's DECIMAL(18,2) convention, so the weighted sum is an exact
     * DECIMAL × BIGINT product — order-independent, partial-agg
-    * mergeable; only the final ratio is double (identical expression,
-    * rounded 6dp). One window pass (user partitioning — the same
-    * high-cardinality key as q13/q14/q117) + one hash aggregate.
+    * mergeable; the average is published as the exact rational
+    * (twa_num_cents_us, twa_den_us) pair — the q234/q235 template
+    * (ROUNDDIV burndown, VERDICT r10 #7): numerator = Σ value·Δt in
+    * cents·µs (decimal sum ×100 cast once to BIGINT — bounded by
+    * max_cents · user's observed span, < 2^63 for any series under
+    * ~2·10¹⁵ cent-years), denominator = Σ Δt µs. One window pass (user
+    * partitioning — the same high-cardinality key as q13/q14/q117) +
+    * one hash aggregate.
     */
   val q159 = oracled(
     "q159_time_weighted_avg",
-    "per-user time-weighted average value (exact decimal x interval-micros weights)",
+    "per-user time-weighted average value (exact rational cents-microseconds pair)",
     """WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
            CAST(value AS DECIMAL(18,2)) AS v,
            LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
@@ -418,7 +423,8 @@ object Temporal {
        w AS (SELECT user_id, v * (t2 - t) AS vw, t2 - t AS dt
          FROM o WHERE t2 IS NOT NULL)
        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-         ROUND(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS twa_value
+         CAST(SUM(vw) * 100 AS BIGINT) AS twa_num_cents_us,
+         CAST(SUM(dt) AS BIGINT) AS twa_den_us
        FROM w GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
@@ -428,11 +434,9 @@ object Temporal {
       .filter(col("t2").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
-        sum(col("v") * (col("t2") - col("t"))).as("svw"),
-        sum(col("t2") - col("t")).as("sdt"))
-      .select(col("user_id"), col("n_intervals"),
-        round(col("svw").cast("double") / col("sdt").cast("double"), 6)
-          .as("twa_value"))
+        (sum(col("v") * (col("t2") - col("t"))) * 100).cast("long")
+          .as("twa_num_cents_us"),
+        sum(col("t2") - col("t")).cast("long").as("twa_den_us"))
       .orderBy(col("user_id"))
   }
 

@@ -191,11 +191,23 @@ object TextOps {
     * outgrows it — a forced broadcast here is a driver-OOM scale
     * killer), and n_docs rides the plan as a 1-row crossJoin (the q101
     * pattern) instead of a construction-time `count()` driver job.
+    *
+    * Exactness (ROUNDDIV burndown, VERDICT r10 #7): the idf log runs on
+    * the shared [[graft.functions.IntLog2]] integer piecewise-linear
+    * log2 instead of `ROUND(tf·LN(...), 6)` —
+    *   tfidf_x20 = tf · (L2_x20(n_docs+1) − L2_x20(df+1))
+    * (log2-base idf, smoothed +1, score in 2⁻²⁰ log2 units). Every
+    * operation is a BIGINT op both engines evaluate identically, so the
+    * top-3 cut crosses the hash gate with NO engine rounding policy in
+    * play — the q245/q250 discipline applied to the classic tf-idf
+    * ranking (monotone in the true idf up to the 0.0861 chord bound;
+    * base-2 vs base-e rescales all scores by the same constant, so the
+    * RANKING semantics match the textbook formula).
     */
   val q64 = oracled(
     "q64_tfidf",
-    "distributed TF-IDF, top-3 characteristic terms per doc",
-    """WITH tok AS (
+    "distributed TF-IDF (exact-integer log2 idf), top-3 characteristic terms per doc",
+    s"""WITH tok AS (
          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
          FROM documents),
        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
@@ -203,11 +215,15 @@ object TextOps {
        n AS (SELECT COUNT(*) AS n_docs FROM documents),
        scored AS (
          SELECT tf.doc_id, tf.tok,
-           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+           tf.tf * (${graft.functions.IntLog2.duckSql("(n.n_docs + 1)")}
+                  - ${graft.functions.IntLog2.duckSql("(df.df + 1)")})
+             AS tfidf_x20
          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
-       SELECT * FROM (
-         SELECT doc_id, tok, tfidf,
-           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+       SELECT doc_id, tok, CAST(tfidf_x20 AS BIGINT) AS tfidf_x20,
+         CAST(rn AS BIGINT) AS rn FROM (
+         SELECT doc_id, tok, tfidf_x20,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf_x20 DESC, tok) AS rn
          FROM scored) t
        WHERE rn <= 3 AND doc_id < 100
        ORDER BY doc_id, rn""") { (s, dir) =>
@@ -216,14 +232,19 @@ object TextOps {
     val tok = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val n = toks.select(count(lit(1)).cast("double").as("n_docs"))
+    val n = toks.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "tok")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
-        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+        expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")})")
+          .as("tfidf_x20"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_x20").desc, col("tok"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("doc_id") < 100)
+      .select(col("doc_id"), col("tok"), col("tfidf_x20"),
+        col("rn").cast("long").as("rn"))
       .orderBy(col("doc_id"), col("rn"))
   }
 
@@ -379,77 +400,112 @@ object TextOps {
   /** q130 — unigram-entropy quality signal: per-doc token-distribution
     * entropy (low entropy ⇒ few distinct tokens dominate ⇒ degenerate
     * text — the information-theoretic sibling of q97's bigram ratio and
-    * q122's compression ratio), rolled up per lang. Each -p·ln p term
-    * is rounded 6dp and summed as DECIMAL(18,6) (the q114 discipline),
-    * so the float entropies aggregate order-independently.
+    * q122's compression ratio), rolled up per lang.
+    *
+    * Exactness (ROUNDDIV burndown, VERDICT r10 #7): entropy runs on the
+    * shared [[graft.functions.IntLog2]] integer log2 instead of
+    * `ROUND(-p·LN p, 6)` — the algebraic lift
+    *   H·n = Σ_tok c·(log2 n − log2 c)
+    * clears the per-term division entirely, so the inner sum
+    *   h_raw = Σ c·(L2_x20(n) − L2_x20(c))
+    * is an exact BIGINT (≤ n·L2(n) < 2⁶³ for any doc below ~4·10¹¹
+    * tokens), and the per-doc score doc_h_x20 = h_raw div n is a single
+    * NON-NEGATIVE floor division (L2 monotone ⇒ every term ≥ 0), where
+    * Spark's `div` and DuckDB's `//` agree. No doubles anywhere; units
+    * are 2⁻²⁰ bits (log2-base entropy).
     */
   val q130 = oracled(
     "q130_token_entropy",
-    "per-doc unigram entropy (rolled up per lang, decimal-exact term sums)",
-    """WITH tok AS (
+    "per-doc unigram entropy (exact-integer log2 lift, rolled up per lang)",
+    s"""WITH tok AS (
          SELECT doc_id, lang, unnest(string_split(trim(text),' ')) AS tok FROM documents),
        tf AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, tok),
-       n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nt FROM tf GROUP BY doc_id),
-       e AS (SELECT tf.doc_id, tf.lang,
-         CAST(ROUND(-(tf.c/n.nt) * LN(tf.c/n.nt), 6) AS DECIMAL(18,6)) AS h
-         FROM tf JOIN n ON tf.doc_id = n.doc_id),
-       dh AS (SELECT lang, doc_id, SUM(h) AS doc_h FROM e GROUP BY lang, doc_id)
+       n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt FROM tf GROUP BY doc_id),
+       dh AS (SELECT tf.lang, tf.doc_id,
+           SUM(tf.c * (${graft.functions.IntLog2.duckSql("n.nt")}
+                     - ${graft.functions.IntLog2.duckSql("tf.c")})) // MAX(n.nt)
+             AS doc_h_x20
+         FROM tf JOIN n ON tf.doc_id = n.doc_id
+         GROUP BY tf.lang, tf.doc_id)
        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(doc_h) AS DOUBLE) AS total_entropy,
-         CAST(MIN(doc_h) AS DOUBLE) AS min_doc_entropy
+         CAST(SUM(doc_h_x20) AS BIGINT) AS total_entropy_x20,
+         CAST(MIN(doc_h_x20) AS BIGINT) AS min_doc_entropy_x20
        FROM dh GROUP BY lang ORDER BY lang""") { (s, dir) =>
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("c"))
-    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).cast("double").as("nt"))
-    val p = col("c") / col("nt")
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("nt"))
     val dh = tf.join(n, "doc_id")
-      .select(col("lang"), col("doc_id"),
-        round(-p * log(p), 6).cast("decimal(18,6)").as("h"))
       .groupBy(col("lang"), col("doc_id"))
-      .agg(sum(col("h")).as("doc_h"))
+      .agg(sum(expr(s"c * (${graft.functions.IntLog2.sparkSql("nt")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("c")})")).as("__hraw"),
+        max(col("nt")).as("__nt"))
+      .select(col("lang"), col("doc_id"),
+        expr("__hraw div __nt").as("doc_h_x20"))
     dh.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_h")).cast("double").as("total_entropy"),
-        min(col("doc_h")).cast("double").as("min_doc_entropy"))
+        sum(col("doc_h_x20")).cast("long").as("total_entropy_x20"),
+        min(col("doc_h_x20")).cast("long").as("min_doc_entropy_x20"))
       .orderBy(col("lang"))
   }
 
   /** q131 — distribution drift per language: KL(lang unigram dist ‖
     * corpus dist), the monitoring signal that flags a language slice
     * drifting from the corpus mix (new crawl source, encoding bug,
-    * template flood). Terms share q130's decimal-exact summation; the
-    * global distribution is a broadcast vocabulary join — at 100 TB
-    * both distributions are the same two hash aggregates this plan
-    * runs.
+    * template flood). The global distribution is a broadcast vocabulary
+    * join — at 100 TB both distributions are the same two hash
+    * aggregates this plan runs.
+    *
+    * Exactness (ROUNDDIV burndown, VERDICT r10 #7): the q234/q235
+    * integer-RATIONAL output template. With p_l = c/t, p_g = g/tg,
+    *   KL·t = Σ_tok c·(log2 c + log2 tg − log2 t − log2 g)
+    * so the output is the exact rational KL_x20 = kl_num_x20 /
+    * toks_total: the numerator Σ c·(L2(c)+L2(tg)−L2(t)−L2(g)) is an
+    * exact (possibly negative — chord error can dip tiny terms below
+    * zero) sum, accumulated in DECIMAL(38,0) and cast once to BIGINT
+    * (the q72/q184 widening — terms are < t·1.8e8, so a lang above
+    * ~5e10 tokens would overflow a raw BIGINT fold even though the
+    * total fits), and NO division is performed at all — emitting
+    * the (num, den) pair sidesteps the Spark-`div`-truncates vs
+    * DuckDB-`//`-floors divergence on negative numerators entirely.
+    * Units: 2⁻²⁰ bits per token, times toks_total.
     */
   val q131 = oracled(
     "q131_lang_drift_kl",
-    "KL divergence of each lang's unigram distribution from the corpus distribution",
-    """WITH tok AS (SELECT lang, unnest(string_split(trim(text),' ')) AS tok FROM documents),
+    "KL divergence of each lang's unigram distribution from the corpus distribution (exact rational)",
+    s"""WITH tok AS (SELECT lang, unnest(string_split(trim(text),' ')) AS tok FROM documents),
        lc AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
-       lt AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM lc GROUP BY lang),
+       lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM lc GROUP BY lang),
        gc AS (SELECT tok, COUNT(*) AS g FROM tok GROUP BY tok),
-       gt AS (SELECT CAST(SUM(g) AS DOUBLE) AS tg FROM gc),
-       term AS (SELECT lc.lang,
-         CAST(ROUND((lc.c/lt.t) * LN((lc.c/lt.t) / (gc.g/gt.tg)), 6) AS DECIMAL(18,6)) AS kl
+       gt AS (SELECT CAST(SUM(g) AS BIGINT) AS tg FROM gc),
+       term AS (SELECT lc.lang, lt.t,
+           lc.c * (${graft.functions.IntLog2.duckSql("lc.c")}
+                 + ${graft.functions.IntLog2.duckSql("gt.tg")}
+                 - ${graft.functions.IntLog2.duckSql("lt.t")}
+                 - ${graft.functions.IntLog2.duckSql("gc.g")}) AS kl_term
          FROM lc JOIN lt ON lc.lang = lt.lang JOIN gc ON lc.tok = gc.tok CROSS JOIN gt)
-       SELECT lang, CAST(SUM(kl) AS DOUBLE) AS kl_div
+       SELECT lang,
+         CAST(SUM(CAST(kl_term AS DECIMAL(38,0))) AS BIGINT) AS kl_num_x20,
+         CAST(MAX(t) AS BIGINT) AS toks_total
        FROM term GROUP BY lang ORDER BY lang""") { (s, dir) =>
     val tok = Tables.documents(s, dir)
       .select(col("lang"), explode(split(trim(col("text")), " ")).as("tok"))
     val lc = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
-    val lt = lc.groupBy(col("lang")).agg(sum(col("c")).cast("double").as("t"))
+    val lt = lc.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     val gc = tok.groupBy(col("tok")).agg(count(lit(1)).as("g"))
-    val gt = gc.agg(sum(col("g")).cast("double").as("tg"))
-    val pl = col("c") / col("t")
-    val pg = col("g") / col("tg")
+    val gt = gc.agg(sum(col("g")).as("tg"))
     lc.join(broadcast(lt), "lang")
       .join(gc, "tok")
       .crossJoin(broadcast(gt)) // 1-row corpus total
-      .select(col("lang"), round(pl * log(pl / pg), 6).cast("decimal(18,6)").as("kl"))
+      .select(col("lang"), col("t"),
+        expr(s"c * (${graft.functions.IntLog2.sparkSql("c")}" +
+          s" + ${graft.functions.IntLog2.sparkSql("tg")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("t")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("g")})").as("kl_term"))
       .groupBy(col("lang"))
-      .agg(sum(col("kl")).cast("double").as("kl_div"))
+      .agg(sum(col("kl_term").cast("decimal(38,0)")).cast("long")
+          .as("kl_num_x20"),
+        max(col("t")).cast("long").as("toks_total"))
       .orderBy(col("lang"))
   }
 
@@ -495,12 +551,20 @@ object TextOps {
     * before mixing weights are trusted). Cells aggregate once; row and
     * column totals come from window sums OVER THE 25-ROW CELL TABLE, so
     * the heavy input is touched exactly once regardless of table count.
-    * Expected counts and contributions are double arithmetic in
-    * identical expression order on both engines, rounded 6dp.
+    *
+    * Exactness (ROUNDDIV burndown, VERDICT r10 #7): the output is the
+    * contingency table's EXACT integer pieces — obs, row_tot, col_tot,
+    * n, and the signed residual numerator resid_num = obs·n −
+    * row_tot·col_tot. Expected = row·col/n and the chi-square
+    * contribution resid_num²/(n·row_tot·col_tot) are derivable
+    * rationals; neither division nor the square is performed in the
+    * gate (the square alone would overflow BIGINT ~3·10⁹ docs before
+    * any published column does; all outputs stay < 2^63 to that point,
+    * DECIMAL(38,0) beyond — documented, not silent).
     */
   val q147 = oracled(
     "q147_chi_square",
-    "lang x source contingency: expected counts + chi-square contributions",
+    "lang x source contingency: exact totals + signed chi-square residual numerators",
     """WITH cells AS (
          SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
        t AS (
@@ -510,26 +574,22 @@ object TextOps {
            SUM(obs) OVER () AS n
          FROM cells)
        SELECT lang, source, CAST(obs AS BIGINT) AS obs,
-         ROUND(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
-               / CAST(n AS DOUBLE), 6) AS expected,
-         ROUND(POW(CAST(obs AS DOUBLE)
-                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
-                     / CAST(n AS DOUBLE), 2)
-               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
-                  / CAST(n AS DOUBLE)), 6) AS contrib
+         CAST(row_tot AS BIGINT) AS row_tot,
+         CAST(col_tot AS BIGINT) AS col_tot,
+         CAST(n AS BIGINT) AS n,
+         CAST(obs * n - row_tot * col_tot AS BIGINT) AS resid_num
        FROM t ORDER BY lang, source""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.documents(s, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
-    val withTot = cells
+    cells
       .withColumn("row_tot", sum(col("obs")).over(Window.partitionBy(col("lang"))))
       .withColumn("col_tot", sum(col("obs")).over(Window.partitionBy(col("source"))))
       .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
-    val exp = col("row_tot").cast("double") * col("col_tot").cast("double") /
-      col("n").cast("double")
-    withTot.select(col("lang"), col("source"), col("obs"),
-        round(exp, 6).as("expected"),
-        round(pow(col("obs").cast("double") - exp, 2) / exp, 6).as("contrib"))
+      .select(col("lang"), col("source"), col("obs"),
+        col("row_tot"), col("col_tot"), col("n"),
+        (col("obs") * col("n") - col("row_tot") * col("col_tot"))
+          .as("resid_num"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -552,8 +612,10 @@ object TextOps {
     * q120's winnowing uses for anchors. The window span is a 1-row
     * aggregate broadcast back over the corpus (q101's crossJoin
     * pattern — no driver job, no corpus-wide window). All bucket
-    * arithmetic is exact BIGINT microseconds; the novelty ratio is the
-    * only double (identical expression both engines, rounded 6dp).
+    * arithmetic is exact BIGINT microseconds; the novelty RATE is the
+    * exact rational new_types/n_trigrams already present as two output
+    * columns, so no ratio column is published at all (ROUNDDIV
+    * burndown, VERDICT r10 #7).
     * Reuses the memoized tokenized corpus ([[Dedup.tokenized]]).
     */
   val q156 = oracled(
@@ -575,9 +637,7 @@ object TextOps {
          CAST(COALESCE(nw.new_types, 0) AS BIGINT) AS new_types,
          CAST(t.n_trigrams AS BIGINT) AS n_trigrams,
          CAST(SUM(COALESCE(nw.new_types, 0)) OVER
-           (ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
-         ROUND(CAST(COALESCE(nw.new_types, 0) AS DOUBLE)
-           / CAST(t.n_trigrams AS DOUBLE), 6) AS novelty
+           (ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
        FROM tot t LEFT JOIN newt nw ON nw.decile = t.decile
        ORDER BY t.decile""") { (s, dir) =>
     val de = Dedup.tokenized(s, dir)
@@ -604,8 +664,6 @@ object TextOps {
         coalesce(col("new_types"), lit(0L)).as("new_types"),
         col("n_trigrams"))
       .withColumn("cum_types", sum(col("new_types")).over(w))
-      .withColumn("novelty",
-        round(col("new_types").cast("double") / col("n_trigrams").cast("double"), 6))
       .orderBy(col("decile"))
   }
 
@@ -730,17 +788,19 @@ object TextOps {
     * ranking all run on the vocabulary² relation, never corpus rows,
     * and the join is UNHINTED — at 100 TB the marginal tables are
     * vocabulary-sized, the q64 lesson, so stats/AQE pick the join).
-    * Everything inside the ln is integer-exact in DOUBLE (all products
-    * < 2^53 at any plausible corpus: c1·c2 ≤ N² needs N < 9.5e7
-    * bigrams per the fixture's vocab — the rounded 6dp value is the
-    * q130 transcendental discipline), min support 20 keeps the
-    * low-count PMI pathology (hapax pairs score highest) out of the
-    * ranking — the standard collocation-extraction guard.
+    * The score is the exact-integer log2 PMI (ROUNDDIV burndown,
+    * VERDICT r10 #7 — the q64/q130 [[graft.functions.IntLog2]]
+    * discipline): pmi_x20 = L2(c12) + L2(N) − L2(c1) − L2(c2), every
+    * term a BIGINT both engines compute identically (base-2 vs base-e
+    * rescales all scores by one constant — ranking semantics
+    * unchanged; chord error ≤ 4·0.0861 log2 units). Min support 20
+    * keeps the low-count PMI pathology (hapax pairs score highest) out
+    * of the ranking — the standard collocation-extraction guard.
     */
   val q185 = oracled(
     "q185_pmi_collocations",
-    "top-20 adjacent-bigram collocations by PMI (min support 20, marginal-derived)",
-    """WITH t AS (
+    "top-20 adjacent-bigram collocations by exact-integer log2 PMI (min support 20)",
+    s"""WITH t AS (
          SELECT string_split(trim(text), ' ') AS toks FROM documents),
        bg AS (
          SELECT w1, w2, COUNT(*) AS c12 FROM (
@@ -751,10 +811,13 @@ object TextOps {
        m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
        m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2)
        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-         ROUND(LN(CAST(c12 AS DOUBLE) * n.n2 / (m1.c1 * m2.c2)), 6) AS pmi
+         CAST(${graft.functions.IntLog2.duckSql("c12")}
+            + ${graft.functions.IntLog2.duckSql("n.n2")}
+            - ${graft.functions.IntLog2.duckSql("m1.c1")}
+            - ${graft.functions.IntLog2.duckSql("m2.c2")} AS BIGINT) AS pmi_x20
        FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
        WHERE c12 >= 20
-       ORDER BY pmi DESC, w1, w2 LIMIT 20""") { (s, dir) =>
+       ORDER BY pmi_x20 DESC, w1, w2 LIMIT 20""") { (s, dir) =>
     val pairs = Dedup.tokenized(s, dir)
       .select(explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -770,9 +833,12 @@ object TextOps {
     bg.filter(col("c12") >= 20)
       .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n2))
       .select(col("w1"), col("w2"), col("c12"),
-        round(log(col("c12").cast("double") * col("n2") / (col("c1") * col("c2"))), 6)
-          .as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        expr(s"${graft.functions.IntLog2.sparkSql("c12")}" +
+          s" + ${graft.functions.IntLog2.sparkSql("n2")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("c1")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("c2")}").cast("long")
+          .as("pmi_x20"))
+      .orderBy(col("pmi_x20").desc, col("w1"), col("w2"))
       .limit(20)
   }
 
@@ -821,25 +887,21 @@ object TextOps {
       .orderBy(col("doc_id"), col("feature"))
   }
 
-  /** TF-IDF weight quantization scale for q197. 1e5 keeps every
-    * intermediate BIGINT-safe on realistic documents: wi <= tf·ln(N)·1e5
-    * (~5.5e7 at tf 40), wi² <= 3e15, and a shared-token dot of length L
-    * stays below 2^63 for L into the thousands. Coarser than the 6dp
-    * the raw doubles carry — deliberately: after quantization EVERY
-    * downstream sum (dots, norms) is an exact integer, so the join
-    * order, partial aggregation, and engine make no difference.
-    */
-  private val TfidfQuant = 100000L
-
   /** q197 — exact all-pairs TF-IDF cosine within (lang, source) blocks,
     * top-20: the weighted sibling of q48's Jaccard join — same inverted
     * index (postings per token, candidates generated only where a term
     * is SHARED), but the pair statistic is Σ w_a·w_b over quantized
     * TF-IDF weights instead of a set intersection, so near-duplicates
-    * rank by what the retrieval stack actually scores with. Weights
-    * quantize once (ROUND(·,6) — the q64-proven cross-engine ln parity
-    * — then ×[[TfidfQuant]], floor) and everything after is exact
-    * BIGINT; the only serving-time doubles are the final IEEE
+    * rank by what the retrieval stack actually scores with. Weights are
+    * q64's exact-integer log2 tf-idf de-scaled 10 bits (ROUNDDIV
+    * burndown, VERDICT r10 #7):
+    *   wi = tf·(L2_x20(N+1) − L2_x20(df+1)) div 1024
+    * (units tf·2⁻¹⁰ log2 — the quantization contract the former
+    * ROUND+×1e5 weight served, now with NO transcendental: wi ≤
+    * tf·42·2¹⁰ keeps wi² < 2^63 for tf into the tens of thousands, and
+    * every downstream sum — dots, norms — is an exact BIGINT, so join
+    * order, partial aggregation, and engine make no difference). The
+    * only serving-time doubles are the final IEEE
     * dot/(|a||b|) divisions of exact integers. Norms cover the FULL
     * vector (blocking restricts candidates, not the geometry).
     * Scale shape = q48's: shuffle mass is Σ_token |posting|² within
@@ -847,7 +909,7 @@ object TextOps {
     */
   val q197 = oracled(
     "q197_tfidf_cosine_pairs",
-    "inverted-index all-pairs TF-IDF cosine (quantized-integer weights), top-20",
+    "inverted-index all-pairs TF-IDF cosine (exact-integer log2 weights), top-20",
     s"""WITH tok AS (
          SELECT doc_id, lang, source,
            unnest(string_split(trim(text), ' ')) AS tok
@@ -857,8 +919,9 @@ object TextOps {
        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
        n AS (SELECT COUNT(*) AS n_docs FROM documents),
        w AS (SELECT doc_id, lang, source, tf.tok,
-           CAST(FLOOR(ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6)
-             * $TfidfQuant) AS BIGINT) AS wi
+           tf.tf * (${graft.functions.IntLog2.duckSql("(n.n_docs + 1)")}
+                  - ${graft.functions.IntLog2.duckSql("(df.df + 1)")}) // 1024
+             AS wi
          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
        nrm AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2
          FROM w GROUP BY 1),
@@ -883,8 +946,9 @@ object TextOps {
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("lang"), col("source"), col("tok"),
-        floor(round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
-          * TfidfQuant).cast("long").as("wi"))
+        expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
+          .as("wi"))
     val nrm = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
     val a = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("tok"), col("wi").as("wa"))
