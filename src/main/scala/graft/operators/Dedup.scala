@@ -86,7 +86,7 @@ object Dedup {
     * MIN(pmod(...)) slots. Bit-identical to the per-slot formulation
     * the DuckDB oracle runs ([[minhashSql]]).
     */
-  private def minhashSignatures(tokdf: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(tokdf: DataFrame): DataFrame = {
     import graft.functions.MinHashAgg.minhashAgg
     val tok = tokdf.select(col("doc_id"),
       explode(array_distinct(col("toks"))).as("tok"))
@@ -149,8 +149,11 @@ object Dedup {
         .localCheckpoint()
     })
 
-  /** One row per DISTINCT signature per band — the collision-join side. */
-  private def bandReps(labeled: DataFrame): DataFrame =
+  /** One row per DISTINCT signature per band — the collision-join side.
+    * Shared with [[graft.streaming.ClusterStream]], whose incremental
+    * step must band-key its micro-batches with the IDENTICAL scheme.
+    */
+  private[graft] def bandReps(labeled: DataFrame): DataFrame =
     labeled.filter(col("doc_id") === col("gid"))
       .select(col("gid"),
         posexplode(array((0 until NumBands).map { b =>
@@ -1137,9 +1140,11 @@ object Dedup {
     * group-closure oracle is exact, over dozens of nodes instead of
     * millions of reach states.
     */
-  val q255 = oracled(
-    "q255_pairfree_lsh_clustering",
-    "near-dup clusters via star contraction per LSH bucket — linear edges, == signature-graph closure",
+  /** q255's signature-GROUP-level closure oracle, shared verbatim by
+    * q256 (the incremental replay must equal the same from-scratch
+    * answer).
+    */
+  private def pairFreeClosureSql: String =
     s"""WITH RECURSIVE $minhashPairCtes,
        grp AS (SELECT doc_id, sig0, sig1, sig2, sig3,
            MIN(doc_id) OVER (PARTITION BY sig0, sig1, sig2, sig3) AS gid
@@ -1166,7 +1171,12 @@ object Dedup {
          CAST(COUNT(*) OVER (PARTITION BY gcomp.cluster) AS BIGINT)
            AS cluster_size
        FROM grp JOIN gcomp ON gcomp.gid = grp.gid
-       ORDER BY grp.doc_id""") { (s, dir) =>
+       ORDER BY grp.doc_id"""
+
+  val q255 = oracled(
+    "q255_pairfree_lsh_clustering",
+    "near-dup clusters via star contraction per LSH bucket — linear edges, == signature-graph closure",
+    pairFreeClosureSql) { (s, dir) =>
     val labeled = labeledSignatures(s, dir)
     val starWithin = labeled.filter(col("doc_id") =!= col("gid"))
       .select(col("doc_id").as("a"), col("gid").as("b"))
@@ -1187,7 +1197,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q256 — INCREMENTAL pair-free clustering (VERDICT r10 #5): the
+    * corpus replayed as four deterministic arrival batches (doc_id
+    * quartile ranges — the id axis is the fixture's arrival order, as
+    * in q149) through [[graft.streaming.ClusterStream.step]], the SAME
+    * pure (labels, hubs, batch) → (labels', hubs') fold the streaming
+    * sink runs per micro-batch. Each step does delta-sized work: q255
+    * star edges for the batch only, endpoints contracted through
+    * yesterday's labels (q251's move), one [[Graph.cc]] over the
+    * contraction. Min-of-mins composes, so the fold's final labels
+    * EQUAL the from-scratch q255 closure on the full corpus — the
+    * oracle IS q255's oracle, verbatim ([[pairFreeClosureSql]]), which
+    * gates both the incremental algebra and the streaming twin
+    * (ClusterStreamSpec drives the same step through a real
+    * foreachBatch stream with checkpoint restart). At 100 TB this is
+    * the corpus-dedup maintenance shape: labels are a 2-long/doc
+    * artifact, each day costs O(delta), and the full pair graph is
+    * never materialized.
+    */
+  val q256 = oracled(
+    "q256_incremental_clustering",
+    "4-batch incremental replay via ClusterStream.step fold == from-scratch q255 closure",
+    pairFreeClosureSql) { (s, dir) =>
+    import graft.streaming.ClusterStream
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val mx = docs.agg(max(col("doc_id")).as("mxd"))
+    val staged = docs.crossJoin(broadcast(mx))
+      .withColumn("bk", expr("doc_id * 4 div (mxd + 1)"))
+      .localCheckpoint() // four filtered scans below, one materialization
+    var st = (ClusterStream.emptyLabels(s), ClusterStream.emptyHubs(s))
+    for (k <- 0 to 3)
+      st = ClusterStream.step(st._1, st._2,
+        staged.filter(col("bk") === k)
+          .select(col("doc_id"), col("lang"), col("source"), col("text")))
+    st._1
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255)
+      q204, q230, q247, q255, q256)
 }

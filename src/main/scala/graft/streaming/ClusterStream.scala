@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import graft.operators.{Dedup, Graph}
+
+/** STREAMING pair-free near-dup clustering — the incremental twin of
+  * batch q255's star contraction (VERDICT r10 #5), i.e. the production
+  * shape of corpus dedup: cluster labels are a maintained ARTIFACT and
+  * each arriving micro-batch updates them with delta-sized work, never
+  * re-clustering the corpus.
+  *
+  * Per micro-batch ([[step]] — a PURE (labels, hubs, batch) →
+  * (labels', hubs') function shared verbatim by the batch replay query
+  * q256, so stream == batch is equality of the same fold):
+  *
+  *   1. MinHash the batch with the SAME construction as q45/q255
+  *      ([[Dedup.minhashSignatures]] — bit-identical signatures),
+  *      group by full signature (gid = min doc_id in batch).
+  *   2. Emit q255's LINEAR star edges for the delta: doc → gid within
+  *      each batch signature group; per (band, sig) bucket, gid → the
+  *      bucket's persisted HUB if the bucket was seen before, else
+  *      gid → batch-bucket-min (which becomes the stored hub). Every
+  *      doc that ever shares a bucket is connected through its hub —
+  *      the same connectivity argument as q255, O(batch + sigs×bands)
+  *      edges, never Σ bucket².
+  *   3. CONTRACT both endpoints through the current labels (q251's
+  *      delta-through-labels move: an old doc stands for its whole
+  *      component) and run [[Graph.cc]] on the contraction — node set
+  *      = batch docs + touched component labels, delta-sized.
+  *   4. Relabel: old components remap through the contraction's
+  *      min-label result, batch docs adopt theirs. Min-of-mins
+  *      composes, so after any prefix of batches the labels EQUAL the
+  *      from-scratch q255 answer on the union of arrived docs
+  *      (ClusterStreamSpec asserts it per batch, plus restart).
+  *
+  * State: `labelsDir` (doc_id, cluster) and `hubDir` (band, sig, rep)
+  * as parquet, rewritten per batch via localCheckpoint-then-overwrite
+  * (the read side is materialized before the path is truncated). At
+  * 100 TB both stores are the bounded artifacts of the batch family —
+  * labels are 2 longs/doc, hubs one row per distinct (band, sig) —
+  * and a production deployment swaps the overwrite for a keyed MERGE.
+  *
+  * Delivery note (the [[NearDupStream]] caveat): `foreachBatch` is
+  * at-least-once on retry; [[step]] re-applied to already-updated
+  * state is a fixpoint (all delta edges contract to self-loops and
+  * drop; the batch-doc anti-join below keeps labels row-unique), but
+  * the two-store write pair is not transactional — exactly-once needs
+  * both writes behind one committed MERGE. The spec exercises clean
+  * runs and a checkpoint-boundary restart.
+  */
+object ClusterStream {
+
+  private val labelsSchema =
+    new StructType().add("doc_id", LongType).add("cluster", LongType)
+  private val hubsSchema = new StructType()
+    .add("band", IntegerType).add("sig", StringType).add("rep", LongType)
+
+  /** Empty initial states for a from-nothing fold (batch q256). */
+  private[graft] def emptyLabels(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelsSchema)
+  private[graft] def emptyHubs(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], hubsSchema)
+
+  /** One incremental update. labels: (doc_id, cluster); hubs:
+    * (band, sig, rep); batch: the `documents` shape. Returns the
+    * updated (labels, hubs) — both fully materialized frames.
+    */
+  private[graft] def step(labels: DataFrame, hubs: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignatures(Dedup.tokensOf(batch))
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+      .localCheckpoint() // feeds stars, reps, and the relabel below
+    val starWithin = sigs.filter(col("doc_id") =!= col("gid"))
+      .select(col("doc_id").as("a"), col("gid").as("b"))
+    val reps = Dedup.bandReps(sigs)
+    // seen buckets: connect to the persisted hub; new buckets: star to
+    // the batch-bucket-min, which becomes the stored hub
+    val toOld = reps.join(hubs, Seq("band", "sig"))
+      .select(col("gid").as("a"), col("rep").as("b"))
+    val newReps = reps.join(hubs, Seq("band", "sig"), "left_anti")
+    val newHubs = newReps.groupBy(col("band"), col("sig"))
+      .agg(min(col("gid")).as("rep"))
+    val toNew = newReps.join(newHubs, Seq("band", "sig"))
+      .filter(col("gid") =!= col("rep"))
+      .select(col("gid").as("a"), col("rep").as("b"))
+    val edges = starWithin.unionByName(toOld).unionByName(toNew).distinct()
+    // q251 contraction: both endpoints through current labels (batch
+    // docs are absent from `labels` on first application — identity)
+    val lmap = labels.select(col("doc_id").as("n"), col("cluster").as("l"))
+    val contracted = edges
+      .join(lmap.select(col("n").as("a"), col("l").as("la")), Seq("a"), "left")
+      .join(lmap.select(col("n").as("b"), col("l").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nodes = sigs.select(col("doc_id").as("node"))
+      .unionByName(contracted.select(col("a").as("node")))
+      .unionByName(contracted.select(col("b").as("node")))
+      .distinct()
+    val comp = Graph.cc(nodes, contracted).localCheckpoint()
+    // relabel old components; batch docs adopt their component (their
+    // own id when isolated). The anti-join keeps one row per doc under
+    // at-least-once re-application.
+    val remapOld = comp.select(col("node").as("cluster"), col("component"))
+    val keptOld = labels
+      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(remapOld, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("cluster")).as("cluster"))
+    val newLabels = sigs.select(col("doc_id"))
+      .join(comp.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    (keptOld.unionByName(newLabels).localCheckpoint(),
+      hubs.unionByName(newHubs).localCheckpoint())
+  }
+
+  /** Start the streaming intake: cluster labels maintained at
+    * `labelsDir`, bucket hubs at `hubDir`.
+    *
+    * @param docs streaming frame with (doc_id LONG, lang, source,
+    *             text STRING) — the `documents` shape
+    */
+  def start(docs: DataFrame, labelsDir: String, hubDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, labelsDir, hubDir)
+      }
+      .start()
+
+  private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists()) s.read.parquet(dir)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private[graft] def processBatch(batch: DataFrame, labelsDir: String,
+      hubDir: String): Unit = {
+    val s = batch.sparkSession
+    val (labels2, hubs2) = step(
+      readOr(s, labelsDir, labelsSchema), readOr(s, hubDir, hubsSchema),
+      batch.localCheckpoint())
+    // step localCheckpoints both outputs, so overwriting the paths they
+    // were read from is safe
+    labels2.write.mode(SaveMode.Overwrite).parquet(labelsDir)
+    hubs2.write.mode(SaveMode.Overwrite).parquet(hubDir)
+  }
+}
