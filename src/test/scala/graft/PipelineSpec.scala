@@ -101,6 +101,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.sum_abs === 32871L)
     assert(f.n_zero_cross === 3L)
     assert(f.weighted_checksum === 1L * 100 - 2L * 3 + 3L * 0 - 4L * 32768)
+    // the per-sample decoder (q257's input) walks the same chunks and
+    // carries each sample's predecessor
+    val ss = Multimodal.WavCodec.samples(7L, bytes).toSeq
+    assert(ss.map(_.sv) === Seq(100, -3, 0, -32768))
+    assert(ss.map(_.pv) === Seq(None, Some(100), Some(-3), Some(0)))
+    assert(ss.map(_.p) === Seq(0L, 1L, 2L, 3L))
+    // malformed input fails loudly on BOTH decode paths (negative
+    // declared chunk length must not stall the walk)
+    val bad = bytes.clone()
+    bad(16) = 0xff.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0xff.toByte // junk len := -1
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(7L, bad))
+    intercept[IllegalArgumentException](Multimodal.WavCodec.samples(7L, bad))
   }
 
   test("BMP encode→decode round trip matches the closed forms") {
