@@ -1015,7 +1015,96 @@ object Ingest {
       .orderBy(col("tbl"))
   }
 
+  /** q258 — the erasure cascade DELIVERED exactly-once (VERDICT r10
+    * #8b): q254 computes what must be purged; this query drives the
+    * retained tables into the `graft-audit` DSv2 sink as EPOCH-TAGGED
+    * writes and proves the at-least-once/exactly-once boundary in the
+    * gate. Each retained table publishes its (rows, key-digest)
+    * manifest under a deterministic epoch; the job then REPLAYS epoch 1
+    * verbatim (the duplicate delivery every retrying scheduler
+    * eventually produces), COMPACTS the ledger (Raft snapshot: applied
+    * ids fold into the last-included watermark), and replays epoch 1
+    * again against the compacted state. The emitted rows are read back
+    * from the sink ledgers — if any replay double-applied, rows and
+    * digest double and the hash gate breaks; the oracle recomputes the
+    * single-application manifests relationally (q140 modular-sum
+    * arithmetic). At 100 TB this is the compliance-pipeline shape: the
+    * cascade is idempotent under re-submission, and the dedup state
+    * stays O(epochs since last snapshot), not O(all epochs ever).
+    */
+  val q258 = oracled(
+    "q258_erasure_audit_ledger",
+    "erasure cascade into the exactly-once epoch-ledger audit sink: replay + compaction are no-ops",
+    """WITH subj AS (SELECT c_custkey FROM customer
+         WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0),
+       po AS (SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+       rc AS (SELECT c_custkey AS k FROM customer
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM subj)),
+       ro AS (SELECT o_orderkey AS k FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM subj)),
+       rl AS (SELECT l_orderkey AS k FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
+       SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(k % 1000000007) % 1000000007 AS BIGINT) AS digest,
+         CAST(0 AS BIGINT) AS epochs_since_snapshot,
+         CAST(1 AS BIGINT) AS watermark
+       FROM rc
+       UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(k % 1000000007) % 1000000007 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(3 AS BIGINT) FROM rl
+       UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(k % 1000000007) % 1000000007 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(2 AS BIGINT) FROM ro
+       ORDER BY tbl""") { (s, dir) =>
+    import graft.sources.AuditSink
+    val cust = Tables.customer(s, dir)
+    val ords = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val subj = cust
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") < 0)
+      .select(col("c_custkey")).localCheckpoint()
+    val purgedOrders = ords
+      .join(broadcast(subj), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).localCheckpoint()
+    val retained = Seq(
+      ("customer", 1L,
+        cust.join(broadcast(subj), Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey").as("k"))),
+      ("orders", 2L,
+        ords.join(broadcast(subj), col("o_custkey") === col("c_custkey"),
+            "left_anti").select(col("o_orderkey").as("k"))),
+      ("lineitem", 3L,
+        li.join(broadcast(purgedOrders),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .select(col("l_orderkey").as("k"))))
+    def tgt(tbl: String) = s"q258:$dir:$tbl"
+    retained.foreach { case (tbl, _, _) => AuditSink.clearLedger(tgt(tbl)) }
+    def deliver(tbl: String, epoch: Long, rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.write.format("graft-audit")
+        .option("target", tgt(tbl)).option("digestColumn", "k")
+        .option("epoch", epoch.toString).mode("append").save()
+    // first delivery of every epoch
+    retained.foreach { case (tbl, e, rows) => deliver(tbl, e, rows) }
+    // duplicate delivery (retrying scheduler) — must be a ledger no-op
+    val (tbl1, e1, rows1) = retained.head
+    deliver(tbl1, e1, rows1)
+    // Raft snapshot, then a stale replay against the compacted state
+    retained.foreach { case (tbl, _, _) => AuditSink.compact(tgt(tbl)) }
+    deliver(tbl1, e1, rows1)
+    import s.implicits._
+    retained.map { case (tbl, _, _) =>
+      val l = AuditSink.ledger(tgt(tbl)).get
+      // applied is EMPTY post-snapshot (the ledger stays compact) and
+      // the watermark carries the last-included epoch — both crossed
+      // as computed values, not literals
+      (tbl, l.manifest.rows, l.manifest.digest,
+        l.applied.size.toLong, l.watermark)
+    }.toDF("tbl", "n_rows", "digest", "epochs_since_snapshot", "watermark")
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214, q225, q229, q254)
+      q214, q225, q229, q254, q258)
 }

@@ -66,6 +66,48 @@ object AuditSink {
   private[sources] def publish(target: String, m: Manifest, truncate: Boolean): Unit =
     manifests.merge(target, m,
       (old, n) => if (truncate) n else old.merge(n)): Unit
+
+  // ------------------------------------------------ exactly-once ledger
+
+  /** Per-target EXACTLY-ONCE state for epoch-tagged writes (the Raft
+    * log-compaction shape, VERDICT r10 #8b): `applied` is the set of
+    * epoch ids folded into `manifest` since the last compaction, and
+    * `watermark` is the last-included index of the compacted prefix —
+    * an epoch replays as a NO-OP when it is ≤ the watermark (covered
+    * by the snapshot) or already in `applied` (covered by the log).
+    * [[compact]] is the snapshot step: it discards the applied-id set
+    * and advances the watermark, so the dedup state stays O(epochs
+    * since last compaction) instead of growing forever — while stale
+    * retries from any compacted epoch remain rejected. An at-least-
+    * once scheduler can therefore re-submit an erasure batch freely;
+    * the manifest counts each epoch exactly once (AuditSinkSpec +
+    * q258 gate the replay arithmetic).
+    */
+  final case class Ledger(manifest: Manifest, applied: Set[Long], watermark: Long)
+
+  private val ledgers = new ConcurrentHashMap[String, Ledger]()
+
+  def ledger(target: String): Option[Ledger] = Option(ledgers.get(target))
+  def clearLedger(target: String): Unit = { ledgers.remove(target): Unit }
+
+  /** Apply `m` under `epoch`; returns true iff the epoch was NEW (false
+    * = duplicate delivery, state unchanged). Atomic per target.
+    */
+  private[sources] def publishEpoch(target: String, epoch: Long, m: Manifest): Boolean = {
+    var fresh = false
+    ledgers.compute(target, (_, old) => {
+      val l = if (old == null) Ledger(Manifest(0L, 0L), Set.empty, -1L) else old
+      if (epoch <= l.watermark || l.applied.contains(epoch)) { fresh = false; l }
+      else { fresh = true; Ledger(l.manifest.merge(m), l.applied + epoch, l.watermark) }
+    })
+    fresh
+  }
+
+  /** Snapshot: fold the applied-epoch log into the watermark. */
+  def compact(target: String): Unit =
+    ledgers.computeIfPresent(target, (_, l) =>
+      Ledger(l.manifest, Set.empty,
+        (l.applied + l.watermark).max)): Unit
 }
 
 final class AuditSinkTable(schema: StructType) extends Table with SupportsWrite {
@@ -77,25 +119,33 @@ final class AuditSinkTable(schema: StructType) extends Table with SupportsWrite 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val target = Option(info.options.get("target")).getOrElse("default")
     val digestCol = Option(info.options.get("digestColumn")).getOrElse("doc_id")
+    val epoch = Option(info.options.get("epoch")).map(_.toLong)
     val idx = info.schema().fieldIndex(digestCol)
     require(info.schema().fields(idx).dataType == LongType,
       s"digestColumn '$digestCol' must be LongType")
-    new AuditWriteBuilder(target, idx, truncate = false)
+    new AuditWriteBuilder(target, idx, truncate = false, epoch)
   }
 }
 
-final class AuditWriteBuilder(target: String, digestIdx: Int, truncate: Boolean)
+final class AuditWriteBuilder(target: String, digestIdx: Int, truncate: Boolean,
+    epoch: Option[Long])
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder =
-    new AuditWriteBuilder(target, digestIdx, truncate = true)
+  override def truncate(): WriteBuilder = {
+    require(epoch.isEmpty,
+      "epoch-tagged writes are append-only (the ledger IS the history); " +
+        "truncate + epoch would silently forget applied ids")
+    new AuditWriteBuilder(target, digestIdx, truncate = true, epoch)
+  }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new AuditBatchWrite(target, digestIdx, truncate)
+    override def toBatch: BatchWrite =
+      new AuditBatchWrite(target, digestIdx, truncate, epoch)
   }
 }
 
 final case class AuditCommit(rows: Long, digest: Long) extends WriterCommitMessage
 
-final class AuditBatchWrite(target: String, digestIdx: Int, truncate: Boolean)
+final class AuditBatchWrite(target: String, digestIdx: Int, truncate: Boolean,
+    epoch: Option[Long])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -121,7 +171,10 @@ final class AuditBatchWrite(target: String, digestIdx: Int, truncate: Boolean)
       val c = m.asInstanceOf[AuditCommit]
       acc.merge(AuditSink.Manifest(c.rows, c.digest))
     }
-    AuditSink.publish(target, merged, truncate)
+    epoch match {
+      case Some(e) => AuditSink.publishEpoch(target, e, merged): Unit
+      case None => AuditSink.publish(target, merged, truncate)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

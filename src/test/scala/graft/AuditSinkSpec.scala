@@ -63,4 +63,44 @@ class AuditSinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must be LongType"))
   }
+
+  private def epochWrite(target: String, epoch: Long): Unit =
+    docs.write.format("graft-audit").option("target", target)
+      .option("digestColumn", "doc_id").option("epoch", epoch.toString)
+      .mode("append").save()
+
+  test("epoch ledger: duplicate delivery is a no-op, before AND after compaction") {
+    val t = "ledger1"
+    AuditSink.clearLedger(t)
+    epochWrite(t, 1)
+    val once = AuditSink.ledger(t).get
+    assert(once.manifest.rows == 1000L && once.manifest.digest == expectedDigest)
+    assert(once.applied == Set(1L) && once.watermark == -1L)
+    // at-least-once retry of the same epoch: log-based dedup
+    epochWrite(t, 1)
+    assert(AuditSink.ledger(t).get.manifest == once.manifest)
+    // a NEW epoch applies
+    epochWrite(t, 2)
+    assert(AuditSink.ledger(t).get.manifest.rows == 2000L)
+    // Raft snapshot: applied ids fold into the watermark
+    AuditSink.compact(t)
+    val snap = AuditSink.ledger(t).get
+    assert(snap.applied.isEmpty && snap.watermark == 2L)
+    assert(snap.manifest.rows == 2000L)
+    // stale replays from the compacted prefix: watermark-based dedup
+    epochWrite(t, 1); epochWrite(t, 2)
+    assert(AuditSink.ledger(t).get.manifest.rows == 2000L)
+    // the log continues past the snapshot
+    epochWrite(t, 3)
+    assert(AuditSink.ledger(t).get.manifest.rows == 3000L)
+    assert(AuditSink.ledger(t).get.applied == Set(3L))
+  }
+
+  test("epoch writes refuse truncate (the ledger is the history)") {
+    val e = intercept[Exception] {
+      docs.write.format("graft-audit").option("target", "ledger2")
+        .option("epoch", "1").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }
