@@ -94,24 +94,29 @@ object Graph {
     * with base rank / are BFS-unreachable, identically on both
     * engines; the cap drops EDGES, never nodes).
     */
+  // MATERIALIZED: a DuckDB-only evaluation hint (the oracle never runs
+  // on Spark). Without it DuckDB INLINES each CTE into every reference
+  // — the pair-join aggregate `e` re-evaluates once per PageRank step /
+  // recursion arm, which at the 10× bench fixture spilled > 70 GB of
+  // temp and killed the sf1 spot-sweep. Same results, evaluated once.
   private def edgesCte: String =
-    s"""r AS (SELECT DISTINCT user_id, event_id % 100 AS item_id,
+    s"""r AS MATERIALIZED (SELECT DISTINCT user_id, event_id % 100 AS item_id,
           CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
-       rc AS (SELECT user_id, item_id, rating FROM (
+       rc AS MATERIALIZED (SELECT user_id, item_id, rating FROM (
            SELECT user_id, item_id, rating,
              ROW_NUMBER() OVER (PARTITION BY item_id, rating
                ORDER BY (user_id % 100003) * 2654435761 % 1000000007,
                  user_id) AS rn
            FROM r) t
          WHERE rn <= $CoRatingGroupCap),
-       e AS (SELECT a.user_id AS ua, b.user_id AS ub
+       e AS MATERIALIZED (SELECT a.user_id AS ua, b.user_id AS ub
          FROM rc a JOIN rc b
            ON a.item_id = b.item_id AND a.rating = b.rating
           AND a.user_id < b.user_id
          GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
-       d AS (SELECT ua AS src, ub AS dst FROM e
+       d AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM e
              UNION ALL SELECT ub, ua FROM e),
-       nodes AS (SELECT DISTINCT user_id FROM r)"""
+       nodes AS MATERIALIZED (SELECT DISTINCT user_id FROM r)"""
 
   /** One edge table per data dir: q152 and q154 share the derived graph
     * (cluster-scale reading: the persisted edge table is built once and

@@ -19,6 +19,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # optional resource pragmas, e.g. for the 10x bench fixture:
+    # GRAFT_DUCKDB_PRAGMAS="SET threads=8;SET memory_limit='24GB';SET temp_directory='/root/repo/target/ducktmp'"
+    import os
+    for pragma in filter(None, os.environ.get("GRAFT_DUCKDB_PRAGMAS", "").split(";")):
+        con.execute(pragma)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
