@@ -99,7 +99,13 @@ object Dedup {
   /** The minhash→signature→band-join derivation as CTE text (through
     * `pairs`), shared by q45's oracle and q255's closure oracle.
     */
-  private def minhashPairCtes: String = {
+  private def minhashPairCtes: String = minhashPairCtes("")
+
+  /** Same derivation restricted by an optional WHERE predicate on
+    * `documents` — q259's retained-corpus oracle reuses the full
+    * pipeline text with only the source filtered.
+    */
+  private def minhashPairCtes(where: String): String = {
     val mins = (0 until NumHashes)
       .map(i => s"MIN((h*${permA(i)} + ${permB(i)}) % $P) AS mh$i").mkString(",\n           ")
     val sigs = (0 until NumBands).map { b =>
@@ -112,7 +118,7 @@ object Dedup {
     }.mkString("\n          UNION\n          ")
     s"""tok AS (
          SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
-         FROM documents),
+         FROM documents $where),
        th AS (SELECT doc_id, ${RollingHash.duckSql("tok")} AS h FROM tok),
        mh AS (SELECT doc_id,
            $mins
@@ -1144,8 +1150,10 @@ object Dedup {
     * q256 (the incremental replay must equal the same from-scratch
     * answer).
     */
-  private def pairFreeClosureSql: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
+  private def pairFreeClosureSql: String = pairFreeClosureSql("")
+
+  private def pairFreeClosureSql(where: String): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(where)},
        grp AS (SELECT doc_id, sig0, sig1, sig2, sig3,
            MIN(doc_id) OVER (PARTITION BY sig0, sig1, sig2, sig3) AS gid
          FROM sig),
@@ -1177,7 +1185,20 @@ object Dedup {
     "q255_pairfree_lsh_clustering",
     "near-dup clusters via star contraction per LSH bucket — linear edges, == signature-graph closure",
     pairFreeClosureSql) { (s, dir) =>
-    val labeled = labeledSignatures(s, dir)
+    starLabels(labeledSignatures(s, dir),
+        Tables.documents(s, dir).select(col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q255's star-contraction labels of a (doc_id, mh, gid) signature
+    * frame over the given node set — factored out so q259's
+    * touched-component rebuild runs the IDENTICAL edge construction on
+    * a subset.
+    */
+  private def starLabels(labeled: DataFrame, nodes: DataFrame): DataFrame = {
     val starWithin = labeled.filter(col("doc_id") =!= col("gid"))
       .select(col("doc_id").as("a"), col("gid").as("b"))
     val reps = bandReps(labeled)
@@ -1188,13 +1209,8 @@ object Dedup {
       .filter(col("gid") =!= col("bmin"))
       .select(col("gid").as("a"), col("bmin").as("b"))
       .distinct()
-    val nodes = Tables.documents(s, dir).select(col("doc_id"))
     Graph.cc(nodes, starWithin.unionByName(starAcross).distinct())
       .select(col("node").as("doc_id"), col("component").as("cluster"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster"))).cast("long"))
-      .orderBy(col("doc_id"))
   }
 
   /** q256 — INCREMENTAL pair-free clustering (VERDICT r10 #5): the
@@ -1238,7 +1254,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q259 — cluster maintenance under DELETIONS, completing q256's
+    * incremental story (inserts can only MERGE components — the
+    * contraction handles them; deletions can only SPLIT, and only the
+    * components that lost a member): tombstone the deleted docs
+    * (doc_id ≡ 3 mod 17 — a GDPR erasure batch, q254's scenario
+    * reaching the dedup artifact), mark the TOUCHED components (those
+    * containing a tombstone), keep every untouched label AS IS — no
+    * retained doc of a touched component can share an LSH bucket with
+    * an untouched component's doc (bucket-sharing implies same
+    * pre-delete component), so the rebuild is exactly the q255 star
+    * contraction ([[starLabels]], identical code path) run on ONLY the
+    * touched components' retained docs, with signature-group ids
+    * recomputed within the subset. Work scales with the touched
+    * components, not the corpus — at 100 TB an erasure batch
+    * re-clusters a few thousand docs, not billions. The oracle is the
+    * from-scratch closure over the retained corpus
+    * ([[pairFreeClosureSql]] with the tombstone predicate pushed into
+    * the source CTE) — equality proves both the split semantics and
+    * the untouched-label reuse.
+    */
+  val q259 = oracled(
+    "q259_cluster_delete_maintenance",
+    "near-dup cluster maintenance under deletions: rebuild only touched components == retained-corpus closure",
+    pairFreeClosureSql("WHERE doc_id % 17 <> 3")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val labeled = labeledSignatures(s, dir)
+    val labels0 = starLabels(labeled,
+      Tables.documents(s, dir).select(col("doc_id"))).localCheckpoint()
+    val touched = labels0.filter(col("doc_id") % 17 === 3)
+      .select(col("cluster")).distinct().localCheckpoint()
+    val untouched = labels0
+      .join(broadcast(touched), Seq("cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster"))
+    // retained docs of touched components, signature groups recomputed
+    // WITHIN the subset (the memoized gid spans deleted docs)
+    val subset = labels0
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"))
+    val subLabeled = labeled.drop("gid")
+      .join(subset, Seq("doc_id"), "left_semi")
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+    untouched
+      .unionByName(starLabels(subLabeled, subset)
+        .select(col("doc_id"), col("cluster")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256)
+      q204, q230, q247, q255, q256, q259)
 }
