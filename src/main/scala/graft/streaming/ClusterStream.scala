@@ -88,34 +88,44 @@ object ClusterStream {
       .filter(col("gid") =!= col("rep"))
       .select(col("gid").as("a"), col("rep").as("b"))
     val edges = starWithin.unionByName(toOld).unionByName(toNew).distinct()
-    // q251 contraction: both endpoints through current labels (batch
-    // docs are absent from `labels` on first application — identity)
+    // q251 contraction: EVERY endpoint — including the batch docs
+    // themselves — enters the component computation as its current
+    // label (`start`). On first delivery a batch doc is absent from
+    // `labels` and its start is its own id; on a duplicate delivery it
+    // is its committed cluster, so all delta edges contract to
+    // self-loops, every start is an isolated cc node mapping to
+    // itself, and the state is a FIXPOINT (ClusterStreamSpec pins the
+    // law — the first draft keyed the relabel on raw ids and a replay
+    // silently reset the batch's labels).
     val lmap = labels.select(col("doc_id").as("n"), col("cluster").as("l"))
+    val starts = sigs.select(col("doc_id"))
+      .join(lmap.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("start"))
+      .localCheckpoint()
     val contracted = edges
       .join(lmap.select(col("n").as("a"), col("l").as("la")), Seq("a"), "left")
       .join(lmap.select(col("n").as("b"), col("l").as("lb")), Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("a"),
         coalesce(col("lb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    val nodes = sigs.select(col("doc_id").as("node"))
+    val nodes = starts.select(col("start").as("node"))
       .unionByName(contracted.select(col("a").as("node")))
       .unionByName(contracted.select(col("b").as("node")))
       .distinct()
     val comp = Graph.cc(nodes, contracted).localCheckpoint()
-    // relabel old components; batch docs adopt their component (their
-    // own id when isolated). The anti-join keeps one row per doc under
-    // at-least-once re-application.
+    // relabel old components; batch docs adopt their start's component.
+    // The anti-join keeps one row per doc under re-application.
     val remapOld = comp.select(col("node").as("cluster"), col("component"))
     val keptOld = labels
       .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .join(remapOld, Seq("cluster"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("cluster")).as("cluster"))
-    val newLabels = sigs.select(col("doc_id"))
-      .join(comp.select(col("node").as("doc_id"), col("component")),
-        Seq("doc_id"), "left")
+    val newLabels = starts
+      .join(comp.select(col("node").as("start"), col("component")),
+        Seq("start"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster"))
+        coalesce(col("component"), col("start")).as("cluster"))
     (keptOld.unionByName(newLabels).localCheckpoint(),
       hubs.unionByName(newHubs).localCheckpoint())
   }

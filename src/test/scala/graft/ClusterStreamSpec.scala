@@ -103,4 +103,23 @@ class ClusterStreamSpec extends AnyFunSuite {
     assert(got.size === docs.length)
     assert(got === batchLabels, "restarted fold drifted from the batch closure")
   }
+
+  test("step re-applied to already-updated state is a fixpoint (at-least-once safety)") {
+    import spark.implicits._
+    val docs = fixtureDocs.take(60)
+    val (b1, b2) = docs.splitAt(30)
+    def frame(b: Seq[(Long, String, String, String)]) =
+      b.toDF("doc_id", "lang", "source", "text")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s1 = ClusterStream.step(
+      ClusterStream.emptyLabels(spark), ClusterStream.emptyHubs(spark),
+      frame(b1.toSeq))
+    val s2 = ClusterStream.step(s1._1, s1._2, frame(b2.toSeq))
+    // duplicate delivery of batch 2 against the post-batch-2 state
+    val s2again = ClusterStream.step(s2._1, s2._2, frame(b2.toSeq))
+    assert(labelMap(s2again._1) === labelMap(s2._1),
+      "re-applying a committed batch changed the labels")
+    assert(s2again._1.count() === s2._1.count(), "label rows must stay unique")
+  }
 }
