@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -1617,8 +1618,123 @@ object Analytics {
       .orderBy(col("item_id"), col("rank"))
   }
 
+  // -------------------------------------------------- SPRT sequential test
+
+  /** SPRT log-likelihood-ratio constants in the shared
+    * [[graft.functions.IntLog2]] x20 units, for H0: p=1/4 vs H1: p=1/3
+    * at α=β=0.05. Each is an exact evaluation of the IntLog2 piecewise
+    * formula on integer literals (AnalyticsSpec pins them against the
+    * engine-side formula so the literals can never drift):
+    *   SprtSucc_x20 = L2(p1/p0)        = L2(4)−L2(3)  = 2097152−1572864
+    *   SprtFail_x20 = L2((1−p1)/(1−p0)) = L2(8)−L2(9)  = 3145728−3276800
+    *   SprtThr_x20  = L2((1−β)/α)      = L2(19)        = 4390912
+    * (lower boundary is −SprtThr_x20 by the symmetric α=β choice).
+    */
+  private[graft] val SprtSucc = 524288L
+  private[graft] val SprtFail = -131072L
+  private[graft] val SprtThr = 4390912L
+
+  /** q262 — Wald's Sequential Probability Ratio Test as a query: per
+    * event-type arm, walk the observations in arrival order, accumulate
+    * the Bernoulli log-likelihood ratio for H1: p=1/3 against
+    * H0: p=1/4, and report the FIRST boundary crossing — the
+    * early-stopping experiment monitor (and the guardrail metric shape:
+    * "did this arm's conversion drift from baseline, and how many
+    * observations did it take to know"). Success is the deterministic
+    * integer predicate `floor(value·100) % 4 = 0` (p=1/4 under the
+    * uniform null, so H0 is true-ish and most arms should accept it).
+    *
+    * Exactness: the LLR increments and the Wald boundaries are the
+    * [[SprtSucc]]/[[SprtFail]]/[[SprtThr]] IntLog2 x20 constants — the
+    * whole walk is BIGINT sums, so the crossing index is engine-exact
+    * (no float logprob ever enters the comparison).
+    *
+    * Shape: ONE ordered window per arm (ROWS cumsum over (ts,
+    * event_id) — explicit ROWS, not Spark's RANGE default), a
+    * first-crossing min-aggregate, and a per-arm totals aggregate
+    * joined on the |arms|-bounded key. Scale note: a sequential test
+    * is an inherently ordered scan, and its O(1)-per-arm state
+    * (n, cum, decided) is the textbook STREAMING shape —
+    * [[graft.streaming.SprtStream]] is the production form (stream ==
+    * batch spec'd); this batch window form is the oracle twin, and its
+    * per-arm partition is bounded by the arm inventory, not corpus
+    * rows, only in the monitored-experiment setting it models.
+    */
+  /** The SPRT walk over an arbitrary (arm, ts, event_id, succ)
+    * observation stream — exposed so AnalyticsSpec can drive
+    * hand-built sequences with closed-form crossing indices
+    * (⌈Thr/Succ⌉ = 9 consecutive successes to accept H1,
+    * ⌈Thr/|Fail|⌉ = 34 consecutive failures to accept H0).
+    */
+  private[graft] def sprt(obs: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("arm")).orderBy(col("ts"), col("event_id"))
+    val walk = obs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("llr",
+        when(col("succ") === 1, SprtSucc).otherwise(SprtFail))
+      .withColumn("cum", sum(col("llr")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val crossed = walk
+      .filter(col("cum") >= SprtThr || col("cum") <= -SprtThr)
+      .groupBy(col("arm")).agg(min(col("rn")).as("n_decide"))
+    val tot = walk.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("succ")).as("n_succ"),
+        sum(col("llr")).as("final_cum_x20"))
+    // crossing-row recovery: |arms|-bounded after the n_decide filter
+    val crossRow = walk.select(col("arm"), col("rn"), col("cum"))
+      .join(broadcast(crossed), Seq("arm"))
+      .filter(col("rn") === col("n_decide"))
+      .select(col("arm"), col("n_decide").cast("long").as("n_decide"),
+        col("cum").as("cum_at_decision_x20"))
+    tot.join(broadcast(crossRow), Seq("arm"), "left")
+      .select(col("arm"), col("n_obs"), col("n_succ"), col("final_cum_x20"),
+        col("n_decide"), col("cum_at_decision_x20"),
+        when(col("cum_at_decision_x20") >= SprtThr, "h1")
+          .when(col("cum_at_decision_x20") <= -SprtThr, "h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("arm"))
+  }
+
+  val q262 = oracled(
+    "q262_sprt_sequential_test",
+    "Wald SPRT per arm: exact-integer LLR walk, first boundary crossing, early-stop decision",
+    s"""WITH obs AS (
+         SELECT event_type AS arm, ts, event_id,
+           CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 4 = 0
+                THEN 1 ELSE 0 END AS succ
+         FROM events),
+       walk AS (SELECT arm, succ,
+           ROW_NUMBER() OVER w AS rn,
+           SUM(CASE WHEN succ = 1 THEN $SprtSucc ELSE $SprtFail END)
+             OVER (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM obs
+         WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)),
+       cross_ AS (SELECT arm, MIN(rn) AS n_decide
+         FROM walk WHERE cum >= $SprtThr OR cum <= -$SprtThr GROUP BY arm),
+       tot AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(succ) AS BIGINT) AS n_succ,
+           CAST(SUM(CASE WHEN succ = 1 THEN $SprtSucc ELSE $SprtFail END)
+             AS BIGINT) AS final_cum_x20
+         FROM walk GROUP BY arm)
+       SELECT tot.arm, tot.n_obs, tot.n_succ, tot.final_cum_x20,
+         CAST(cross_.n_decide AS BIGINT) AS n_decide,
+         CAST(w2.cum AS BIGINT) AS cum_at_decision_x20,
+         CASE WHEN w2.cum >= $SprtThr THEN 'h1'
+              WHEN w2.cum <= -$SprtThr THEN 'h0'
+              ELSE 'continue' END AS decision
+       FROM tot
+       LEFT JOIN cross_ ON cross_.arm = tot.arm
+       LEFT JOIN walk w2 ON w2.arm = cross_.arm AND w2.rn = cross_.n_decide
+       ORDER BY tot.arm""") { (s, dir) =>
+    sprt(Tables.events(s, dir).select(
+      col("event_type").as("arm"), col("ts"), col("event_id"),
+      when(expr("CAST(FLOOR(value * 100) AS BIGINT) % 4") === 0, 1L)
+        .otherwise(0L).as("succ")))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236, q237, q238)
+      q183, q191, q199, q210, q223, q236, q237, q238, q262)
 }

@@ -624,7 +624,7 @@ object Graph {
              GROUP BY d2.dst) fl ON fl.node = nd.user_id)"""
       s"""WITH $edgesCte,
          e2 AS (SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS w
-           FROM r a JOIN r b
+           FROM rc a JOIN rc b
              ON a.item_id = b.item_id AND a.rating = b.rating
             AND a.user_id < b.user_id
            GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),
@@ -1287,9 +1287,16 @@ object Graph {
     s"""WITH RECURSIVE rr AS (SELECT DISTINCT user_id,
            event_id % 100 AS item_id,
            CAST(FLOOR(value) AS BIGINT) % 5 + 1 AS rating FROM events),
+       rrc AS (SELECT user_id, item_id, rating FROM (
+           SELECT user_id, item_id, rating,
+             ROW_NUMBER() OVER (PARTITION BY item_id, rating
+               ORDER BY (user_id % 100003) * 2654435761 % 1000000007,
+                 user_id) AS rn
+           FROM rr) t
+         WHERE rn <= $CoRatingGroupCap),
        ee AS (SELECT a.user_id AS ua, b.user_id AS ub,
            CAST(COUNT(*) AS BIGINT) AS ns
-         FROM rr a JOIN rr b
+         FROM rrc a JOIN rrc b
            ON a.item_id = b.item_id AND a.rating = b.rating
           AND a.user_id < b.user_id
          GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared),

@@ -1369,8 +1369,97 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- DSIR data selection
+
+  /** DSIR feature-hash dimension: 256 buckets is the bounded-broadcast
+    * model size; collisions are the hashing trick's documented trade.
+    * (Declared BEFORE q260 — its oracle SQL interpolates it at object
+    * init, and a forward val reads as 0.)
+    */
+  private val DsirDim = 256L
+
+  /** q260 — DSIR-style domain data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed-unigram
+    * features are under a TARGET-domain bag-of-features model than
+    * under the raw-corpus model — the importance weight that decides
+    * which slices of a 100 TB crawl get upsampled into the training
+    * mix. Target here: `lang = 'en'` (DSIR's original use was exactly
+    * "select text that looks like the target language/domain").
+    *
+    * Model: features are [[graft.functions.RollingHash]] token hashes
+    * mod [[DsirDim]] (q190's stateless hashing trick — no vocabulary,
+    * no fit state, new shards stream through); each side is an add-one
+    * smoothed unigram over the buckets, and the score is the exact-
+    * integer log2 likelihood ratio in the shared
+    * [[graft.functions.IntLog2]] x20 units (the q250 discipline):
+    *   score_x20(d) = Σ_tok [L2(ct(h)+1) − L2(cr(h)+1)]
+    *                + n_toks · (L2(Nr+B) − L2(Nt+B))
+    * with ct/cr the target/raw bucket counts, Nt/Nr the totals, B the
+    * dimension. All BIGINT — both engines evaluate the identical
+    * formula, so the hash gate compares exactly (no float logprobs).
+    *
+    * Scale shape: ONE corpus token scan builds the bucket table
+    * (conditional-sum aggregate → B rows, a bounded broadcast); totals
+    * are a 1-row cross join; scoring is the token scan re-joined to the
+    * broadcast bucket table and ONE per-doc partial aggregate. No
+    * corpus-side shuffle beyond the per-doc groupBy; the model state is
+    * O(B) regardless of corpus size — that statelessness is why the
+    * hashing trick (not a vocabulary join) is the 100 TB shape.
+    */
+  val q260 = {
+    import graft.functions.IntLog2
+    import graft.functions.RollingHash.{duckSql => hashSql, rollingHash}
+    oracled(
+      "q260_dsir_selection",
+      s"DSIR importance scores vs lang='en' target (hashed unigrams dim $DsirDim, exact-integer log2 ratio)",
+      s"""WITH tok AS (
+           SELECT doc_id, lang,
+             (${hashSql("t.tok")}) % $DsirDim AS h
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split(trim(text), ' ')) AS tok
+                 FROM documents) t),
+         bkt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM tok GROUP BY h),
+         tot AS (SELECT SUM(cr) + $DsirDim AS nr, SUM(ct) + $DsirDim AS nt
+           FROM bkt),
+         sc AS (SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(${IntLog2.duckSql("(bkt.ct + 1)")}
+                    - ${IntLog2.duckSql("(bkt.cr + 1)")}) AS BIGINT) AS sum_diff
+           FROM tok JOIN bkt ON bkt.h = tok.h
+           GROUP BY tok.doc_id)
+         SELECT sc.doc_id, sc.n_toks,
+           CAST(sc.sum_diff + sc.n_toks *
+             (${IntLog2.duckSql("tot.nr")} - ${IntLog2.duckSql("tot.nt")})
+             AS BIGINT) AS score_x20
+         FROM sc, tot ORDER BY sc.doc_id""") { (s, dir) =>
+      val tok = Dedup.tokenized(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        // rollingHash lands in [0, mod), so % == pmod here (q190)
+        .select(col("doc_id"), col("lang"),
+          (rollingHash(col("tok")) % DsirDim).as("h"))
+      val bkt = tok.groupBy(col("h"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = bkt.agg((sum(col("cr")) + DsirDim).as("nr"),
+        (sum(col("ct")) + DsirDim).as("nt"))
+      tok.join(broadcast(bkt), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(expr(s"${IntLog2.sparkSql("(ct + 1L)")}" +
+            s" - ${IntLog2.sparkSql("(cr + 1L)")}")).as("sum_diff"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_toks"),
+          expr(s"sum_diff + n_toks * (${IntLog2.sparkSql("nr")}" +
+            s" - ${IntLog2.sparkSql("nt")})").as("score_x20"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245)
+      q212, q232, q244, q245, q260)
 }

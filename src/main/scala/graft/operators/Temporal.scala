@@ -1558,8 +1558,90 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------- seasonal decomposition
+
+  /** q261 — classical seasonal decomposition (STL-lite: trend by
+    * centered moving average, seasonal by per-period mean of the
+    * detrended series, remainder as what's left) over the daily revenue
+    * series, in EXACT integer/rational arithmetic so the gate hash
+    * compares: the time-series health view every ingestion monitor
+    * draws, without a single float until the consumer divides.
+    *
+    * Arithmetic contract (the q234/q235 rational-output template):
+    *   v        = Σ day cents (exact BIGINT)
+    *   trend_x7 = Σ over the centered 7-row window — the ×7-scaled
+    *              moving average; NULL unless the window is FULL
+    *              (7 observed days), so edges never fake a trend
+    *   detr_x7  = 7·v − trend_x7 (×7-scaled detrended value)
+    *   seasonal = per-weekday mean of detr_x7, kept as the rational
+    *              pair (s_num, s_den)
+    *   remainder = detr_x7 − s_num/s_den, kept as
+    *              (rem_x7_num, rem_den) = (detr_x7·s_den − s_num, s_den)
+    * Weekday is `datediff(day, 1970-01-01) % 7` — an explicit epoch
+    * formula because the engines' dayofweek() origins differ.
+    *
+    * Scale shape: the corpus-side work is ONE partial-aggregated
+    * groupBy(day); everything after lives on the daily series — a
+    * calendar-bounded dimension (365 rows/year at 100 TB, not corpus
+    * rows), so its single-partition window and the |weekday|-row
+    * broadcast are bounded by the calendar, the q174 dimension-window
+    * discipline.
+    */
+  /** The decomposition core over an arbitrary (day, v_cents) daily
+    * series — exposed so TemporalSpec can feed an exactly-periodic
+    * synthetic series and assert zero remainder (the classical-
+    * decomposition identity a DuckDB oracle can't express as a law).
+    */
+  private[graft] def stlDecompose(daily: DataFrame): DataFrame = {
+    // single-partition window: the DAILY series, bounded by the calendar
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val dt = daily
+      .withColumn("trend_x7",
+        when(count(lit(1)).over(w) === 7, sum(col("v_cents")).over(w)))
+      .withColumn("wd",
+        expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)"))
+      .withColumn("detr_x7", lit(7L) * col("v_cents") - col("trend_x7"))
+    val seas = dt.filter(col("detr_x7").isNotNull)
+      .groupBy(col("wd"))
+      .agg(sum(col("detr_x7")).as("s_num"), count(lit(1)).as("s_den"))
+    dt.join(broadcast(seas), Seq("wd"), "left")
+      .select(col("day"), col("v_cents"), col("trend_x7"), col("wd"),
+        col("s_num"), col("s_den"),
+        (col("detr_x7") * col("s_den") - col("s_num")).as("rem_x7_num"),
+        col("s_den").as("rem_den"))
+      .orderBy(col("day"))
+  }
+
+  val q261 = oracled(
+    "q261_seasonal_decomposition",
+    "integer STL-lite: centered-MA trend, per-weekday seasonal, rational remainder over daily revenue",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+         FROM events GROUP BY 1),
+       tr AS (SELECT day, v_cents,
+           CASE WHEN COUNT(*) OVER w = 7
+             THEN CAST(SUM(v_cents) OVER w AS BIGINT) END AS trend_x7,
+           date_diff('day', DATE '1970-01-01', day) % 7 AS wd
+         FROM daily
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       dt AS (SELECT *, 7 * v_cents - trend_x7 AS detr_x7 FROM tr),
+       seas AS (SELECT wd, CAST(SUM(detr_x7) AS BIGINT) AS s_num,
+           CAST(COUNT(*) AS BIGINT) AS s_den
+         FROM dt WHERE detr_x7 IS NOT NULL GROUP BY wd)
+       SELECT dt.day, dt.v_cents, dt.trend_x7, CAST(dt.wd AS BIGINT) AS wd,
+         seas.s_num, seas.s_den,
+         CAST(dt.detr_x7 * seas.s_den - seas.s_num AS BIGINT) AS rem_x7_num,
+         seas.s_den AS rem_den
+       FROM dt LEFT JOIN seas ON seas.wd = dt.wd
+       ORDER BY dt.day""") { (s, dir) =>
+    stlDecompose(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("v_cents")))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248)
+      q235, q242, q243, q248, q261)
 }

@@ -202,4 +202,40 @@ class AnalyticsSpec extends AnyFunSuite {
     // the ledger column is live, not constant 1
     assert(feats.exists(_.getLong(3) > 1), "expected hash collisions at dim 64")
   }
+
+  test("q262 SPRT constants are exactly the IntLog2 formula on their literals") {
+    import graft.functions.IntLog2
+    val Seq(l3, l4, l8, l9, l19) = Seq(3L, 4L, 8L, 9L, 19L).map { n =>
+      spark.sql(s"SELECT ${IntLog2.sparkSql(s"${n}L")} AS v")
+        .collect()(0).getLong(0)
+    }
+    assert(operators.Analytics.SprtSucc == l4 - l3)   // L2(p1/p0) = L2(4/3)
+    assert(operators.Analytics.SprtFail == l8 - l9)   // L2((1-p1)/(1-p0)) = L2(8/9)
+    assert(operators.Analytics.SprtThr == l19)        // L2((1-β)/α) = L2(19)
+  }
+
+  test("q262 SPRT walk: closed-form crossing indices on deterministic sequences") {
+    import spark.implicits._
+    // h1 after ⌈Thr/Succ⌉ = ⌈4390912/524288⌉ = 9 straight successes;
+    // h0 after ⌈Thr/|Fail|⌉ = ⌈4390912/131072⌉ = 34 straight failures;
+    // 3 successes never reach a boundary → continue
+    val obs =
+      (1 to 20).map(i => ("all_succ", i.toLong, i.toLong, 1L)) ++
+        (1 to 40).map(i => ("all_fail", i.toLong, i.toLong, 0L)) ++
+        (1 to 3).map(i => ("short", i.toLong, i.toLong, 1L))
+    val out = operators.Analytics.sprt(
+        obs.toDF("arm", "ts", "event_id", "succ"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("all_succ")
+    assert(s.getString(6) == "h1" && s.getLong(4) == 9L &&
+      s.getLong(5) == 9L * operators.Analytics.SprtSucc)
+    val f = out("all_fail")
+    assert(f.getString(6) == "h0" && f.getLong(4) == 34L &&
+      f.getLong(5) == 34L * operators.Analytics.SprtFail)
+    val c = out("short")
+    assert(c.getString(6) == "continue" && c.isNullAt(4) && c.isNullAt(5))
+    // once crossed, later observations must not move the decision index:
+    // all_succ crossed at 9 even though 20 observations arrived
+    assert(s.getLong(1) == 20L && f.getLong(1) == 40L)
+  }
 }

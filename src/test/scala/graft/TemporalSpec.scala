@@ -161,4 +161,29 @@ class TemporalSpec extends AnyFunSuite {
     // cutoff = 3 - 0 = 3; both rows <= 3 → empty result
     assert(operators.Temporal.restatementAudit(ev, lagUs = 0L).count() == 0L)
   }
+
+  test("q261 decomposition identity: exactly-periodic series has zero remainder") {
+    import spark.implicits._
+    // v(day) = 1000 + p(i % 7) with Σp = 0: every 7-day window sums to
+    // 7000, so the centered MA recovers the constant trend exactly, the
+    // detrended series IS the seasonal pattern, and the remainder must
+    // be identically zero on every full-window day
+    val p = Seq(3L, -1L, 4L, -1L, -5L, 9L, -9L)
+    assert(p.sum == 0L)
+    val start = java.time.LocalDate.of(2024, 3, 1)
+    val daily = (0 until 28).map { i =>
+      (java.sql.Date.valueOf(start.plusDays(i.toLong)), 1000L + p(i % 7))
+    }.toDF("day", "v_cents")
+    val rows = operators.Temporal.stlDecompose(daily).collect()
+    assert(rows.length == 28)
+    val full = rows.filter(!_.isNullAt(2)) // trend defined ⇔ full window
+    assert(full.length == 22)              // 28 − 2·3 edge days
+    assert(full.forall(_.getLong(2) == 7000L), "trend_x7 must be the constant 7·1000")
+    assert(full.forall(_.getLong(6) == 0L), "remainder must vanish on a periodic series")
+    // seasonal recovers 7·p(wd): check via any full row's s_num/s_den
+    assert(full.forall { r =>
+      val (sNum, sDen) = (r.getLong(4), r.getLong(5))
+      sNum % sDen == 0 && p.contains(sNum / sDen / 7)
+    })
+  }
 }
