@@ -1704,26 +1704,6 @@ object Graph {
     arr
   }
 
-  // ------------------------------------------------ Borůvka spanning forest
-
-  /** Borůvka minimum spanning forest over a canonical undirected edge
-    * list (ua < ub, integer len) under the TOTAL order (len, ua, ub) —
-    * unique weights by construction, so THE msf is unique and both
-    * engines select the identical edge set. Each round: every component
-    * picks its minimum outgoing edge (one `min(struct(...))` aggregate —
-    * lexicographic struct comparison IS the tie-break), the selected
-    * component graph is contracted with the shared [[cc]]
-    * pointer-doubling, and labels re-map through the contraction
-    * (delta-through-labels, the q251 shape). Components at least halve
-    * per round ⇒ ≤ ⌈log₂ V⌉ rounds, each a bounded-key equi-join — the
-    * canonical distributed MST shape (edges never move; only the
-    * V-sized label table updates).
-    */
-  private[graft] def boruvkaMsf(und: DataFrame): DataFrame = {
-    val d = und.select(col("ua").as("src"), col("dst2").as("x")) // placeholder; replaced below
-    d
-  }
-
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252)
 }
