@@ -1704,6 +1704,139 @@ object Graph {
     arr
   }
 
+  // ------------------------------------------------ Borůvka spanning forest
+
+  /** Borůvka MAXIMUM spanning forest over a canonical undirected edge
+    * list (ua < ub, BIGINT cnt) under the TOTAL order (cnt DESC, ua,
+    * ub) — the tie-break makes every weight comparison strict, so THE
+    * msf is unique and both engines select the identical edge set (cut
+    * property: each round's per-component argmax edge crosses the
+    * component/rest cut, hence belongs to the unique msf). Each round:
+    * (1) edges map to their endpoints' current labels and drop
+    * intra-component rows; (2) every component picks its best incident
+    * edge with ONE `min(struct(-cnt, ua, ub))` aggregate — lexicographic
+    * struct comparison IS the tie-broken argmax, a partial-aggregable
+    * shuffle on the label key; (3) the chosen component graph is
+    * contracted with the shared [[cc]] pointer-doubling and node labels
+    * re-map through the contraction (min-of-mins composes — the q251
+    * discipline). Components at least halve per round ⇒ ≤ ⌈log₂ V⌉
+    * rounds, each a bounded-key equi-join: edges never move; only the
+    * V-sized label table updates — the canonical distributed MST shape
+    * (Borůvka is the only classical MST algorithm with no serial
+    * edge-ordering dependency, which is why it is the distributed one).
+    * Loud round failsafe, the sssp discipline.
+    */
+  private[graft] def boruvkaMsf(nodes: DataFrame, und: DataFrame,
+      maxRounds: Int = 40): DataFrame = {
+    val keyed = und.select(col("ua"), col("ub"), col("cnt"),
+        struct((-col("cnt")).as("nc"), col("ua").as("ka"),
+          col("ub").as("kb")).as("k"))
+      .localCheckpoint() // scanned once per round; lineage stays O(1)
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var msf = keyed.select(col("ua"), col("ub"), col("cnt")).limit(0)
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        sys.error(s"boruvkaMsf: components alive after $maxRounds rounds " +
+          "— halving invariant broken? (labels must contract every round)")
+      val el = keyed
+        .join(lbl.select(col("node").as("ua"), col("lbl").as("la")), Seq("ua"))
+        .join(lbl.select(col("node").as("ub"), col("lbl").as("lb")), Seq("ub"))
+        .filter(col("la") =!= col("lb"))
+        .localCheckpoint()
+      done = el.isEmpty
+      if (!done) {
+        // each inter-component edge is a candidate for BOTH endpoints
+        val cand = el.select(col("la").as("comp"), col("k"))
+          .unionByName(el.select(col("lb").as("comp"), col("k")))
+        val chosen = cand.groupBy(col("comp")).agg(min(col("k")).as("k"))
+          .select(col("k.ka").as("ua"), col("k.kb").as("ub"),
+            (-col("k.nc")).as("cnt"))
+          .distinct() // one edge may be both endpoints' argmax
+          .localCheckpoint()
+        msf = msf.unionByName(chosen).localCheckpoint()
+        val ce = chosen
+          .join(lbl.select(col("node").as("ua"), col("lbl").as("la")), Seq("ua"))
+          .join(lbl.select(col("node").as("ub"), col("lbl").as("lb")), Seq("ub"))
+          .select(col("la"), col("lb"))
+        val l2 = cc(lbl.select(col("lbl")).distinct(), ce).toDF("lbl", "nl")
+        lbl = lbl.join(l2, Seq("lbl"))
+          .select(col("node"), col("nl").as("lbl")).localCheckpoint()
+      }
+    }
+    msf
+  }
+
+  /** q263 — Borůvka maximum spanning forest of the item co-session
+    * graph (q251's transition pairs, weight = transition multiplicity):
+    * the backbone-extraction primitive — the tree of strongest
+    * item-item affinities, the classic taxonomy/market-basket skeleton.
+    * Unique weights by the (cnt DESC, ua, ub) tie-break ⇒ the msf is
+    * unique and hash-exact. The oracle is KRUSKAL, not Borůvka — a
+    * recursive CTE walks the edges in rank order carrying the full
+    * label vector as a LIST (the item catalog is dense 0..99 by
+    * construction, so position i+1 IS node i's label and the state is
+    * one bounded row per step at ANY scale factor — no cap needed, the
+    * recursion is O(E·V) = O(4950·100) worst case). Two genuinely
+    * different MST algorithms agreeing on the exact edge set IS the
+    * gate. CTEs MATERIALIZED for the DuckDB inlining reason documented
+    * at [[edgesCte]] (se would otherwise re-evaluate per recursion
+    * step).
+    */
+  val q263 = oracled(
+    "q263_boruvka_msf",
+    "Borůvka maximum spanning forest == Kruskal recursive-CTE oracle (unique total order)",
+    s"""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id,
+           event_id % 100 AS item,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+       nx AS MATERIALIZED (SELECT item AS a,
+           lead(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS b,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+             AS gap
+         FROM ev),
+       p AS MATERIALIZED (SELECT LEAST(a, b) AS ua, GREATEST(a, b) AS ub,
+           COUNT(*) AS cnt
+         FROM nx WHERE b IS NOT NULL AND a <> b AND gap <= 1800000000
+         GROUP BY 1, 2),
+       se AS MATERIALIZED (SELECT ua, ub, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, ua, ub) AS rk FROM p),
+       st(rk, lbls) AS (
+         SELECT 0, (SELECT LIST(i ORDER BY i) FROM range(0, 100) t(i))
+         UNION ALL
+         SELECT s.rk + 1,
+           CASE WHEN s.lbls[e.ua + 1] <> s.lbls[e.ub + 1]
+             THEN list_transform(s.lbls, x -> CASE
+               WHEN x = GREATEST(s.lbls[e.ua + 1], s.lbls[e.ub + 1])
+               THEN LEAST(s.lbls[e.ua + 1], s.lbls[e.ub + 1]) ELSE x END)
+             ELSE s.lbls END
+         FROM st s JOIN se e ON e.rk = s.rk + 1),
+       sel AS (SELECT e.ua, e.ub, e.cnt FROM se e JOIN st s ON s.rk = e.rk - 1
+         WHERE s.lbls[e.ua + 1] <> s.lbls[e.ub + 1])
+       SELECT ua AS item_a, ub AS item_b, CAST(cnt AS BIGINT) AS weight
+       FROM sel ORDER BY item_a, item_b""") { (s, dir) =>
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val und = ev.withColumn("b", lead(col("item"), 1).over(wu))
+      .withColumn("gap", lead(col("us"), 1).over(wu) - col("us"))
+      .filter(col("b").isNotNull && col("item") =!= col("b") &&
+        col("gap") <= 1800000000L)
+      .select(least(col("item"), col("b")).as("ua"),
+        greatest(col("item"), col("b")).as("ub"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("cnt"))
+    val nodes = ev.select(col("item").as("node")).distinct()
+    boruvkaMsf(nodes, und)
+      .select(col("ua").as("item_a"), col("ub").as("item_b"),
+        col("cnt").cast("long").as("weight"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251, q252)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263)
 }

@@ -484,4 +484,79 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(reshuffled == capped)
   }
+
+  /** Serial Kruskal under the SAME total order (cnt DESC, ua, ub) —
+    * the independent reference for boruvkaMsf (two different MST
+    * algorithms must agree because unique weights ⇒ unique msf).
+    */
+  private def kruskalMsf(nodes: Seq[Long],
+      edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val idx = nodes.sorted.zipWithIndex.toMap
+    val parent = Array.tabulate(nodes.size)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val picked = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((ua, ub, cnt) <- edges.sortBy { case (a, b, c) => (-c, a, b) }) {
+      val (ra, rb) = (find(idx(ua)), find(idx(ub)))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb)
+        picked += ((ua, ub, cnt)) }
+    }
+    picked.toSet
+  }
+
+  private def msfOf(nodes: Seq[Long],
+      edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    operators.Graph.boruvkaMsf(nodes.toDF("node"),
+        edges.toDF("ua", "ub", "cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("boruvkaMsf: hand graph — heaviest forest, bridge kept, cycle-min dropped") {
+    // square 1-2-3-4 with a diagonal, plus a pendant bridge and an
+    // isolated node. Unique weights; max-SF must keep {40,30,25}+bridge
+    // and drop the two cheapest cycle closers.
+    val edges = Seq[(Long, Long, Long)](
+      (1L, 2L, 40L), (2L, 3L, 30L), (3L, 4L, 10L), (1L, 4L, 20L),
+      (1L, 3L, 25L), (4L, 5L, 7L))
+    val got = msfOf(1L to 6L, edges)
+    // Kruskal by hand, heaviest first: 40 keep, 30 keep, 25 closes the
+    // 1-2-3 cycle -> drop, 20 keep, 10 closes 1-3-4 -> drop, 7 keep.
+    assert(got == Set((1L, 2L, 40L), (2L, 3L, 30L), (1L, 4L, 20L),
+      (4L, 5L, 7L)))
+  }
+
+  test("boruvkaMsf: randomized graphs match serial Kruskal exactly") {
+    val rnd = new scala.util.Random(1063)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val nodes = (1L to n.toLong)
+      // duplicate cnt values on purpose: the (cnt, ua, ub) tie-break is
+      // what makes the msf unique, and both sides must honor it
+      val edges = (for {
+        a <- 1 to n; b <- a + 1 to n
+        if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong, (1 + rnd.nextInt(5)).toLong)).toSeq
+      val got = msfOf(nodes, edges)
+      val want = kruskalMsf(nodes, edges)
+      assert(got == want, s"trial $trial: Borůvka != Kruskal on $edges")
+      // forest size law: |msf| = V - #components
+      val comp = {
+        val parent = Array.tabulate(n + 1)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b, _) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        (1 to n).map(find).distinct.size
+      }
+      assert(got.size == n - comp, s"trial $trial: |msf| != V - C")
+    }
+  }
+
+  test("boruvkaMsf: empty edge set and single-edge graph") {
+    import spark.implicits._
+    assert(msfOf(Seq(1L, 2L, 3L), Seq.empty) == Set.empty)
+    assert(msfOf(Seq(1L, 2L, 3L), Seq((1L, 2L, 5L))) == Set((1L, 2L, 5L)))
+  }
 }
