@@ -564,7 +564,77 @@ object Olap {
       .orderBy(col("node"))
   }
 
+  /** q264 — Z-ORDER (Morton) data-layout clustering vs row-major, the
+    * multi-dimensional file-pruning primitive (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`): rows keyed by the bit-interleave of two bounded
+    * dimensions (x = l_partkey % 128, y = ⌊l_quantity⌋ % 128, 7 bits
+    * each) land in 64-cell "files" whose per-file min/max footers bound
+    * BOTH dimensions at once — under the fixed 16×16 query rectangle
+    * (x∈[32,47], y∈[16,31]) the z-layout scans 4 of the occupied
+    * blocks where the row-major layout (x·128+y) scans 16: the 2-D
+    * locality argument in exact integers, per block, on both engines.
+    * The interleave is pure codegen bit math (shiftright/and/
+    * shiftleft — no UDF, whole-stage-friendly at 100 TB where the key
+    * is computed once per row at write time); block stats are one
+    * partial-agg groupBy, exactly the min/max footer collection a
+    * writer does. Layouts are gated side-by-side as layout-tagged rows
+    * so the pruning advantage itself is part of the hash-compared
+    * result, not a narrative claim.
+    */
+  val q264 = oracled(
+    "q264_zorder_layout",
+    "Morton-interleave block stats + 2-D pruning vs row-major — exact bit math both engines",
+    s"""WITH pts AS (SELECT l_partkey % 128 AS x,
+           CAST(FLOOR(l_quantity) AS BIGINT) % 128 AS y
+         FROM lineitem),
+       keyed AS (SELECT x, y,
+           ${(0 until 7).map(i =>
+             s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS zkey,
+           x * 128 + y AS rkey
+         FROM pts),
+       blk AS (
+         SELECT 'z' AS layout, zkey // 64 AS block, COUNT(*) AS n_rows,
+             MIN(x) AS x_min, MAX(x) AS x_max,
+             MIN(y) AS y_min, MAX(y) AS y_max
+           FROM keyed GROUP BY 2
+         UNION ALL
+         SELECT 'row', rkey // 64, COUNT(*),
+             MIN(x), MAX(x), MIN(y), MAX(y)
+           FROM keyed GROUP BY 2)
+       SELECT layout, CAST(block AS BIGINT) AS block,
+         CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+         CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max,
+         CAST(CASE WHEN x_max >= 32 AND x_min <= 47
+               AND y_max >= 16 AND y_min <= 31 THEN 1 ELSE 0 END AS BIGINT)
+           AS scan_needed
+       FROM blk ORDER BY layout, block""") { (s, dir) =>
+    val pts = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 128).as("x"),
+        (floor(col("l_quantity")).cast("long") % 128).as("y"))
+    val zkey = (0 until 7).map(i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _)
+    val keyed = pts
+      .withColumn("zkey", zkey)
+      .withColumn("rkey", col("x") * 128 + col("y"))
+    def stats(layout: String, key: String) = keyed
+      .groupBy(expr(s"$key div 64").as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .select(lit(layout).as("layout"), col("block"), col("n_rows"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+    stats("z", "zkey").unionByName(stats("row", "rkey"))
+      .withColumn("scan_needed",
+        when(col("x_max") >= 32 && col("x_min") <= 47 &&
+          col("y_max") >= 16 && col("y_min") <= 31, 1L).otherwise(0L))
+      .orderBy(col("layout"), col("block"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q25, q26, q27, q28, q29, q59, q109, q110, q111, q136, q140, q141,
-      q195, q241)
+      q195, q241, q264)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
@@ -646,6 +646,100 @@ object Relational {
       .orderBy(col("metric"))
   }
 
+  /** q265 — BLOOM-FILTER SEMI-JOIN REDUCTION, the runtime-filter
+    * pushdown (Spark's `spark.sql.optimizer.runtimeFilter.bloomFilter`,
+    * every MPP engine's join bloom) made explicit and gated: the build
+    * side (customers of one nation) folds into a 16384-bit / k=2 bloom
+    * as 62-bit BIGINT words (bit 63 would overflow DuckDB's checked
+    * shift; 62 keeps every word positive on both engines) via ONE
+    * `bit_or` partial aggregate — a ~265-row broadcast — and the probe
+    * side (distinct event users) tests membership with two broadcast
+    * word lookups BEFORE any shuffle would happen. The output is the
+    * reduction ledger per user bucket: probe keys, bloom passes, exact
+    * members, false positives (exact on both engines — the SAME two
+    * overflow-safe affine hashes run in SQL), and false negatives,
+    * which the bloom construction makes identically ZERO — the no-FN
+    * law is hash-gated as data, not asserted. At 100 TB the bloom is
+    * the only thing that moves (executor-local probe filtering,
+    * O(bits) not O(keys)); FP rows are the cost knob the m/k choice
+    * controls, and they are COUNTED, not estimated.
+    */
+  val q265 = oracled(
+    "q265_bloom_semijoin",
+    "bloom-filter probe-side reduction ledger — bit-exact filter words + FP/FN counts both engines",
+    """WITH keys AS (SELECT DISTINCT c_custkey AS u FROM customer
+           WHERE c_nationkey = 3),
+       h AS (SELECT u,
+           ((u % 100003) * 2654435761) % 1000000007 % 16384 AS h1,
+           ((u % 99991) * 40503 + 17) % 999983 % 16384 AS h2
+         FROM keys),
+       bits AS (SELECT h1 AS pos FROM h UNION ALL SELECT h2 FROM h),
+       bloom AS (SELECT pos // 62 AS w,
+           BIT_OR(1::BIGINT << CAST(pos % 62 AS INTEGER)) AS bm
+         FROM bits GROUP BY 1),
+       probe AS (SELECT DISTINCT user_id AS u FROM events),
+       ph AS (SELECT u,
+           ((u % 100003) * 2654435761) % 1000000007 % 16384 AS h1,
+           ((u % 99991) * 40503 + 17) % 999983 % 16384 AS h2
+         FROM probe),
+       tst AS (SELECT ph.u,
+           CASE WHEN b1.bm IS NOT NULL
+                 AND (b1.bm & (1::BIGINT << CAST(ph.h1 % 62 AS INTEGER))) <> 0
+                 AND b2.bm IS NOT NULL
+                 AND (b2.bm & (1::BIGINT << CAST(ph.h2 % 62 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END AS pass
+         FROM ph
+         LEFT JOIN bloom b1 ON b1.w = ph.h1 // 62
+         LEFT JOIN bloom b2 ON b2.w = ph.h2 // 62),
+       ex AS (SELECT t.u, t.pass,
+           CASE WHEN k.u IS NOT NULL THEN 1 ELSE 0 END AS member
+         FROM tst t LEFT JOIN keys k ON k.u = t.u)
+       SELECT u % 50 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS probe_keys,
+         CAST(SUM(pass) AS BIGINT) AS bloom_passed,
+         CAST(SUM(member) AS BIGINT) AS exact_members,
+         CAST(SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS false_positives,
+         CAST(SUM(CASE WHEN pass = 0 AND member = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS false_negatives
+       FROM ex GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+    def h1(u: Column): Column =
+      (u % 100003) * 2654435761L % 1000000007L % 16384
+    def h2(u: Column): Column =
+      ((u % 99991) * 40503 + 17) % 999983 % 16384
+    val keys = Tables.customer(s, dir).filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("u")).distinct()
+    val bits = keys.select(h1(col("u")).as("pos"))
+      .unionByName(keys.select(h2(col("u")).as("pos")))
+    val bloom = bits.groupBy(expr("pos div 62").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 62 as int)))").as("bm"))
+    val ph = Tables.events(s, dir).select(col("user_id").as("u")).distinct()
+      .withColumn("h1", h1(col("u"))).withColumn("h2", h2(col("u")))
+    val tst = ph
+      .join(broadcast(bloom.select(col("w").as("w1"), col("bm").as("bm1"))),
+        col("w1") === expr("h1 div 62"), "left")
+      .join(broadcast(bloom.select(col("w").as("w2"), col("bm").as("bm2"))),
+        col("w2") === expr("h2 div 62"), "left")
+      .withColumn("pass",
+        when(col("bm1").isNotNull &&
+          col("bm1").bitwiseAND(expr("shiftleft(1L, cast(h1 % 62 as int))")) =!= 0 &&
+          col("bm2").isNotNull &&
+          col("bm2").bitwiseAND(expr("shiftleft(1L, cast(h2 % 62 as int))")) =!= 0,
+          1L).otherwise(0L))
+    tst
+      .join(broadcast(keys.withColumn("member", lit(1L))), Seq("u"), "left")
+      .withColumn("member", coalesce(col("member"), lit(0L)))
+      .groupBy((col("u") % 50).as("bucket"))
+      .agg(count(lit(1)).as("probe_keys"),
+        sum(col("pass")).as("bloom_passed"),
+        sum(col("member")).as("exact_members"),
+        sum(when(col("pass") === 1 && col("member") === 0, 1L).otherwise(0L))
+          .as("false_positives"),
+        sum(when(col("pass") === 0 && col("member") === 1, 1L).otherwise(0L))
+          .as("false_negatives"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240)
+    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265)
 }

@@ -198,4 +198,35 @@ class ScaleSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall > 0.05, s"IVF recall $recall degenerate")
   }
+
+  test("q264 z-order blocks bound both dims to 8x8 tiles; pruning beats row-major") {
+    val rows = operators.Olap.q264.run(spark, sfDir).collect()
+    val (z, r) = rows.partition(_.getString(0) == "z")
+    assert(z.nonEmpty && r.nonEmpty)
+    // a 14-bit z-key >> 6 fixes the top 4 bits of each dim: every block
+    // is an 8x8 tile, so within-block spans never exceed 7 on EITHER
+    // dim — that per-file two-sided bound is the whole pruning argument
+    z.foreach { b =>
+      assert(b.getLong(4) - b.getLong(3) <= 7, s"x span leaks: $b")
+      assert(b.getLong(6) - b.getLong(5) <= 7, s"y span leaks: $b")
+    }
+    // row-major blocks fix x but let y run the full axis; for the fixed
+    // 16x16 rectangle the z layout must scan STRICTLY fewer blocks
+    val zNeeded = z.map(_.getLong(7)).sum
+    val rNeeded = r.map(_.getLong(7)).sum
+    assert(zNeeded > 0 && zNeeded < rNeeded,
+      s"z-order pruning not ahead: z=$zNeeded row=$rNeeded")
+  }
+
+  test("q265 bloom semi-join: zero false negatives, real probe reduction") {
+    val rows = operators.Relational.q265.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val probe = rows.map(_.getLong(1)).sum
+    val passed = rows.map(_.getLong(2)).sum
+    val members = rows.map(_.getLong(3)).sum
+    val fn = rows.map(_.getLong(5)).sum
+    assert(fn == 0, "bloom filters cannot have false negatives")
+    assert(passed >= members, "every member must pass its own bloom")
+    assert(passed < probe, "the filter should actually reduce the probe side")
+  }
 }
