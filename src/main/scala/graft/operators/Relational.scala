@@ -740,6 +740,46 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q266 — salted join UNDER REAL SKEW, on the sort-merge path: q107
+    * already gates [[Skew.saltedJoin]]'s shuffle-hash form, but on a
+    * uniform key — the mechanism passes its gate without ever facing
+    * the pathology it exists for. Here the fact side carries an
+    * ENGINEERED hot key (half of all events land on key 0 — a 50%
+    * single-key shuffle partition), the strategy pin is `merge` (the
+    * path big-×-big joins actually take, where the hot key's sort
+    * partition is the straggler), and PlanContractSpec asserts the
+    * salt column reaches the exchange keys — the spread is a plan
+    * contract, not a hope. The oracle is the PLAIN join: the gate
+    * proves salting is pure mechanics with zero semantic residue even
+    * when the cap actually bites. Salt = event_id % 8, deterministic
+    * (no rand()), retry-safe.
+    */
+  val q266 = oracled(
+    "q266_salted_skew_join",
+    "hot-key fact⋈dim via Skew.saltedJoin on the merge path == plain-join oracle",
+    """WITH f AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+             ELSE event_id % 97 END AS k,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       d AS (SELECT i AS k, (i * 37) % 101 AS weight FROM range(0, 97) t(i))
+       SELECT f.k AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(f.cents * d.weight) AS BIGINT) AS weighted_cents
+       FROM f JOIN d ON f.k = d.k GROUP BY 1 ORDER BY key""") { (s, dir) =>
+    val fact = Tables.events(s, dir)
+      .select(when(col("event_id") % 2 === 0, 0L)
+          .otherwise(col("event_id") % 97).as("k"),
+        (dec2(col("value")) * 100).cast("long").as("cents"),
+        col("event_id"))
+    val dim = s.range(0, 97).select(col("id").as("k"),
+      ((col("id") * 37) % 101).as("weight"))
+    Skew.saltedJoin(fact, dim, "k", saltSource = col("event_id"),
+        saltBuckets = 8, strategy = "merge")
+      .groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents") * col("weight")).as("weighted_cents"))
+      .orderBy(col("key"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265)
+    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266)
 }

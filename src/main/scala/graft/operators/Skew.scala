@@ -49,12 +49,20 @@ object Skew {
     * `saltSource` (stable row content), never `rand()` — deterministic
     * under retries.
     */
+  /** @param strategy join-strategy hint pinned on the replicated side:
+    *   "shuffle_hash" (default — the hash-relation path) or "merge"
+    *   (sort-merge — the path big-×-big joins actually take, where the
+    *   hot key's sort partition is the straggler the salt splits).
+    *   Either way the point is the same: NOT broadcast — a broadcast
+    *   join has no partition skew and the salt would be pure overhead.
+    */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       saltSource: Column,
-      saltBuckets: Int = 32): DataFrame = {
+      saltBuckets: Int = 32,
+      strategy: String = "shuffle_hash"): DataFrame = {
     // null saltSource must still land in SOME bucket (salt 0), or the
     // equi-join on __salt would silently drop rows the unsalted join
     // keeps — the salt column must never introduce its own null semantics
@@ -62,12 +70,7 @@ object Skew {
       coalesce(pmod(saltSource, lit(saltBuckets)), lit(0)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    // pin the shuffle-hash path: if the planner broadcasts the
-    // replicated side instead, the salt is pure overhead (a broadcast
-    // join has no partition skew — and the broadcast relation is
-    // saltBuckets× the size it needed to be). This operator exists for
-    // the too-big-to-broadcast case; make the plan be that case.
-    saltedLeft.join(replicatedRight.hint("shuffle_hash"), Seq(key, "__salt"))
+    saltedLeft.join(replicatedRight.hint(strategy), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

@@ -1261,7 +1261,49 @@ object TextOps {
     }
   }
 
+  /** q267 — INVERTED INDEX + POSITIONAL PHRASE QUERY, the text-retrieval
+    * primitive (Lucene's postings; every search engine's core): the
+    * corpus explodes into (token, doc_id, pos) postings — ONE
+    * posexplode, naturally partitioned by token, which IS the inverted
+    * index layout at scale (a posting shard per token-hash, built by
+    * one shuffle, consumed by point lookups) — and the fixed two-token
+    * phrase ("table hash", the fixture's most frequent bigram) resolves
+    * as the positional merge of exactly TWO posting lists: an equi-join
+    * on (doc_id, pos+1 = pos). Token filters reach the scan; the join
+    * keys are (doc_id, pos) — no corpus-wide shuffle survives the
+    * filter. Positions are 1-based on both engines (Spark's 0-based
+    * posexplode is shifted at build time to match DuckDB's
+    * generate_subscripts). Output: per matching doc, the match count
+    * and first match position.
+    */
+  val q267 = oracled(
+    "q267_phrase_search",
+    "two-posting positional merge for a fixed phrase == unnest-with-subscripts oracle",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS pos FROM t),
+       m AS (SELECT a.doc_id, a.pos
+         FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE a.tok = 'table' AND b.tok = 'hash')
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(MIN(pos) AS BIGINT) AS first_pos
+       FROM m GROUP BY 1 ORDER BY doc_id""") { (s, dir) =>
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("tok"), (col("p0") + 1).as("pos"))
+    val a = postings.filter(col("tok") === "table")
+      .select(col("doc_id"), col("pos"))
+    val b = postings.filter(col("tok") === "hash")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197, q203, q224, q250)
+      q156, q168, q177, q185, q190, q197, q203, q224, q250, q267)
 }

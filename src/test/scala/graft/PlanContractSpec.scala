@@ -363,6 +363,25 @@ class PlanContractSpec extends AnyFunSuite {
       "the bounded query side must broadcast; the catalog streams\n" + p)
   }
 
+  test("q266: the salt reaches the join exchange keys; the join is sort-merge") {
+    val p = plan(operators.Relational.q266)
+    assert(p.contains("SortMergeJoin"),
+      "merge hint lost — a broadcast join makes the salting demo vacuous\n" + p)
+    // the whole point: the shuffle spreads the hot key over (k, salt),
+    // not k alone
+    assert("hashpartitioning\\(k#\\d+L?, __salt#\\d+".r.findFirstIn(p).isDefined,
+      "salt column missing from the join exchange keys\n" + p)
+  }
+
+  test("q267: phrase search token filters sit on the postings, join is equi on (doc, pos)") {
+    val p = plan(operators.TextOps.q267)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "positional merge degenerated to a cross product\n" + p)
+    assert(p.contains("tok#") && p.contains("= table"),
+      "token filter missing above the postings explode\n" + p)
+  }
+
   test("q248: point-in-time join is ONE carry-forward window, no interval fan-out join") {
     val p = plan(operators.Temporal.q248)
     // exactly one Window (the carry-forward); a per-fact interval range
