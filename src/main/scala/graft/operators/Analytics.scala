@@ -1733,8 +1733,65 @@ object Analytics {
         .otherwise(0L).as("succ")))
   }
 
+  /** q268 — OFFLINE POLICY-SWEEP REPLAY EVALUATION (the Li–Chu–
+    * Langford replay estimator, fleet form): K=5 candidate
+    * deterministic policies π_j(context) = action (context + j) % 5
+    * are all evaluated in ONE pass over the interaction log — each
+    * logged event fans out to the policies whose recommendation it
+    * matches, and the per-(policy, context) matched-reward mean is the
+    * replay estimate of that policy's value (unbiased under the
+    * fixture's uniform logger; a stochastic logger would divide by its
+    * propensity — the same rational num/den output carries it). This
+    * one-pass sweep is the production shape: evaluating K policies
+    * costs one log scan + one partial-agg shuffle, not K jobs. Reward
+    * is exact cents; the estimate ships as the (num, den) rational
+    * (q234 discipline — no engine division), n_logged restates the
+    * context stratum size so the CIs are computable downstream.
+    */
+  val q268 = oracled(
+    "q268_policy_replay",
+    "K-policy one-pass replay evaluation: per (policy, context) matched-reward rational",
+    """WITH log_ AS (SELECT user_id % 4 AS ctx,
+           CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS act,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events),
+       pol AS (SELECT unnest(range(0, 5)) AS policy),
+       m AS (SELECT p.policy, l.ctx, l.act, l.cents,
+           CASE WHEN l.act = (l.ctx + p.policy) % 5 THEN 1 ELSE 0 END
+             AS matched
+         FROM log_ l CROSS JOIN pol p)
+       SELECT CAST(policy AS BIGINT) AS policy, ctx,
+         CAST(COUNT(*) AS BIGINT) AS n_logged,
+         CAST(SUM(matched) AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN matched = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS reward_num_cents,
+         CAST(SUM(matched) AS BIGINT) AS reward_den
+       FROM m GROUP BY 1, 2 ORDER BY policy, ctx""") { (s, dir) =>
+    val log = Tables.events(s, dir).select(
+      (col("user_id") % 4).as("ctx"),
+      when(col("event_type") === "click", 0L)
+        .when(col("event_type") === "error", 1L)
+        .when(col("event_type") === "purchase", 2L)
+        .when(col("event_type") === "signup", 3L)
+        .otherwise(4L).as("act"),
+      (dec2(col("value")) * 100).cast("long").as("cents"))
+    log
+      .withColumn("policy", explode(expr("sequence(0L, 4L)")))
+      .withColumn("matched",
+        when(col("act") === (col("ctx") + col("policy")) % 5, 1L)
+          .otherwise(0L))
+      .groupBy(col("policy"), col("ctx"))
+      .agg(count(lit(1)).as("n_logged"),
+        sum(col("matched")).as("n_matched"),
+        sum(when(col("matched") === 1, col("cents")).otherwise(0L))
+          .as("reward_num_cents"),
+        sum(col("matched")).as("reward_den"))
+      .orderBy(col("policy"), col("ctx"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236, q237, q238, q262)
+      q183, q191, q199, q210, q223, q236, q237, q238, q262, q268)
 }

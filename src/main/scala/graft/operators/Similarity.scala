@@ -628,5 +628,95 @@ object Similarity {
     }
   }
 
-  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231, q249)
+  /** q269 — RETRIEVAL EVALUATION METRICS for the ANN family: the
+    * missing closing loop between q51's approximate index and q50's
+    * exact ground truth, gated as data. Per query vector: recall@5
+    * (|ANN ∩ exact top-5|), the ANN rank of the TRUE nearest neighbor
+    * (0 = missed — the reciprocal is MRR, left to the caller so no
+    * engine division happens), and DCG@5 under the rational 1/(rank+1)
+    * discount scaled ×60 (discounts 30,20,15,12,10 — exact integers
+    * because rank+1 ∈ 2..6 all divide 60; ideal DCG is the constant
+    * 87, so nDCG = dcg_x60/87 downstream). Both rankings rebuild from
+    * the SAME deterministic building blocks q50/q51 gate (rational
+    * hyperplanes, tie-broken windows), so the metric values are exact
+    * on both engines — eval metrics that are themselves hash-checked,
+    * the governance bar the eval family (q186+) sets. At 100 TB this
+    * shape is the standing index-quality job: exact top-k on a BOUNDED
+    * query panel (never all-pairs), ANN from the bucketed path,
+    * metrics one join + one partial-agg groupBy.
+    */
+  val q269 = oracled(
+    "q269_retrieval_metrics",
+    "recall@5 / true-NN rank / exact-integer DCG@5 of LSH-ANN vs exact top-5",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       ex AS (SELECT query_id, vec_b, rn FROM (
+           SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+           FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+           WHERE x.vec_id < 10) t
+         WHERE rn <= 5),
+       an AS (SELECT query_id, vec_b, rn FROM (
+           SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+           FROM b x JOIN b y ON x.bucket = y.bucket AND y.vec_id <> x.vec_id
+           WHERE x.vec_id < 10) t
+         WHERE rn <= 5),
+       rel AS (SELECT a.query_id, a.rn,
+           CASE WHEN e.vec_b IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM an a LEFT JOIN ex e
+           ON e.query_id = a.query_id AND e.vec_b = a.vec_b),
+       agg AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann,
+           CAST(SUM(rel) AS BIGINT) AS recall_at5,
+           CAST(SUM(rel * (60 // (rn + 1))) AS BIGINT) AS dcg_x60
+         FROM rel GROUP BY 1),
+       t1 AS (SELECT query_id, vec_b AS top1 FROM ex WHERE rn = 1),
+       t1r AS (SELECT t1.query_id,
+           CAST(COALESCE(MIN(a.rn), 0) AS BIGINT) AS t1_rank
+         FROM t1 LEFT JOIN an a
+           ON a.query_id = t1.query_id AND a.vec_b = t1.top1
+         GROUP BY 1)
+       SELECT agg.query_id, agg.n_ann, agg.recall_at5, t1r.t1_rank,
+         agg.dcg_x60
+       FROM agg JOIN t1r ON t1r.query_id = agg.query_id
+       ORDER BY agg.query_id""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+    val exact = topK(cosineScored(e.filter(col("vec_id") < 10), e, lit(true)), 5)
+      .select(col("query_id"), col("vec_b"), col("rn"))
+    val bucket = (0 until 8).map { j =>
+      when(dotF(col("embedding"), plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val ann = topK(cosineScored(b.filter(col("vec_id") < 10), b,
+        col("x.bucket") === col("y.bucket")), 5)
+      .select(col("query_id"), col("vec_b"), col("rn"))
+    val rel = ann.alias("a")
+      .join(exact.alias("e2").select(col("query_id"), col("vec_b"),
+          lit(1L).as("rel")),
+        Seq("query_id", "vec_b"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val agg = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ann"),
+        sum(col("rel")).as("recall_at5"),
+        sum(col("rel") * expr("60 div (rn + 1)")).as("dcg_x60"))
+    val t1 = exact.filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_b").as("top1"))
+    val t1r = t1
+      .join(ann.select(col("query_id"), col("vec_b").as("top1"),
+          col("rn").as("arn")),
+        Seq("query_id", "top1"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(min(col("arn")), lit(0)).cast("long").as("t1_rank"))
+    agg.join(t1r, Seq("query_id"))
+      .select(col("query_id"), col("n_ann"), col("recall_at5"),
+        col("t1_rank"), col("dcg_x60"))
+      .orderBy(col("query_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
+    q249, q269)
 }
