@@ -1303,7 +1303,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q270 — INCREMENTAL index-statistics maintenance: the corpus
+    * replayed as four deterministic arrival batches (doc_id quartile
+    * ranges, q256's arrival model) through
+    * [[graft.streaming.IndexStream.step]], the SAME pure (stats, seen,
+    * batch) → (stats', seen') fold the streaming sink runs per
+    * micro-batch. df/tf are SUM-shaped state, so idempotence under
+    * at-least-once delivery comes from the seen-doc anti-join (not from
+    * the aggregate, unlike ClusterStream's min-labels) — the fold's
+    * final stats EQUAL the from-scratch corpus aggregation, which IS
+    * the oracle. Output restricted to tokens with df ≥ 3 (the head a
+    * ranker would cache); the maintained store itself is
+    * vocabulary-sized at any corpus scale.
+    */
+  val q270 = oracled(
+    "q270_incremental_index_stats",
+    "4-batch incremental replay via IndexStream.step fold == from-scratch df/tf aggregation",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+       SELECT tok AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS tf
+       FROM u GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+       ORDER BY token""") { (s, dir) =>
+    import graft.streaming.IndexStream
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id")).as("mxd"))
+    val staged = docs.crossJoin(broadcast(mx))
+      .withColumn("bk", expr("doc_id * 4 div (mxd + 1)"))
+      .localCheckpoint() // four filtered scans below, one materialization
+    var st = (IndexStream.emptyStats(s), IndexStream.emptySeen(s))
+    for (k <- 0 to 3)
+      st = IndexStream.step(st._1, st._2,
+        staged.filter(col("bk") === k).select(col("doc_id"), col("text")))
+    st._1.filter(col("df") >= 3)
+      .select(col("token"), col("df"), col("tf"))
+      .orderBy(col("token"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197, q203, q224, q250, q267)
+      q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270)
 }

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** STREAMING inverted-index statistics maintenance — the incremental
+  * twin of batch q267's index build: per-token document frequency and
+  * term frequency are a maintained ARTIFACT (the statistics every
+  * BM25/tf-idf ranker and every tokenizer-training pass reads), and
+  * each arriving micro-batch updates them with batch-sized work.
+  *
+  * Per micro-batch ([[step]] — a PURE (stats, seen, batch) →
+  * (stats', seen') function shared verbatim by the batch replay query
+  * q270, so stream == batch is equality of the same fold):
+  *
+  *   1. DEDUPE delivery: batch docs anti-join the `seen` doc-id store —
+  *      at-least-once redelivery contributes zero delta, making the
+  *      step a FIXPOINT under replay (the additive sums below would
+  *      otherwise double-count; the seen-set is what buys idempotence
+  *      for a SUM-shaped state, where ClusterStream's min-label state
+  *      got it for free from min's idempotence).
+  *   2. Tokenize fresh docs (same split as q267's postings) and reduce
+  *      to the per-token delta (df_delta = distinct docs, tf_delta =
+  *      occurrences) — one partial-agg groupBy of batch-sized input.
+  *   3. MERGE: union old stats with the delta and re-aggregate by
+  *      token — SUM composes, so after any prefix of batches the stats
+  *      EQUAL the from-scratch corpus aggregation over arrived docs
+  *      (IndexStreamSpec asserts it, plus restart and replay).
+  *
+  * State: `statsDir` (token, df, tf) and `seenDir` (doc_id) as
+  * parquet, rewritten per batch via localCheckpoint-then-overwrite. At
+  * 100 TB the stats store is vocabulary-sized (bounded, ~10⁵–10⁶ rows)
+  * and the seen store is one long per doc — both the bounded artifacts
+  * a production deployment keeps behind a keyed MERGE; the
+  * two-store-write non-transactionality caveat is ClusterStream's,
+  * verbatim.
+  */
+object IndexStream {
+
+  private val statsSchema = new StructType()
+    .add("token", StringType).add("df", LongType).add("tf", LongType)
+  private val seenSchema = new StructType().add("doc_id", LongType)
+
+  /** Empty initial states for a from-nothing fold (batch q270). */
+  private[graft] def emptyStats(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+  private[graft] def emptySeen(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema)
+
+  /** One incremental update. stats: (token, df, tf); seen: (doc_id);
+    * batch: the `documents` shape. Returns the updated (stats, seen) —
+    * both fully materialized frames.
+    */
+  private[graft] def step(stats: DataFrame, seen: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = batch.select(col("doc_id"), col("text"))
+      .join(seen, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the delta and the seen update
+    val delta = fresh
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    val merged = stats.unionByName(delta)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))
+    (merged.localCheckpoint(),
+      seen.unionByName(fresh.select(col("doc_id"))).localCheckpoint())
+  }
+
+  /** Start the streaming intake: token stats maintained at `statsDir`,
+    * the seen doc-id set at `seenDir`.
+    *
+    * @param docs streaming frame with (doc_id LONG, text STRING) — the
+    *             `documents` shape (extra columns ignored)
+    */
+  def start(docs: DataFrame, statsDir: String, seenDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, statsDir, seenDir)
+      }
+      .start()
+
+  private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists()) s.read.parquet(dir)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private[graft] def processBatch(batch: DataFrame, statsDir: String,
+      seenDir: String): Unit = {
+    val s = batch.sparkSession
+    val (stats2, seen2) = step(
+      readOr(s, statsDir, statsSchema), readOr(s, seenDir, seenSchema),
+      batch.localCheckpoint())
+    // step localCheckpoints both outputs, so overwriting the paths they
+    // were read from is safe
+    stats2.write.mode(SaveMode.Overwrite).parquet(statsDir)
+    seen2.write.mode(SaveMode.Overwrite).parquet(seenDir)
+  }
+}
