@@ -1341,7 +1341,108 @@ object TextOps {
       .orderBy(col("token"))
   }
 
+  /** Number of BPE merge rounds q271 trains (and its oracle unrolls). */
+  private val BpeRounds = 6
+
+  /** One oracle round of q271: word table `wN` (w, cnt, seq) → pair
+    * counts → argmax merge `mN` under the total order (count DESC, a,
+    * b) → re-segmented `wN+1`. The merge application is ONE left-to-
+    * right non-overlapping `replace` pass over the space-padded
+    * sequence — both engines' `replace` scans the original string
+    * leftmost-non-overlapping, so the procedure is identical; where
+    * canonical BPE's greedy walker would also merge a self-abutting
+    * repeat (… x y x y …) in the same round, this variant leaves the
+    * odd occurrence for a LATER round (the pair stays countable and
+    * re-wins while frequent) — a documented, deterministic variant,
+    * not an engine divergence. BpeSpec pins the two-engine agreement
+    * on crafted abutting inputs.
+    */
+  private def bpeRoundCte(i: Int): String =
+    s"""pc$i AS (SELECT a, b, c FROM (
+           SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS c FROM (
+             SELECT cnt, syms, generate_subscripts(syms, 1) AS i FROM (
+               SELECT cnt, string_split(seq, ' ') AS syms FROM w$i) s0) s1
+           WHERE i < len(syms) GROUP BY 1, 2) s2),
+       m$i AS (SELECT a, b, c FROM pc$i ORDER BY c DESC, a, b LIMIT 1),
+       w${i + 1} AS (SELECT w, cnt,
+           trim(replace(' ' || seq || ' ',
+             ' ' || m$i.a || ' ' || m$i.b || ' ',
+             ' ' || m$i.a || m$i.b || ' ')) AS seq
+         FROM w$i CROSS JOIN m$i)"""
+
+  /** q271 — BPE TOKENIZER TRAINING (byte-pair-encoding merge table,
+    * Sennrich et al. 2016 — the construction behind every modern LLM
+    * vocabulary): the corpus reduces to its WORD FREQUENCY table
+    * (vocab-sized, the classical BPE working set — at 100 TB the
+    * corpus pass is the one groupBy producing it; every merge round
+    * after that touches only the vocabulary), each word starts as its
+    * character sequence + end-of-word marker '_', and [[BpeRounds]]
+    * rounds each: count adjacent symbol pairs weighted by word
+    * frequency (one partial-agg groupBy), pick the argmax pair under
+    * the total order (count DESC, a, b) — a 1-row bounded artifact —
+    * and re-segment by one non-overlapping replace pass (see
+    * [[bpeRoundCte]] for the abutting-repeat variant semantics). The
+    * output IS the learned merge table (step, sym_a, sym_b,
+    * pair_count): 6 rows, each the argmax over the full evolving pair
+    * distribution — the oracle unrolls the identical recurrence as a
+    * CTE chain, so any drift anywhere in the pipeline flips a row.
+    */
+  val q271 = oracled(
+    "q271_bpe_merges",
+    s"$BpeRounds-round BPE merge-table training == unrolled CTE-chain oracle",
+    s"""WITH w0 AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+           array_to_string(string_split_regex(w, ''), ' ') || ' _' AS seq
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents) u
+         WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       ${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n       ")}
+       ${(0 until BpeRounds).map(i =>
+           s"""SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+              CAST(c AS BIGINT) AS pair_count FROM m$i""")
+         .mkString("\n       UNION ALL ")}
+       ORDER BY step""") { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    import s.implicits._
+    bpeTrain(words, BpeRounds).toDF("step", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The q271 training loop over a (w, cnt) word-frequency table —
+    * factored out so BpeSpec can drive it on crafted abutting-repeat
+    * vocabularies against a serial reference of the same variant.
+    */
+  private[graft] def bpeTrain(words: org.apache.spark.sql.DataFrame,
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var wTab = words
+      .withColumn("seq", concat(concat_ws(" ", split(col("w"), "")), lit(" _")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 0 until rounds) {
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w")).orderBy(col("i"))
+      val best = wTab
+        .select(col("w"), col("cnt"),
+          posexplode(split(col("seq"), " ")).as(Seq("i", "a")))
+        .withColumn("b", lead(col("a"), 1).over(wp))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).head() // the round's 1-row merge decision
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i.toLong, a, b, c))
+      wTab = wTab.withColumn("seq",
+          trim(expr(s"replace(concat(' ', seq, ' '), ' ${a} ${b} ', ' ${a}${b} ')")))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
-      q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270)
+      q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
+      q271)
 }
