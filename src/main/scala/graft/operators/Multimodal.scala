@@ -144,7 +144,74 @@ object Multimodal {
       BmpFeatures(mediaId, w.toLong, h.toLong, bytes.length.toLong,
         sb, sg, sr, wsum)
     }
+
+    /** Patchify: decode to per-PATCH partial aggregates (size P×P,
+      * ragged at the right/bottom edges) in one pixel walk — the
+      * map-side-combine shape of the decode carve-out: per-pixel rows
+      * never materialize (at 100 TB a pixel-row explode is a 10×
+      * amplification; the patch grid is ~P² smaller), and everything
+      * downstream of the returned iterator is relational.
+      */
+    def patches(mediaId: Long, bytes: Array[Byte], patch: Int): Iterator[BmpPatch] = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && buf.get(0) == 'B'.toByte &&
+        buf.get(1) == 'M'.toByte, s"media $mediaId: not a BMP")
+      val off = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        s"media $mediaId: only uncompressed 24 bpp supported")
+      require(w > 0 && h > 0 && off + stride(w).toLong * h <= bytes.length,
+        s"media $mediaId: truncated pixel array")
+      val st = stride(w)
+      val gw = (w + patch - 1) / patch
+      val gh = (h + patch - 1) / patch
+      val acc = Array.fill(gw * gh)(Array.fill(5)(0L)) // n, b, g, r, proj
+      var y = 0
+      while (y < h) {
+        val rowOff = off + (h - 1 - y) * st // bottom-up storage
+        val py = y / patch
+        val dy = y % patch
+        var x = 0
+        while (x < w) {
+          val i = rowOff + 3 * x
+          val b = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val r = bytes(i + 2) & 0xff
+          val a = acc(py * gw + x / patch)
+          a(0) += 1; a(1) += b; a(2) += g; a(3) += r
+          a(4) += (1L + x % patch + patch.toLong * dy) * (b + 2L * g + 3L * r)
+          x += 1
+        }
+        y += 1
+      }
+      (0 until gh).iterator.flatMap { py =>
+        (0 until gw).iterator.map { px =>
+          val a = acc(py * gw + px)
+          BmpPatch(mediaId, px.toLong, py.toLong, a(0), a(1), a(2), a(3), a(4))
+        }
+      }
+    }
   }
+
+  /** One ViT-style image patch ([[BmpCodec.patches]]): patch grid
+    * coordinates, pixel count (edge patches are ragged — no padding),
+    * per-channel sums, and the in-patch position-weighted projection
+    * Σ (1 + dx + P·dy)·(B + 2G + 3R) — the deterministic stand-in for
+    * the learned linear patch embedding, order-sensitive WITHIN the
+    * patch (a decoder emitting patch pixels in the wrong local order
+    * passes the channel sums but not this).
+    */
+  final case class BmpPatch(
+      media_id: Long,
+      px: Long,
+      py: Long,
+      n_px: Long,
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long,
+      proj_checksum: Long)
 
   /** Decoded audio feature row ([[WavCodec.decode]]): sample count,
     * total absolute amplitude, zero-crossing count (the classic cheap
@@ -579,5 +646,61 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_id"))
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257)
+  /** Partition-wise patchify (patch size 4) — the [[decodeFeatures]]
+    * carve-out shape, emitting per-patch partials instead of per-pixel
+    * rows.
+    */
+  def decodePatches(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { it =>
+      it.flatMap(b => BmpCodec.patches(b.media_id, b.payload, 4))
+    }.toDF()
+  }
+
+  /** q272 — ViT-STYLE PATCHIFY over the real BMP decode: every fixture
+    * image splits into 4×4 patches (ragged at the right/bottom edges —
+    * no padding, the patch grid is ⌈w/4⌉×⌈h/4⌉), each patch carrying
+    * pixel count, per-channel sums (the mean-pool embedding numerators)
+    * and the in-patch position-weighted projection — the deterministic
+    * stand-in for the learned linear patch embedding every vision
+    * transformer starts with. The pixel walk emits PATCH partials
+    * directly ([[BmpCodec.patches]] — map-side combine inside the
+    * decode carve-out; per-pixel rows never materialize, which is the
+    * difference between a ~10× and a ~P²-fold-smaller decode output at
+    * 100 TB); everything after the iterator is relational. The oracle
+    * regenerates every pixel from the closed forms (x = p mod w,
+    * y = p div w, patch = (x div 4, y div 4)) and aggregates the same
+    * grid — bottom-up row storage, ragged edges, and in-patch order
+    * all land in proj_checksum.
+    */
+  val q272 = oracled(
+    "q272_bmp_patchify",
+    "4×4 image patch features from the real BMP decode == closed-form pixel-grid oracle",
+    """WITH d AS (SELECT doc_id AS media_id,
+           n_chars % 13 + 3 AS w, doc_id % 7 + 2 AS h, n_chars
+         FROM documents),
+       pix AS (SELECT media_id, w, h, n_chars, u.p AS p,
+           u.p % w AS x, u.p // w AS y
+         FROM d, unnest(range(0, w * h)) u(p)),
+       pa AS (SELECT media_id, x // 4 AS px, y // 4 AS py,
+           COUNT(*) AS n_px,
+           SUM((media_id * 7 + p) % 256) AS sum_b,
+           SUM((p * p + 3) % 256) AS sum_g,
+           SUM((n_chars + 5 * p) % 256) AS sum_r,
+           SUM((1 + x % 4 + 4 * (y % 4)) * ((media_id * 7 + p) % 256
+             + 2 * ((p * p + 3) % 256)
+             + 3 * ((n_chars + 5 * p) % 256))) AS proj
+         FROM pix GROUP BY 1, 2, 3)
+       SELECT media_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+         CAST(n_px AS BIGINT) AS n_px,
+         CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+         CAST(sum_r AS BIGINT) AS sum_r,
+         CAST(proj AS BIGINT) AS proj_checksum
+       FROM pa ORDER BY media_id, py, px""") { (s, dir) =>
+    decodePatches(mediaTable(s, dir))
+      .orderBy(col("media_id"), col("py"), col("px"))
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257, q272)
 }

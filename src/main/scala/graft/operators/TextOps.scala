@@ -1386,6 +1386,12 @@ object TextOps {
     * pair_count): 6 rows, each the argmax over the full evolving pair
     * distribution — the oracle unrolls the identical recurrence as a
     * CTE chain, so any drift anywhere in the pipeline flips a row.
+    * Relation to q224: that query mines WORD-level phrases over the
+    * corpus token STREAM (positions, window chains, per-doc greedy
+    * runs); this one is the actual subword-vocabulary construction —
+    * character alphabet, end-of-word marker, and the vocab-sized
+    * frequency-table working set that makes tokenizer training
+    * corpus-size-independent after one pass.
     */
   val q271 = oracled(
     "q271_bpe_merges",

@@ -77,6 +77,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.weighted_checksum === 14L + 64L + 150L + 272L)
   }
 
+  test("BMP patchify: hand image splits into known ragged patches; patches sum to decode") {
+    // same hand-assembled 2x2 image as above, patch size 4: ONE ragged
+    // patch (0,0) holding all four pixels — n_px 4, channel sums equal
+    // the whole-image sums, and the in-patch projection weights are
+    // (1 + dx + 4*dy): (0,0)→1, (1,0)→2, (0,1)→5, (1,1)→6
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    val bytes = (
+      Seq('B'.toInt, 'M'.toInt) ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Seq(7, 8, 9, 10, 11, 12, 0, 0) ++
+      Seq(1, 2, 3, 4, 5, 6, 0, 0)
+    ).map(_.toByte).toArray
+    val ps = Multimodal.BmpCodec.patches(99L, bytes, 4).toSeq
+    assert(ps.size === 1)
+    val p0 = ps.head
+    assert((p0.px, p0.py, p0.n_px) === (0L, 0L, 4L))
+    assert((p0.sum_b, p0.sum_g, p0.sum_r) === (22L, 26L, 30L))
+    // 1*(1+4+9) + 2*(4+10+18) + 5*(7+16+27) + 6*(10+22+36)
+    assert(p0.proj_checksum === 14L + 64L + 250L + 408L)
+    // patch size 1: every pixel its own patch, projection weight 1 —
+    // per-patch sums are the pixels themselves, 2x2 grid
+    val p1 = Multimodal.BmpCodec.patches(99L, bytes, 1).toSeq
+    assert(p1.size === 4)
+    assert(p1.map(p => (p.px, p.py)).toSet ===
+      Set((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)))
+    assert(p1.map(_.proj_checksum).sum === 14L + 32L + 50L + 68L)
+    // consistency law on the fixture: per-media patch sums == q53 decode
+    val media = Multimodal.mediaTable(spark, sfDir).localCheckpoint()
+    val fromPatches = Multimodal.decodePatches(media)
+      .groupBy(org.apache.spark.sql.functions.col("media_id"))
+      .agg(
+        org.apache.spark.sql.functions.sum("n_px").as("npx"),
+        org.apache.spark.sql.functions.sum("sum_b").as("b"),
+        org.apache.spark.sql.functions.sum("sum_g").as("g"),
+        org.apache.spark.sql.functions.sum("sum_r").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val fromDecode = Multimodal.decodeFeatures(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1) * r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(fromPatches === fromDecode,
+      "patch partials must partition the whole-image features")
+  }
+
   test("WAV decoder walks real RIFF chunks: hand-assembled 4-sample file") {
     // Built byte-by-byte from the RIFF spec, NOT via WavCodec.encode;
     // chunk order differs from the encoder's (data BEFORE an unknown
