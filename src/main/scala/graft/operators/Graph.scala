@@ -1725,6 +1725,15 @@ object Graph {
     * (Borůvka is the only classical MST algorithm with no serial
     * edge-ordering dependency, which is why it is the distributed one).
     * Loud round failsafe, the sssp discipline.
+    *
+    * Cost shape: the wall-clock at fixture scale (~7 s at sf0.1) is
+    * ~40 SEQUENTIAL driver-coordinated jobs — ⌈log₂ V⌉ rounds × (one
+    * argmax materialization + the shared [[cc]]'s pointer-doubling
+    * fixpoint on the chosen forest) — on a 100-node graph, i.e. pure
+    * per-job overhead, not data volume. At cluster scale the SAME ≤
+    * log V round structure amortizes over arbitrarily large edge sets;
+    * the per-round work is flat shuffles that parallelize, which is
+    * the entire point of the algorithm choice.
     */
   private[graft] def boruvkaMsf(nodes: DataFrame, und: DataFrame,
       maxRounds: Int = 40): DataFrame = {
@@ -1734,8 +1743,10 @@ object Graph {
       .localCheckpoint() // scanned once per round; lineage stays O(1)
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
+    // accumulated msf: a union of per-round CHECKPOINTED chosen frames,
+    // so the lineage stays one shallow union node — no per-round msf
+    // re-checkpoint (rounds are ≤ ⌈log₂ V⌉, the union stays small)
     var msf = keyed.select(col("ua"), col("ub"), col("cnt")).limit(0)
-      .localCheckpoint()
     var round = 0
     var done = false
     while (!done) {
@@ -1747,18 +1758,21 @@ object Graph {
         .join(lbl.select(col("node").as("ua"), col("lbl").as("la")), Seq("ua"))
         .join(lbl.select(col("node").as("ub"), col("lbl").as("lb")), Seq("ub"))
         .filter(col("la") =!= col("lb"))
+      // each inter-component edge is a candidate for BOTH endpoints;
+      // empty chosen ⟺ no inter-component edge left, so ONE materialized
+      // frame serves the termination check, the msf append, and the
+      // contraction (the first draft checkpointed el separately — one
+      // extra job per round for nothing)
+      val cand = el.select(col("la").as("comp"), col("k"))
+        .unionByName(el.select(col("lb").as("comp"), col("k")))
+      val chosen = cand.groupBy(col("comp")).agg(min(col("k")).as("k"))
+        .select(col("k.ka").as("ua"), col("k.kb").as("ub"),
+          (-col("k.nc")).as("cnt"))
+        .distinct() // one edge may be both endpoints' argmax
         .localCheckpoint()
-      done = el.isEmpty
+      done = chosen.isEmpty
       if (!done) {
-        // each inter-component edge is a candidate for BOTH endpoints
-        val cand = el.select(col("la").as("comp"), col("k"))
-          .unionByName(el.select(col("lb").as("comp"), col("k")))
-        val chosen = cand.groupBy(col("comp")).agg(min(col("k")).as("k"))
-          .select(col("k.ka").as("ua"), col("k.kb").as("ub"),
-            (-col("k.nc")).as("cnt"))
-          .distinct() // one edge may be both endpoints' argmax
-          .localCheckpoint()
-        msf = msf.unionByName(chosen).localCheckpoint()
+        msf = msf.unionByName(chosen)
         val ce = chosen
           .join(lbl.select(col("node").as("ua"), col("lbl").as("la")), Seq("ua"))
           .join(lbl.select(col("node").as("ub"), col("lbl").as("lb")), Seq("ub"))

@@ -564,73 +564,115 @@ object Olap {
       .orderBy(col("node"))
   }
 
-  /** q264 — Z-ORDER (Morton) data-layout clustering vs row-major, the
-    * multi-dimensional file-pruning primitive (Delta/Iceberg `OPTIMIZE
-    * ZORDER BY`): rows keyed by the bit-interleave of two bounded
-    * dimensions (x = l_partkey % 128, y = ⌊l_quantity⌋ % 128, 7 bits
-    * each) land in 64-cell "files" whose per-file min/max footers bound
-    * BOTH dimensions at once — under the fixed 16×16 query rectangle
-    * (x∈[32,47], y∈[16,31]) the z-layout scans 4 of the occupied
-    * blocks where the row-major layout (x·128+y) scans 16: the 2-D
-    * locality argument in exact integers, per block, on both engines.
-    * The interleave is pure codegen bit math (shiftright/and/
-    * shiftleft — no UDF, whole-stage-friendly at 100 TB where the key
-    * is computed once per row at write time); block stats are one
-    * partial-agg groupBy, exactly the min/max footer collection a
-    * writer does. Layouts are gated side-by-side as layout-tagged rows
-    * so the pruning advantage itself is part of the hash-compared
-    * result, not a narrative claim.
+  /** The q264 Hilbert steps, s = 64 … 1: each step reads the PREVIOUS
+    * state (x, y, d) and emits the flipped/swapped quadrant-local
+    * coordinates plus the distance contribution s²·((3·rx) XOR ry) —
+    * the standard xy→d walk, unrolled so both engines run the
+    * identical straight-line integer program (no recursion, no UDF;
+    * Spark keeps it inside whole-stage codegen).
+    */
+  private val HilbertSteps = Seq(64, 32, 16, 8, 4, 2, 1)
+
+  private def hilbertStepSql(s: Int): String =
+    s"""CASE WHEN (y & $s) = 0 THEN
+          CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+        ELSE x END AS x,
+       CASE WHEN (y & $s) = 0 THEN
+          CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+        ELSE y END AS y,
+       d + ${s.toLong * s} * xor(
+         3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d"""
+
+  /** q264 — HILBERT vs MORTON range contiguity: the part of the
+    * data-layout story q111 does NOT cover. Both curves tile the
+    * 128×128 key space into the same 64-cell blocks (any order-k
+    * space-filling curve fills aligned subsquares contiguously), so
+    * per-block min/max pruning — q111's subject — is identical; what
+    * differs is the ORDER blocks are visited, i.e. how many CONTIGUOUS
+    * KEY RANGES a 2-D query footprint dissolves into. Fewer ranges =
+    * fewer seeks / scan splits at 100 TB (the reason Hilbert is the
+    * curve in production layouts that care: its successor step is
+    * always an adjacent cell, Morton's jumps). Both keys are exact
+    * integer programs (Morton: 7-bit interleave; Hilbert: the
+    * [[HilbertSteps]] unrolled flip/swap walk — bijectivity pinned in
+    * ScaleSpec); per occupied block the output carries rows, the
+    * needed flag under the deliberately TILE-UNALIGNED rectangle
+    * x∈[30,45], y∈[14,29], and run_start — whether a needed block
+    * begins a new contiguous run (lag over needed blocks in key
+    * order): Σ run_start IS the seek count, gated per layout.
     */
   val q264 = oracled(
-    "q264_zorder_layout",
-    "Morton-interleave block stats + 2-D pruning vs row-major — exact bit math both engines",
-    s"""WITH pts AS (SELECT l_partkey % 128 AS x,
-           CAST(FLOOR(l_quantity) AS BIGINT) % 128 AS y
+    "q264_hilbert_locality",
+    "Hilbert vs Morton: contiguous-run dissection of a 2-D query footprint, exact both engines",
+    s"""WITH pts AS (SELECT l_partkey % 128 AS x0,
+           CAST(FLOOR(l_quantity) AS BIGINT) % 128 AS y0
          FROM lineitem),
-       keyed AS (SELECT x, y,
-           ${(0 until 7).map(i =>
-             s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
-             .mkString(" + ")} AS zkey,
-           x * 128 + y AS rkey
+       h0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d
          FROM pts),
+       ${HilbertSteps.zipWithIndex.map { case (s, i) =>
+           s"h${i + 1} AS (SELECT x0, y0, ${hilbertStepSql(s)} FROM h$i)"
+         }.mkString(",\n       ")},
+       keyed AS (SELECT x0, y0, d AS hkey,
+           ${(0 until 7).map(i =>
+             s"(((x0 >> $i) & 1) << ${2 * i}) + (((y0 >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS zkey
+         FROM h${HilbertSteps.size}),
        blk AS (
-         SELECT 'z' AS layout, zkey // 64 AS block, COUNT(*) AS n_rows,
-             MIN(x) AS x_min, MAX(x) AS x_max,
-             MIN(y) AS y_min, MAX(y) AS y_max
+         SELECT 'hilbert' AS layout, hkey // 64 AS block, COUNT(*) AS n_rows,
+             MAX(CASE WHEN x0 BETWEEN 30 AND 45 AND y0 BETWEEN 14 AND 29
+                 THEN 1 ELSE 0 END) AS needed
            FROM keyed GROUP BY 2
          UNION ALL
-         SELECT 'row', rkey // 64, COUNT(*),
-             MIN(x), MAX(x), MIN(y), MAX(y)
-           FROM keyed GROUP BY 2)
+         SELECT 'morton', zkey // 64, COUNT(*),
+             MAX(CASE WHEN x0 BETWEEN 30 AND 45 AND y0 BETWEEN 14 AND 29
+                 THEN 1 ELSE 0 END)
+           FROM keyed GROUP BY 2),
+       runs AS (SELECT layout, block, n_rows, needed,
+           CASE WHEN needed = 1 AND COALESCE(LAG(block) OVER (
+               PARTITION BY layout, needed ORDER BY block), -2) <> block - 1
+             THEN 1 ELSE 0 END AS run_start
+         FROM blk)
        SELECT layout, CAST(block AS BIGINT) AS block,
-         CAST(n_rows AS BIGINT) AS n_rows,
-         CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
-         CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max,
-         CAST(CASE WHEN x_max >= 32 AND x_min <= 47
-               AND y_max >= 16 AND y_min <= 31 THEN 1 ELSE 0 END AS BIGINT)
-           AS scan_needed
-       FROM blk ORDER BY layout, block""") { (s, dir) =>
+         CAST(n_rows AS BIGINT) AS n_rows, CAST(needed AS BIGINT) AS needed,
+         CAST(run_start AS BIGINT) AS run_start
+       FROM runs ORDER BY layout, block""") { (s, dir) =>
     val pts = Tables.lineitem(s, dir)
-      .select((col("l_partkey") % 128).as("x"),
-        (floor(col("l_quantity")).cast("long") % 128).as("y"))
+      .select((col("l_partkey") % 128).as("x0"),
+        (floor(col("l_quantity")).cast("long") % 128).as("y0"))
+    var st = pts.select(col("x0"), col("y0"), col("x0").as("x"),
+      col("y0").as("y"), lit(0L).as("d"))
+    for (step <- HilbertSteps)
+      st = st.select(col("x0"), col("y0"),
+        expr(s"CASE WHEN (y & $step) = 0 THEN " +
+          s"CASE WHEN (x & $step) > 0 THEN $step - 1 - y ELSE y END " +
+          s"ELSE x END").as("x"),
+        expr(s"CASE WHEN (y & $step) = 0 THEN " +
+          s"CASE WHEN (x & $step) > 0 THEN $step - 1 - x ELSE x END " +
+          s"ELSE y END").as("y"),
+        expr(s"d + ${step.toLong * step} * " +
+          s"((3 * (CASE WHEN (x & $step) > 0 THEN 1 ELSE 0 END)) ^ " +
+          s"(CASE WHEN (y & $step) > 0 THEN 1 ELSE 0 END))").as("d"))
     val zkey = (0 until 7).map(i =>
-        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(col("x0"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y0"), i).bitwiseAND(lit(1L)), 2 * i + 1))
       .reduce(_ + _)
-    val keyed = pts
+    val keyed = st.select(col("x0"), col("y0"), col("d").as("hkey"))
       .withColumn("zkey", zkey)
-      .withColumn("rkey", col("x") * 128 + col("y"))
-    def stats(layout: String, key: String) = keyed
+    val needed = when(col("x0").between(30, 45) && col("y0").between(14, 29),
+      1L).otherwise(0L)
+    def blocks(layout: String, key: String) = keyed
       .groupBy(expr(s"$key div 64").as("block"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
-        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .agg(count(lit(1)).as("n_rows"), max(needed).as("needed"))
       .select(lit(layout).as("layout"), col("block"), col("n_rows"),
-        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
-    stats("z", "zkey").unionByName(stats("row", "rkey"))
-      .withColumn("scan_needed",
-        when(col("x_max") >= 32 && col("x_min") <= 47 &&
-          col("y_max") >= 16 && col("y_min") <= 31, 1L).otherwise(0L))
+        col("needed"))
+    val w = Window.partitionBy(col("layout"), col("needed"))
+      .orderBy(col("block"))
+    blocks("hilbert", "hkey").unionByName(blocks("morton", "zkey"))
+      .withColumn("run_start",
+        when(col("needed") === 1 &&
+          coalesce(lag(col("block"), 1).over(w), lit(-2L)) =!= col("block") - 1,
+          1L).otherwise(0L))
       .orderBy(col("layout"), col("block"))
   }
 

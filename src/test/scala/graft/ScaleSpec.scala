@@ -199,23 +199,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall > 0.05, s"IVF recall $recall degenerate")
   }
 
-  test("q264 z-order blocks bound both dims to 8x8 tiles; pruning beats row-major") {
-    val rows = operators.Olap.q264.run(spark, sfDir).collect()
-    val (z, r) = rows.partition(_.getString(0) == "z")
-    assert(z.nonEmpty && r.nonEmpty)
-    // a 14-bit z-key >> 6 fixes the top 4 bits of each dim: every block
-    // is an 8x8 tile, so within-block spans never exceed 7 on EITHER
-    // dim — that per-file two-sided bound is the whole pruning argument
-    z.foreach { b =>
-      assert(b.getLong(4) - b.getLong(3) <= 7, s"x span leaks: $b")
-      assert(b.getLong(6) - b.getLong(5) <= 7, s"y span leaks: $b")
+  test("q264 Hilbert key is a bijection; fewer contiguous runs than Morton") {
+    // serial reference of the unrolled walk — bijectivity over the full
+    // 128x128 grid proves the flip/swap steps are the real Hilbert map
+    def hilbert(x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 64
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
     }
-    // row-major blocks fix x but let y run the full axis; for the fixed
-    // 16x16 rectangle the z layout must scan STRICTLY fewer blocks
-    val zNeeded = z.map(_.getLong(7)).sum
-    val rNeeded = r.map(_.getLong(7)).sum
-    assert(zNeeded > 0 && zNeeded < rNeeded,
-      s"z-order pruning not ahead: z=$zNeeded row=$rNeeded")
+    val all = for (x <- 0 until 128; y <- 0 until 128) yield hilbert(x, y)
+    assert(all.toSet.size === 128 * 128 && all.min === 0L &&
+      all.max === 128L * 128 - 1, "hilbert walk is not a bijection")
+    // adjacency: successive curve positions are grid neighbors — the
+    // property Morton lacks and the whole reason the runs metric favors
+    // Hilbert
+    val byD = (for (x <- 0 until 128; y <- 0 until 128)
+      yield hilbert(x, y) -> (x, y)).sortBy(_._1).map(_._2)
+    byD.sliding(2).take(500).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumped: ($x1,$y1)->($x2,$y2)")
+    }
+    val rows = operators.Olap.q264.run(spark, sfDir).collect()
+    val (h, m) = rows.partition(_.getString(0) == "hilbert")
+    assert(h.nonEmpty && m.nonEmpty)
+    // identical block geometry => identical needed-block counts; the
+    // visit ORDER is what differs, so Hilbert needs fewer (never more)
+    // contiguous key runs for the rectangle footprint
+    assert(h.map(_.getLong(3)).sum === m.map(_.getLong(3)).sum,
+      "needed-block counts must match — both curves tile 8x8 subsquares")
+    val hRuns = h.map(_.getLong(4)).sum
+    val mRuns = m.map(_.getLong(4)).sum
+    assert(hRuns > 0 && hRuns <= mRuns,
+      s"hilbert should not need more seek runs: h=$hRuns m=$mRuns")
   }
 
   test("q265 bloom semi-join: zero false negatives, real probe reduction") {
