@@ -1447,8 +1447,72 @@ object TextOps {
     merges.result()
   }
 
+  /** q273 — BPE ENCODING at corpus scale: the application side of
+    * q271's training — the learned merge table re-segments every word,
+    * and the per-language ledger reports what a tokenizer budget
+    * actually buys (token counts are THE cost unit of LLM training):
+    * words, characters-plus-marker tokens before merging, tokens
+    * after, and the saving. The scale shape is the point: encoding
+    * re-segments the WORD table (vocabulary-sized) and only the final
+    * per-language accounting joins back through corpus word
+    * frequencies — per-(lang, word) counts weight the vocab-level
+    * token lengths, so the corpus is touched exactly once and no merge
+    * pass ever sees a corpus-sized row set. The oracle re-trains the
+    * same 6 merges (q271's CTE chain verbatim) and applies w6's
+    * segmentation — training and encoding gated as one recurrence.
+    */
+  val q273 = oracled(
+    "q273_bpe_encode",
+    "apply the learned merge table: per-lang token-count ledger == re-trained w6 segmentation",
+    s"""WITH w0 AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+           array_to_string(string_split_regex(w, ''), ' ') || ' _' AS seq
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents) u
+         WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       ${(0 until BpeRounds).map(bpeRoundCte).mkString(",\n       ")},
+       enc AS (SELECT w, len(string_split(seq, ' ')) AS n_tok
+         FROM w${BpeRounds}),
+       lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) u
+         WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1, 2)
+       SELECT lang, CAST(SUM(lw.cnt) AS BIGINT) AS n_words,
+         CAST(SUM(lw.cnt * (length(lw.w) + 1)) AS BIGINT) AS n_tokens_chars,
+         CAST(SUM(lw.cnt * enc.n_tok) AS BIGINT) AS n_tokens_bpe,
+         CAST(SUM(lw.cnt * (length(lw.w) + 1 - enc.n_tok)) AS BIGINT)
+           AS tokens_saved
+       FROM lw JOIN enc ON enc.w = lw.w
+       GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val corpus = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .localCheckpoint() // feeds the global trainer and the per-lang ledger
+    val words = corpus.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val merges = bpeTrain(words, BpeRounds)
+    // apply the learned table to the VOCABULARY (not the corpus): the
+    // same padded single-replace pass per merge, in merge order
+    val enc = merges.foldLeft(
+        words.withColumn("seq",
+          concat(concat_ws(" ", split(col("w"), "")), lit(" _")))) {
+        case (df, (_, a, b, _)) =>
+          df.withColumn("seq", trim(expr(
+            s"replace(concat(' ', seq, ' '), ' ${a} ${b} ', ' ${a}${b} ')")))
+      }
+      .select(col("w"), size(split(col("seq"), " ")).cast("long").as("n_tok"))
+    corpus.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(enc, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * (length(col("w")) + 1)).as("n_tokens_chars"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens_bpe"),
+        sum(col("cnt") * (length(col("w")) + 1 - col("n_tok")))
+          .as("tokens_saved"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271)
+      q271, q273)
 }
