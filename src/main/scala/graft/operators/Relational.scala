@@ -780,6 +780,70 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  private val bktCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Bucketed orders + lineitem (8 buckets on the order key, sorted
+    * within buckets) registered once per (SparkContext, dir) as
+    * external tables under java.io.tmpdir — the Ingest path-cache
+    * discipline. Bucketing is the WRITE-ONCE pre-shuffle: both sides
+    * persisted in the same hash layout on the join key, so every
+    * subsequent join on that key reads co-located buckets and runs
+    * with ZERO exchanges.
+    */
+  private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) =
+    graft.Memo.sync(bktCache, graft.Memo.key(s, dir))( {
+      val tag = s"${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(s.sparkContext.applicationId.hashCode & 0x7fffffff) +
+        "_" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      val base = sys.props("java.io.tmpdir") + s"/graft_q274_bkt_$tag"
+      val (to, tl) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(to)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), dec2(col("l_quantity")).as("q"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(tl)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }))
+      (to, tl)
+    })
+
+  /** q274 — ZERO-EXCHANGE bucketed join, gated: the co-located join
+    * layout every 100 TB warehouse maintains (bucketBy = the shuffle
+    * paid ONCE at write time, amortized over every subsequent join on
+    * the key) as a driver-checked query, not just BucketingSpec's plan
+    * assertion. Both tables persist in the same 8-bucket hash layout
+    * on the order key; the `merge`-hinted join reads co-located
+    * buckets — PlanContractSpec asserts the join subtree contains NO
+    * `Exchange hashpartitioning` (the final small aggregate shuffles,
+    * which is the correct residual). The oracle is the plain join over
+    * the raw parquet: identical results, the layout is pure physics.
+    */
+  val q274 = oracled(
+    "q274_bucketed_join",
+    "bucketBy(8) co-located orders⋈lineitem with no join-time exchange == plain-join oracle",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS qty_cents
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val (to, tl) = bucketedOrderTables(s, dir)
+    s.table(to).hint("merge")
+      .join(s.table(tl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("q")) * 100).cast("long").as("qty_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266)
+    q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266,
+    q274)
 }

@@ -382,6 +382,18 @@ class PlanContractSpec extends AnyFunSuite {
       "token filter missing above the postings explode\n" + p)
   }
 
+  test("q274: the bucketed join subtree is exchange-free (the layout IS the shuffle)") {
+    val p = plan(operators.Relational.q274)
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      "bucketed join re-shuffled — the write-time layout was wasted\n" +
+        joinSection)
+    assert(joinSection.contains("SelectedBucketsCount") ||
+      joinSection.contains("Bucketed: true"),
+      "join sides are not reading the bucketed layout\n" + joinSection)
+  }
+
   test("q248: point-in-time join is ONE carry-forward window, no interval fan-out join") {
     val p = plan(operators.Temporal.q248)
     // exactly one Window (the carry-forward); a per-fact interval range
