@@ -1458,8 +1458,92 @@ object Pipeline {
     }
   }
 
+  /** q275 — RENDEZVOUS (highest-random-weight) SHARDING and the
+    * minimal-reshuffle law, gated in data: every distributed store
+    * that survives membership churn (cache rings, shard routers,
+    * object placement) uses HRW or consistent hashing precisely
+    * because removing a node moves ONLY that node's keys. Each key
+    * scores every shard with the overflow-safe squared-mix family
+    * w(k, n) = (((k mod 100003 + 1009n)² mod p) · 2654435761) mod p,
+    * p = 1000000007 — the square breaks the affinity-in-k that made a
+    * first-draft affine score argmax-constant (every key picked the
+    * same shard: the n-increment was tiny vs p, so no wrap ever
+    * reordered the ranking) — and lands on the argmax (ties by shard id — total order); the
+    * query computes the assignment for the full 8-shard ring AND for
+    * the ring with shard 3 removed, then ships the per-shard ledger:
+    * keys before, keys after, keys gained, and gained_from_surviving —
+    * the column the HRW law forces to be IDENTICALLY ZERO (a key's
+    * ranking among surviving shards is unchanged by removing another
+    * shard, so only shard 3's keys re-home). The argmax is one
+    * K×8-row window (or a max(struct) aggregate at scale — no
+    * all-pairs anything); both engines run the identical integer
+    * scoring.
+    */
+  val q275 = oracled(
+    "q275_rendezvous_sharding",
+    "HRW shard assignment before/after node removal — gained_from_surviving gated zero",
+    """WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+       sc AS (SELECT k, n.i AS shard,
+           ((k % 100003 + n.i * 1009) * (k % 100003 + n.i * 1009)
+             % 1000000007) * 2654435761 % 1000000007 AS w
+         FROM keys CROSS JOIN range(0, 8) n(i)),
+       bef AS (SELECT k, shard FROM (
+           SELECT k, shard, ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY w DESC, shard) AS rn FROM sc) t WHERE rn = 1),
+       aft AS (SELECT k, shard FROM (
+           SELECT k, shard, ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY w DESC, shard) AS rn FROM sc WHERE shard <> 3) t
+         WHERE rn = 1),
+       mv AS (SELECT b.k, b.shard AS sb, a.shard AS sa
+         FROM bef b JOIN aft a ON a.k = b.k),
+       ring AS (SELECT i AS shard FROM range(0, 8) t(i))
+       SELECT ring.shard,
+         CAST(COALESCE(SUM(CASE WHEN mv.sb = ring.shard THEN 1 END), 0)
+           AS BIGINT) AS n_before,
+         CAST(COALESCE(SUM(CASE WHEN mv.sa = ring.shard THEN 1 END), 0)
+           AS BIGINT) AS n_after,
+         CAST(COALESCE(SUM(CASE WHEN mv.sa = ring.shard
+               AND mv.sb <> ring.shard THEN 1 END), 0) AS BIGINT) AS n_gained,
+         CAST(COALESCE(SUM(CASE WHEN mv.sa = ring.shard
+               AND mv.sb <> ring.shard AND mv.sb <> 3 THEN 1 END), 0)
+           AS BIGINT) AS gained_from_surviving
+       FROM ring LEFT JOIN mv ON mv.sb = ring.shard OR mv.sa = ring.shard
+       GROUP BY ring.shard ORDER BY ring.shard""") { (s, dir) =>
+    val keys = Tables.events(s, dir).select(col("user_id").as("k")).distinct()
+    val sc = keys
+      .withColumn("shard", explode(expr("sequence(0L, 7L)")))
+      .withColumn("v", col("k") % 100003 + col("shard") * 1009)
+      .withColumn("w",
+        (col("v") * col("v") % 1000000007L) * 2654435761L % 1000000007L)
+    def argmax(scored: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("w").desc, col("shard"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("k"), col("shard"))
+    }
+    val bef = argmax(sc).withColumnRenamed("shard", "sb")
+    val aft = argmax(sc.filter(col("shard") =!= 3))
+      .withColumnRenamed("shard", "sa")
+    val mv = bef.join(aft, Seq("k"))
+    val ring = s.range(0, 8).select(col("id").as("shard"))
+    ring.join(mv,
+        col("sb") === col("shard") || col("sa") === col("shard"), "left")
+      .groupBy(col("shard"))
+      .agg(
+        coalesce(sum(when(col("sb") === col("shard"), 1L)), lit(0L))
+          .as("n_before"),
+        coalesce(sum(when(col("sa") === col("shard"), 1L)), lit(0L))
+          .as("n_after"),
+        coalesce(sum(when(col("sa") === col("shard") &&
+          col("sb") =!= col("shard"), 1L)), lit(0L)).as("n_gained"),
+        coalesce(sum(when(col("sa") === col("shard") &&
+          col("sb") =!= col("shard") && col("sb") =!= 3, 1L)), lit(0L))
+          .as("gained_from_surviving"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260)
+      q212, q232, q244, q245, q260, q275)
 }
