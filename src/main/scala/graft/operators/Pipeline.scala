@@ -1542,8 +1542,109 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** q277 — K-ANONYMITY GENERALIZATION LATTICE (the release-governance
+    * primitive behind every "is this table safe to publish"
+    * assessment, Samarati/OLA form): three quasi-identifiers with
+    * generalization ladders — balance bucket (1000-wide → 5000-wide →
+    * suppressed), geography (nation → region → suppressed), segment
+    * (value → suppressed) — span a 3×3×2 = 18-node lattice; for EVERY
+    * node the ledger reports group count, k=5-violating groups and
+    * rows, the minimum group size, and the sensitive-attribute
+    * l-diversity failure count (groups whose members all share the
+    * in-debt flag — k-anonymity without diversity still leaks). The
+    * marked optimum is the MINIMAL generalization achieving zero
+    * violations: lowest total height, ties by (bal, geo, seg) level —
+    * the exact answer OLA binary-searches toward; full enumeration is
+    * 18 grouping passes of one scan here (at 100 TB you prune the
+    * lattice by the monotonicity the ledger itself exhibits:
+    * violations are antitone in every level). All counts exact on
+    * both engines; FLOOR(x / 1000.0) bucketing (not integer div —
+    * DuckDB floors negative `//`, Spark `div` truncates; double FLOOR
+    * agrees everywhere including negative balances).
+    */
+  val q277 = oracled(
+    "q277_k_anonymity_lattice",
+    "full generalization lattice: k=5 violation ledger + l-diversity + minimal safe node",
+    """WITH lat AS (SELECT a.i AS la, b.i AS lb, c.i AS lc
+         FROM range(0, 3) a(i), range(0, 3) b(i), range(0, 2) c(i)),
+       cust AS (SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt,
+           n_regionkey
+         FROM customer JOIN nation ON n_nationkey = c_nationkey),
+       gen AS (SELECT l.la, l.lb, l.lc, c.c_custkey, c.in_debt,
+           CASE l.la WHEN 0 THEN CAST(FLOOR(c.c_acctbal / 1000.0) AS VARCHAR)
+             WHEN 1 THEN CAST(FLOOR(c.c_acctbal / 5000.0) AS VARCHAR)
+             ELSE '*' END AS ga,
+           CASE l.lb WHEN 0 THEN CAST(c.c_nationkey AS VARCHAR)
+             WHEN 1 THEN CAST(c.n_regionkey AS VARCHAR)
+             ELSE '*' END AS gb,
+           CASE l.lc WHEN 0 THEN c.c_mktsegment ELSE '*' END AS gc
+         FROM lat l CROSS JOIN cust c),
+       grp AS (SELECT la, lb, lc, ga, gb, gc,
+           COUNT(*) AS n, COUNT(DISTINCT in_debt) AS n_sens
+         FROM gen GROUP BY 1, 2, 3, 4, 5, 6),
+       node AS (SELECT la, lb, lc,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS viol_rows,
+           CAST(MIN(n) AS BIGINT) AS min_gsize,
+           CAST(SUM(CASE WHEN n_sens < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ldiv_fail_groups
+         FROM grp GROUP BY 1, 2, 3),
+       opt AS (SELECT la, lb, lc FROM node WHERE viol_rows = 0
+         ORDER BY la + lb + lc, la, lb, lc LIMIT 1)
+       SELECT node.la, node.lb, node.lc, n_groups, viol_groups, viol_rows,
+         min_gsize, ldiv_fail_groups,
+         CAST(CASE WHEN opt.la IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_optimal
+       FROM node LEFT JOIN opt
+         ON opt.la = node.la AND opt.lb = node.lb AND opt.lc = node.lc
+       ORDER BY node.la, node.lb, node.lc""") { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"),
+        col("c_mktsegment"), col("n_regionkey"),
+        when(col("c_acctbal") < 0, 1L).otherwise(0L).as("in_debt"))
+    val lat = s.range(0, 3).select(col("id").as("la"))
+      .crossJoin(s.range(0, 3).select(col("id").as("lb")))
+      .crossJoin(s.range(0, 2).select(col("id").as("lc")))
+    val gen = broadcast(lat).crossJoin(cust)
+      .select(col("la"), col("lb"), col("lc"), col("in_debt"),
+        when(col("la") === 0,
+            floor(col("c_acctbal") / 1000.0).cast("string"))
+          .when(col("la") === 1,
+            floor(col("c_acctbal") / 5000.0).cast("string"))
+          .otherwise("*").as("ga"),
+        when(col("lb") === 0, col("c_nationkey").cast("string"))
+          .when(col("lb") === 1, col("n_regionkey").cast("string"))
+          .otherwise("*").as("gb"),
+        when(col("lc") === 0, col("c_mktsegment")).otherwise("*").as("gc"))
+    val node = gen
+      .groupBy(col("la"), col("lb"), col("lc"), col("ga"), col("gb"),
+        col("gc"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("in_debt")).as("n_sens"))
+      .groupBy(col("la"), col("lb"), col("lc"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("viol_groups"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("viol_rows"),
+        min(col("n")).as("min_gsize"),
+        sum(when(col("n_sens") < 2, 1L).otherwise(0L))
+          .as("ldiv_fail_groups"))
+    val opt = node.filter(col("viol_rows") === 0)
+      .orderBy(col("la") + col("lb") + col("lc"), col("la"), col("lb"),
+        col("lc"))
+      .limit(1).select(col("la"), col("lb"), col("lc"),
+        lit(1L).as("is_optimal"))
+    node.join(broadcast(opt), Seq("la", "lb", "lc"), "left")
+      .withColumn("is_optimal", coalesce(col("is_optimal"), lit(0L)))
+      .orderBy(col("la"), col("lb"), col("lc"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275)
+      q212, q232, q244, q245, q260, q275, q277)
 }
