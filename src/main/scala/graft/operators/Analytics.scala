@@ -1790,8 +1790,105 @@ object Analytics {
       .orderBy(col("policy"), col("ctx"))
   }
 
+  // --------------------------------------- distributed split finding
+
+  /** q278 — PLANET-style exact decision-stump split finding: the
+    * distributed tree-induction primitive (Panda et al., PLANET, VLDB
+    * '09; the same histogram-then-argmin shape underlies XGBoost's
+    * approx mode and every Spark MLlib tree). Label: lineitem returned
+    * (l_returnflag = 'R'); three candidate features, all
+    * bounded-cardinality integer encodings — quantity (1..50), discount
+    * in cents (0..10), ship month (1..12). For EVERY candidate split
+    * "feature ≤ v" the ledger reports the exact left/right class
+    * counts and the split's misclassification error
+    *   err = min(posL, negL) + min(posR, negR)
+    * — the impurity kept in BIGINT because misclassification count is
+    * totally ordered where Gini is a fraction with a split-dependent
+    * denominator (cross-multiplied argmin doesn't fit a hash-gated
+    * ledger; the scaladoc'd contract is the standard 0-1-loss stump).
+    * Per feature the argmin split is flagged (ties to the smallest
+    * threshold).
+    *
+    * Scale shape: ONE corpus scan — the 3-way feature explode feeds a
+    * partial-aggregated groupBy(feature, value) whose output is
+    * feature-cardinality-bounded (73 rows here, never corpus rows), so
+    * the map-side combine absorbs the 3× row expansion; prefix sums and
+    * the argmin run as windows over that bounded histogram. This is
+    * exactly why PLANET histograms: the candidate evaluation never
+    * touches the corpus again. At 100 TB: same one scan, same 73-row
+    * ledger.
+    */
+  val q278 = oracled(
+    "q278_decision_stump",
+    "PLANET-style exact stump: per-split class ledger + 0-1-loss argmin over 3 features",
+    """WITH base AS (SELECT
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+           CAST(month(l_shipdate) AS BIGINT) AS mon,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem),
+       feat AS (SELECT 1 AS f, qty AS v, y FROM base
+         UNION ALL SELECT 2, disc, y FROM base
+         UNION ALL SELECT 3, mon, y FROM base),
+       h AS (SELECT f, v, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+         FROM feat GROUP BY 1, 2),
+       c AS (SELECT f, v,
+           CAST(SUM(n) OVER w AS BIGINT) AS nl,
+           CAST(SUM(pos) OVER w AS BIGINT) AS posl,
+           CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+           CAST(SUM(pos) OVER (PARTITION BY f) AS BIGINT) AS post
+         FROM h
+         WINDOW w AS (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING)),
+       s AS (SELECT f, v, nl AS n_left, posl AS pos_left,
+           nt - nl AS n_right, post - posl AS pos_right,
+           LEAST(posl, nl - posl)
+             + LEAST(post - posl, (nt - nl) - (post - posl)) AS err
+         FROM c WHERE nl < nt)
+       SELECT CAST(f AS BIGINT) AS f, v, n_left, pos_left, n_right,
+         pos_right, err,
+         CAST(CASE WHEN ROW_NUMBER()
+             OVER (PARTITION BY f ORDER BY err, v) = 1
+           THEN 1 ELSE 0 END AS BIGINT) AS is_best
+       FROM s ORDER BY f, v""") { (s, dir) =>
+    val base = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      month(col("l_shipdate")).cast("long").as("mon"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val feat = base.select(explode(array(
+        struct(lit(1L).as("f"), col("qty").as("v")),
+        struct(lit(2L).as("f"), col("disc").as("v")),
+        struct(lit(3L).as("f"), col("mon").as("v")))).as("fv"),
+      col("y"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+    val h = feat.groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wCum = Window.partitionBy(col("f")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("f"))
+    val c = h
+      .withColumn("nl", sum(col("n")).over(wCum))
+      .withColumn("posl", sum(col("pos")).over(wCum))
+      .withColumn("nt", sum(col("n")).over(wTot))
+      .withColumn("post", sum(col("pos")).over(wTot))
+      .filter(col("nl") < col("nt"))
+      .select(col("f"), col("v"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        (col("nt") - col("nl")).as("n_right"),
+        (col("post") - col("posl")).as("pos_right"),
+        (least(col("posl"), col("nl") - col("posl"))
+          + least(col("post") - col("posl"),
+            (col("nt") - col("nl")) - (col("post") - col("posl"))))
+          .as("err"))
+    val wBest = Window.partitionBy(col("f")).orderBy(col("err"), col("v"))
+    c.withColumn("is_best",
+        when(row_number().over(wBest) === 1, 1L).otherwise(0L))
+      .orderBy(col("f"), col("v"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236, q237, q238, q262, q268)
+      q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278)
 }
