@@ -1640,8 +1640,64 @@ object Temporal {
       .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("v_cents")))
   }
 
+  // --------------------------------------------------- autocorrelation
+
+  /** q282 — autocorrelation function of the daily event-arrival series
+    * at lags 0..13, in EXACT integer arithmetic (the q261 discipline
+    * extended to second moments): the seasonality detector that tells
+    * an ingestion monitor whether its arrival process has weekly
+    * memory before anyone fits a model to it.
+    *
+    * Arithmetic contract: with x_t the daily event count, n the number
+    * of observed days and S = Σ x_t, the lag-k autocovariance is kept
+    * as the ×n²-scaled integer
+    *   gamma_num(k) = Σ_{pairs k apart} (n·x_t − S)(n·x_{t+k} − S)
+    * (deviations from the mean cleared of the 1/n each). The consumer's
+    * ACF is gamma_num(k)/gamma_num(0) — the shared n³ denominator
+    * cancels, so the ratio needs no float until the very end. Counts,
+    * not cents, are the series: n·x stays ~10⁶ at sf1 and the product
+    * sum orders of magnitude inside BIGINT at any plausible calendar.
+    *
+    * Scale shape: corpus work is ONE partial-aggregated groupBy(day);
+    * the lag self-join runs on the daily series — calendar-bounded
+    * (365 rows/year at 100 TB), broadcast against a 14-row lag spine,
+    * the q174/q261 dimension-window discipline.
+    */
+  val q282 = oracled(
+    "q282_autocorrelation",
+    "exact ×n²-scaled autocovariance of daily event counts at lags 0..13",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s FROM daily),
+       lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(0, 14) t(i))
+       SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM((t.n * a.x - t.s) * (t.n * b.x - t.s)) AS BIGINT)
+           AS gamma_num
+       FROM lags l CROSS JOIN tot t
+         JOIN daily a ON TRUE
+         JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+       GROUP BY l.lag ORDER BY l.lag""") { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val lags = s.range(0, 14).select(col("id").as("lag"))
+    daily.alias("a")
+      .crossJoin(broadcast(lags))
+      .crossJoin(broadcast(tot))
+      .join(daily.alias("b"),
+        col("b.day") === date_add(col("a.day"), col("lag").cast("int")))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n") * col("a.x") - col("s"))
+          * (col("n") * col("b.x") - col("s"))).as("gamma_num"))
+      .orderBy(col("lag"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261)
+      q235, q242, q243, q248, q261, q282)
 }
