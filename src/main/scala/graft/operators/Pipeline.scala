@@ -1560,7 +1560,10 @@ object Pipeline {
     * violations are antitone in every level). All counts exact on
     * both engines; FLOOR(x / 1000.0) bucketing (not integer div —
     * DuckDB floors negative `//`, Spark `div` truncates; double FLOOR
-    * agrees everywhere including negative balances).
+    * agrees everywhere including negative balances). Group keys are
+    * BIGINT with NULL as the suppression sentinel (both engines group
+    * NULLs together) — no float→string formatting anywhere, so the
+    * oracle carries zero engine-version string-format risk.
     */
   val q277 = oracled(
     "q277_k_anonymity_lattice",
@@ -1572,13 +1575,13 @@ object Pipeline {
            n_regionkey
          FROM customer JOIN nation ON n_nationkey = c_nationkey),
        gen AS (SELECT l.la, l.lb, l.lc, c.c_custkey, c.in_debt,
-           CASE l.la WHEN 0 THEN CAST(FLOOR(c.c_acctbal / 1000.0) AS VARCHAR)
-             WHEN 1 THEN CAST(FLOOR(c.c_acctbal / 5000.0) AS VARCHAR)
-             ELSE '*' END AS ga,
-           CASE l.lb WHEN 0 THEN CAST(c.c_nationkey AS VARCHAR)
-             WHEN 1 THEN CAST(c.n_regionkey AS VARCHAR)
-             ELSE '*' END AS gb,
-           CASE l.lc WHEN 0 THEN c.c_mktsegment ELSE '*' END AS gc
+           CASE l.la WHEN 0 THEN CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT)
+             WHEN 1 THEN CAST(FLOOR(c.c_acctbal / 5000.0) AS BIGINT)
+             ELSE NULL END AS ga,
+           CASE l.lb WHEN 0 THEN CAST(c.c_nationkey AS BIGINT)
+             WHEN 1 THEN CAST(c.n_regionkey AS BIGINT)
+             ELSE NULL END AS gb,
+           CASE l.lc WHEN 0 THEN c.c_mktsegment ELSE NULL END AS gc
          FROM lat l CROSS JOIN cust c),
        grp AS (SELECT la, lb, lc, ga, gb, gc,
            COUNT(*) AS n, COUNT(DISTINCT in_debt) AS n_sens
@@ -1614,14 +1617,15 @@ object Pipeline {
     val gen = broadcast(lat).crossJoin(cust)
       .select(col("la"), col("lb"), col("lc"), col("in_debt"),
         when(col("la") === 0,
-            floor(col("c_acctbal") / 1000.0).cast("string"))
+            floor(col("c_acctbal") / 1000.0).cast("long"))
           .when(col("la") === 1,
-            floor(col("c_acctbal") / 5000.0).cast("string"))
-          .otherwise("*").as("ga"),
-        when(col("lb") === 0, col("c_nationkey").cast("string"))
-          .when(col("lb") === 1, col("n_regionkey").cast("string"))
-          .otherwise("*").as("gb"),
-        when(col("lc") === 0, col("c_mktsegment")).otherwise("*").as("gc"))
+            floor(col("c_acctbal") / 5000.0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ga"),
+        when(col("lb") === 0, col("c_nationkey").cast("long"))
+          .when(col("lb") === 1, col("n_regionkey").cast("long"))
+          .otherwise(lit(null).cast("long")).as("gb"),
+        when(col("lc") === 0, col("c_mktsegment"))
+          .otherwise(lit(null).cast("string")).as("gc"))
     val node = gen
       .groupBy(col("la"), col("lb"), col("lc"), col("ga"), col("gb"),
         col("gc"))
