@@ -1647,8 +1647,109 @@ object Pipeline {
       .orderBy(col("la"), col("lb"), col("lc"))
   }
 
+  // ------------------------------------------------ robots.txt gating
+
+  /** Longest-prefix-match crawl verdict (Google robots.txt semantics):
+    * per URL, among the host-group's rules whose `prefix` prefixes the
+    * path, the winner is the LONGEST prefix; an allow/disallow tie at
+    * equal length resolves to ALLOW; rule_id breaks any remaining tie
+    * so the verdict is a pure function. One `min(struct(...))` partial
+    * aggregate per URL — no window, no sort; candidate fan-out is
+    * bounded by the per-host ruleset size. Factored so the spec can
+    * drive hand rulesets through the exact production path.
+    */
+  private[graft] def robotsVerdict(docs: DataFrame, rules: DataFrame)
+      : DataFrame =
+    docs.join(broadcast(rules), col("grp") === col("rgrp")
+        && col("path").startsWith(col("prefix")))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-length(col("prefix"))).as("nl"),
+        (-col("allow")).as("na"), col("rule_id").as("rid"),
+        col("prefix").as("p"), col("allow").as("a"))).as("w"))
+      .select(col("doc_id"), col("w.rid").as("rule_id"),
+        col("w.p").as("prefix"), col("w.a").as("allow"))
+
+  /** q279 — robots.txt LONGEST-PREFIX-MATCH crawl filtering (the
+    * web-corpus admission gate every crawl pipeline runs before a byte
+    * of text is kept; RFC 9309 / Google semantics): synthetic URLs —
+    * host = source, path = two segments derived from doc_id — are
+    * matched against per-host-group rulesets; the most specific
+    * (longest) matching prefix decides, an equal-length allow/disallow
+    * tie resolves to allow (rules 5/6 engineer exactly that tie), and
+    * host groups carry DIFFERENT rulesets (grp 1 disallows /data, grp
+    * 0 doesn't) so the group join is load-bearing. Ledger: per winning
+    * rule, verdict and matched-doc count.
+    *
+    * Scale shape: the ruleset side is a bounded broadcast (real corpora
+    * have ~1 ruleset per host — a host-keyed equi-join whose fan-out is
+    * the per-host rule count, never corpus×rules); the per-URL winner
+    * is ONE `min(struct(-len, -allow, rid))` partial-aggregable
+    * shuffle keyed by doc — the lexicographic struct min IS the
+    * tie-broken argmax (the q263 discipline), so map-side combine
+    * absorbs the rule fan-out before the exchange. The oracle spells
+    * the same total order as a ROW_NUMBER window — two mechanisms, one
+    * contract.
+    */
+  val q279 = oracled(
+    "q279_robots_prefix_match",
+    "robots.txt longest-prefix-match verdicts: per-rule matched-doc ledger",
+    """WITH rules(rule_id, rgrp, prefix, allow) AS (VALUES
+         (1, 0, '/', 1), (2, 0, '/private', 0),
+         (3, 0, '/private/index', 1), (4, 0, '/api', 0),
+         (5, 0, '/images', 0), (6, 0, '/images', 1),
+         (11, 1, '/', 1), (12, 1, '/private', 0),
+         (13, 1, '/api', 0), (14, 1, '/api/item', 1),
+         (15, 1, '/data', 0)),
+       docs AS (SELECT doc_id,
+           CAST(substr(source, 4) AS BIGINT) % 2 AS grp,
+           '/' || CASE doc_id % 5 WHEN 0 THEN 'public'
+               WHEN 1 THEN 'private' WHEN 2 THEN 'api'
+               WHEN 3 THEN 'images' ELSE 'data' END
+             || '/' || CASE (doc_id // 5) % 4 WHEN 0 THEN 'page'
+               WHEN 1 THEN 'item' WHEN 2 THEN 'asset'
+               ELSE 'index' END AS path
+         FROM documents),
+       m AS (SELECT d.doc_id, r.rule_id, r.prefix, r.allow,
+           ROW_NUMBER() OVER (PARTITION BY d.doc_id
+             ORDER BY length(r.prefix) DESC, r.allow DESC, r.rule_id)
+             AS rk
+         FROM docs d JOIN rules r ON r.rgrp = d.grp
+           AND d.path LIKE r.prefix || '%')
+       SELECT CAST(rule_id AS BIGINT) AS rule_id, prefix,
+         CAST(allow AS BIGINT) AS allow,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM m WHERE rk = 1 GROUP BY 1, 2, 3 ORDER BY rule_id""") {
+    (s, dir) =>
+    import s.implicits._
+    val rules = Seq(
+        (1L, 0L, "/", 1L), (2L, 0L, "/private", 0L),
+        (3L, 0L, "/private/index", 1L), (4L, 0L, "/api", 0L),
+        (5L, 0L, "/images", 0L), (6L, 0L, "/images", 1L),
+        (11L, 1L, "/", 1L), (12L, 1L, "/private", 0L),
+        (13L, 1L, "/api", 0L), (14L, 1L, "/api/item", 1L),
+        (15L, 1L, "/data", 0L))
+      .toDF("rule_id", "rgrp", "prefix", "allow")
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      (substring(col("source"), 4, 10).cast("long") % 2).as("grp"),
+      concat(lit("/"),
+        when(col("doc_id") % 5 === 0, "public")
+          .when(col("doc_id") % 5 === 1, "private")
+          .when(col("doc_id") % 5 === 2, "api")
+          .when(col("doc_id") % 5 === 3, "images")
+          .otherwise("data"),
+        lit("/"),
+        when(expr("doc_id div 5") % 4 === 0, "page")
+          .when(expr("doc_id div 5") % 4 === 1, "item")
+          .when(expr("doc_id div 5") % 4 === 2, "asset")
+          .otherwise("index")).as("path"))
+    robotsVerdict(docs, rules)
+      .groupBy(col("rule_id"), col("prefix"), col("allow"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rule_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275, q277)
+      q212, q232, q244, q245, q260, q275, q277, q279)
 }

@@ -382,4 +382,25 @@ class PipelineSpec extends AnyFunSuite {
       ("a", 3L, 5000L, 0L, 10000L),
       ("b", 2L, 5000L, 2500L, 7500L)))
   }
+
+  test("q279 robotsVerdict: longest prefix wins; equal-length tie resolves allow") {
+    import spark.implicits._
+    val rules = Seq(
+      (1L, 0L, "/", 1L), (2L, 0L, "/a", 0L), (3L, 0L, "/a/b", 1L),
+      (4L, 0L, "/c", 0L), (5L, 0L, "/c", 1L),
+      (9L, 1L, "/", 0L)
+    ).toDF("rule_id", "rgrp", "prefix", "allow")
+    val docs = Seq(
+      (10L, 0L, "/a/b/x"),  // /a/b (allow) beats /a (disallow): longest
+      (11L, 0L, "/a/z"),    // only /a and / match → /a disallow
+      (12L, 0L, "/c/q"),    // tie /c vs /c → allow (rule 5)
+      (13L, 0L, "/zzz"),    // falls to the root rule → allow
+      (14L, 1L, "/a/b/x")   // other group: only its own ruleset applies
+    ).toDF("doc_id", "grp", "path")
+    val got = operators.Pipeline.robotsVerdict(docs, rules).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, 3L, 1L), (11L, 2L, 0L), (12L, 5L, 1L),
+      (13L, 1L, 1L), (14L, 9L, 0L)))
+  }
 }
