@@ -1304,7 +1304,119 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------- URL canonicalization
+
+  /** q280 — URL CANONICALIZATION + dedup (the first dedup any web
+    * crawl runs: the same page arrives under scheme/host case noise,
+    * default ports, tracking params, fragments, and sloppy path
+    * spelling — WARC pipelines canonicalize BEFORE content dedup so
+    * the expensive near-dup machinery never sees trivially-equal
+    * URLs). Six deterministic messiness variants are minted per doc
+    * (pure function of doc_id): clean, UPPERCASED host with :80,
+    * kept-param + utm tracking param, #fragment, duplicate + dot
+    * path segments with a trailing slash, and a tracking-param-only
+    * query. The canonicalizer parses ONE anchored regex into
+    * (scheme, host, port, path, query, fragment) and rebuilds:
+    * lowercase scheme/host (path case is significant and preserved),
+    * default port dropped, `/./` resolved, `//` collapsed, trailing
+    * slash stripped, `utm_*` params removed, fragment dropped.
+    * Ledger: group-size histogram of the canonical-URL dedup plus
+    * how many raw URLs were rewritten — variants 0/1/3/4/5 of the
+    * same (host, page) MUST collapse to one group while the
+    * kept-param variant stays distinct, so the histogram is sharp
+    * evidence the rewrite rules fired.
+    *
+    * Scale shape: canonicalization is SCAN-LOCAL string work (regex
+    * parse + rebuild inside whole-stage codegen, zero shuffle); the
+    * dedup is one partial-aggregable groupBy(canon) and the histogram
+    * a second groupBy on the bounded group-size domain. At 100 TB:
+    * one scan, two map-side-combined exchanges — the cheapest dedup
+    * in the repo, which is exactly why real pipelines run it first.
+    */
+  val q280 = oracled(
+    "q280_url_canonicalization",
+    "URL canonicalization dedup: group-size histogram + rewrite accounting",
+    """WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'http://host' || (doc_id % 50)
+               || '.example.com/p/' || (doc_id % 7)
+             WHEN 1 THEN 'HTTP://HOST' || (doc_id % 50)
+               || '.EXAMPLE.COM:80/p/' || (doc_id % 7)
+             WHEN 2 THEN 'http://host' || (doc_id % 50)
+               || '.example.com/p/' || (doc_id % 7)
+               || '?id=' || (doc_id % 7) || '&utm_campaign=x'
+             WHEN 3 THEN 'http://host' || (doc_id % 50)
+               || '.example.com/p/' || (doc_id % 7) || '#frag'
+             WHEN 4 THEN 'http://host' || (doc_id % 50)
+               || '.example.com//p/./' || (doc_id % 7) || '/'
+             ELSE 'http://host' || (doc_id % 50)
+               || '.example.com/p/' || (doc_id % 7) || '?utm_source=feed'
+           END AS url
+         FROM documents),
+       parsed AS (SELECT doc_id, url,
+           lower(regexp_extract(url,
+             '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$',
+             1)) AS scheme,
+           lower(regexp_extract(url,
+             '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$',
+             2)) AS host,
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_extract(url,
+               '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$',
+               4), '/\./', '/'), '/{2,}', '/'), '(.)/$', '\1') AS path,
+           regexp_replace(regexp_extract(url,
+             '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$',
+             5), '[?&]utm_[A-Za-z_]*=[A-Za-z0-9]*', '') AS qs
+         FROM u),
+       c AS (SELECT doc_id, url,
+           scheme || '://' || host || path || qs AS canon FROM parsed),
+       g AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN url <> canon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rewritten,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+         FROM c GROUP BY canon)
+       SELECT n_raw AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_rewritten) AS BIGINT) AS n_rewritten,
+         CAST(SUM(n_distinct_raw) AS BIGINT) AS n_distinct_raw
+       FROM g GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val UrlRe =
+      "^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val h = (col("doc_id") % 50).cast("string")
+    val p = (col("doc_id") % 7).cast("string")
+    val u = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(lit("http://host"), h,
+          lit(".example.com/p/"), p))
+        .when(col("doc_id") % 6 === 1, concat(lit("HTTP://HOST"), h,
+          lit(".EXAMPLE.COM:80/p/"), p))
+        .when(col("doc_id") % 6 === 2, concat(lit("http://host"), h,
+          lit(".example.com/p/"), p, lit("?id="), p,
+          lit("&utm_campaign=x")))
+        .when(col("doc_id") % 6 === 3, concat(lit("http://host"), h,
+          lit(".example.com/p/"), p, lit("#frag")))
+        .when(col("doc_id") % 6 === 4, concat(lit("http://host"), h,
+          lit(".example.com//p/./"), p, lit("/")))
+        .otherwise(concat(lit("http://host"), h,
+          lit(".example.com/p/"), p, lit("?utm_source=feed")))
+        .as("url"))
+    val g = (i: Int) => regexp_extract(col("url"), UrlRe, i)
+    val canon = concat(lower(g(1)), lit("://"), lower(g(2)),
+      regexp_replace(regexp_replace(regexp_replace(g(4),
+        "/\\./", "/"), "/{2,}", "/"), "(.)/$", "$1"),
+      regexp_replace(g(5), "[?&]utm_[A-Za-z_]*=[A-Za-z0-9]*", ""))
+    u.select(col("url"), canon.as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("url") =!= col("canon"), 1L).otherwise(0L))
+          .as("n_rewritten"),
+        countDistinct(col("url")).as("n_distinct_raw"))
+      .groupBy(col("n_raw").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_rewritten")).as("n_rewritten"),
+        sum(col("n_distinct_raw")).as("n_distinct_raw"))
+      .orderBy(col("group_size"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259)
+      q204, q230, q247, q255, q256, q259, q280)
 }
