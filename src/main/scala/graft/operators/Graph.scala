@@ -829,31 +829,108 @@ object Graph {
     * Exact BIGINT throughout; the oracle unrolls the same rounds with
     * DuckDB's arg_max over the identical key encoding.
     */
+  /** The unrolled LPA CTE chain (lp0..lp`rounds`) both q173 and q281
+    * splice after [[edgesCte]] — one recurrence text, two consumers,
+    * so the community definition cannot drift between the label dump
+    * and the modularity ledger built on top of it.
+    */
+  private def lpaCte(rounds: Int): String = {
+    def step(k: Int): String =
+      s"""lp$k AS (
+         SELECT nd.user_id AS node,
+           COALESCE(nb.nlbl, nd.user_id) AS lbl
+         FROM nodes nd LEFT JOIN (
+           SELECT dst AS node,
+             arg_max(lbl, cnt * ${LpaKeyBase} - lbl) AS nlbl
+           FROM (SELECT d.dst, p.lbl, COUNT(*) AS cnt
+                 FROM lp${k - 1} p JOIN d ON d.src = p.node
+                 GROUP BY d.dst, p.lbl) c
+           GROUP BY dst) nb ON nb.node = nd.user_id)"""
+    s"""lp0 AS (SELECT user_id AS node, user_id AS lbl FROM nodes),
+       ${(1 to rounds).map(step).mkString(",\n")}"""
+  }
+
   val q173 = oracled(
     "q173_label_propagation",
     s"synchronous $LpaRounds-round LPA communities (majority label, ties to smallest) over the co-rating graph",
-    {
-      def step(k: Int): String =
-        s"""lp$k AS (
-           SELECT nd.user_id AS node,
-             COALESCE(nb.nlbl, nd.user_id) AS lbl
-           FROM nodes nd LEFT JOIN (
-             SELECT dst AS node,
-               arg_max(lbl, cnt * ${LpaKeyBase} - lbl) AS nlbl
-             FROM (SELECT d.dst, p.lbl, COUNT(*) AS cnt
-                   FROM lp${k - 1} p JOIN d ON d.src = p.node
-                   GROUP BY d.dst, p.lbl) c
-             GROUP BY dst) nb ON nb.node = nd.user_id)"""
-      s"""WITH $edgesCte,
-         lp0 AS (SELECT user_id AS node, user_id AS lbl FROM nodes),
-         ${(1 to LpaRounds).map(step).mkString(",\n")}
-         SELECT node AS user_id, CAST(lbl AS BIGINT) AS community
-         FROM lp$LpaRounds ORDER BY user_id"""
-    }) { (s, dir) =>
+    s"""WITH $edgesCte,
+       ${lpaCte(LpaRounds)}
+       SELECT node AS user_id, CAST(lbl AS BIGINT) AS community
+       FROM lp$LpaRounds ORDER BY user_id""") { (s, dir) =>
     val (edges, nodes) = coRatingGraph(s, dir)
     labelPropagation(edges, nodes, LpaRounds)
       .select(col("node").as("user_id"), col("lbl").as("community"))
       .orderBy(col("user_id"))
+  }
+
+  /** q281 — Newman MODULARITY of the q173 LPA communities, as an EXACT
+    * integer ledger: with m the undirected edge count, e_c a
+    * community's intra-edge count and d_c its degree sum, the standard
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    * is reported ×4m² so every term is a BIGINT:
+    *   contrib_x4m2(c) = 4·m·e_c − d_c² ,  Q = Σ contrib / 4m².
+    * The quality audit every community detector owes its consumers —
+    * LPA ships labels (q173) but never says whether the partition
+    * beats the degree-preserving null model; this ledger does, per
+    * community, with zero float drift across the hash gate (the q152
+    * fixed-point discipline applied to a quadratic form).
+    *
+    * Scale shape: labels are the q173 vertex state; the ledger costs
+    * TWO bounded joins of edges against the V-sized label table (one
+    * per endpoint, the LPA round shape — edges never move off their
+    * src partitioning) + two partial-aggregated groupBys on community,
+    * + a 1-row m broadcast. BIGINT-safe while m < ~1.5e9 (4m·e_c ≤
+    * 4m² < 2^63); past that the ledger flips to DECIMAL(38,0) — at
+    * 100 TB co-rating graphs that bound is the FIRST thing to check,
+    * so the scaladoc owns it.
+    */
+  val q281 = oracled(
+    "q281_modularity",
+    "exact x4m^2 modularity ledger per LPA community over the co-rating graph",
+    s"""WITH $edgesCte,
+       ${lpaCte(LpaRounds)},
+       mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+       dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM d GROUP BY src),
+       nd AS (SELECT p.node, p.lbl, COALESCE(dg.deg, 0) AS deg
+         FROM lp$LpaRounds p LEFT JOIN dg ON dg.src = p.node),
+       na AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) AS degree_sum
+         FROM nd GROUP BY lbl),
+       ea AS (SELECT la.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS intra_edges
+         FROM e JOIN lp$LpaRounds la ON la.node = e.ua
+           JOIN lp$LpaRounds lb ON lb.node = e.ub
+         WHERE la.lbl = lb.lbl GROUP BY 1)
+       SELECT na.lbl AS community, n_nodes,
+         COALESCE(ea.intra_edges, 0) AS intra_edges, degree_sum,
+         CAST(4 * mm.m * COALESCE(ea.intra_edges, 0)
+           - degree_sum * degree_sum AS BIGINT) AS contrib_x4m2
+       FROM na LEFT JOIN ea ON ea.lbl = na.lbl CROSS JOIN mm
+       ORDER BY community""") { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    val lbl = labelPropagation(edges, nodes, LpaRounds)
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("ua"), col("dst").as("ub"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val dg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val na = lbl.join(dg, lbl("node") === dg("src"), "left")
+      .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val ea = und
+      .join(lbl.select(col("node").as("na_"), col("lbl").as("la")),
+        col("ua") === col("na_"))
+      .join(lbl.select(col("node").as("nb_"), col("lbl").as("lb")),
+        col("ub") === col("nb_"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_edges"))
+    na.join(ea, Seq("lbl"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - col("degree_sum") * col("degree_sum")).as("contrib_x4m2"))
+      .orderBy(col("community"))
   }
 
   /** Synchronous LPA over a directed both-directions edge list (src,
@@ -1852,5 +1929,5 @@ object Graph {
   }
 
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263, q281)
 }
