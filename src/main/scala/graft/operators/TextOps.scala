@@ -1511,8 +1511,102 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------ mutual-information ranking
+
+  /** q283 — MUTUAL-INFORMATION feature ranking of token presence vs
+    * the language label (the feature-selection staple — Manning/IR
+    * ch.13's MI term-selection, the same statistic behind
+    * quality-classifier vocabulary pruning in corpus pipelines):
+    * for token t with document frequency df over N docs and class c
+    * with n_c docs of which n11 contain t,
+    *   MI(t) = Σ_c [ n11/N·log2(N·n11/(df·n_c))
+    *               + (n_c−n11)/N·log2(N·(n_c−n11)/((N−df)·n_c)) ]
+    * with 0·log terms dropped (the standard convention). Reported
+    * ×N×2²⁰ in EXACT integers via the shared [[graft.functions.
+    * IntLog2]] piecewise-linear log2 — both engines run the identical
+    * integer formula, so a ranking statistic that is textbook-float
+    * crosses the hash gate as BIGINTs (the q245/q250 discipline; the
+    * chord bound is a uniform ≤0.0861-log2-unit perturbation of each
+    * log term — fine for a RANKING). Top 30 tokens by the score.
+    *
+    * Scale shape: presence extraction is one explode + distinct (the
+    * q40 tokenize shape); the contingency table is (vocab × L) — two
+    * partial-aggregable groupBys — and every subsequent op runs on
+    * that vocab-bounded table against a broadcast 1-row N and L-row
+    * class-prior dimension; the final rank is a window over the
+    * vocab-bounded score table, never the corpus. Products stay under
+    * 2⁶³ while N < ~3e9 docs (N·n11 ≤ N²), the scaladoc-owned bound.
+    */
+  val q283 = oracled(
+    "q283_mutual_information",
+    "exact-integer MI(token; lang) feature ranking via IntLog2, top 30",
+    {
+      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+      s"""WITH raw AS (SELECT doc_id, lang,
+           unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         tok AS (SELECT DISTINCT doc_id, lang, tok FROM raw),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         ncl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM documents GROUP BY lang),
+         cell AS (SELECT tok, lang, CAST(COUNT(*) AS BIGINT) AS n11
+           FROM tok GROUP BY 1, 2),
+         dfs AS (SELECT tok, CAST(SUM(n11) AS BIGINT) AS df
+           FROM cell GROUP BY tok),
+         grid AS (SELECT d.tok, d.df, c.lang, c.nc,
+             COALESCE(x.n11, 0) AS n11, nn.n
+           FROM dfs d CROSS JOIN ncl c CROSS JOIN nn
+           LEFT JOIN cell x ON x.tok = d.tok AND x.lang = c.lang),
+         terms AS (SELECT tok, df,
+             CASE WHEN n11 > 0
+               THEN n11 * (${l2("(n * n11)")} - ${l2("(df * nc)")})
+               ELSE 0 END
+             + CASE WHEN nc - n11 > 0 AND n - df > 0
+               THEN (nc - n11) * (${l2("(n * (nc - n11))")}
+                 - ${l2("((n - df) * nc)")})
+               ELSE 0 END AS term
+           FROM grid),
+         mi AS (SELECT tok, df, CAST(SUM(term) AS BIGINT) AS mi_x20n
+           FROM terms GROUP BY tok, df),
+         rk AS (SELECT tok, df, mi_x20n,
+             ROW_NUMBER() OVER (ORDER BY mi_x20n DESC, tok) AS rank
+           FROM mi)
+         SELECT CAST(rank AS BIGINT) AS rank, tok, df, mi_x20n
+         FROM rk WHERE rank <= 30 ORDER BY rank"""
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val l2 = (e: String) => expr(graft.functions.IntLog2.sparkSql(e))
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), " ")).as("tok")).distinct()
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val ncl = docs.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+    val cell = tok.groupBy(col("tok"), col("lang"))
+      .agg(count(lit(1)).as("n11"))
+    val dfs = cell.groupBy(col("tok")).agg(sum(col("n11")).as("df"))
+    val grid = dfs.crossJoin(broadcast(ncl)).crossJoin(broadcast(nn))
+      .join(cell, Seq("tok", "lang"), "left")
+      .withColumn("n11", coalesce(col("n11"), lit(0L)))
+    val term =
+      when(col("n11") > 0,
+        col("n11") * (l2("(n * n11)") - l2("(df * nc)")))
+        .otherwise(0L) +
+      when(col("nc") - col("n11") > 0 && col("n") - col("df") > 0,
+        (col("nc") - col("n11")) * (l2("(n * (nc - n11))")
+          - l2("((n - df) * nc)")))
+        .otherwise(0L)
+    val mi = grid.select(col("tok"), col("df"), term.as("term"))
+      .groupBy(col("tok"), col("df"))
+      .agg(sum(col("term")).as("mi_x20n"))
+    mi.withColumn("rank",
+        row_number().over(Window.orderBy(col("mi_x20n").desc, col("tok")))
+          .cast("long"))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("tok"), col("df"), col("mi_x20n"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273)
+      q271, q273, q283)
 }
