@@ -1748,8 +1748,101 @@ object Pipeline {
       .orderBy(col("rule_id"))
   }
 
+  // ------------------------------------------------------ t-closeness
+
+  /** q284 — T-CLOSENESS audit via exact-integer Earth Mover's Distance
+    * (Li/Li/Venkatasubramanian, ICDE '07 — the release-governance
+    * check one level past q277: k-anonymity bounds group SIZE,
+    * l-diversity bounds sensitive-value VARIETY, t-closeness bounds
+    * how far each group's sensitive DISTRIBUTION strays from the
+    * global one, killing skew attacks the other two miss). Sensitive
+    * attribute: the ordered balance tier LEAST(GREATEST(FLOOR(
+    * acctbal/2000), −1), 4) — m = 6 ordered values. For an ordered
+    * attribute the paper's distance is the normalized L1 of CDF
+    * differences, EMD = (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)|; with
+    * class counts c_j (size n) and global counts g_j (size N) this is
+    * kept as the ×(m−1)·n·N integer
+    *   emd_num = Σ_i |Σ_{j≤i} (N·c_j − n·g_j)| ,
+    * den = (m−1)·n·N — so the t = 0.2 gate is the pure integer test
+    * emd_num ≤ n·N. Equivalence classes: (nation, segment). Every
+    * intermediate is BIGINT (nN ≤ 2.25e10 at sf1; overflow at
+    * N ≈ 1.4e9 customers — scaladoc-owned, flip to DECIMAL(38,0)
+    * past it).
+    *
+    * Scale shape: TWO corpus groupBys (per-class-per-tier and global
+    * per-tier, both partial-aggregated); the CDF walk runs on the
+    * class×6-tier grid — QI-domain-bounded, never corpus rows — as a
+    * 6-row window per class against broadcast tier/global dimensions.
+    */
+  val q284 = oracled(
+    "q284_t_closeness",
+    "t-closeness EMD ledger per (nation, segment) class: exact-integer CDF distance + t=0.2 gate",
+    """WITH cust AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           LEAST(GREATEST(CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT), -1),
+             4) AS tier
+         FROM customer),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cust),
+       gt AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS g
+         FROM cust GROUP BY tier),
+       cls AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n
+         FROM cust GROUP BY 1, 2),
+       cellc AS (SELECT nat, seg, tier, CAST(COUNT(*) AS BIGINT) AS c
+         FROM cust GROUP BY 1, 2, 3),
+       tiers AS (SELECT CAST(i AS BIGINT) - 1 AS tier
+         FROM range(0, 6) t(i)),
+       grid AS (SELECT cl.nat, cl.seg, cl.n, t.tier,
+           COALESCE(cc.c, 0) AS c, COALESCE(g.g, 0) AS g, nn.n_total
+         FROM cls cl CROSS JOIN tiers t CROSS JOIN nn
+         LEFT JOIN cellc cc ON cc.nat = cl.nat AND cc.seg = cl.seg
+           AND cc.tier = t.tier
+         LEFT JOIN gt g ON g.tier = t.tier),
+       cum AS (SELECT nat, seg, n, n_total, tier,
+           SUM(n_total * c - n * g) OVER (PARTITION BY nat, seg
+             ORDER BY tier ROWS UNBOUNDED PRECEDING) AS cd
+         FROM grid),
+       emd AS (SELECT nat, seg, n, n_total,
+           CAST(SUM(ABS(cd)) AS BIGINT) AS emd_num
+         FROM cum GROUP BY 1, 2, 3, 4)
+       SELECT CAST(nat AS BIGINT) AS nat, seg, n, emd_num,
+         CAST(5 * n * n_total AS BIGINT) AS den,
+         CAST(CASE WHEN emd_num <= n * n_total THEN 1 ELSE 0 END
+           AS BIGINT) AS meets_t
+       FROM emd ORDER BY nat, seg""") { (s, dir) =>
+    val cust = Tables.customer(s, dir).select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      least(greatest(floor(col("c_acctbal") / 2000.0).cast("long"),
+        lit(-1L)), lit(4L)).as("tier"))
+    val nn = cust.agg(count(lit(1)).as("n_total"))
+    val gt = cust.groupBy(col("tier")).agg(count(lit(1)).as("g"))
+    val cls = cust.groupBy(col("nat"), col("seg"))
+      .agg(count(lit(1)).as("n"))
+    val cellc = cust.groupBy(col("nat"), col("seg"), col("tier"))
+      .agg(count(lit(1)).as("c"))
+    val tiers = s.range(0, 6).select((col("id") - 1).as("tier"))
+    val grid = cls.crossJoin(broadcast(tiers)).crossJoin(broadcast(nn))
+      .join(cellc, Seq("nat", "seg", "tier"), "left")
+      .join(broadcast(gt), Seq("tier"), "left")
+      .select(col("nat"), col("seg"), col("n"), col("tier"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("g"), lit(0L)).as("g"), col("n_total"))
+    val wCdf = Window.partitionBy(col("nat"), col("seg"))
+      .orderBy(col("tier"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cd",
+        sum(col("n_total") * col("c") - col("n") * col("g")).over(wCdf))
+      .groupBy(col("nat"), col("seg"), col("n"), col("n_total"))
+      .agg(sum(abs(col("cd"))).as("emd_num"))
+      .select(col("nat"), col("seg"), col("n"), col("emd_num"),
+        (lit(5L) * col("n") * col("n_total")).as("den"),
+        when(col("emd_num") <= col("n") * col("n_total"), 1L)
+          .otherwise(0L).as("meets_t"))
+      .orderBy(col("nat"), col("seg"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275, q277, q279)
+      q212, q232, q244, q245, q260, q275, q277, q279, q284)
 }
