@@ -1928,6 +1928,106 @@ object Graph {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  // ------------------------------------------------- butterfly counting
+
+  /** Per-item user-list cap for [[q285]] — the [[CoRatingGroupCap]]
+    * mechanism on the bipartite item side: wedge enumeration through
+    * items costs Σ C(deg_item, 2), and the fixture already shows the
+    * quadratic (max item degree 753 at sf0.1 → 27M wedges; ~7.5k at
+    * the 10× bench → 2.8B — unrunnable). Items above the cap keep the
+    * cap-smallest users under the seedless (hash, user_id) total
+    * order; the IDENTICAL predicate runs in the oracle CTE, so when
+    * the cap bites both engines still agree exactly — a declared
+    * semantics, not a silent approximation. At the oracle fixtures
+    * (≤753 < 1000) the count is the exact uncapped one.
+    */
+  private[graft] val ButterflyCap: Long =
+    sys.props.get("graft.butterfly.itemCap")
+      .orElse(sys.env.get("GRAFT_BUTTERFLY_ITEM_CAP"))
+      .map(_.toLong).getOrElse(1000L)
+
+  /** q285 — BUTTERFLY COUNTING in the bipartite user–item graph
+    * (butterfly = 2×2 biclique, the bipartite analogue of the
+    * triangle; Sanei-Mehri/Sariyüce/Tirthapura KDD '18 — the motif
+    * behind bipartite clustering coefficients and fraud-ring
+    * detection in rating graphs): with w(u,v) = |N(u) ∩ N(v)| common
+    * items per user pair, the per-pair butterfly count is C(w,2),
+    * a user's participation is Σ_v C(w(u,v),2), and the global count
+    * is Σ_{u<v} C(w,2). Ledger: top-20 users by participation, each
+    * row carrying the global total.
+    *
+    * Scale shape: wedges are enumerated through the BOUNDED side
+    * (100 items; the algorithm's side-selection rule — Σ deg² is
+    * minimized on the item side by construction) under
+    * [[ButterflyCap]], so the self-join is Σ min(deg, cap)² ≤
+    * #items·cap²; the pair weights come out of ONE partial-aggregable
+    * groupBy(u, v); participation is a two-sided unpivot + groupBy
+    * (user-bounded); the top-20 is a window over the user-sized score
+    * table. C(w,2) stays exact: w ≤ 100 by the item-domain bound.
+    */
+  val q285 = oracled(
+    "q285_butterfly_count",
+    "bipartite butterfly participation per user (top 20) + global count, item-capped wedges",
+    s"""WITH bp AS MATERIALIZED (SELECT DISTINCT user_id,
+           event_id % 100 AS item FROM events),
+       bc AS MATERIALIZED (SELECT user_id, item FROM (
+           SELECT user_id, item, ROW_NUMBER() OVER (PARTITION BY item
+             ORDER BY (user_id % 100003) * 2654435761 % 1000000007,
+               user_id) AS rn
+           FROM bp) t WHERE rn <= $ButterflyCap),
+       pw AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v,
+           CAST(COUNT(*) AS BIGINT) AS w
+         FROM bc a JOIN bc b ON a.item = b.item
+           AND a.user_id < b.user_id
+         GROUP BY 1, 2),
+       pb AS MATERIALIZED (SELECT u, v, w * (w - 1) // 2 AS b
+         FROM pw WHERE w >= 2),
+       tot AS (SELECT CAST(COALESCE(SUM(b), 0) AS BIGINT) AS total_bflies
+         FROM pb),
+       pu AS (SELECT user_id, CAST(SUM(b) AS BIGINT) AS bfly FROM (
+           SELECT u AS user_id, b FROM pb
+           UNION ALL SELECT v, b FROM pb) s
+         GROUP BY 1),
+       rk AS (SELECT user_id, bfly,
+           ROW_NUMBER() OVER (ORDER BY bfly DESC, user_id) AS rank
+         FROM pu)
+       SELECT CAST(rank AS BIGINT) AS rank, user_id, bfly,
+         tot.total_bflies
+       FROM rk CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""") {
+    (s, dir) =>
+    val bp = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % 100).as("item"))
+      .distinct()
+    val wCap = Window.partitionBy(col("item"))
+      .orderBy(expr("(user_id % 100003) * 2654435761 % 1000000007"),
+        col("user_id"))
+    val bc = bp.withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= ButterflyCap).drop("__rn")
+    val pw = bc.select(col("user_id").as("u"), col("item"))
+      .join(bc.select(col("user_id").as("v"), col("item")),
+        Seq("item"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    // read three times below (total, both unpivot arms) — materialize
+    // once, lineage stays O(1)
+    val pb = pw.filter(col("w") >= 2)
+      .select(col("u"), col("v"),
+        expr("w * (w - 1) div 2").as("b"))
+      .localCheckpoint(false)
+    val tot = pb.agg(coalesce(sum(col("b")), lit(0L)).as("total_bflies"))
+    val pu = pb.select(col("u").as("user_id"), col("b"))
+      .union(pb.select(col("v").as("user_id"), col("b")))
+      .groupBy(col("user_id")).agg(sum(col("b")).as("bfly"))
+    pu.withColumn("rank",
+        row_number().over(Window.orderBy(col("bfly").desc,
+          col("user_id"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("user_id"), col("bfly"),
+        col("total_bflies"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263, q281)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263, q281, q285)
 }
