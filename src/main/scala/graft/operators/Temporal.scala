@@ -1696,8 +1696,132 @@ object Temporal {
       .orderBy(col("lag"))
   }
 
+  // --------------------------------------------- conversion attribution
+
+  /** q286 — multi-touch CONVERSION ATTRIBUTION (first-touch /
+    * last-touch / linear — the marketing-analytics workhorse trio):
+    * every `purchase` claims the touches (view/click/signup/error)
+    * since the user's previous purchase; the claiming window is the
+    * standard exclusive-scan epochization — running purchase count
+    * over (ts, event_id) order assigns each touch the epoch of the
+    * NEXT purchase and each purchase claims epoch cum−1. Per channel
+    * the ledger reports first-touch conversions, last-touch
+    * conversions (exact counts under the unique (ts, event_id) total
+    * order), and linear credit where each of an epoch's n touches
+    * earns `10000 div n` — a DECLARED floor-scaled integer (the q212
+    * floor-key discipline: both engines run the identical integer
+    * division, so the credit crosses the hash gate bit-exact; the
+    * ≤ n−1 basis-point floor loss per conversion is the documented
+    * price of no doubles). Purchases with no preceding touch credit
+    * the '(none)' channel in all three models.
+    *
+    * Scale shape: ONE shuffle — everything is keyed by user then
+    * (user, epoch): the epochization window, the first/last
+    * row_numbers, and the per-epoch/per-channel aggregates all share
+    * the user partitioning; the final channel ledger is
+    * domain-bounded. The three models are assembled as a UNION of
+    * per-conversion contribution rows — one partial-aggregated
+    * groupBy(channel), no re-scan per model.
+    */
+  val q286 = oracled(
+    "q286_attribution",
+    "first/last/linear-touch attribution per channel, exact-integer credits",
+    """WITH c AS (SELECT user_id, ts, event_id, event_type,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+         FROM events),
+       t AS (SELECT user_id, cum AS epoch, event_type AS channel, ts,
+           event_id
+         FROM c WHERE event_type <> 'purchase'),
+       p AS (SELECT user_id, cum - 1 AS epoch FROM c
+         WHERE event_type = 'purchase'),
+       ep AS (SELECT user_id, epoch, CAST(COUNT(*) AS BIGINT) AS n
+         FROM t GROUP BY 1, 2),
+       ft AS (SELECT user_id, epoch, channel,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch
+             ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch
+             ORDER BY ts DESC, event_id DESC) AS rl
+         FROM t),
+       conv AS (SELECT p.user_id, p.epoch, ep.n
+         FROM p LEFT JOIN ep USING (user_id, epoch)),
+       contrib AS (
+         SELECT COALESCE(f.channel, '(none)') AS channel,
+           1 AS fc, 0 AS lc, 0 AS lin
+         FROM conv LEFT JOIN (SELECT user_id, epoch, channel FROM ft
+           WHERE rf = 1) f USING (user_id, epoch)
+         UNION ALL
+         SELECT COALESCE(l.channel, '(none)'), 0, 1, 0
+         FROM conv LEFT JOIN (SELECT user_id, epoch, channel FROM ft
+           WHERE rl = 1) l USING (user_id, epoch)
+         UNION ALL
+         SELECT tc.channel, 0, 0, tc.nc * (10000 // ep.n)
+         FROM (SELECT user_id, epoch, channel,
+             CAST(COUNT(*) AS BIGINT) AS nc FROM t GROUP BY 1, 2, 3) tc
+         JOIN ep USING (user_id, epoch)
+         JOIN p USING (user_id, epoch)
+         UNION ALL
+         SELECT '(none)', 0, 0, 10000 FROM conv WHERE n IS NULL)
+       SELECT channel, CAST(SUM(fc) AS BIGINT) AS first_convs,
+         CAST(SUM(lc) AS BIGINT) AS last_convs,
+         CAST(SUM(lin) AS BIGINT) AS linear_x10k
+       FROM contrib GROUP BY channel ORDER BY channel""") { (s, dir) =>
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("cum",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wCum))
+    val t = c.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("cum").as("epoch"),
+        col("event_type").as("channel"), col("ts"), col("event_id"))
+      .localCheckpoint(false)
+    val p = c.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("cum") - 1).as("epoch"))
+    val ep = t.groupBy(col("user_id"), col("epoch"))
+      .agg(count(lit(1)).as("n"))
+    val wF = Window.partitionBy(col("user_id"), col("epoch"))
+      .orderBy(col("ts"), col("event_id"))
+    val wL = Window.partitionBy(col("user_id"), col("epoch"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ft = t.withColumn("rf", row_number().over(wF))
+      .withColumn("rl", row_number().over(wL))
+      .localCheckpoint(false)
+    val conv = p.join(ep, Seq("user_id", "epoch"), "left")
+      .localCheckpoint(false)
+    val cf = conv.join(ft.filter(col("rf") === 1)
+        .select(col("user_id"), col("epoch"), col("channel")),
+        Seq("user_id", "epoch"), "left")
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        lit(1L).as("fc"), lit(0L).as("lc"), lit(0L).as("lin"))
+    val cl = conv.join(ft.filter(col("rl") === 1)
+        .select(col("user_id"), col("epoch"), col("channel")),
+        Seq("user_id", "epoch"), "left")
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        lit(0L).as("fc"), lit(1L).as("lc"), lit(0L).as("lin"))
+    val clin = t.groupBy(col("user_id"), col("epoch"), col("channel"))
+      .agg(count(lit(1)).as("nc"))
+      .join(ep, Seq("user_id", "epoch"))
+      .join(p, Seq("user_id", "epoch"))
+      .select(col("channel"), lit(0L).as("fc"), lit(0L).as("lc"),
+        expr("nc * (10000 div n)").as("lin"))
+    val cnone = conv.filter(col("n").isNull)
+      .select(lit("(none)").as("channel"), lit(0L).as("fc"),
+        lit(0L).as("lc"), lit(10000L).as("lin"))
+    cf.union(cl).union(clin).union(cnone)
+      .groupBy(col("channel"))
+      .agg(sum(col("fc")).as("first_convs"),
+        sum(col("lc")).as("last_convs"),
+        sum(col("lin")).as("linear_x10k"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282)
+      q235, q242, q243, q248, q261, q282, q286)
 }
