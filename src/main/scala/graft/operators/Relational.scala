@@ -843,7 +843,101 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ------------------------------------------------- spatial grid join
+
+  /** q287 — SPATIAL EPSILON-JOIN via uniform grid partitioning (the
+    * classic spatial-hash join every geo/embedding-2D pipeline runs;
+    * the fixed-grid special case of GeoSpark/Sedona's partitioned
+    * spatial join): points (pure integer hash of c_custkey into a
+    * 100k×100k lattice) are bucketed into r-sized cells (cell = coord
+    * div r, r = 300); each point is REPLICATED to its 3×3 cell
+    * neighborhood on the build side and kept in its single home cell
+    * on the probe side, so every pair within L∞ distance r meets in
+    * EXACTLY ONE cell (the probe point's home — no dedup pass needed,
+    * the replication asymmetry is the exactly-once proof) and the
+    * a < b predicate kills the mirrored match. Exact L2 filter
+    * dx²+dy² ≤ r² on the bounded candidates. Ledger: total near-pair
+    * count + the 20 closest pairs under the (dist², id_a, id_b) total
+    * order.
+    *
+    * Scale shape: ONE equi-join on cell id — candidates are bounded
+    * by 9× the per-cell occupancy (density-bounded, never n²); the
+    * oracle runs the brute-force band join instead (DuckDB's IEJoin
+    * makes it feasible at every fixture), so the gate IS the
+    * grid == brute-force equivalence proof, at every scale the sweep
+    * touches. All arithmetic BIGINT (coords < 10⁵ ⇒ dist² < 2·10¹⁰).
+    */
+  val q287 = oracled(
+    "q287_spatial_grid_join",
+    "grid-partitioned epsilon self-join == brute-force band-join oracle; top-20 closest",
+    """WITH pts AS (SELECT c_custkey AS id,
+           xor(c_custkey * 2654435761 % 4294967296,
+             (c_custkey * 2654435761 % 4294967296) // 65536)
+             * 40503 % 4294967296 % 100000 AS x,
+           xor(c_custkey * 1779033703 % 4294967296,
+             (c_custkey * 1779033703 % 4294967296) // 65536)
+             * 48271 % 4294967296 % 100000 AS y
+         FROM customer),
+       pr AS (SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         FROM pts a JOIN pts b ON a.id < b.id
+           AND b.x BETWEEN a.x - 300 AND a.x + 300
+           AND b.y BETWEEN a.y - 300 AND a.y + 300
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 90000),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs FROM pr),
+       rk AS (SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2,
+           ROW_NUMBER() OVER (ORDER BY dist2, id_a, id_b) AS rank
+         FROM pr)
+       SELECT CAST(rank AS BIGINT) AS rank, id_a, id_b, dist2,
+         total_pairs
+       FROM rk CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""") {
+    (s, dir) =>
+    val r = 300L
+    // xorshift-multiply, NOT a bare LCG: affine-in-key coordinate
+    // pairs land on Marsaglia lattice planes (empirically ZERO near
+    // pairs at sf0.01); the xor-fold breaks the linearity and the
+    // pair count matches the Poisson density expectation at every sf
+    def h(mult: Long, post: Long): Column = expr(
+      s"""(c_custkey * $mult % 4294967296L
+          ^ (c_custkey * $mult % 4294967296L) div 65536)
+          * $post % 4294967296L % 100000""")
+    val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        h(2654435761L, 40503L).as("x"),
+        h(1779033703L, 48271L).as("y"))
+      .withColumn("cx", expr(s"x div $r"))
+      .withColumn("cy", expr(s"y div $r"))
+      .localCheckpoint(false)
+    val offsets = Seq(-1L, 0L, 1L).flatMap(dx =>
+      Seq(-1L, 0L, 1L).map(dy => struct(lit(dx), lit(dy))))
+    val build = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("o.col1")).as("jx"),
+        (col("cy") + col("o.col2")).as("jy"))
+    val probe = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val pr = build.join(probe, Seq("jx", "jy"))
+      .filter(col("id_a") < col("id_b") && d2 <= lit(r * r))
+      .select(col("id_a"), col("id_b"), d2.as("dist2"))
+      .localCheckpoint(false)
+    val tot = pr.agg(count(lit(1)).as("total_pairs"))
+    pr.withColumn("rank",
+        row_number().over(Window.orderBy(col("dist2"), col("id_a"),
+          col("id_b"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("id_a"), col("id_b"), col("dist2"),
+        col("total_pairs"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266,
-    q274)
+    q274, q287)
 }
