@@ -1416,7 +1416,173 @@ object Dedup {
       .orderBy(col("group_size"))
   }
 
+  // ------------------------------------------ probabilistic record linkage
+
+  /** q288 — FELLEGI–SUNTER probabilistic record linkage (JASA 1969 —
+    * the canonical match/nonmatch log-odds scorer behind Splink,
+    * dedupe.io and every census-grade entity resolver; one level past
+    * this file's blocking queries: q157 finds CANDIDATES, this scores
+    * them). Two files are minted from customer: file A = all records,
+    * file B = every third record with field noise (nation bumped when
+    * id%13=0, segment rotated when id%11=0, balance tier bumped when
+    * id%7=0 — dirty-fixture arithmetic mirrored in the oracle, the
+    * q92/q96 trick). Blocking: a STABLE pseudo-identifier (xorshift
+    * "phone" of the id, q287's hash class) bucketed into 1000 blocks —
+    * blocking recall is exactly 1 by construction, so the truth set is
+    * complete inside the candidates. Per field f the m/u probabilities
+    * are estimated FROM the candidate pairs themselves (m over true
+    * pairs a.id=b.id, u over in-block nonmatches, +1/+2 Laplace), and
+    * the agreement/disagreement weights are EXACT-INTEGER log-odds via
+    * the shared [[graft.functions.IntLog2]]:
+    *   wa_f = L2(m_num·u_den) − L2(u_num·m_den)    (log2 m/u, x2²⁰)
+    *   wd_f = L2((m_den−m_num)·u_den) − L2((u_den−u_num)·m_den)
+    * — a ratio of rationals as a difference of L2s of cross products,
+    * no float anywhere (the q283 discipline). Ledger: top-30 pairs by
+    * total score with their agreement vector and truth flag.
+    *
+    * Scale shape: candidates are ONE bounded equi-join on the block
+    * key (E[pairs] = |A|·|B|/blocks + |B| true pairs); the m/u
+    * estimation is ONE conditional aggregate over candidates (1-row,
+    * broadcast back); scoring is scan-local arithmetic on candidates;
+    * the top-30 is a window over score-ranked candidates. At 100 TB
+    * the block count scales with corpus size (it is the one knob) and
+    * everything else is partial-aggregable.
+    */
+  val q288 = oracled(
+    "q288_record_linkage",
+    "Fellegi-Sunter linkage: blocked candidates, data-estimated m/u, IntLog2 log-odds, top-30",
+    {
+      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+      def w(f: String): String =
+        s"""${l2(s"((m_$f + 1) * (u_den + 2))")}
+            - ${l2(s"((u_$f + 1) * (m_den + 2))")} AS wa_$f,
+           ${l2(s"((m_den - m_$f + 1) * (u_den + 2))")}
+            - ${l2(s"((u_den - u_$f + 1) * (m_den + 2))")} AS wd_$f"""
+      s"""WITH segrot(seg, segn) AS (VALUES
+           ('AUTOMOBILE', 'BUILDING'), ('BUILDING', 'FURNITURE'),
+           ('FURNITURE', 'HOUSEHOLD'), ('HOUSEHOLD', 'MACHINERY'),
+           ('MACHINERY', 'AUTOMOBILE')),
+         base AS (SELECT c_custkey AS id, c_nationkey AS nat,
+             c_mktsegment AS seg,
+             LEAST(GREATEST(CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT),
+               -1), 4) AS tier,
+             xor(c_custkey * 2654435761 % 4294967296,
+               (c_custkey * 2654435761 % 4294967296) // 65536)
+               % 1000000 // 1000 AS blk
+           FROM customer),
+         fa AS (SELECT id, nat, seg, tier, blk FROM base),
+         fb AS (SELECT b.id,
+             CASE WHEN b.id % 13 = 0 THEN (b.nat + 1) % 25
+               ELSE b.nat END AS nat,
+             CASE WHEN b.id % 11 = 0 THEN sr.segn ELSE b.seg END AS seg,
+             CASE WHEN b.id % 7 = 0 THEN LEAST(b.tier + 1, 4)
+               ELSE b.tier END AS tier,
+             b.blk
+           FROM base b JOIN segrot sr ON sr.seg = b.seg
+           WHERE b.id % 3 = 0),
+         cand AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS ag_nat,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+             CASE WHEN a.tier = b.tier THEN 1 ELSE 0 END AS ag_tier,
+             CASE WHEN a.id = b.id THEN 1 ELSE 0 END AS is_true
+           FROM fa a JOIN fb b ON a.blk = b.blk),
+         st AS (SELECT
+             CAST(SUM(is_true * ag_nat) AS BIGINT) AS m_nat,
+             CAST(SUM(is_true * ag_seg) AS BIGINT) AS m_seg,
+             CAST(SUM(is_true * ag_tier) AS BIGINT) AS m_tier,
+             CAST(SUM(is_true) AS BIGINT) AS m_den,
+             CAST(SUM((1 - is_true) * ag_nat) AS BIGINT) AS u_nat,
+             CAST(SUM((1 - is_true) * ag_seg) AS BIGINT) AS u_seg,
+             CAST(SUM((1 - is_true) * ag_tier) AS BIGINT) AS u_tier,
+             CAST(SUM(1 - is_true) AS BIGINT) AS u_den,
+             CAST(COUNT(*) AS BIGINT) AS n_cands
+           FROM cand),
+         wt AS (SELECT n_cands,
+             ${w("nat")}, ${w("seg")}, ${w("tier")}
+           FROM st),
+         sc AS (SELECT id_a, id_b, ag_nat, ag_seg, ag_tier, is_true,
+             CAST(CASE WHEN ag_nat = 1 THEN wa_nat ELSE wd_nat END
+               + CASE WHEN ag_seg = 1 THEN wa_seg ELSE wd_seg END
+               + CASE WHEN ag_tier = 1 THEN wa_tier ELSE wd_tier END
+               AS BIGINT) AS score_x20, n_cands
+           FROM cand CROSS JOIN wt),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_x20 DESC,
+             id_a, id_b) AS rank FROM sc)
+         SELECT CAST(rank AS BIGINT) AS rank, id_a, id_b,
+           CAST(ag_nat AS BIGINT) AS ag_nat,
+           CAST(ag_seg AS BIGINT) AS ag_seg,
+           CAST(ag_tier AS BIGINT) AS ag_tier,
+           CAST(is_true AS BIGINT) AS is_true, score_x20, n_cands
+         FROM rk WHERE rank <= 30 ORDER BY rank"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val l2s = (e: String) => expr(graft.functions.IntLog2.sparkSql(e))
+    val segrot = Seq(("AUTOMOBILE", "BUILDING"), ("BUILDING", "FURNITURE"),
+      ("FURNITURE", "HOUSEHOLD"), ("HOUSEHOLD", "MACHINERY"),
+      ("MACHINERY", "AUTOMOBILE")).toDF("seg0", "segn")
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      least(greatest(floor(col("c_acctbal") / 2000.0).cast("long"),
+        lit(-1L)), lit(4L)).as("tier"),
+      expr("""(c_custkey * 2654435761L % 4294967296L
+             ^ (c_custkey * 2654435761L % 4294967296L) div 65536)
+             % 1000000 div 1000""").as("blk"))
+    val fa = base.select(col("id").as("id_a"), col("nat").as("nat_a"),
+      col("seg").as("seg_a"), col("tier").as("tier_a"), col("blk"))
+    val fb = base.filter(col("id") % 3 === 0)
+      .join(broadcast(segrot), col("seg") === col("seg0"))
+      .select(col("id").as("id_b"),
+        when(col("id") % 13 === 0, (col("nat") + 1) % 25)
+          .otherwise(col("nat")).as("nat_b"),
+        when(col("id") % 11 === 0, col("segn"))
+          .otherwise(col("seg")).as("seg_b"),
+        when(col("id") % 7 === 0, least(col("tier") + 1, lit(4L)))
+          .otherwise(col("tier")).as("tier_b"),
+        col("blk"))
+    val cand = fa.join(fb, Seq("blk"))
+      .select(col("id_a"), col("id_b"),
+        when(col("nat_a") === col("nat_b"), 1L).otherwise(0L).as("ag_nat"),
+        when(col("seg_a") === col("seg_b"), 1L).otherwise(0L).as("ag_seg"),
+        when(col("tier_a") === col("tier_b"), 1L).otherwise(0L)
+          .as("ag_tier"),
+        when(col("id_a") === col("id_b"), 1L).otherwise(0L).as("is_true"))
+      .localCheckpoint(false)
+    val st = cand.agg(
+      sum(col("is_true") * col("ag_nat")).as("m_nat"),
+      sum(col("is_true") * col("ag_seg")).as("m_seg"),
+      sum(col("is_true") * col("ag_tier")).as("m_tier"),
+      sum(col("is_true")).as("m_den"),
+      sum((lit(1L) - col("is_true")) * col("ag_nat")).as("u_nat"),
+      sum((lit(1L) - col("is_true")) * col("ag_seg")).as("u_seg"),
+      sum((lit(1L) - col("is_true")) * col("ag_tier")).as("u_tier"),
+      sum(lit(1L) - col("is_true")).as("u_den"),
+      count(lit(1)).as("n_cands"))
+    def wa(f: String) = (l2s(s"((m_$f + 1) * (u_den + 2))")
+      - l2s(s"((u_$f + 1) * (m_den + 2))")).as(s"wa_$f")
+    def wd(f: String) = (l2s(s"((m_den - m_$f + 1) * (u_den + 2))")
+      - l2s(s"((u_den - u_$f + 1) * (m_den + 2))")).as(s"wd_$f")
+    val wt = st.select(Seq(col("n_cands")) ++
+      Seq("nat", "seg", "tier").flatMap(f => Seq(wa(f), wd(f))): _*)
+    val sc = cand.crossJoin(broadcast(wt))
+      .select(col("id_a"), col("id_b"), col("ag_nat"), col("ag_seg"),
+        col("ag_tier"), col("is_true"), col("n_cands"),
+        (when(col("ag_nat") === 1, col("wa_nat")).otherwise(col("wd_nat"))
+          + when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg"))
+          + when(col("ag_tier") === 1, col("wa_tier"))
+            .otherwise(col("wd_tier"))).as("score_x20"))
+    sc.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x20").desc, col("id_a"), col("id_b")))
+          .cast("long"))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("id_a"), col("id_b"), col("ag_nat"),
+        col("ag_seg"), col("ag_tier"), col("is_true"), col("score_x20"),
+        col("n_cands"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259, q280)
+      q204, q230, q247, q255, q256, q259, q280, q288)
 }
