@@ -1185,7 +1185,108 @@ object Ingest {
       .orderBy(col("col"), col("layout"))
   }
 
+  // ------------------------------------------------- zone-map skipping
+
+  /** q289 — ZONE-MAP data-skipping ledger (the min/max segment sketch
+    * behind every modern scan pruner — parquet row-group stats, ORC
+    * stripe stats, Snowflake micro-partitions, ClickHouse marks):
+    * lineitem is segmented into 512-row segments under TWO layouts —
+    * arrival order (l_orderkey, l_linenumber) and shipdate-sorted —
+    * each segment keeps (min, max) of the ship date, and four date
+    * predicates are evaluated against the maps. Per (predicate,
+    * layout) the ledger reports segments scanned (zone intersects
+    * range), rows inside scanned segments, and the exact match count
+    * — which is layout-INVARIANT and appears in both layout rows, so
+    * the gate itself cross-checks that skipping never changes
+    * answers, only I/O. The sort-before-store payoff is the visible
+    * gap: sorted layout scans ~selectivity-proportional segments,
+    * arrival scans nearly all (complements q276's encoding-size view
+    * and q264's visit-order view of the same layout decision).
+    *
+    * Scale shape: segment ids come from [[graft.plans.Ordinal]] — the
+    * range-partitioned-sort + zipWithIndex global ordinal, NOT a
+    * single-task row_number window (the 100 TB straggler); zone maps
+    * are one partial-aggregable groupBy(layout, seg); everything
+    * after runs on the segment-count-sized map table against a
+    * 4-row broadcast predicate dimension. In production the segment
+    * id is free (it IS the file/row-group); the ordinal here makes
+    * the layout experiment self-contained and deterministic.
+    */
+  val q289 = oracled(
+    "q289_zone_map_skipping",
+    "min/max zone-map pruning ledger: arrival vs shipdate-sorted segments x 4 predicates",
+    """WITH preds(pred_id, lo, hi) AS (VALUES
+         (1, DATE '1993-01-01', DATE '1993-03-31'),
+         (2, DATE '1995-06-01', DATE '1995-06-30'),
+         (3, DATE '1992-01-01', DATE '1998-12-31'),
+         (4, DATE '1998-09-01', DATE '1998-12-31')),
+       base AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+           CAST(l_shipdate AS DATE) AS d FROM lineitem),
+       lay AS (
+         SELECT 'arrival' AS layout,
+             (ROW_NUMBER() OVER (ORDER BY k1, k2) - 1) // 512 AS seg, d
+           FROM base
+         UNION ALL
+         SELECT 'sorted',
+             (ROW_NUMBER() OVER (ORDER BY d, k1, k2) - 1) // 512, d
+           FROM base),
+       zm AS (SELECT layout, seg, MIN(d) AS min_d, MAX(d) AS max_d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM lay GROUP BY 1, 2),
+       scan AS (SELECT p.pred_id, z.layout,
+           CAST(COUNT(*) AS BIGINT) AS n_seg_total,
+           CAST(SUM(CASE WHEN z.max_d >= p.lo AND z.min_d <= p.hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN z.max_d >= p.lo AND z.min_d <= p.hi
+             THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_in_scanned
+         FROM zm z CROSS JOIN preds p GROUP BY 1, 2),
+       m AS (SELECT p.pred_id,
+           CAST(SUM(CASE WHEN b.d BETWEEN p.lo AND p.hi THEN 1 ELSE 0
+             END) AS BIGINT) AS rows_matched
+         FROM base b CROSS JOIN preds p GROUP BY 1)
+       SELECT CAST(s.pred_id AS BIGINT) AS pred_id, s.layout,
+         s.n_seg_total, s.n_scanned, s.rows_in_scanned, m.rows_matched
+       FROM scan s JOIN m ON m.pred_id = s.pred_id
+       ORDER BY pred_id, layout""") { (s, dir) =>
+    import s.implicits._
+    import graft.plans.Ordinal
+    val preds = Seq((1L, "1993-01-01", "1993-03-31"),
+        (2L, "1995-06-01", "1995-06-30"),
+        (3L, "1992-01-01", "1998-12-31"),
+        (4L, "1998-09-01", "1998-12-31"))
+      .toDF("pred_id", "lo_s", "hi_s")
+      .select(col("pred_id"), to_date(col("lo_s")).as("lo"),
+        to_date(col("hi_s")).as("hi"))
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+      col("l_shipdate").cast("date").as("d"))
+    def segs(layout: String, order: Column*): DataFrame =
+      Ordinal.withGlobalOrdinal(base, "rn", order: _*)
+        .select(lit(layout).as("layout"),
+          expr("(rn - 1) div 512").as("seg"), col("d"))
+    val lay = segs("arrival", col("k1"), col("k2"))
+      .union(segs("sorted", col("d"), col("k1"), col("k2")))
+    val zm = lay.groupBy(col("layout"), col("seg"))
+      .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+        count(lit(1)).as("n_rows"))
+    val scan = zm.crossJoin(broadcast(preds))
+      .groupBy(col("pred_id"), col("layout"))
+      .agg(count(lit(1)).as("n_seg_total"),
+        sum(when(col("max_d") >= col("lo") && col("min_d") <= col("hi"),
+          1L).otherwise(0L)).as("n_scanned"),
+        sum(when(col("max_d") >= col("lo") && col("min_d") <= col("hi"),
+          col("n_rows")).otherwise(0L)).as("rows_in_scanned"))
+    val m = base.crossJoin(broadcast(preds))
+      .groupBy(col("pred_id"))
+      .agg(sum(when(col("d").between(col("lo"), col("hi")), 1L)
+        .otherwise(0L)).as("rows_matched"))
+    scan.join(m, Seq("pred_id"))
+      .select(col("pred_id"), col("layout"), col("n_seg_total"),
+        col("n_scanned"), col("rows_in_scanned"), col("rows_matched"))
+      .orderBy(col("pred_id"), col("layout"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214, q225, q229, q254, q258, q276)
+      q214, q225, q229, q254, q258, q276, q289)
 }
