@@ -1841,8 +1841,74 @@ object Pipeline {
       .orderBy(col("nat"), col("seg"))
   }
 
+  // ------------------------------------------ differential-privacy release
+
+  /** q290 — DIFFERENTIALLY-PRIVATE count release via the GEOMETRIC
+    * mechanism (Ghosh/Roughgarden/Sundararajan '09 — the discrete
+    * Laplace, the integer-native DP primitive; the release step after
+    * this file's q277/q284 anonymity audits): per-nation customer
+    * counts are published as n + (G₁ − G₂) where G₁, G₂ are iid
+    * Geometric(1/2) draws — the difference is EXACTLY two-sided
+    * geometric with α = 1/2, i.e. ε = ln 2 per released cell
+    * (sensitivity 1 for a count). The draws come from BIT RUNS of the
+    * per-key hash: a Geometric(1/2) variable IS the trailing-ones
+    * count of a uniform word (P(k) = 2^−(k+1)), read off with the
+    * lowest-set-bit identity tz(v) = length(bin(v & −v)) − 1 applied
+    * to h+1 — pure integer ops, NO IntLog2 chord error, the exact
+    * distribution. G₁ uses the low half of the hash, G₂ the high half
+    * (independent bits of one draw). Deterministic-seed caveat owned
+    * here: a production release uses fresh physical randomness; the
+    * fixture derives the draw from the key hash so both engines
+    * release the IDENTICAL noisy ledger and the hash gate can certify
+    * the MECHANISM's arithmetic — the q92/q96 dirty-fixture
+    * discipline applied to noise. The noise is left unclamped and
+    * G₁/G₂ are shown: the ledger is auditable, the distribution law
+    * is the documented contract.
+    *
+    * Scale shape: one partial-aggregable groupBy(nation) for the true
+    * counts; the noise is scan-local integer arithmetic on the
+    * 25-row result. At 100 TB the released-cell count (and hence the
+    * ε budget Σ ln 2) is the ledger's row count — visible by
+    * construction.
+    */
+  val q290 = oracled(
+    "q290_dp_geometric_release",
+    "DP count release: exact two-sided-geometric noise from hash bit runs, per-nation ledger",
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(COUNT(*) AS BIGINT) AS true_n
+         FROM customer GROUP BY 1),
+       h AS (SELECT nat, true_n,
+           (nat * 2654435761 + 12345) % 4294967296 AS hv
+         FROM c),
+       g AS (SELECT nat, true_n,
+           length(bin((hv % 65536 + 1) & -(hv % 65536 + 1))) - 1 AS g1,
+           length(bin((hv // 65536 + 1) & -(hv // 65536 + 1))) - 1 AS g2
+         FROM h)
+       SELECT nat, true_n, CAST(g1 AS BIGINT) AS g1,
+         CAST(g2 AS BIGINT) AS g2,
+         CAST(g1 - g2 AS BIGINT) AS noise,
+         CAST(true_n + g1 - g2 AS BIGINT) AS noisy_n
+       FROM g ORDER BY nat""") { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(count(lit(1)).as("true_n"))
+    val g = c
+      .withColumn("hv",
+        expr("(nat * 2654435761L + 12345L) % 4294967296L"))
+      .withColumn("g1", expr(
+        "length(bin((hv % 65536 + 1) & -(hv % 65536 + 1))) - 1"))
+      .withColumn("g2", expr(
+        "length(bin((hv div 65536 + 1) & -(hv div 65536 + 1))) - 1"))
+    g.select(col("nat"), col("true_n"), col("g1").cast("long").as("g1"),
+        col("g2").cast("long").as("g2"),
+        (col("g1") - col("g2")).cast("long").as("noise"),
+        (col("true_n") + col("g1") - col("g2")).cast("long")
+          .as("noisy_n"))
+      .orderBy(col("nat"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275, q277, q279, q284)
+      q212, q232, q244, q245, q260, q275, q277, q279, q284, q290)
 }

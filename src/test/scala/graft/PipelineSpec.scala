@@ -403,4 +403,16 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 3L, 1L), (11L, 2L, 0L), (12L, 5L, 1L),
       (13L, 1L, 1L), (14L, 9L, 0L)))
   }
+
+  test("q290 bit-run draw is EXACTLY Geometric(1/2) over a dense word range") {
+    // trailing-ones count of v: over v = 0..4095 the histogram must be
+    // the exact power law {0: 2048, 1: 1024, ..., 11: 1, 12: 1} — the
+    // distribution claim in q290's scaladoc, not a statistical bound
+    val got = spark.range(0, 4096)
+      .selectExpr("length(bin((id + 1) & -(id + 1))) - 1 AS g")
+      .groupBy(col("g")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expect = (0 to 11).map(k => k -> (2048L >> k)).toMap + (12 -> 1L)
+    assert(got == expect.map { case (k, v) => (k, v) })
+  }
 }
