@@ -554,5 +554,76 @@ object Advanced {
              FROM d GROUP BY depth ORDER BY depth""")
   }
 
-  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108, q118, q119)
+  /** q291 — hierarchical SUBTREE ROLLUP (BOM explosion / org-chart
+    * subtotals — the aggregation HALF of the hierarchy story: q119
+    * walks the doc_id DIV 3 tree top-down and counts fan-out, this
+    * rolls VALUES bottom-up: every node's descendant count and
+    * subtree character total). Spark has no recursive-aggregate
+    * operator, so the rebuild flattens each node's ancestor CHAIN —
+    * node, node÷3, node÷9, … , 0 — with one explode over a LITERAL
+    * powers-of-3 array (3⁰..3³³ as BIGINTs: no pow(), whose
+    * double-rounding is engine-flavored past 2⁵³; the array bound
+    * owns doc_id < 3³³ ≈ 5.6e15) and aggregates ONCE on the ancestor
+    * key. Depth falls out of the same frame (chain length − 1) — one
+    * definition, zero extra passes. The oracle is the genuinely
+    * different formulation: a recursive CTE climbing the chain.
+    * Root-sum law visible in the output: node 0's subtree_chars is
+    * the whole corpus.
+    *
+    * Scale shape: the flatten costs Σ chain = N·log₃N rows into ONE
+    * partial-aggregable groupBy(anc) — the standard hierarchy
+    * flattening; for deeper/unbalanced trees the level-synchronous
+    * leaf-up alternative (≤ depth rounds of child→parent aggregates,
+    * the q263 loop discipline) trades the log-factor blowup for
+    * sequential rounds — this tree is log₃-shallow by construction,
+    * so the one-shot flatten wins. Output bounded to nodes < 40.
+    */
+  val q291 = oracled(
+    "q291_subtree_rollup",
+    "bottom-up subtree rollup over the DIV-3 hierarchy == recursive-CTE oracle",
+    """WITH RECURSIVE a(node, anc) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION ALL
+         SELECT node, anc // 3 FROM a WHERE anc <> 0),
+       d AS (SELECT node, CAST(COUNT(*) - 1 AS BIGINT) AS depth
+         FROM a GROUP BY node),
+       r AS (SELECT a.anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(c.n_chars) AS BIGINT) AS subtree_chars
+         FROM a JOIN documents c ON c.doc_id = a.node GROUP BY a.anc)
+       SELECT r.anc AS doc_id, d.depth, r.n_desc, r.subtree_chars
+       FROM r JOIN d ON d.node = r.anc
+       WHERE r.anc < 40 ORDER BY doc_id""") { (s, dir) =>
+    val pow3: Seq[Long] =
+      Iterator.iterate(1L)(_ * 3).take(34).toSeq
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val pairs = docs
+      .select(col("doc_id").as("node"), col("n_chars"),
+        explode(sequence(lit(0), lit(33))).as("k"))
+      .withColumn("pw", element_at(
+        array(pow3.map(lit): _*), col("k") + 1))
+      // keep each chain's single terminal 0: k = 0 always, k > 0 only
+      // while the PREVIOUS hop was still nonzero (greatest(k,1) keeps
+      // element_at's 1-based index legal on the k=0 rows, which the
+      // first disjunct admits regardless)
+      .filter(col("k") === 0 || expr(
+        "node div element_at(array(" +
+          pow3.mkString("", "L,", "L") + "), greatest(k, 1)) > 0"))
+      .select(col("node"), col("n_chars"),
+        expr("node div pw").as("anc"))
+      .localCheckpoint(false)
+    val depth = pairs.groupBy(col("node"))
+      .agg((count(lit(1)) - 1).as("depth"))
+    val roll = pairs.groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"),
+        sum(col("n_chars")).as("subtree_chars"))
+    roll.join(depth, col("anc") === col("node"))
+      .filter(col("anc") < 40)
+      .select(col("anc").as("doc_id"), col("depth"), col("n_desc"),
+        col("subtree_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108, q118,
+    q119, q291)
 }
