@@ -1605,8 +1605,96 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // --------------------------------------------------------- BM25 scoring
+
+  /** q292 — BM25 ranked retrieval (Robertson/Zaragoza; the scoring
+    * function q267's inverted index exists to serve — Lucene's default
+    * since 6.0): three query terms scored against every matching doc
+    * with k1 = 6/5, b = 3/4, entirely in EXACT integer arithmetic.
+    * The trick is clearing every rational: with T total tokens, N
+    * docs, dl the doc length (so avgdl = T/N), the term denominator
+    * tf + k1·(1 − b + b·dl/avgdl) multiplied through by 20·T becomes
+    * 20·T·tf + 6·T + 18·dl·N, and the term score is
+    *   score = idf_x20 · 44·T·tf div (20·T·tf + 6·T + 18·dl·N)
+    * — one DECLARED floor division per (term, doc) (the q286 credit
+    * discipline). idf is Lucene's always-positive form
+    * log2(1 + (N−df+½)/(df+½)) = L2(2N+2) − L2(2df+1) via the shared
+    * [[graft.functions.IntLog2]] (positivity matters: Spark `div`
+    * truncates where DuckDB `//` floors, so a signed numerator would
+    * diverge — the scaladoc-owned reason for the Lucene variant).
+    * log2 vs ln is a constant factor — ranking-equivalent.
+    *
+    * Scale shape: the query-term filter pushes INTO the token scan
+    * (postings only for the 3 terms — candidate docs, never the
+    * corpus); df/tf/dl are partial-aggregable groupBys; T and N ride
+    * a 1-row broadcast. BIGINT-safe while idf_x20·44·T·tf < 2⁶³
+    * (T ≈ 6e9 at the bound) — past that the score flips to
+    * DECIMAL(38,0), the scaladoc-owned ceiling.
+    */
+  val q292 = oracled(
+    "q292_bm25",
+    "BM25 top-10 docs for a 3-term query: exact-integer rational arithmetic, Lucene idf",
+    {
+      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+      s"""WITH t AS (SELECT doc_id,
+           unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         g AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+         tf AS (SELECT tok AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t WHERE tok IN ('spark', 'window', 'merge')
+           GROUP BY 1, 2),
+         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+             (${l2("(2 * g.n + 2)")} - ${l2("(2 * dfs.df + 1)")})
+               * (44 * g.tt * tf.tf)
+               // (20 * g.tt * tf.tf + 6 * g.tt + 18 * dl.dl * g.n) AS s
+           FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN g),
+         tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_x20,
+             CAST(COUNT(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1),
+         rk AS (SELECT doc_id, score_x20, n_terms,
+             ROW_NUMBER() OVER (ORDER BY score_x20 DESC, doc_id) AS rank
+           FROM tot)
+         SELECT CAST(rank AS BIGINT) AS rank, r.doc_id, r.score_x20,
+           r.n_terms, dl.dl
+         FROM rk r JOIN dl ON dl.doc_id = r.doc_id
+         WHERE rank <= 10 ORDER BY rank"""
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("tok"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
+    val g = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+    val tf = t.filter(col("tok").isin("spark", "window", "merge"))
+      .groupBy(col("tok").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfs), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), expr(
+        s"""((${graft.functions.IntLog2.sparkSql("(2 * n + 2)")}
+             - ${graft.functions.IntLog2.sparkSql("(2 * df + 1)")})
+             * (44 * tt * tf))
+            div (20 * tt * tf + 6 * tt + 18 * dl * n)""").as("s"))
+    val tot = sc.groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score_x20"), count(lit(1)).as("n_terms"))
+    tot.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_x20").desc,
+          col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .join(dl, Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("score_x20"),
+        col("n_terms"), col("dl"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283)
+      q271, q273, q283, q292)
 }
