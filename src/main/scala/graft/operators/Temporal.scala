@@ -1820,8 +1820,89 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  // ------------------------------------------- watermark planning ledger
+
+  /** q293 — OUT-OF-ORDERNESS / WATERMARK planning ledger (the
+    * diagnostic run BEFORE choosing a Structured Streaming
+    * `withWatermark` delay: how late do events actually arrive, and
+    * what would each candidate delay drop?): arrival time is event
+    * time plus a deterministic transport jitter of up to 10 minutes
+    * (pure hash of event_id, mirrored in the oracle — the fixture's
+    * log is perfectly ordered, so the q92/q96 dirty-fixture trick
+    * supplies the disorder the diagnostic exists to measure); an
+    * event's lateness is (max event time seen at its arrival) − (its
+    * own event time) — the high-watermark prefix max over the arrival
+    * order (atus, event_id). For four candidate delays W ∈ {0 s,
+    * 60 s, 600 s, 3600 s} the ledger reports events that would be
+    * dropped (lateness > W) and the max observed lateness — exactly
+    * the trade-off curve the watermark knob moves along.
+    *
+    * Scale shape: the global running max is NOT a single-task window —
+    * it runs as the textbook two-level scan (the [[graft.plans
+    * .PrefixSum]] discipline applied to MAX): fixed-width arrival
+    * buckets (pure arithmetic on event_id — deterministic, no
+    * sampling), per-bucket prefix max inside partitioned windows, a
+    * cumulative max over the BUCKET-COUNT-sized subtotal relation for
+    * each bucket's carry-in, broadcast back. Bucket-invariant (max
+    * composes associatively); depth recurses log_B N times at 100 TB
+    * — two levels here. The W sweep is a 4-row broadcast; the oracle
+    * runs the same definition as one plain window — two mechanisms,
+    * one contract.
+    */
+  val q293 = oracled(
+    "q293_watermark_planning",
+    "lateness distribution vs candidate watermark delays: two-level prefix-max ledger",
+    """WITH e AS (SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             + (event_id % 100003) * 2654435761 % 600000000 AS atus
+         FROM events),
+       rm AS (SELECT event_id, tus,
+           MAX(tus) OVER (ORDER BY atus, event_id
+             ROWS UNBOUNDED PRECEDING) AS runmax
+         FROM e),
+       lt AS (SELECT runmax - tus AS late_us FROM rm),
+       ws(w_us) AS (VALUES (CAST(0 AS BIGINT)), (60000000),
+         (600000000), (3600000000))
+       SELECT w_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN late_us > w_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         CAST(MAX(late_us) AS BIGINT) AS max_late_us
+       FROM lt CROSS JOIN ws GROUP BY w_us ORDER BY w_us""") { (s, dir) =>
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("atus", expr(
+        "tus + (event_id % 100003) * 2654435761L % 600000000"))
+      // hour-wide arrival buckets: pure arithmetic on the order column,
+      // so equal atus always share a bucket (the PrefixSum contract)
+      .withColumn("bkt", expr("atus div 3600000000L"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("atus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inMax = e.withColumn("inmax", max(col("tus")).over(wIn))
+    // carry-in: cumulative max over bucket subtotals — bucket-count
+    // rows, never the corpus (recurse another level past ~1e8 buckets)
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = e.groupBy(col("bkt")).agg(max(col("tus")).as("bmax"))
+      .withColumn("carry", max(col("bmax")).over(wB))
+      .select(col("bkt"), col("carry"))
+    val late = inMax.join(broadcast(off), Seq("bkt"))
+      .select((greatest(col("inmax"), coalesce(col("carry"),
+        col("inmax"))) - col("tus")).as("late_us"))
+    val ws = Seq(0L, 60000000L, 600000000L, 3600000000L).toDF("w_us")
+    late.crossJoin(broadcast(ws))
+      .groupBy(col("w_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("w_us"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("w_us"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282, q286)
+      q235, q242, q243, q248, q261, q282, q286, q293)
 }
