@@ -1582,7 +1582,114 @@ object Dedup {
       .orderBy(col("rank"))
   }
 
+  // --------------------------------------- content-defined chunking
+
+  /** q294 — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/venti
+    * storage-dedup primitive, and the segmentation step of
+    * chunk-level corpus dedup): documents are split where the rolling
+    * hash of the trailing 4-token window hits `% 16 == 0` — boundaries
+    * are a pure function of CONTENT, so an edit resynchronizes within
+    * one window and every later chunk stays bit-identical. The fixture
+    * corpus is each document PLUS a head-edited revision ('rev marker'
+    * prepended — the q92/q96 dirty-fixture trick), chunked under BOTH
+    * layouts: CDC and fixed-width-16. The ledger (per layout, per
+    * copy-count: distinct chunks, duplicate tokens saved, total
+    * tokens) is the operator's own justification — CDC dedups nearly
+    * half the doubled corpus because boundaries resync after the head
+    * edit, fixed-width dedups almost nothing because the 2-token
+    * insertion shifts every boundary (the classic rsync demo, here as
+    * a hash-gated contract).
+    *
+    * Scale shape: boundary detection is scan-local (array slice +
+    * the codegen'd [[graft.functions.RollingHash]] over each window);
+    * segment ids are a per-document prefix count (doc-partitioned
+    * window — bounded by doc length, never corpus); chunk assembly is
+    * one groupBy(doc, seg) and the dedup one groupBy(chunk) — all
+    * partial-aggregable. The q120 anchor query SAMPLES windows for
+    * overlap detection; this one PARTITIONS the corpus — the storage
+    * form.
+    */
+  val q294 = oracled(
+    "q294_cdc_chunking",
+    "content-defined vs fixed chunking on head-edited revisions: dedup resync ledger",
+    s"""WITH corpus AS (
+         SELECT doc_id, trim(text) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000000, 'rev marker ' || trim(text)
+         FROM documents),
+       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       p AS (SELECT doc_id, toks,
+           unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       tok AS (SELECT doc_id, pos, toks[pos] AS tk,
+           CASE WHEN pos >= 4 AND ${graft.functions.RollingHash.duckSql(
+             "array_to_string(toks[pos-3:pos], ' ')")} % 16 = 0
+             THEN 1 ELSE 0 END AS bnd
+         FROM p),
+       seg AS (SELECT doc_id, pos, tk,
+           COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cseg,
+           (pos - 1) // 16 AS fseg
+         FROM tok),
+       ch AS (
+         SELECT 'cdc' AS layout, doc_id, cseg AS seg,
+             array_to_string(LIST(tk ORDER BY pos), ' ') AS chunk,
+             CAST(COUNT(*) AS BIGINT) AS ctoks
+           FROM seg GROUP BY 1, 2, 3
+         UNION ALL
+         SELECT 'fixed', doc_id, fseg,
+             array_to_string(LIST(tk ORDER BY pos), ' '),
+             CAST(COUNT(*) AS BIGINT)
+           FROM seg GROUP BY 1, 2, 3),
+       g AS (SELECT layout, chunk, CAST(COUNT(*) AS BIGINT) AS copies,
+           CAST(MAX(ctoks) AS BIGINT) AS ctoks
+         FROM ch GROUP BY 1, 2)
+       SELECT layout, copies,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(SUM((copies - 1) * ctoks) AS BIGINT) AS dup_tokens_saved,
+         CAST(SUM(copies * ctoks) AS BIGINT) AS total_tokens
+       FROM g GROUP BY 1, 2 ORDER BY layout, copies""") { (s, dir) =>
+    import graft.functions.RollingHash.rollingHash
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), trim(col("text")).as("text"))
+    val corpus = base.union(base.select(
+      (col("doc_id") + 1000000000L).as("doc_id"),
+      concat(lit("rev marker "), col("text")).as("text")))
+    val tok = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"),
+        when(col("p0") >= 3,
+          when(rollingHash(array_join(
+              slice(col("toks"), col("p0") - 2, lit(4)), " "))
+              % 16 === 0, 1L).otherwise(0L))
+          .otherwise(0L).as("bnd"))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = tok
+      .withColumn("cseg", coalesce(sum(col("bnd")).over(wSeg), lit(0L)))
+      .withColumn("fseg", expr("(pos - 1) div 16"))
+      .localCheckpoint(false)
+    def chunks(layout: String, segCol: String): DataFrame =
+      seg.groupBy(col("doc_id"), col(segCol).as("seg"))
+        .agg(count(lit(1)).as("ctoks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tk")))),
+            x => x.getField("tk")), " ").as("chunk"))
+        .select(lit(layout).as("layout"), col("chunk"), col("ctoks"))
+    val ch = chunks("cdc", "cseg").union(chunks("fixed", "fseg"))
+    ch.groupBy(col("layout"), col("chunk"))
+      .agg(count(lit(1)).as("copies"), max(col("ctoks")).as("ctoks"))
+      .groupBy(col("layout"), col("copies"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum((col("copies") - 1) * col("ctoks")).as("dup_tokens_saved"),
+        sum(col("copies") * col("ctoks")).as("total_tokens"))
+      .orderBy(col("layout"), col("copies"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259, q280, q288)
+      q204, q230, q247, q255, q256, q259, q280, q288, q294)
 }
