@@ -1901,8 +1901,66 @@ object Temporal {
       .orderBy(col("w_us"))
   }
 
+  // ---------------------------------------------------- OLS trend line
+
+  /** q295 — per-type ORDINARY-LEAST-SQUARES daily trend as an EXACT
+    * RATIONAL (the parametric twin of q234's Theil–Sen: same question
+    * — is this series drifting? — closed-form instead of robust):
+    * with t the day index (normalized to the corpus's first day so
+    * every moment stays far inside BIGINT) and y the day's value
+    * cents, the slope is the textbook moment ratio
+    *   slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+    * reported as (slope_num, slope_den) — the q234/q235 rational
+    * num/den output template, zero float anywhere. Consumers divide
+    * (or compare cross-multiplied); the gate hashes integers.
+    *
+    * Scale shape: ONE partial-aggregable groupBy(type, day) for the
+    * daily series, a 1-row global min-day broadcast for the
+    * normalization, then one groupBy(type) over the calendar-bounded
+    * series for all four moments in a single pass. BIGINT-safe while
+    * n·Σty < 2⁶³ — decades of daily cents at 100 TB volumes; the
+    * normalization is what buys that (raw epoch-day t² would not fit
+    * a century earlier).
+    */
+  val q295 = oracled(
+    "q295_ols_trend",
+    "per-type OLS daily-trend slope as an exact rational from integer moments",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT MIN(day) AS d0 FROM d),
+       s AS (SELECT event_type, CAST(day - d0 AS BIGINT) AS t, y
+         FROM d CROSS JOIN m),
+       mo AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(t * t) AS BIGINT) AS stt,
+           CAST(SUM(t * y) AS BIGINT) AS sty
+         FROM s GROUP BY 1)
+       SELECT event_type, n AS n_days, sy AS sum_cents,
+         CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+         CAST(n * stt - st * st AS BIGINT) AS slope_den
+       FROM mo ORDER BY event_type""") { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("y"))
+    val m = d.agg(min(col("day")).as("d0"))
+    val ser = d.crossJoin(broadcast(m))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("y"))
+    ser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("sy").as("sum_cents"),
+        (col("n") * col("sty") - col("st") * col("sy")).as("slope_num"),
+        (col("n") * col("stt") - col("st") * col("st")).as("slope_den"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282, q286, q293)
+      q235, q242, q243, q248, q261, q282, q286, q293, q295)
 }
