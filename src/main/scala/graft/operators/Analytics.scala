@@ -1887,8 +1887,105 @@ object Analytics {
       .orderBy(col("f"), col("v"))
   }
 
+  // ------------------------------------------------ Mann-Whitney U test
+
+  /** q296 — MANN–WHITNEY U (Wilcoxon rank-sum) for every pair of event
+    * types (the NONPARAMETRIC twin of q191's Welch t-test: same "do
+    * these two arms differ?" question with no normality assumption —
+    * the test a metrics platform reaches for on skewed revenue
+    * distributions): U is rank arithmetic, so it is EXACTLY integer
+    * once midranks are doubled — each occurrence of value v in the
+    * pooled sample has rank2(v) = 2·(#below) + (#equal) + 1, the U
+    * statistic ×2 is R₁ₓ₂ − n₁(n₁+1), and the tie-correction term
+    * Σ(t³−t) (the consumer's variance adjustment) is equally integer.
+    * Ledger per (type_a < type_b): sample sizes, both U×2 values
+    * (their sum is 2·n₁·n₂ — a built-in cross-check the gate hashes),
+    * and the tie sum.
+    *
+    * Scale shape: ranks are NOT computed per row — the pooled ranking
+    * collapses onto the VALUE-DOMAIN histogram (cents, bounded): one
+    * partial-aggregable groupBy(type, cents) over the corpus, then a
+    * 10-pair broadcast alignment and per-pair prefix sums over the
+    * bounded histogram. The corpus is touched once; everything
+    * rank-shaped happens on the domain, the only reason rank tests
+    * scale at all.
+    */
+  val q296 = oracled(
+    "q296_mann_whitney",
+    "pairwise Mann-Whitney U x2 over the value histogram: exact midranks + tie term",
+    """WITH h AS (SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       ty AS (SELECT DISTINCT event_type FROM events),
+       pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+         FROM ty a JOIN ty b ON a.event_type < b.event_type),
+       ph AS (SELECT ta, tb, cents,
+           CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+         FROM (
+           SELECT p.ta, p.tb, h.cents, h.cnt AS ca, 0 AS cb
+           FROM pr p JOIN h ON h.event_type = p.ta
+           UNION ALL
+           SELECT p.ta, p.tb, h.cents, 0, h.cnt
+           FROM pr p JOIN h ON h.event_type = p.tb) u
+         GROUP BY 1, 2, 3),
+       rk AS (SELECT ta, tb, cents, ca, cb, ca + cb AS eq,
+           COALESCE(SUM(ca + cb) OVER (PARTITION BY ta, tb
+             ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS less
+         FROM ph),
+       agg AS (SELECT ta, tb,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * less + eq + 1)) AS BIGINT) AS r_a_x2,
+           CAST(SUM(eq * eq * eq - eq) AS BIGINT) AS tie_sum
+         FROM rk GROUP BY 1, 2)
+       SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+         CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+         CAST(2 * n_a * n_b - (r_a_x2 - n_a * (n_a + 1)) AS BIGINT)
+           AS u_b_x2,
+         tie_sum
+       FROM agg ORDER BY type_a, type_b""") { (s, dir) =>
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val ty = h.select(col("event_type")).distinct()
+    val pr = ty.select(col("event_type").as("ta"))
+      .join(ty.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val ph = broadcast(pr).join(h, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("cents"), col("cnt").as("ca"),
+        lit(0L).as("cb"))
+      .union(broadcast(pr).join(h, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("cents"), lit(0L).as("ca"),
+          col("cnt").as("cb")))
+      .groupBy(col("ta"), col("tb"), col("cents"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val wLess = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = ph.withColumn("eq", col("ca") + col("cb"))
+      .withColumn("less",
+        coalesce(sum(col("ca") + col("cb")).over(wLess), lit(0L)))
+    rk.groupBy(col("ta"), col("tb"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("less") + col("eq") + 1))
+          .as("r_a_x2"),
+        sum(col("eq") * col("eq") * col("eq") - col("eq")).as("tie_sum"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"),
+        (col("r_a_x2") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
+        (lit(2L) * col("n_a") * col("n_b")
+          - (col("r_a_x2") - col("n_a") * (col("n_a") + 1)))
+          .as("u_b_x2"),
+        col("tie_sum"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
-      q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278)
+      q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
+      q296)
 }
