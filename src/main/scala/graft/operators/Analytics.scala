@@ -1983,9 +1983,73 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // ------------------------------------------- chi-squared independence
+
+  /** q297 — CHI-SQUARED independence ledger for event type × weekday
+    * (the categorical independence test — is the event mix a function
+    * of the day of week? — completing the stats bench: q191 Welch for
+    * means, q296 Mann–Whitney for distributions, this for
+    * contingency): per cell the observed count O, the expected-count
+    * rational E = R·C/N, and the χ² contribution as the EXACT
+    * rational pair (diff_num = N·O − R·C, chi_den = N·R·C) — the
+    * consumer computes Σ diff²/den in its own precision, the gate
+    * hashes only integers (squaring N·O−R·C here would overflow
+    * BIGINT at ~1e6 rows× — the scaladoc-owned reason the square is
+    * the CONSUMER's). Weekday is epoch-day mod 7 (1970-01-01 ≡
+    * Thursday ≡ 0) — both engines' native dayofweek disagree on
+    * origin, the modulo doesn't.
+    *
+    * Scale shape: one partial-aggregable groupBy(type, dow) — the
+    * contingency table is domain-bounded (5×7); marginals and N are
+    * window-free joins on that 35-row table. BIGINT-safe while
+    * N·R·C < 2⁶³ (N ≈ 2e6 at the all-one-cell worst case; realistic
+    * mixes reach ~1e8 rows) — past that, DECIMAL(38,0).
+    */
+  val q297 = oracled(
+    "q297_chi_squared",
+    "event-type x weekday chi-squared ledger: per-cell exact rational contributions",
+    """WITH base AS (SELECT event_type,
+           (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow
+         FROM events),
+       cell AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS o
+         FROM base GROUP BY 1, 2),
+       r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rr
+         FROM cell GROUP BY 1),
+       c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS cc
+         FROM cell GROUP BY 1),
+       nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell)
+       SELECT cell.event_type, cell.dow, cell.o,
+         CAST(r.rr * c.cc AS BIGINT) AS e_num,
+         nn.n AS e_den,
+         CAST(nn.n * cell.o - r.rr * c.cc AS BIGINT) AS diff_num,
+         CAST(nn.n * r.rr * c.cc AS BIGINT) AS chi_den
+       FROM cell JOIN r USING (event_type) JOIN c USING (dow)
+       CROSS JOIN nn
+       ORDER BY event_type, dow""") { (s, dir) =>
+    val cell = Tables.events(s, dir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast("date"), lit("1970-01-01")) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val r = cell.groupBy(col("event_type")).agg(sum(col("o")).as("rr"))
+    val c = cell.groupBy(col("dow")).agg(sum(col("o")).as("cc"))
+    val nn = cell.agg(sum(col("o")).as("n"))
+    cell.join(broadcast(r), Seq("event_type"))
+      .join(broadcast(c), Seq("dow"))
+      .crossJoin(broadcast(nn))
+      .select(col("event_type"), col("dow"), col("o"),
+        (col("rr") * col("cc")).as("e_num"), col("n").as("e_den"),
+        (col("n") * col("o") - col("rr") * col("cc")).as("diff_num"),
+        (col("n") * col("rr") * col("cc")).as("chi_den"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296)
+      q296, q297)
 }
