@@ -1286,7 +1286,88 @@ object Ingest {
       .orderBy(col("pred_id"), col("layout"))
   }
 
+  // ------------------------------------------- compression headroom
+
+  /** q298 — ENTROPY vs DICTIONARY-WIDTH compression headroom (the
+    * column-store sizing question q276's RLE/delta/dict statistics
+    * stop short of: dict encoding spends ceil(log2 ndv) bits per
+    * value, the Shannon bound says H(column) — the GAP is what a
+    * better entropy coder, or a sort that feeds RLE, can still win):
+    * per categorical column (l_returnflag, l_linestatus, p_brand,
+    * o_orderstatus, o_orderpriority) the ledger reports n, ndv, the
+    * exact dict width bits = CASE ndv=1 → 0 ELSE length(bin(ndv−1)),
+    * and the ×N×2²⁰ integer entropy H_num = Σ_v c_v·(L2(N) − L2(c_v))
+    * via the shared [[graft.functions.IntLog2]] (H bits/value =
+    * H_num / (N·2²⁰)); dict_total_bits_x20 = N·bits·2²⁰ rides along
+    * so headroom is a same-scale integer subtraction on the
+    * consumer's side.
+    *
+    * Scale shape: one unpivot (explode over a 5-literal array — no
+    * per-column re-scan) feeding one partial-aggregable
+    * groupBy(col, value); everything after runs on the value-domain-
+    * bounded frequency table. The q283/q292 IntLog2 discipline.
+    */
+  val q298 = oracled(
+    "q298_compression_headroom",
+    "per-column entropy (IntLog2 x20) vs dict bit-width: the encoder headroom ledger",
+    {
+      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+      s"""WITH u AS (
+           SELECT 'l_returnflag' AS cname, l_returnflag AS v FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', l_linestatus FROM lineitem
+           UNION ALL
+           SELECT 'p_brand', p_brand FROM part
+           UNION ALL
+           SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         f AS (SELECT cname, v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM u GROUP BY 1, 2),
+         st AS (SELECT cname, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS ndv
+           FROM f GROUP BY 1),
+         h AS (SELECT f.cname,
+             CAST(SUM(f.c * (${l2("st.n")} - ${l2("f.c")})) AS BIGINT)
+               AS h_num_x20
+           FROM f JOIN st USING (cname) GROUP BY 1)
+         SELECT st.cname, st.n, st.ndv,
+           CAST(CASE WHEN st.ndv = 1 THEN 0
+             ELSE length(bin(st.ndv - 1)) END AS BIGINT) AS dict_bits,
+           h.h_num_x20,
+           CAST(st.n * (CASE WHEN st.ndv = 1 THEN 0
+             ELSE length(bin(st.ndv - 1)) END) * 1048576 AS BIGINT)
+             AS dict_total_bits_x20
+         FROM st JOIN h USING (cname) ORDER BY cname"""
+    }) { (s, dir) =>
+    val l2s = (e: String) => graft.functions.IntLog2.sparkSql(e)
+    val li = Tables.lineitem(s, dir)
+    val or = Tables.orders(s, dir)
+    val u = li.select(lit("l_returnflag").as("cname"),
+        col("l_returnflag").as("v"))
+      .union(li.select(lit("l_linestatus"), col("l_linestatus")))
+      .union(Tables.part(s, dir).select(lit("p_brand"), col("p_brand")))
+      .union(or.select(lit("o_orderstatus"), col("o_orderstatus")))
+      .union(or.select(lit("o_orderpriority"), col("o_orderpriority")))
+    val f = u.groupBy(col("cname"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val st = f.groupBy(col("cname"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
+    val h = f.join(broadcast(st), Seq("cname"))
+      .select(col("cname"),
+        (col("c") * (expr(l2s("n")) - expr(l2s("c")))).as("t"))
+      .groupBy(col("cname")).agg(sum(col("t")).as("h_num_x20"))
+    val bits = when(col("ndv") === 1, 0L)
+      .otherwise(expr("length(bin(ndv - 1))").cast("long"))
+    st.join(h, Seq("cname"))
+      .select(col("cname"), col("n"), col("ndv"), bits.as("dict_bits"),
+        col("h_num_x20"),
+        (col("n") * bits * lit(1048576L)).as("dict_total_bits_x20"))
+      .orderBy(col("cname"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q92, q105, q106, q123, q125, q139, q175, q192, q205, q206, q213,
-      q214, q225, q229, q254, q258, q276, q289)
+      q214, q225, q229, q254, q258, q276, q289, q298)
 }
