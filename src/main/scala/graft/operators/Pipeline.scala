@@ -1907,8 +1907,144 @@ object Pipeline {
       .orderBy(col("nat"))
   }
 
+  // ------------------------------------------------ greedy set cover
+
+  /** Rounds of the q299 greedy — fixed and unrolled in BOTH engines
+    * (the LPA/HITS chain discipline: no convergence claim, the state
+    * after exactly [[CoverRounds]] synchronous picks IS the answer).
+    */
+  private val CoverRounds = 8
+
+  /** q299 — GREEDY SET COVER for coverage-driven data acquisition
+    * (which sources should a corpus buy/crawl next to cover the most
+    * uncovered content? — the classic (1−1/e) greedy, the selection
+    * rule behind facility-location submodular data selection): each
+    * source's content coverage is a 248-bucket SHINGLE-HASH BITMAP
+    * over a 1-in-17 SAMPLED shingle space (hash % 4216 kept below
+    * 248 — without the sampling every source saturates the bitmap and
+    * the greedy is blind; with it each source covers a partial,
+    * overlapping subset and the diminishing-returns curve is real)
+    * (3-token windows hashed into 4×62-bit BIGINT words — the q265
+    * bloom-word trick, so "new coverage" is bit_count(w & ~covered)
+    * in pure integer ops and coverage in SKETCH space is what real
+    * acquisition pipelines use); each of the 8 unrolled rounds picks
+    * the source with the largest uncovered-bucket gain (ties to the
+    * smallest source id), ORs it into the covered mask, and logs
+    * (round, source, gain, covered-after) — the acquisition schedule
+    * WITH its diminishing-returns curve, which is the submodularity
+    * made visible.
+    *
+    * Scale shape: the corpus is touched ONCE (shingle explode → one
+    * bit_or partial aggregate per source — source-count-sized
+    * output); every greedy round is an argmax over the SOURCE table
+    * against a broadcast 1-row mask — bounded work per round, ≤
+    * [[CoverRounds]] rounds, the q263 loop discipline. The oracle
+    * unrolls the identical picks as a plain CTE chain carrying the
+    * chosen list.
+    */
+  val q299 = oracled(
+    "q299_greedy_set_cover",
+    "coverage-driven source acquisition: 8 greedy rounds over 248-bit shingle bitmaps",
+    {
+      def step(k: Int): String =
+        s"""pick$k AS (SELECT s.source, s.w0, s.w1, s.w2, s.w3,
+             CAST(bit_count(s.w0 & ~p.c0) AS BIGINT)
+               + CAST(bit_count(s.w1 & ~p.c1) AS BIGINT)
+               + CAST(bit_count(s.w2 & ~p.c2) AS BIGINT)
+               + CAST(bit_count(s.w3 & ~p.c3) AS BIGINT) AS gain,
+             p.c0 AS pc0, p.c1 AS pc1, p.c2 AS pc2, p.c3 AS pc3,
+             p.chosen
+           FROM src s, st${k - 1} p
+           WHERE NOT list_contains(p.chosen, s.source)
+           ORDER BY gain DESC, s.source LIMIT 1),
+         st$k AS (SELECT pc0 | w0 AS c0, pc1 | w1 AS c1,
+             pc2 | w2 AS c2, pc3 | w3 AS c3,
+             list_append(chosen, source) AS chosen, source, gain,
+             CAST(bit_count(pc0 | w0) AS BIGINT)
+               + CAST(bit_count(pc1 | w1) AS BIGINT)
+               + CAST(bit_count(pc2 | w2) AS BIGINT)
+               + CAST(bit_count(pc3 | w3) AS BIGINT) AS covered
+           FROM pick$k)"""
+      s"""WITH t AS (SELECT source,
+           string_split(trim(text), ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT source, b FROM (
+             SELECT source,
+               ${graft.functions.RollingHash.duckSql(
+                 "array_to_string(toks[p:p+2], ' ')")} % 4216 AS b
+             FROM (SELECT source, toks,
+               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS p
+               FROM t)) WHERE b < 248),
+         src AS (SELECT source,
+             bit_or(CASE WHEN b // 62 = 0
+               THEN CAST(1 AS BIGINT) << CAST(b % 62 AS INT)
+               ELSE 0 END) AS w0,
+             bit_or(CASE WHEN b // 62 = 1
+               THEN CAST(1 AS BIGINT) << CAST(b % 62 AS INT)
+               ELSE 0 END) AS w1,
+             bit_or(CASE WHEN b // 62 = 2
+               THEN CAST(1 AS BIGINT) << CAST(b % 62 AS INT)
+               ELSE 0 END) AS w2,
+             bit_or(CASE WHEN b // 62 = 3
+               THEN CAST(1 AS BIGINT) << CAST(b % 62 AS INT)
+               ELSE 0 END) AS w3
+           FROM sh GROUP BY source),
+         st0 AS (SELECT CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+           CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+           [''] AS chosen),
+         ${(1 to CoverRounds).map(step).mkString(",\n")}
+         ${(1 to CoverRounds).map(k =>
+             s"""SELECT CAST($k AS BIGINT) AS rnd, source,
+                CAST(gain AS BIGINT) AS gain_bits,
+                CAST(covered AS BIGINT) AS covered_bits FROM st$k""")
+           .mkString("\n UNION ALL\n")}
+         ORDER BY rnd"""
+    }) { (s, dir) =>
+    import graft.functions.RollingHash.rollingHash
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("toks"))
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - 2, lit(1)))).as("p"))
+      .select(col("source"),
+        (rollingHash(array_join(slice(col("toks"), col("p"), lit(3)),
+          " ")) % 4216).as("b"))
+      .filter(col("b") < 248)
+      .distinct()
+    def word(j: Int) = bit_or(
+      when(expr(s"b div 62") === j,
+        expr("shiftleft(1L, cast(b % 62 as int))"))
+        .otherwise(0L)).as(s"w$j")
+    val src = sh.groupBy(col("source"))
+      .agg(word(0), word(1), word(2), word(3))
+      .localCheckpoint(false)
+    var st = s.range(1).select(
+      lit(0L).as("c0"), lit(0L).as("c1"), lit(0L).as("c2"),
+      lit(0L).as("c3"), array(lit("")).as("chosen"))
+    var out: DataFrame = null
+    for (k <- 1 to CoverRounds) {
+      val cand = src.crossJoin(broadcast(st))
+        .filter(!array_contains(col("chosen"), col("source")))
+        .withColumn("gain", expr(
+          """bit_count(w0 & ~c0) + bit_count(w1 & ~c1)
+             + bit_count(w2 & ~c2) + bit_count(w3 & ~c3)""")
+          .cast("long"))
+        .orderBy(col("gain").desc, col("source")).limit(1)
+        .localCheckpoint(false)
+      val emit = cand.select(lit(k.toLong).as("rnd"), col("source"),
+        col("gain").as("gain_bits"),
+        expr("""bit_count(c0 | w0) + bit_count(c1 | w1)
+              + bit_count(c2 | w2) + bit_count(c3 | w3)""")
+          .cast("long").as("covered_bits"))
+      out = if (out == null) emit else out.union(emit)
+      st = cand.select(expr("c0 | w0").as("c0"), expr("c1 | w1").as("c1"),
+        expr("c2 | w2").as("c2"), expr("c3 | w3").as("c3"),
+        array_union(col("chosen"), array(col("source"))).as("chosen"))
+    }
+    out.orderBy(col("rnd"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275, q277, q279, q284, q290)
+      q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299)
 }
