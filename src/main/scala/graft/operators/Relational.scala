@@ -937,7 +937,137 @@ object Relational {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------- join-order cost model
+
+  /** q300 — SELINGER-style JOIN-ORDER enumeration over the
+    * region–nation–customer–orders chain (System R 1979 — the cost
+    * model every CBO descends from, here run as a QUERY so the
+    * engine's own reasoning is a hash-gated artifact): exact
+    * statistics (row counts + join-key NDVs, collected from the data
+    * in one pass each) feed the textbook estimate |X ⋈ T| = |X|·|T|
+    * div max(ndv_left, ndv_right) folded along each of the 8
+    * connected left-deep orders of the chain (prefix-connectivity
+    * prunes 4! = 24 down to 8 — the cross-product-free space);
+    * cost = Σ intermediate sizes, argmin flagged. ONE Scala generator
+    * emits the fold arithmetic into BOTH engines (the edgesCte/IntLog2
+    * lockstep discipline), so the ledger is bit-identical by
+    * construction: integer floor division on non-negative moments.
+    *
+    * Scale shape: statistics are 4 partial-aggregable scans (count +
+    * countDistinct each — at 100 TB these become the sketched NDVs
+    * the real CBO uses, the documented substitution point); the
+    * enumeration itself is arithmetic over a 1-row broadcast stats
+    * frame × 8 literal orders — zero data motion. The estimates are
+    * the MODEL's output, not row counts: the gate certifies the cost
+    * arithmetic, q274/q202 certify actual plans.
+    */
+  val q300 = oracled(
+    "q300_join_order_costs",
+    "Selinger left-deep enumeration: exact-stats cost ledger for all 8 connected orders",
+    {
+      val orders = Seq(
+        1 -> Seq("r", "n", "c", "o"), 2 -> Seq("n", "r", "c", "o"),
+        3 -> Seq("n", "c", "r", "o"), 4 -> Seq("n", "c", "o", "r"),
+        5 -> Seq("c", "n", "r", "o"), 6 -> Seq("c", "n", "o", "r"),
+        7 -> Seq("c", "o", "n", "r"), 8 -> Seq("o", "c", "n", "r"))
+      val size = Map("r" -> "cr", "n" -> "cn", "c" -> "cc", "o" -> "co")
+      val nbrs = Map("r" -> Seq("n"), "n" -> Seq("r", "c"),
+        "c" -> Seq("n", "o"), "o" -> Seq("c"))
+      val edge = Map(
+        Set("r", "n") -> "GREATEST(ndv_r_rk, ndv_n_rk)",
+        Set("n", "c") -> "GREATEST(ndv_n_nk, ndv_c_nk)",
+        Set("c", "o") -> "GREATEST(ndv_c_ck, ndv_o_ck)")
+      def fold(ord: Seq[String], divOp: String): Seq[String] = {
+        var cur = size(ord.head)
+        var prefix = Set(ord.head)
+        ord.tail.map { t =>
+          val nbr = nbrs(t).find(prefix.contains).get
+          cur = s"(($cur * ${size(t)}) $divOp ${edge(Set(t, nbr))})"
+          prefix += t
+          cur
+        }
+      }
+      def rows(divOp: String): String = orders.map { case (oid, ord) =>
+        val Seq(e1, e2, e3) = fold(ord, divOp)
+        s"""SELECT CAST($oid AS BIGINT) AS order_id,
+           '${ord.mkString(",")}' AS ord,
+           CAST($e1 AS BIGINT) AS est1, CAST($e2 AS BIGINT) AS est2,
+           CAST($e3 AS BIGINT) AS est3,
+           CAST($e1 + $e2 + $e3 AS BIGINT) AS cost FROM stats"""
+      }.mkString("\n UNION ALL\n")
+      s"""WITH stats AS (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS cr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS cn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS cc,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS co,
+           (SELECT CAST(COUNT(DISTINCT r_regionkey) AS BIGINT)
+             FROM region) AS ndv_r_rk,
+           (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+             FROM nation) AS ndv_n_rk,
+           (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+             FROM nation) AS ndv_n_nk,
+           (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+             FROM customer) AS ndv_c_nk,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+             FROM customer) AS ndv_c_ck,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             FROM orders) AS ndv_o_ck),
+         plans AS (
+         ${rows("//")})
+         SELECT order_id, ord, est1, est2, est3, cost,
+           CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY cost, order_id)
+             = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         FROM plans ORDER BY order_id"""
+    }) { (s, dir) =>
+    val orders = Seq(
+      1 -> Seq("r", "n", "c", "o"), 2 -> Seq("n", "r", "c", "o"),
+      3 -> Seq("n", "c", "r", "o"), 4 -> Seq("n", "c", "o", "r"),
+      5 -> Seq("c", "n", "r", "o"), 6 -> Seq("c", "n", "o", "r"),
+      7 -> Seq("c", "o", "n", "r"), 8 -> Seq("o", "c", "n", "r"))
+    val size = Map("r" -> "cr", "n" -> "cn", "c" -> "cc", "o" -> "co")
+    val nbrs = Map("r" -> Seq("n"), "n" -> Seq("r", "c"),
+      "c" -> Seq("n", "o"), "o" -> Seq("c"))
+    val edge = Map(
+      Set("r", "n") -> "GREATEST(ndv_r_rk, ndv_n_rk)",
+      Set("n", "c") -> "GREATEST(ndv_n_nk, ndv_c_nk)",
+      Set("c", "o") -> "GREATEST(ndv_c_ck, ndv_o_ck)")
+    def fold(ord: Seq[String]): Seq[String] = {
+      var cur = size(ord.head)
+      var prefix = Set(ord.head)
+      ord.tail.map { t =>
+        val nbr = nbrs(t).find(prefix.contains).get
+        cur = s"(($cur * ${size(t)}) div ${edge(Set(t, nbr))})"
+        prefix += t
+        cur
+      }
+    }
+    val stats = Tables.region(s, dir)
+      .agg(count(lit(1)).as("cr"),
+        countDistinct(col("r_regionkey")).as("ndv_r_rk"))
+      .crossJoin(Tables.nation(s, dir).agg(count(lit(1)).as("cn"),
+        countDistinct(col("n_regionkey")).as("ndv_n_rk"),
+        countDistinct(col("n_nationkey")).as("ndv_n_nk")))
+      .crossJoin(Tables.customer(s, dir).agg(count(lit(1)).as("cc"),
+        countDistinct(col("c_nationkey")).as("ndv_c_nk"),
+        countDistinct(col("c_custkey")).as("ndv_c_ck")))
+      .crossJoin(Tables.orders(s, dir).agg(count(lit(1)).as("co"),
+        countDistinct(col("o_custkey")).as("ndv_o_ck")))
+      .localCheckpoint(false)
+    val plans = orders.map { case (oid, ord) =>
+      val Seq(e1, e2, e3) = fold(ord)
+      stats.selectExpr(s"CAST($oid AS BIGINT) AS order_id",
+        s"'${ord.mkString(",")}' AS ord",
+        s"CAST($e1 AS BIGINT) AS est1", s"CAST($e2 AS BIGINT) AS est2",
+        s"CAST($e3 AS BIGINT) AS est3",
+        s"CAST($e1 + $e2 + $e3 AS BIGINT) AS cost")
+    }.reduce(_ union _)
+    plans.withColumn("is_best",
+        when(row_number().over(Window.orderBy(col("cost"),
+          col("order_id"))) === 1, 1L).otherwise(0L))
+      .orderBy(col("order_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266,
-    q274, q287)
+    q274, q287, q300)
 }
