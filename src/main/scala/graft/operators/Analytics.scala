@@ -2047,9 +2047,74 @@ object Analytics {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  // ------------------------------------------------ Poisson bootstrap
+
+  /** q301 — distributed POISSON BOOTSTRAP of mean purchase value
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams" (Google) — the bootstrap that works on one pass of a
+    * distributed corpus: classic resampling needs n draws WITH
+    * replacement per replicate — a shuffle per replicate — but
+    * Binomial(n, 1/n) → Poisson(1), so each row independently carries
+    * a Poisson(1) weight per replicate and every replicate is ONE
+    * weighted aggregate): B = 64 replicates, the per-(row, replicate)
+    * weight drawn by inverse-CDF over a 2²⁰-scaled integer threshold
+    * table (the cumulative e⁻¹ series as SIX DECLARED integer
+    * constants — rounding documented here once, both engines compare
+    * against the same literals; the q92 deterministic-randomness
+    * discipline via the shared hash class). Ledger: per replicate the
+    * effective count and exact weighted cents sum — the replicate
+    * mean is the consumer's rational (sum, n_eff); the spread across
+    * the 64 rows IS the standard error the bootstrap exists to
+    * estimate.
+    *
+    * Scale shape: one crossJoin with the 64-row replicate spine (a
+    * broadcast), weights scan-local, ONE partial-aggregable
+    * groupBy(b) — map-side combine absorbs the 64× expansion exactly
+    * like q278's feature explode. No per-replicate shuffle, no
+    * resampled copies of the corpus — the entire point of the
+    * Poissonization.
+    */
+  val q301 = oracled(
+    "q301_poisson_bootstrap",
+    "64-replicate Poisson bootstrap of mean purchase cents: one pass, exact integer ledger",
+    """WITH p AS (SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       reps AS (SELECT CAST(i AS BIGINT) AS b FROM range(0, 64) t(i)),
+       w AS (SELECT b, cents,
+           ((event_id * 64 + b) % 100003) * 2654435761 % 1048576 AS u
+         FROM p CROSS JOIN reps),
+       wt AS (SELECT b, cents,
+           CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+             WHEN u < 964374 THEN 2 WHEN u < 1028666 THEN 3
+             WHEN u < 1044739 THEN 4 WHEN u < 1047954 THEN 5
+             ELSE 6 END AS wgt
+         FROM w)
+       SELECT b, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+         CAST(SUM(wgt * cents) AS BIGINT) AS sum_cents
+       FROM wt GROUP BY b ORDER BY b""") { (s, dir) =>
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val reps = s.range(0, 64).select(col("id").as("b"))
+    p.crossJoin(broadcast(reps))
+      .withColumn("u", expr(
+        "((event_id * 64 + b) % 100003) * 2654435761L % 1048576"))
+      .withColumn("wgt",
+        when(col("u") < 385749, 0L).when(col("u") < 771499, 1L)
+          .when(col("u") < 964374, 2L).when(col("u") < 1028666, 3L)
+          .when(col("u") < 1044739, 4L).when(col("u") < 1047954, 5L)
+          .otherwise(6L))
+      .groupBy(col("b"))
+      .agg(sum(col("wgt")).as("n_eff"),
+        sum(col("wgt") * col("cents")).as("sum_cents"))
+      .orderBy(col("b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297)
+      q296, q297, q301)
 }
