@@ -2112,9 +2112,81 @@ object Analytics {
       .orderBy(col("b"))
   }
 
+  // -------------------------------------------------- RFM segmentation
+
+  /** q302 — RFM SEGMENTATION (recency / frequency / monetary — the
+    * classic customer-base decomposition, the segmentation layer the
+    * q286 attribution and q301 uncertainty numbers get reported
+    * against): per purchasing user, R = days from last purchase to
+    * the corpus's max purchase date (a data-derived anchor, so the
+    * statistic is reproducible), F = purchase count, M = total cents;
+    * each metric is cut into quintiles by NTILE(5) under the
+    * (metric, user_id) total order — deterministic, both engines
+    * implement the standard first-(n mod 5)-buckets-get-one-extra
+    * distribution. Ledger: per (r_q, f_q, m_q) segment the user
+    * count and exact F/M sums — the "champions / at-risk /
+    * hibernating" grid as integers.
+    *
+    * Scale shape: the user table is one partial-aggregable
+    * groupBy(user); NTILE is a single-partition window over USERS —
+    * fixture-fine, and the scaladoc owns the 100 TB substitution:
+    * cutpoint-based bucketing via the [[graft.plans.ExactQuantile]]
+    * order-statistic template (q58) replaces the global window when
+    * the user table itself is too big for one task. The segment
+    * ledger is domain-bounded (≤ 125 rows).
+    */
+  val q302 = oracled(
+    "q302_rfm_segments",
+    "RFM quintile segmentation: deterministic NTILE grid with exact per-segment sums",
+    """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       mx AS (SELECT MAX(day) AS d0 FROM p),
+       u AS (SELECT user_id,
+           CAST((SELECT d0 FROM mx) - MAX(day) AS BIGINT) AS r_days,
+           CAST(COUNT(*) AS BIGINT) AS f_cnt,
+           CAST(SUM(cents) AS BIGINT) AS m_cents
+         FROM p GROUP BY user_id),
+       q AS (SELECT user_id, r_days, f_cnt, m_cents,
+           CAST(NTILE(5) OVER (ORDER BY r_days, user_id) AS BIGINT)
+             AS r_q,
+           CAST(NTILE(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT)
+             AS f_q,
+           CAST(NTILE(5) OVER (ORDER BY m_cents, user_id) AS BIGINT)
+             AS m_q
+         FROM u)
+       SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(f_cnt) AS BIGINT) AS sum_f,
+         CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
+       FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""") { (s, dir) =>
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val mx = p.agg(max(col("day")).as("d0"))
+    val u = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f_cnt"),
+        sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("d0"), col("last_day")).cast("long").as("r_days"),
+        col("f_cnt"), col("m_cents"))
+    val q = u
+      .withColumn("r_q", ntile(5).over(Window.orderBy(col("r_days"),
+        col("user_id"))).cast("long"))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("f_cnt"),
+        col("user_id"))).cast("long"))
+      .withColumn("m_q", ntile(5).over(Window.orderBy(col("m_cents"),
+        col("user_id"))).cast("long"))
+    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("f_cnt")).as("sum_f"),
+        sum(col("m_cents")).as("sum_m_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297, q301)
+      q296, q297, q301, q302)
 }
