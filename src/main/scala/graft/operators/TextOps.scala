@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.GQuery.oracled
@@ -1607,10 +1607,15 @@ object TextOps {
 
   // --------------------------------------------------------- BM25 scoring
 
-  /** q292 — BM25 ranked retrieval (Robertson/Zaragoza; the scoring
-    * function q267's inverted index exists to serve — Lucene's default
-    * since 6.0): three query terms scored against every matching doc
-    * with k1 = 6/5, b = 3/4, entirely in EXACT integer arithmetic.
+  /** q292 — BM25 ranked retrieval, INTEGER-EXACT form (Robertson/
+    * Zaragoza; the scoring function q267's inverted index exists to
+    * serve). q114 already ships BM25 via 6dp-rounded DECIMAL sums —
+    * rounding is a correctness compromise the hash gate forced there;
+    * THIS query eliminates it: three query terms scored against every
+    * matching doc with k1 = 6/5, b = 3/4, entirely in EXACT integer
+    * arithmetic (and with Lucene's idf where q114 uses Robertson's) —
+    * zero rounding anywhere, which is also what makes it composable
+    * into q303's rank fusion without re-ranking drift.
     * The trick is clearing every rational: with T total tokens, N
     * docs, dl the doc length (so avgdl = T/N), the term denominator
     * tf + k1·(1 − b + b·dl/avgdl) multiplied through by 20·T becomes
@@ -1631,39 +1636,40 @@ object TextOps {
     * (T ≈ 6e9 at the bound) — past that the score flips to
     * DECIMAL(38,0), the scaladoc-owned ceiling.
     */
-  val q292 = oracled(
-    "q292_bm25",
-    "BM25 top-10 docs for a 3-term query: exact-integer rational arithmetic, Lucene idf",
-    {
-      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
-      s"""WITH t AS (SELECT doc_id,
-           unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-         dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-           FROM t GROUP BY 1),
-         g AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
-             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
-         tf AS (SELECT tok AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM t WHERE tok IN ('spark', 'window', 'merge')
-           GROUP BY 1, 2),
-         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-           FROM tf GROUP BY 1),
-         sc AS (SELECT tf.doc_id,
-             (${l2("(2 * g.n + 2)")} - ${l2("(2 * dfs.df + 1)")})
-               * (44 * g.tt * tf.tf)
-               // (20 * g.tt * tf.tf + 6 * g.tt + 18 * dl.dl * g.n) AS s
-           FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
-           CROSS JOIN g),
-         tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_x20,
-             CAST(COUNT(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1),
-         rk AS (SELECT doc_id, score_x20, n_terms,
-             ROW_NUMBER() OVER (ORDER BY score_x20 DESC, doc_id) AS rank
-           FROM tot)
-         SELECT CAST(rank AS BIGINT) AS rank, r.doc_id, r.score_x20,
-           r.n_terms, dl.dl
-         FROM rk r JOIN dl ON dl.doc_id = r.doc_id
-         WHERE rank <= 10 ORDER BY rank"""
-    }) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+  /** The BM25 scoring CTE chain (through `tot(doc_id, score_x20,
+    * n_terms)` and `dl(doc_id, dl)`) shared by q292 and q303 — one
+    * scorer text, two consumers (the lpaCte discipline).
+    */
+  private def bm25Cte: String = {
+    val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+    s"""t AS (SELECT doc_id,
+         unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         FROM t GROUP BY 1),
+       g AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+           CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+       tf AS (SELECT tok AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM t WHERE tok IN ('spark', 'window', 'merge')
+         GROUP BY 1, 2),
+       dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         FROM tf GROUP BY 1),
+       sc AS (SELECT tf.doc_id,
+           (${l2("(2 * g.n + 2)")} - ${l2("(2 * dfs.df + 1)")})
+             * (44 * g.tt * tf.tf)
+             // (20 * g.tt * tf.tf + 6 * g.tt + 18 * dl.dl * g.n) AS s
+         FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+         CROSS JOIN g),
+       tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_x20,
+           CAST(COUNT(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1)"""
+  }
+
+  /** Spark twin of [[bm25Cte]]: (doc_id, score_x20, n_terms) for the
+    * fixed 3-term query, plus the (doc_id, dl) length table. Distinct
+    * from q114's [[bm25Scores]] (the rounded-DECIMAL(18,6) scorer):
+    * this family is the INTEGER-EXACT route.
+    */
+  private def bm25IntScores(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val t = Tables.documents(s, dir).select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("tok"))
     val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -1683,6 +1689,22 @@ object TextOps {
             div (20 * tt * tf + 6 * tt + 18 * dl * n)""").as("s"))
     val tot = sc.groupBy(col("doc_id"))
       .agg(sum(col("s")).as("score_x20"), count(lit(1)).as("n_terms"))
+    (tot, dl)
+  }
+
+  val q292 = oracled(
+    "q292_bm25",
+    "BM25 top-10 docs for a 3-term query: exact-integer rational arithmetic, Lucene idf",
+    s"""WITH $bm25Cte,
+       rk AS (SELECT doc_id, score_x20, n_terms,
+           ROW_NUMBER() OVER (ORDER BY score_x20 DESC, doc_id) AS rank
+         FROM tot)
+       SELECT CAST(rank AS BIGINT) AS rank, r.doc_id, r.score_x20,
+         r.n_terms, dl.dl
+       FROM rk r JOIN dl ON dl.doc_id = r.doc_id
+       WHERE rank <= 10 ORDER BY rank""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tot, dl) = bm25IntScores(s, dir)
     tot.withColumn("rank",
         row_number().over(Window.orderBy(col("score_x20").desc,
           col("doc_id"))).cast("long"))
@@ -1693,8 +1715,74 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // ----------------------------------------------- reciprocal rank fusion
+
+  /** q303 — RECIPROCAL RANK FUSION (Cormack/Clarke/Büttcher SIGIR '09
+    * — the embarrassingly-effective way to combine rankings, and what
+    * every hybrid lexical+semantic retrieval stack runs on top of
+    * scorers like q292): two rankings of the SAME candidate set (docs
+    * matching ≥1 query term) — A = BM25 score, B = document length
+    * (the "prefer longer context" heuristic arm; any second scorer
+    * slots in) — fuse as
+    *   RRF(d) = Σ_r 10⁶ div (60 + rank_r(d)),
+    * k = 60 per the paper, the division a DECLARED floor-scaled
+    * integer (the q286/q292 discipline — both engines run the same
+    * integer op, the ≤1e-6-scale floor loss is the no-floats price).
+    * Ledger: top-15 by fused score with both constituent ranks
+    * visible — WHY a doc won is part of the artifact.
+    *
+    * Scale shape: reuses the factored [[bm25Scores]] pipeline (one
+    * corpus scan); both rank windows run over the CANDIDATE set, not
+    * the corpus (candidate-bounded single-partition windows — the
+    * 100 TB form keeps per-query candidates bounded by the posting
+    * intersection, which is what makes RRF cheap in real engines).
+    */
+  val q303 = oracled(
+    "q303_rank_fusion",
+    "reciprocal rank fusion of BM25 and length rankings: top-15, integer RRF",
+    s"""WITH $bm25Cte,
+       ra AS (SELECT doc_id, score_x20,
+           ROW_NUMBER() OVER (ORDER BY score_x20 DESC, doc_id) AS rank_a
+         FROM tot),
+       rb AS (SELECT t.doc_id,
+           ROW_NUMBER() OVER (ORDER BY dl.dl DESC, t.doc_id) AS rank_b
+         FROM tot t JOIN dl ON dl.doc_id = t.doc_id),
+       f AS (SELECT ra.doc_id, ra.rank_a, rb.rank_b,
+           1000000 // (60 + ra.rank_a) + 1000000 // (60 + rb.rank_b)
+             AS rrf
+         FROM ra JOIN rb ON rb.doc_id = ra.doc_id),
+       rk AS (SELECT doc_id, rank_a, rank_b, rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         FROM f)
+       SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+         CAST(rrf AS BIGINT) AS rrf_x1e6,
+         CAST(rank_a AS BIGINT) AS rank_a, CAST(rank_b AS BIGINT)
+           AS rank_b
+       FROM rk WHERE rank <= 15 ORDER BY rank""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tot, dl) = bm25IntScores(s, dir)
+    val ra = tot.withColumn("rank_a",
+      row_number().over(Window.orderBy(col("score_x20").desc,
+        col("doc_id"))).cast("long"))
+    val rb = tot.select(col("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("rank_b",
+        row_number().over(Window.orderBy(col("dl").desc,
+          col("doc_id"))).cast("long"))
+    ra.select(col("doc_id"), col("rank_a"))
+      .join(rb.select(col("doc_id"), col("rank_b")), Seq("doc_id"))
+      .withColumn("rrf_x1e6", expr(
+        "1000000 div (60 + rank_a) + 1000000 div (60 + rank_b)"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_x1e6").desc,
+          col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 15)
+      .select(col("rank"), col("doc_id"), col("rrf_x1e6"),
+        col("rank_a"), col("rank_b"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292)
+      q271, q273, q283, q292, q303)
 }
