@@ -1781,8 +1781,102 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------------ PMI co-occurrence
+
+  /** q304 — skip-gram PMI co-occurrence ranking (the word2vec-era
+    * association statistic — Church/Hanks '90 PMI over a ±2 token
+    * window; what q76's ADJACENT-bigram LM and q224's threshold-mined
+    * phrases both are not: an association score over a symmetric
+    * window, the matrix word embeddings implicitly factorize):
+    * unordered within-window token pairs (window offsets +1, +2 — an
+    * EQUI-join per offset on (doc, pos), never an inequality join)
+    * counted corpus-wide; with Nt total tokens, Np total window
+    * pairs, c_a/c_b unigram counts and c_ab the pair count,
+    *   PMI_x20 = L2(c_ab·Nt²) − L2(Np·c_a·c_b)
+    * via the shared [[graft.functions.IntLog2]] (the mixed
+    * denominators cleared by cross-multiplication — the q288 ratio
+    * discipline). Ledger: top-30 pairs with c_ab ≥ 5 by (PMI, a, b).
+    *
+    * Scale shape: two equi-self-joins on (doc_id, pos) — shuffle on
+    * the position key, no window sort; pair and unigram counts are
+    * partial-aggregable; scoring runs on the vocab²-bounded (in
+    * practice pair-count-bounded) table against a 1-row broadcast.
+    * BIGINT-safe while c_ab·Nt² < 2⁶³ (Nt ≈ 2e6 at c_ab ≈ 10⁶) —
+    * the scaladoc-owned ceiling, DECIMAL(38,0) past it.
+    */
+  val q304 = oracled(
+    "q304_pmi_cooccurrence",
+    "skip-gram window PMI via IntLog2 cross-products: top-30 associated token pairs",
+    {
+      val l2 = (e: String) => graft.functions.IntLog2.duckSql(e)
+      s"""WITH tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             unnest(range(1, len(string_split(trim(text), ' ')) + 1))
+               AS pos
+           FROM documents)),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tk),
+         ug AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+           GROUP BY tok),
+         pr AS (SELECT LEAST(a.tok, b.tok) AS ta,
+             GREATEST(a.tok, b.tok) AS tb
+           FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+             AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+         pc AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM pr GROUP BY 1, 2),
+         np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pc),
+         sc AS (SELECT ta, tb, c_ab,
+             ${l2("(c_ab * nt.n_tok * nt.n_tok)")}
+               - ${l2("(np.n_pairs * ua.c * ub.c)")} AS pmi_x20
+           FROM pc JOIN ug ua ON ua.tok = pc.ta
+             JOIN ug ub ON ub.tok = pc.tb
+           CROSS JOIN nt CROSS JOIN np
+           WHERE c_ab >= 5),
+         rk AS (SELECT ta, tb, c_ab, CAST(pmi_x20 AS BIGINT) AS pmi_x20,
+             ROW_NUMBER() OVER (ORDER BY pmi_x20 DESC, ta, tb) AS rank
+           FROM sc)
+         SELECT CAST(rank AS BIGINT) AS rank, ta, tb, c_ab, pmi_x20
+         FROM rk WHERE rank <= 30 ORDER BY rank"""
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val l2s = (e: String) => expr(graft.functions.IntLog2.sparkSql(e))
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .localCheckpoint(false)
+    val nt = tk.agg(count(lit(1)).as("n_tok"))
+    val ug = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pr = Seq(1, 2).map { off =>
+      tk.select(col("doc_id"), col("pos"), col("tok").as("t1"))
+        .join(tk.select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("tok").as("t2")), Seq("doc_id", "pos"))
+    }.reduce(_ union _)
+      .select(least(col("t1"), col("t2")).as("ta"),
+        greatest(col("t1"), col("t2")).as("tb"))
+    val pc = pr.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false)
+    val np = pc.agg(sum(col("c_ab")).as("n_pairs"))
+    val sc = pc.filter(col("c_ab") >= 5)
+      .join(broadcast(ug.withColumnRenamed("tok", "ta")
+        .withColumnRenamed("c", "ca")), Seq("ta"))
+      .join(broadcast(ug.withColumnRenamed("tok", "tb")
+        .withColumnRenamed("c", "cb")), Seq("tb"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        (l2s("(c_ab * n_tok * n_tok)")
+          - l2s("(n_pairs * ca * cb)")).as("pmi_x20"))
+    sc.withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi_x20").desc,
+          col("ta"), col("tb"))).cast("long"))
+      .filter(col("rank") <= 30)
+      .select(col("rank"), col("ta"), col("tb"), col("c_ab"),
+        col("pmi_x20"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303)
+      q271, q273, q283, q292, q303, q304)
 }
