@@ -717,6 +717,153 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // --------------------------------------------------------- DBSCAN
+
+  /** q305 — DBSCAN density clustering (Ester/Kriegel/Sander/Xu KDD
+    * '96) on a planted-cluster 2-D fixture: a deterministic 10%
+    * customer sample is placed by hash — 8 planted centers on a
+    * 25000-spaced grid with ±400 jitter, ~11% uniform noise (the
+    * q92 dirty-fixture discipline: uniform points make DBSCAN
+    * degenerate — nothing or one percolation blob — so the structure
+    * the algorithm exists to find is planted, and finding EXACTLY it
+    * is the gate). ε = 500, minPts = 4 (neighborhood includes the
+    * point): core points by ε-neighbor count, clusters = connected
+    * components of the core-core ε-graph (the shared
+    * [[graft.operators.Graph.cc]] — the SAME operator q73/q246 run),
+    * border points attach to the MIN core-neighbor label
+    * (deterministic resolution of the classic two-cluster border
+    * ambiguity), the rest is noise. Ledger: per cluster label the
+    * core/border counts, noise as label −1.
+    *
+    * Scale shape: the ε-graph comes from q287's grid join (3×3
+    * neighborhood replication meets home cells — candidates bounded
+    * by cell occupancy); the sample bounds the per-cluster pair
+    * quadratic at every fixture. At 100 TB the pair listing inside
+    * dense cells is the known hot spot — the GriDBSCAN refinement
+    * (an ε/√2 cell with ≥ minPts points is all-core and unions AS A
+    * UNIT, so intra-cell pairs are never materialized) is the
+    * documented production path; the component step is Graph.cc
+    * either way.
+    */
+  val q305 = oracled(
+    "q305_dbscan",
+    "DBSCAN on planted 2-D clusters: grid epsilon-graph, CC over cores, border attach, noise",
+    """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+           xor(c_custkey * 2654435761 % 4294967296,
+             (c_custkey * 2654435761 % 4294967296) // 65536)
+             * 40503 % 4294967296 % 9 AS cid,
+           xor(c_custkey * 1779033703 % 4294967296,
+             (c_custkey * 1779033703 % 4294967296) // 65536)
+             * 48271 % 4294967296 AS hb,
+           xor(c_custkey * 1540483477 % 4294967296,
+             (c_custkey * 1540483477 % 4294967296) // 65536)
+             * 69069 % 4294967296 AS hc
+         FROM customer WHERE c_custkey % 10 = 3),
+       p AS (SELECT id,
+           CASE WHEN cid < 8
+             THEN 12500 + 25000 * (cid % 4) + hb % 801 - 400
+             ELSE hb % 100000 END AS x,
+           CASE WHEN cid < 8
+             THEN 12500 + 25000 * (cid // 4) + hc % 801 - 400
+             ELSE hc % 100000 END AS y
+         FROM pts),
+       nb AS (SELECT a.id AS ia, b.id AS ib
+         FROM p a JOIN p b ON a.id <> b.id
+           AND b.x BETWEEN a.x - 500 AND a.x + 500
+           AND b.y BETWEEN a.y - 500 AND a.y + 500
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 250000),
+       dg AS (SELECT p.id, (SELECT COUNT(*) FROM nb
+           WHERE nb.ia = p.id) AS deg FROM p),
+       core AS (SELECT id FROM dg WHERE deg + 1 >= 4),
+       ce AS (SELECT ia, ib FROM nb
+         WHERE ia IN (SELECT id FROM core)
+           AND ib IN (SELECT id FROM core)),
+       reach(node, lbl) AS (
+         SELECT id, id FROM core
+         UNION
+         SELECT e.ib, r.lbl FROM reach r JOIN ce e ON e.ia = r.node),
+       lab AS (SELECT node AS id, MIN(lbl) AS lbl FROM reach
+         GROUP BY node),
+       border AS (SELECT nb.ia AS id, MIN(lab.lbl) AS lbl
+         FROM nb JOIN lab ON lab.id = nb.ib
+         WHERE nb.ia NOT IN (SELECT id FROM core)
+         GROUP BY nb.ia),
+       marked AS (
+         SELECT lbl, 1 AS is_core FROM lab
+         UNION ALL SELECT lbl, 0 FROM border
+         UNION ALL SELECT -1, 0 FROM p
+           WHERE p.id NOT IN (SELECT id FROM lab)
+             AND p.id NOT IN (SELECT id FROM border))
+       SELECT CAST(lbl AS BIGINT) AS label,
+         CAST(SUM(is_core) AS BIGINT) AS n_core,
+         CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+       FROM marked GROUP BY lbl ORDER BY label""") { (s, dir) =>
+    def h(mult: Long, post: Long): Column = expr(
+      s"""(c_custkey * $mult % 4294967296L
+          ^ (c_custkey * $mult % 4294967296L) div 65536)
+          * $post % 4294967296L""")
+    val pts = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("id"),
+        (h(2654435761L, 40503L) % 9).as("cid"),
+        h(1779033703L, 48271L).as("hb"),
+        h(1540483477L, 69069L).as("hc"))
+      .select(col("id"),
+        when(col("cid") < 8, lit(12500L) + lit(25000L) * (col("cid") % 4)
+          + col("hb") % 801 - 400)
+          .otherwise(col("hb") % 100000).as("x"),
+        when(col("cid") < 8,
+          lit(12500L) + lit(25000L) * expr("cid div 4")
+            + col("hc") % 801 - 400)
+          .otherwise(col("hc") % 100000).as("y"))
+      .withColumn("cx", expr("x div 500"))
+      .withColumn("cy", expr("y div 500"))
+      .localCheckpoint(false)
+    val offsets = Seq(-1L, 0L, 1L).flatMap(dx =>
+      Seq(-1L, 0L, 1L).map(dy => struct(lit(dx), lit(dy))))
+    val build = pts.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"), explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("cx") + col("o.col1")).as("jx"),
+        (col("cy") + col("o.col2")).as("jy"))
+    val probe = pts.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val nb = build.join(probe, Seq("jx", "jy"))
+      .filter(col("ia") =!= col("ib") && d2 <= 250000L)
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(false)
+    val core = nb.groupBy(col("ia")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") + 1 >= 4)
+      .select(col("ia").as("id"))
+      .localCheckpoint(false)
+    val ce = nb
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .join(core.select(col("id").as("ib")), Seq("ib"), "left_semi")
+      .filter(col("ia") < col("ib"))
+    val lab = Graph.cc(core, ce.select(col("ia"), col("ib")))
+      .select(col("node").as("id"), col("component").as("lbl"))
+      .localCheckpoint(false)
+    val border = nb.join(core.select(col("id").as("ia")), Seq("ia"),
+        "left_anti")
+      .join(lab.select(col("id").as("ib"), col("lbl")), Seq("ib"))
+      .groupBy(col("ia").as("id")).agg(min(col("lbl")).as("lbl"))
+    val noise = pts.select(col("id"))
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .join(border.select(col("id")), Seq("id"), "left_anti")
+      .select(lit(-1L).as("lbl"), lit(0L).as("is_core"))
+    lab.select(col("lbl"), lit(1L).as("is_core"))
+      .union(border.select(col("lbl"), lit(0L).as("is_core")))
+      .union(noise)
+      .groupBy(col("lbl").as("label"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269)
+    q249, q269, q305)
 }

@@ -1792,17 +1792,21 @@ object TextOps {
     * EQUI-join per offset on (doc, pos), never an inequality join)
     * counted corpus-wide; with Nt total tokens, Np total window
     * pairs, c_a/c_b unigram counts and c_ab the pair count,
-    *   PMI_x20 = L2(c_ab·Nt²) − L2(Np·c_a·c_b)
-    * via the shared [[graft.functions.IntLog2]] (the mixed
-    * denominators cleared by cross-multiplication — the q288 ratio
-    * discipline). Ledger: top-30 pairs with c_ab ≥ 5 by (PMI, a, b).
+    *   PMI_x20 = L2(c_ab) + 2·L2(Nt) − L2(Np) − L2(c_a) − L2(c_b)
+    * via the shared [[graft.functions.IntLog2]] — the log SPLIT into
+    * per-factor terms rather than the q288 cross-product form, because
+    * IntLog2 scales its in-octave remainder by 2²⁰ internally and a
+    * composite argument like c_ab·Nt² overflows BIGINT at sf0.1
+    * (found by the scale sweep); per-factor arguments stay ≤ Nt. The
+    * chord error grows to ≤ 5×0.0861 log2-units — fine for a RANKING
+    * statistic. Ledger: top-30 pairs with c_ab ≥ 5 by (PMI, a, b).
     *
     * Scale shape: two equi-self-joins on (doc_id, pos) — shuffle on
     * the position key, no window sort; pair and unigram counts are
     * partial-aggregable; scoring runs on the vocab²-bounded (in
     * practice pair-count-bounded) table against a 1-row broadcast.
-    * BIGINT-safe while c_ab·Nt² < 2⁶³ (Nt ≈ 2e6 at c_ab ≈ 10⁶) —
-    * the scaladoc-owned ceiling, DECIMAL(38,0) past it.
+    * BIGINT-safe while every count < 2⁴² (IntLog2's own bound) —
+    * per-factor splitting is what buys that at any corpus size.
     */
   val q304 = oracled(
     "q304_pmi_cooccurrence",
@@ -1825,8 +1829,9 @@ object TextOps {
            FROM pr GROUP BY 1, 2),
          np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pc),
          sc AS (SELECT ta, tb, c_ab,
-             ${l2("(c_ab * nt.n_tok * nt.n_tok)")}
-               - ${l2("(np.n_pairs * ua.c * ub.c)")} AS pmi_x20
+             ${l2("c_ab")} + 2 * ${l2("nt.n_tok")}
+               - ${l2("np.n_pairs")} - ${l2("ua.c")} - ${l2("ub.c")}
+               AS pmi_x20
            FROM pc JOIN ug ua ON ua.tok = pc.ta
              JOIN ug ub ON ub.tok = pc.tb
            CROSS JOIN nt CROSS JOIN np
@@ -1864,8 +1869,8 @@ object TextOps {
         .withColumnRenamed("c", "cb")), Seq("tb"))
       .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
       .select(col("ta"), col("tb"), col("c_ab"),
-        (l2s("(c_ab * n_tok * n_tok)")
-          - l2s("(n_pairs * ca * cb)")).as("pmi_x20"))
+        (l2s("c_ab") + lit(2L) * l2s("n_tok") - l2s("n_pairs")
+          - l2s("ca") - l2s("cb")).as("pmi_x20"))
     sc.withColumn("rank",
         row_number().over(Window.orderBy(col("pmi_x20").desc,
           col("ta"), col("tb"))).cast("long"))
