@@ -1959,8 +1959,94 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------- gapped sequence patterns
+
+  /** q306 — GAPPED SUBSEQUENCE pattern mining (SPAM/PrefixSpan
+    * semantics at fixed length 3: does the user's stream contain
+    * a…b…c with ANY gaps — unlike q233's CONTIGUOUS session paths and
+    * q220's adjacent Markov transitions, this is order-without-
+    * adjacency, the shape funnel analysis actually wants): for every
+    * ordered type triple the ledger counts users whose stream
+    * contains it as a subsequence. Existence is decided by the GREEDY
+    * witness — earliest a, earliest b after it, any c after that —
+    * which is correct for subsequence existence (matroid greedy: if
+    * any witness exists, the greedy one does) and turns the
+    * exponential pattern search into three rank-1 windows.
+    *
+    * Scale shape: everything is keyed by user — first-per-type via
+    * one user-partitioned window; "earliest b after first a" via ONE
+    * 5×-fanout self-join (each event joins its user's ≤5 firsts) +
+    * a second window; the triple check is a ≤125-rows-per-user
+    * dimension join against the ≤5-per-user last-occurrence table.
+    * No per-pattern scan, no combinatorial blowup: the 5³ pattern
+    * space is walked entirely on user-bounded derived tables. Tuple
+    * order (ts, event_id) is spelled as an explicit lexicographic
+    * predicate on both engines — no struct-min portability bet.
+    */
+  val q306 = oracled(
+    "q306_gapped_sequences",
+    "users containing each ordered type triple as a gapped subsequence (greedy witness)",
+    """WITH e AS (SELECT user_id, event_type AS ty, ts, event_id
+         FROM events),
+       f1 AS (SELECT user_id, ty AS a, ts, event_id FROM (
+           SELECT user_id, ty, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ty
+               ORDER BY ts, event_id) AS rn
+           FROM e) t WHERE rn = 1),
+       f2 AS (SELECT user_id, a, b, ts, event_id FROM (
+           SELECT e.user_id, f1.a, e.ty AS b, e.ts, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id, f1.a, e.ty
+               ORDER BY e.ts, e.event_id) AS rn
+           FROM e JOIN f1 ON f1.user_id = e.user_id
+             AND (e.ts > f1.ts OR (e.ts = f1.ts
+               AND e.event_id > f1.event_id))) t
+         WHERE rn = 1),
+       lk AS (SELECT user_id, ty AS c, ts, event_id FROM (
+           SELECT user_id, ty, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ty
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e) t WHERE rn = 1),
+       m AS (SELECT f2.user_id, f2.a, f2.b, lk.c
+         FROM f2 JOIN lk ON lk.user_id = f2.user_id
+         WHERE lk.ts > f2.ts OR (lk.ts = f2.ts
+           AND lk.event_id > f2.event_id))
+       SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM m GROUP BY 1, 2, 3 ORDER BY a, b, c""") { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("ty"), col("ts"),
+        col("event_id"))
+      .localCheckpoint(false)
+    val wFirst = Window.partitionBy(col("user_id"), col("ty"))
+      .orderBy(col("ts"), col("event_id"))
+    val f1 = e.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ty").as("a"), col("ts").as("ts1"),
+        col("event_id").as("eid1"))
+    val wSecond = Window.partitionBy(col("user_id"), col("a"), col("ty"))
+      .orderBy(col("ts"), col("event_id"))
+    val f2 = e.join(f1, Seq("user_id"))
+      .filter(col("ts") > col("ts1") ||
+        (col("ts") === col("ts1") && col("event_id") > col("eid1")))
+      .withColumn("rn", row_number().over(wSecond))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("a"), col("ty").as("b"),
+        col("ts").as("ts2"), col("event_id").as("eid2"))
+    val wLast = Window.partitionBy(col("user_id"), col("ty"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lk = e.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ty").as("c"), col("ts").as("ts3"),
+        col("event_id").as("eid3"))
+    f2.join(lk, Seq("user_id"))
+      .filter(col("ts3") > col("ts2") ||
+        (col("ts3") === col("ts2") && col("eid3") > col("eid2")))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282, q286, q293, q295)
+      q235, q242, q243, q248, q261, q282, q286, q293, q295, q306)
 }
