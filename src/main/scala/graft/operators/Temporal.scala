@@ -2045,8 +2045,86 @@ object Temporal {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
+  // ------------------------------------------- time-to-conversion
+
+  /** q307 — TIME-TO-FIRST-CONVERSION quartiles per ACQUISITION channel
+    * (the funnel-latency summary that sits beside q286's credit
+    * attribution: not who gets credit, but how long conversion takes
+    * depending on how the user arrived — the user's FIRST event type
+    * is the acquisition channel, the metric is µs from that first
+    * event to the first purchase, conversion-less users excluded):
+    * p25/p50/p75 via the shared [[graft.plans.ExactQuantile]]
+    * order-statistic template — quartiles ship ×4/×2/×4 as exact
+    * BIGINTs, no engine percentile function anywhere (the q58/q160
+    * discipline).
+    *
+    * Scale shape: two rank-1 user-partitioned windows (first event,
+    * first purchase) + one user-keyed join build the per-user metric;
+    * the grouped quantiles are the template's three bounded scans
+    * (bounds → histogram → winning buckets), per-group state bounded
+    * by its bucket count, never the user count.
+    */
+  val q307 = oracled(
+    "q307_time_to_conversion",
+    "per-acquisition-channel time-to-first-purchase quartiles (exact order statistics)",
+    """WITH fe AS (SELECT user_id, event_type AS channel, ts FROM (
+           SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn = 1),
+       fp AS (SELECT user_id, ts FROM (
+           SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+       qsrc AS (SELECT fe.channel,
+           epoch_us(CAST(fp.ts AS TIMESTAMP))
+             - epoch_us(CAST(fe.ts AS TIMESTAMP)) AS v
+         FROM fe JOIN fp ON fp.user_id = fe.user_id),
+       nn AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM qsrc GROUP BY channel),
+       """ +
+      graft.plans.ExactQuantile.oracleCtes("t", "qsrc", Seq("channel"),
+        Seq(graft.plans.ExactQuantile.Q("p25_x4", 1, 4),
+          graft.plans.ExactQuantile.Q("p50_x2", 1, 2),
+          graft.plans.ExactQuantile.Q("p75_x4", 3, 4))) +
+      """
+       SELECT nn.channel, nn.n_users,
+         CAST(tq.p25_x4 AS BIGINT) AS p25_x4,
+         CAST(tq.p50_x2 AS BIGINT) AS p50_x2,
+         CAST(tq.p75_x4 AS BIGINT) AS p75_x4
+       FROM nn JOIN tq ON tq.channel = nn.channel
+       ORDER BY nn.channel""") { (s, dir) =>
+    import graft.plans.ExactQuantile
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+    val fe = e.withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t0"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+    val qsrc = fe.join(fp, Seq("user_id"))
+      .select(col("channel"), (col("tp") - col("t0")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = qsrc.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"))
+    val qq = ExactQuantile.grouped(qsrc, Seq("channel"), "v",
+      Seq(ExactQuantile.Q("p25_x4", 1, 4), ExactQuantile.Q("p50_x2", 1, 2),
+        ExactQuantile.Q("p75_x4", 3, 4)))
+    nn.join(qq, Seq("channel"))
+      .select(col("channel"), col("n_users"), col("p25_x4"),
+        col("p50_x2"), col("p75_x4"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282, q286, q293, q295, q306)
+      q235, q242, q243, q248, q261, q282, q286, q293, q295, q306, q307)
 }
