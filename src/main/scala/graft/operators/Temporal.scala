@@ -2123,8 +2123,82 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  // ------------------------------------------- Kaplan-Meier survival
+
+  /** q308 — KAPLAN–MEIER churn survival ledger (the right-censored
+    * survival table behind every retention curve; Kaplan/Meier JASA
+    * '58): the survival subject is a (user, item) ENGAGEMENT — the
+    * fixture's per-user stream spans the whole corpus window, so
+    * user-level churn is all-censored and vacuous; engagement-level
+    * durations (first to last interaction with one item) carry a real
+    * spectrum. Duration = last-day − first-day; an engagement whose
+    * last activity is within 7 days of the corpus end is CENSORED at
+    * that duration (still alive as far as the data can see — ignoring
+    * censoring is the classic retention-curve bug, and the ledger
+    * makes it impossible: exits d_t and censorings c_t are separate
+    * columns). Per duration t with any exit: n_risk(t) = engagements
+    * with duration ≥ t. The KM estimator Ŝ(t) = Π(1 −
+    * d_i/n_i) is the CONSUMER's product — a running product of
+    * rationals has unbounded denominators, so the hash-gated artifact
+    * is the exact integer TABLE the estimator is defined from (the
+    * q297 per-cell discipline).
+    *
+    * Scale shape: per-engagement first/last via one partial-
+    * aggregable groupBy(user, item); everything after runs on the
+    * duration-bounded
+    * exit table (calendar days, never users) — the suffix n_risk is
+    * total − exclusive-prefix over that bounded table.
+    */
+  val q308 = oracled(
+    "q308_kaplan_meier",
+    "right-censored engagement survival table: per-duration n_risk / churned / censored",
+    """WITH u AS (SELECT user_id, event_id % 100 AS item,
+           MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+         FROM events GROUP BY 1, 2),
+       d0 AS (SELECT MAX(l) AS dend FROM u),
+       obs AS (SELECT CAST(l - f AS BIGINT) AS dur,
+           CASE WHEN l <= dend - 7 THEN 1 ELSE 0 END AS churned
+         FROM u CROSS JOIN d0),
+       ex AS (SELECT dur, CAST(SUM(churned) AS BIGINT) AS d,
+           CAST(SUM(1 - churned) AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS exits
+         FROM obs GROUP BY dur),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM obs),
+       rk AS (SELECT dur, d, c,
+           total - COALESCE(SUM(exits) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+         FROM ex CROSS JOIN nn)
+       SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d AS n_churned,
+         c AS n_censored
+       FROM rk ORDER BY dur""") { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"), (col("event_id") % 100).as("item"))
+      .agg(min(col("ts").cast("date")).as("f"),
+        max(col("ts").cast("date")).as("l"))
+    val d0 = u.agg(max(col("l")).as("dend"))
+    val obs = u.crossJoin(broadcast(d0))
+      .select(datediff(col("l"), col("f")).cast("long").as("dur"),
+        when(col("l") <= date_sub(col("dend"), 7), 1L).otherwise(0L)
+          .as("churned"))
+    val ex = obs.groupBy(col("dur"))
+      .agg(sum(col("churned")).as("d"),
+        sum(lit(1L) - col("churned")).as("c"),
+        count(lit(1)).as("exits"))
+    val nn = obs.agg(count(lit(1)).as("total"))
+    val wPre = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.crossJoin(broadcast(nn))
+      .withColumn("n_risk", col("total")
+        - coalesce(sum(col("exits")).over(wPre), lit(0L)))
+      .select(col("dur"), col("n_risk"), col("d").as("n_churned"),
+        col("c").as("n_censored"))
+      .orderBy(col("dur"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
-      q235, q242, q243, q248, q261, q282, q286, q293, q295, q306, q307)
+      q235, q242, q243, q248, q261, q282, q286, q293, q295, q306, q307,
+      q308)
 }

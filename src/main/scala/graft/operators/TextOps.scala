@@ -1880,8 +1880,59 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------- Good-Turing smoothing
+
+  /** q309 — GOOD–TURING frequency-of-frequencies ledger (Good 1953;
+    * the smoothing table behind Katz backoff and the classic
+    * unseen-mass estimate — the LM-calibration statistic q76's bigram
+    * counts and q250's surprisal filter both presuppose): with N_r =
+    * number of token types occurring exactly r times, the GT adjusted
+    * count is r* = (r+1)·N_{r+1}/N_r and the unseen-probability mass
+    * is N_1/N. Shipped as exact integers per occupied r: N_r, the
+    * numerator (r+1)·N_{r+1} (denominator N_r rides in its own
+    * column — the q234 rational template), and the total-token count
+    * N on every row so the mass estimates need no second artifact.
+    *
+    * Scale shape: token counts are one partial-aggregable explode +
+    * groupBy(token); the frequency-of-frequency table is a second
+    * groupBy over the VOCAB-sized count table; N_{r+1} is a LEAD over
+    * the occupied-r table (frequency-domain-bounded — tiny), made
+    * exact-on-gaps by a join on r+1 rather than positional lead.
+    */
+  val q309 = oracled(
+    "q309_good_turing",
+    "Good-Turing frequency-of-frequencies: N_r ledger with exact r* numerators",
+    """WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM (
+           SELECT unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents) t
+         GROUP BY tok),
+       nn AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM tc),
+       fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+         FROM tc GROUP BY r)
+       SELECT f.r, f.n_r,
+         CAST((f.r + 1) * COALESCE(g.n_r, 0) AS BIGINT) AS rstar_num,
+         f.n_r AS rstar_den, nn.n_tokens
+       FROM fof f LEFT JOIN fof g ON g.r = f.r + 1
+       CROSS JOIN nn
+       ORDER BY f.r""") { (s, dir) =>
+    val tc = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val nn = tc.agg(sum(col("r")).as("n_tokens"))
+    val fof = tc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false)
+    fof.alias("f")
+      .join(fof.alias("g"), col("g.r") === col("f.r") + 1, "left")
+      .crossJoin(broadcast(nn))
+      .select(col("f.r").as("r"), col("f.n_r").as("n_r"),
+        ((col("f.r") + 1) * coalesce(col("g.n_r"), lit(0L)))
+          .as("rstar_num"),
+        col("f.n_r").as("rstar_den"), col("n_tokens"))
+      .orderBy(col("r"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303, q304)
+      q271, q273, q283, q292, q303, q304, q309)
 }
