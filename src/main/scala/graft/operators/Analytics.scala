@@ -2184,9 +2184,59 @@ object Analytics {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  // --------------------------------------------- overdispersion index
+
+  /** q310 — OVERDISPERSION (variance-to-mean ratio) of daily arrival
+    * counts per event type — the Poisson-or-clumped diagnostic that
+    * decides whether q301-style Poissonization or a negative-binomial
+    * model fits the arrival process (VMR = 1 is Poisson; > 1 is
+    * burst/clumping — the q282 autocorrelation's single-number
+    * cousin): with daily counts x over n days, the ratio is shipped
+    * as the exact rational
+    *   VMR = var/mean = (n·Σx² − (Σx)²) / (n·Σx)
+    * (sample-variance-with-1/n convention; the q234/q295 num/den
+    * template). Flag vmr_gt_1 = (num > den) rides along as the
+    * integer verdict.
+    *
+    * Scale shape: one partial-aggregable groupBy(type, day) then one
+    * groupBy(type) over the calendar-bounded series for all moments —
+    * the q295 shape with a second moment. BIGINT-safe while
+    * n·Σx² < 2⁶³ (centuries of daily counts at 10⁹/day).
+    */
+  val q310 = oracled(
+    "q310_overdispersion",
+    "per-type variance-to-mean ratio of daily arrivals as an exact rational + verdict",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       mo AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+         FROM d GROUP BY 1)
+       SELECT event_type, n AS n_days, sx AS n_events,
+         CAST(n * sxx - sx * sx AS BIGINT) AS vmr_num,
+         CAST(n * sx AS BIGINT) AS vmr_den,
+         CAST(CASE WHEN n * sxx - sx * sx > n * sx THEN 1 ELSE 0 END
+           AS BIGINT) AS vmr_gt_1
+       FROM mo ORDER BY event_type""") { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("sx").as("n_events"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vmr_num"),
+        (col("n") * col("sx")).as("vmr_den"),
+        when(col("n") * col("sxx") - col("sx") * col("sx")
+          > col("n") * col("sx"), 1L).otherwise(0L).as("vmr_gt_1"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297, q301, q302)
+      q296, q297, q301, q302, q310)
 }

@@ -1067,7 +1067,117 @@ object Relational {
       .orderBy(col("order_id"))
   }
 
+  // ------------------------------------------------- estimate q-error
+
+  /** q311 — Q-ERROR of the q300 cost model (Moerkotte/Neumann/
+    * Steidl VLDB '09's metric: qerr = max(est, act)/min(est, act) —
+    * THE number the CBO literature judges estimators by): for the
+    * winning left-deep order r→n→c→o, each step's textbook NDV
+    * estimate is replayed next to the ACTUAL join cardinality
+    * (computed by really running the joins — counts, not guesses),
+    * and the q-error ships as the exact rational (max, min) pair.
+    * The chain is FK-clean by construction, so the actuals are the
+    * dimension sizes and the residual error is exactly what the
+    * uniformity/containment assumptions cost — the model audit q300's
+    * ledger invites.
+    *
+    * Scale shape: the three actuals are partial-aggregable join
+    * counts (the same joins the winning plan would run); estimates
+    * are arithmetic on the 1-row stats frame. One generator string
+    * per estimate spliced into BOTH engines (q300's lockstep trick).
+    */
+  val q311 = oracled(
+    "q311_estimate_qerror",
+    "q-error audit of the Selinger estimates vs actual join cardinalities, step by step",
+    {
+      def est(divOp: String): Seq[String] = {
+        val e1 = s"((cr * cn) $divOp GREATEST(ndv_r_rk, ndv_n_rk))"
+        val e2 = s"(($e1 * cc) $divOp GREATEST(ndv_n_nk, ndv_c_nk))"
+        val e3 = s"(($e2 * co) $divOp GREATEST(ndv_c_ck, ndv_o_ck))"
+        Seq(e1, e2, e3)
+      }
+      val es = est("//")
+      s"""WITH stats AS (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS cr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS cn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS cc,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS co,
+           (SELECT CAST(COUNT(DISTINCT r_regionkey) AS BIGINT)
+             FROM region) AS ndv_r_rk,
+           (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+             FROM nation) AS ndv_n_rk,
+           (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+             FROM nation) AS ndv_n_nk,
+           (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+             FROM customer) AS ndv_c_nk,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+             FROM customer) AS ndv_c_ck,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             FROM orders) AS ndv_o_ck),
+         act AS (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region
+             JOIN nation ON n_regionkey = r_regionkey) AS a1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region
+             JOIN nation ON n_regionkey = r_regionkey
+             JOIN customer ON c_nationkey = n_nationkey) AS a2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region
+             JOIN nation ON n_regionkey = r_regionkey
+             JOIN customer ON c_nationkey = n_nationkey
+             JOIN orders ON o_custkey = c_custkey) AS a3),
+         steps AS (
+           SELECT 1 AS step, CAST(${es(0)} AS BIGINT) AS est_rows,
+             act.a1 AS actual_rows FROM stats CROSS JOIN act
+           UNION ALL
+           SELECT 2, CAST(${es(1)} AS BIGINT), act.a2
+           FROM stats CROSS JOIN act
+           UNION ALL
+           SELECT 3, CAST(${es(2)} AS BIGINT), act.a3
+           FROM stats CROSS JOIN act)
+         SELECT CAST(step AS BIGINT) AS step, est_rows, actual_rows,
+           CAST(GREATEST(est_rows, actual_rows) AS BIGINT) AS qerr_num,
+           CAST(LEAST(est_rows, actual_rows) AS BIGINT) AS qerr_den
+         FROM steps ORDER BY step"""
+    }) { (s, dir) =>
+    def est(divOp: String): Seq[String] = {
+      val e1 = s"((cr * cn) $divOp GREATEST(ndv_r_rk, ndv_n_rk))"
+      val e2 = s"(($e1 * cc) $divOp GREATEST(ndv_n_nk, ndv_c_nk))"
+      val e3 = s"(($e2 * co) $divOp GREATEST(ndv_c_ck, ndv_o_ck))"
+      Seq(e1, e2, e3)
+    }
+    val es = est("div")
+    val stats = Tables.region(s, dir)
+      .agg(count(lit(1)).as("cr"),
+        countDistinct(col("r_regionkey")).as("ndv_r_rk"))
+      .crossJoin(Tables.nation(s, dir).agg(count(lit(1)).as("cn"),
+        countDistinct(col("n_regionkey")).as("ndv_n_rk"),
+        countDistinct(col("n_nationkey")).as("ndv_n_nk")))
+      .crossJoin(Tables.customer(s, dir).agg(count(lit(1)).as("cc"),
+        countDistinct(col("c_nationkey")).as("ndv_c_nk"),
+        countDistinct(col("c_custkey")).as("ndv_c_ck")))
+      .crossJoin(Tables.orders(s, dir).agg(count(lit(1)).as("co"),
+        countDistinct(col("o_custkey")).as("ndv_o_ck")))
+    val rn = Tables.region(s, dir).join(Tables.nation(s, dir),
+      col("n_regionkey") === col("r_regionkey"))
+    val rnc = rn.join(Tables.customer(s, dir),
+      col("c_nationkey") === col("n_nationkey"))
+    val rnco = rnc.join(Tables.orders(s, dir),
+      col("o_custkey") === col("c_custkey"))
+    val act = rn.agg(count(lit(1)).as("a1"))
+      .crossJoin(rnc.agg(count(lit(1)).as("a2")))
+      .crossJoin(rnco.agg(count(lit(1)).as("a3")))
+    val base = stats.crossJoin(act)
+    val steps = Seq((1, es(0), "a1"), (2, es(1), "a2"), (3, es(2), "a3"))
+      .map { case (k, e, a) =>
+        base.selectExpr(s"CAST($k AS BIGINT) AS step",
+          s"CAST($e AS BIGINT) AS est_rows", s"$a AS actual_rows")
+      }.reduce(_ union _)
+    steps.select(col("step"), col("est_rows"), col("actual_rows"),
+        greatest(col("est_rows"), col("actual_rows")).as("qerr_num"),
+        least(col("est_rows"), col("actual_rows")).as("qerr_den"))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266,
-    q274, q287, q300)
+    q274, q287, q300, q311)
 }
