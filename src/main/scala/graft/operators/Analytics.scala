@@ -2234,9 +2234,68 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------- gains / lift table
+
+  /** q312 — CUMULATIVE GAINS (lift) TABLE (the decile model-eval
+    * staple next to q186's AUC and q187's calibration: if we contact
+    * the top-k% of users by score, what fraction of all converters do
+    * we reach?): score = the user's non-purchase activity count (the
+    * naive propensity every baseline uses), outcome = has ≥ 1
+    * purchase; users are cut into score deciles by NTILE(10) under
+    * the (score DESC, user_id) total order (the q302 determinism
+    * discipline) and the ledger carries per-decile users, positives,
+    * and the running positive total — lift and capture rate are the
+    * consumer's divisions of exact integers.
+    *
+    * Scale shape: one groupBy(user) builds the score/outcome table;
+    * NTILE is a window over USERS (the q302-documented ExactQuantile
+    * cutpoint substitution applies past single-task user counts); the
+    * cumulative runs over the 10-row decile table.
+    */
+  val q312 = oracled(
+    "q312_gains_table",
+    "decile cumulative-gains ledger: activity-score deciles vs purchase outcome",
+    """WITH u AS (SELECT user_id,
+           CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+             END) AS BIGINT) AS score,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END) AS BIGINT) AS pos
+         FROM events GROUP BY user_id),
+       d AS (SELECT user_id, score, pos,
+           CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+             AS BIGINT) AS decile
+         FROM u),
+       g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+         FROM d GROUP BY decile)
+       SELECT decile, n_users, n_pos, sum_score,
+         CAST(SUM(n_pos) OVER (ORDER BY decile
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+       FROM g ORDER BY decile""") { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pos"))
+    val d = u.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("user_id")))
+        .cast("long"))
+    val g = d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("sum_score"))
+    g.withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        col("sum_score"), col("cum_pos"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297, q301, q302, q310)
+      q296, q297, q301, q302, q310, q312)
 }
