@@ -169,11 +169,17 @@ object Analytics {
   }
 
   /** q70 — edit-distance near-dup: Levenshtein distance ≤ 8 between
-    * 40-char document prefixes, blocked on (lang, source) so the
-    * quadratic comparison only ever runs inside bounded blocks (the
-    * standard blocking discipline for fuzzy dedup at scale — the
-    * cross product never appears; block sizes are data-bounded and the
-    * pair generation is a plain equi-join shuffle).
+    * 40-char document prefixes within (lang, source) blocks, computed
+    * by SEGMENT-PIGEONHOLE candidate generation + banded-DP verify
+    * ([[graft.operators.Dedup.passJoinEditPairs]], which carries the
+    * completeness proof). The previous plan was an all-pairs join
+    * inside the blocks — but the fixture's block COUNT is fixed, so
+    * block sizes are corpus-proportional and the pair join grew as
+    * corpus² (the suite's slowest sf1 query at 90 s); the PassJoin
+    * candidate equi-join replaces it with bounded per-doc fan-out and
+    * co-occurrence-mass shuffle, while the brute-force oracle still
+    * hash-matches exactly (generation is provably complete,
+    * verification exact).
     */
   val q70 = oracled(
     "q70_edit_distance_near_dup",
@@ -187,19 +193,10 @@ object Analytics {
          ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
        WHERE levenshtein(x.pfx, y.pfx) <= 8
        ORDER BY doc_a, doc_b""") { (s, dir) =>
-    val p = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        substring(col("text"), 1, 40).as("pfx"))
-    val x = p.alias("x")
-    val y = p.alias("y")
-    x.join(y, col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        // banded DP: the threshold variant computes O(n·k) cells and
-        // returns -1 past the bound instead of the full O(n·m) distance
-        // (exact value whenever <= 8, which is all the query keeps)
-        levenshtein(col("x.pfx"), col("y.pfx"), 8).cast("long").as("dist"))
-      .filter(col("dist").between(0, 8))
+    Dedup.passJoinEditPairs(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            substring(col("text"), 1, 40).as("pfx")), 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

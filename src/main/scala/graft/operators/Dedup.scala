@@ -149,9 +149,16 @@ object Dedup {
   private def labeledSignatures(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.Memo.sync(labeledCache, graft.Memo.key(s, dir))( {
-      import org.apache.spark.sql.expressions.Window
-      minhashSignatures(tokenized(s, dir))
-        .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+      val sigs = minhashSignatures(tokenized(s, dir))
+      // group-rep labeling as groupBy + equi-join, NOT min().over(
+      // partitionBy(mh)): the signature domain is LOW-cardinality by
+      // design (35 distinct per 5000 docs at sf0.1 — dup clusters share
+      // a signature), so a window partitioned on it is one task per
+      // signature group at scale (the round-6 rule). The groupBy side is
+      // sigs-sized (AQE broadcasts it at any realistic scale) and the
+      // join back is a plain balanced key shuffle on the doc side.
+      sigs.join(sigs.groupBy(col("mh")).agg(min(col("doc_id")).as("gid")),
+          Seq("mh"))
         .localCheckpoint()
     })
 
@@ -791,6 +798,108 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------- PassJoin edit-distance join
+
+  /** Segment-pigeonhole edit-distance similarity join (the PassJoin
+    * family, Li/Deng/Feng ICDE 2011) at threshold `k` over a keyed
+    * frame (doc_id, lang, source, pfx): candidate generation is a
+    * BOUNDED equi-join, then every candidate verifies with the banded
+    * `levenshtein(_, _, k)` DP — no all-pairs product anywhere, which
+    * is what retires q70's blocked quadratic (block sizes in that plan
+    * were corpus-proportional, so the pair join grew as corpus² even
+    * "inside blocks").
+    *
+    * COMPLETENESS is the pigeonhole theorem (the q47 SimHash-chunk
+    * proof pattern, extended to indels):
+    *
+    *   1. Index role: each string s of length L is split into k+1
+    *      contiguous segments under the even scheme start_i =
+    *      ⌊i·L/(k+1)⌋. An optimal alignment with ed(r, s) ≤ k has ≤ k
+    *      edit ops; each op touches at most ONE segment of s (a
+    *      substitution/deletion consumes one char of exactly one
+    *      segment; an insertion strictly inside one segment's span
+    *      touches that segment, at a boundary touches none). k+1
+    *      segments, ≤ k touched ⟹ some segment i is UNTOUCHED and its
+    *      characters appear contiguous and unchanged in r.
+    *   2. Probe role: that copy starts at start_i + shift where shift =
+    *      (#ins − #del) strictly before the segment, so |shift| ≤ k;
+    *      and since total ins−del over the string is Δ = |r| − |s|,
+    *      the ops at/after the segment give |Δ − shift| ≤ k too. So
+    *      probing the substrings of r of length m_i that start in
+    *      [start_i − k, start_i + k] ∩ [start_i + Δ − k, start_i + Δ + k]
+    *      (clamped to r) for every indexed length l ∈ [|r|−k, |r|+k]
+    *      and every segment id i is COMPLETE. Zero-length segments
+    *      (L < k+1) are trivially untouched and match the empty
+    *      substring, so short keys stay covered.
+    *
+    * Both roles run over the same corpus (self-join), so every
+    * qualifying pair is generated in at least one orientation;
+    * candidates canonicalize (least, greatest) + distinct and verify
+    * EXACTLY, so no false positive survives — the DuckDB brute-force
+    * oracle hash-matches by construction, not probabilistically.
+    *
+    * Scale shape: the probe explode is a bounded fan-out — ≤ (2k+1)
+    * lengths × (k+1) segments × ≤ (2k+1) offsets per doc, a constant —
+    * and the lens dimension is ≤ |pfx-domain| rows per (lang, source)
+    * (broadcast). Candidate mass is Σ_key |idx posting|·|probe posting|
+    * over (lang, source, l, i, segment) keys — co-occurrence mass, not
+    * block², the same contract as q48's inverted index. Verification is
+    * O(len·k) banded DP per surviving candidate.
+    */
+  private[graft] def passJoinEditPairs(p0: DataFrame, k: Int): DataFrame = {
+    val nSeg = k + 1
+    def segStart(i: Column, l: Column): Column =
+      floor(i * l / nSeg).cast("int")
+    val p = p0.withColumn("len", length(col("pfx")))
+      .localCheckpoint() // scanned by index, probe, and both verify joins
+    // index role: the k+1 segments of each key under its own scheme
+    val idx = p.select(col("doc_id"), col("lang"), col("source"),
+      col("len").as("l"),
+      posexplode(transform(sequence(lit(0), lit(k)), i => {
+        val st = segStart(i, col("len"))
+        col("pfx").substr(st + 1, segStart(i + 1, col("len")) - st)
+      })).as(Seq("i", "sub")))
+    // probe role: for every indexed length PRESENT in the block within
+    // ±k of mine, the substrings some segment could have landed on
+    val lens = p.groupBy(col("lang"), col("source"))
+      .agg(collect_set(col("len")).as("ls"))
+    val emptyCand = array().cast("array<struct<i:int,sub:string>>")
+    val cands = flatten(transform(sequence(lit(0), lit(k)), i => {
+      val st = segStart(i, col("l"))
+      val m = segStart(i + 1, col("l")) - st
+      val delta = col("len") - col("l")
+      val lo = greatest(lit(0), st - k, st + delta - k)
+      val hi = least(col("len") - m, st + lit(k), st + delta + lit(k))
+      when(hi >= lo, transform(sequence(lo, hi), pos =>
+          struct(i.cast("int").as("i"),
+            col("pfx").substr(pos + 1, m).as("sub"))))
+        .otherwise(emptyCand)
+    }))
+    val probe = p.join(broadcast(lens), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len"), col("pfx"),
+        explode(filter(col("ls"), l => abs(l - col("len")) <= k)).as("l"))
+      .select(col("doc_id"), col("lang"), col("source"), col("l"),
+        explode(array_distinct(cands)).as("c"))
+      .select(col("doc_id"), col("lang"), col("source"), col("l"),
+        col("c.i").as("i"), col("c.sub").as("sub"))
+    val cand = probe.alias("x").join(idx.alias("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.l") === col("y.l") && col("x.i") === col("y.i")
+          && col("x.sub") === col("y.sub")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    // exact verify: banded DP (O(len·k) cells, -1 past the bound) —
+    // identical kept rows/values to the unbounded form the oracle runs
+    cand
+      .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b"), k).cast("long").as("dist"))
+      .filter(col("dist").between(0, k))
+  }
+
   /** q157 window span: each record pairs with the next (Span - 1)
     * records in blocking-key order.
     */
@@ -1293,9 +1402,13 @@ object Dedup {
       .join(broadcast(touched), Seq("cluster"), "left_semi")
       .filter(col("doc_id") % 17 =!= 3)
       .select(col("doc_id"))
-    val subLabeled = labeled.drop("gid")
+    val subBase = labeled.drop("gid")
       .join(subset, Seq("doc_id"), "left_semi")
-      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+    // same groupBy+join rep labeling as labeledSignatures (round-6 rule:
+    // no aggregate window over the low-cardinality signature key)
+    val subLabeled = subBase
+      .join(subBase.groupBy(col("mh")).agg(min(col("doc_id")).as("gid")),
+        Seq("mh"))
     untouched
       .unionByName(starLabels(subLabeled, subset)
         .select(col("doc_id"), col("cluster")))

@@ -1224,7 +1224,7 @@ object Ingest {
            CAST(l_shipdate AS DATE) AS d FROM lineitem),
        lay AS (
          SELECT 'arrival' AS layout,
-             (ROW_NUMBER() OVER (ORDER BY k1, k2) - 1) // 512 AS seg, d
+             (ROW_NUMBER() OVER (ORDER BY k1, k2, d) - 1) // 512 AS seg, d
            FROM base
          UNION ALL
          SELECT 'sorted',
@@ -1264,7 +1264,14 @@ object Ingest {
       Ordinal.withGlobalOrdinal(base, "rn", order: _*)
         .select(lit(layout).as("layout"),
           expr("(rn - 1) div 512").as("seg"), col("d"))
-    val lay = segs("arrival", col("k1"), col("k2"))
+    // d is the FINAL tiebreak on the arrival layout: the fixture has
+    // duplicate (k1, k2) pairs with differing d (q276 hit the same tie
+    // drift), so (k1, k2) alone is a partial order and a 512-row
+    // boundary splitting a tie group could place differing dates
+    // nondeterministically — violating Ordinal's total-order contract.
+    // Rows still tied under (k1, k2, d) are identical in d and cannot
+    // change any zone map.
+    val lay = segs("arrival", col("k1"), col("k2"), col("d"))
       .union(segs("sorted", col("d"), col("k1"), col("k2")))
     val zm = lay.groupBy(col("layout"), col("seg"))
       .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"),

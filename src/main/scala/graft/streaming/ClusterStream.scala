@@ -71,8 +71,13 @@ object ClusterStream {
     */
   private[graft] def step(labels: DataFrame, hubs: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame) = {
-    val sigs = Dedup.minhashSignatures(Dedup.tokensOf(batch))
-      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("mh"))))
+    val rawSigs = Dedup.minhashSignatures(Dedup.tokensOf(batch))
+    // groupBy+join rep labeling (same shape as Dedup.labeledSignatures:
+    // the signature key is low-cardinality, so an aggregate window over
+    // it would be one task per signature group on a large replay batch)
+    val sigs = rawSigs
+      .join(rawSigs.groupBy(col("mh")).agg(min(col("doc_id")).as("gid")),
+        Seq("mh"))
       .localCheckpoint() // feeds stars, reps, and the relabel below
     val starWithin = sigs.filter(col("doc_id") =!= col("gid"))
       .select(col("doc_id").as("a"), col("gid").as("b"))

@@ -55,7 +55,13 @@ object IndexStream {
     */
   private[graft] def step(stats: DataFrame, seen: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame) = {
+    // dropDuplicates handles a doc_id delivered twice WITHIN one batch
+    // (the anti-join only guards against PREVIOUS batches): without it
+    // the duplicate passes the seen filter twice, double-counting tf
+    // and inserting a duplicate seen row — permanently, since both
+    // stores are additive
     val fresh = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
       .join(seen, Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds the delta and the seen update
     val delta = fresh
@@ -85,10 +91,17 @@ object IndexStream {
       .start()
 
   private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists()) s.read.parquet(dir)
+      schema: StructType): DataFrame = {
+    // existence via the session's Hadoop FileSystem, not java.io.File:
+    // state dirs live on HDFS/S3 in the deployment this models, where a
+    // driver-local check would silently treat committed state as empty
+    // and re-sum from zero
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(dir)
     else s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private[graft] def processBatch(batch: DataFrame, statsDir: String,
       seenDir: String): Unit = {

@@ -330,4 +330,96 @@ class DedupEquivalenceSpec extends AnyFunSuite {
       if (close) assert(shared, s"missed pair: $a / $b (dist=${lev(a, b)})")
     }
   }
+
+  /** Brute-force within-block Levenshtein join — the executable oracle
+    * for [[Dedup.passJoinEditPairs]] (the plan q70 retired).
+    */
+  private def bruteEdit(p: DataFrame, k: Int): Set[(Long, Long, Long)] =
+    p.alias("x").join(p.alias("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.pfx"), col("y.pfx")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def fastEdit(p: DataFrame, k: Int): Set[(Long, Long, Long)] =
+    Dedup.passJoinEditPairs(p, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("passJoin edit-distance pairs == brute force on an adversarial corpus") {
+    // 40-char base, the q70 shape; edits placed to stress every leg of
+    // the pigeonhole proof: clustered in one segment, spread across 8
+    // of 9 segments, pure deletions/insertions (max shift), length gaps
+    // at exactly k and k+1, short keys with empty segments, identical
+    // texts, cross-block twins
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    val rows = Seq(
+      (1L, "en", "web", base),
+      (2L, "en", "web", base), // identical (dist 0)
+      (3L, "en", "web", "ZZZZZZZZ" + base.drop(8)), // 8 subs, clustered
+      (4L, "en", "web", "ZZZZZZZZZ" + base.drop(9)), // 9 subs — excluded
+      // 8 subs spread over positions 0,5,10,...,35 (8 distinct segments)
+      (5L, "en", "web", base.zipWithIndex.map { case (c, i) =>
+        if (i % 5 == 0 && i < 40) 'Z' else c }.mkString),
+      (6L, "en", "web", base.drop(8)), // 8 deletions (len 32)
+      (7L, "en", "web", base.drop(9)), // 9 deletions — excluded vs 1, dist 1 vs 6
+      (8L, "en", "web", base.take(20) + "12345678" + base.drop(20)), // 8 inserts
+      (9L, "en", "web", "INTERIOR" + base.take(32)), // shifted content
+      // short keys: segments of length 0 must still pair
+      (10L, "en", "web", "abc"),
+      (11L, "en", "web", "abd"),
+      (12L, "en", "web", ""),
+      (13L, "en", "web", "zzzzzzzzzz"), // dist 10 to 10/11 — excluded at k=8
+      // identical text, DIFFERENT block: must never pair
+      (14L, "fr", "web", base),
+      (15L, "en", "cc", base))
+    val p = spark.createDataFrame(rows).toDF("doc_id", "lang", "source", "pfx")
+    for (k <- Seq(1, 2, 8)) {
+      val want = bruteEdit(p, k)
+      val got = fastEdit(p, k)
+      assert(got === want, s"k=$k: ${(got diff want).take(5)} extra, ${
+        (want diff got).take(5)} missing")
+    }
+    // sanity: the corpus exercises what it claims to
+    val all = bruteEdit(p, 8)
+    assert(all.contains((1L, 2L, 0L)), "identical pair missing")
+    assert(all.contains((1L, 3L, 8L)), "clustered-subs pair missing")
+    assert(all.contains((1L, 6L, 8L)), "deletion pair missing")
+    assert(!all.exists { case (a, b, _) => Set(a, b).intersect(Set(14L, 15L)).nonEmpty },
+      "cross-block pair leaked")
+  }
+
+  test("passJoin edit-distance pairs == brute force on random edit scripts (seeded sweep)") {
+    val rnd = new scala.util.Random(70)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def applyEdits(s: String, n: Int): String = {
+      var cur = s
+      for (_ <- 1 to n) {
+        val op = rnd.nextInt(3)
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(i, ('a' + rnd.nextInt(4)).toChar)
+          case 1 if cur.nonEmpty => cur.take(i) + cur.drop(i + 1)
+          case _ => cur.take(i) + ('a' + rnd.nextInt(4)).toChar + cur.drop(i)
+        }
+      }
+      cur
+    }
+    // seeds of varied length (including < k+1, forcing empty segments)
+    // plus descendants at edit radii straddling both thresholds
+    val seeds = Seq(3, 7, 12, 25, 40, 45).map(randStr)
+    val rows = seeds.zipWithIndex.flatMap { case (s, si) =>
+      (0 until 10).map(j =>
+        (si * 100L + j, "en", "web", applyEdits(s, rnd.nextInt(11))))
+    }
+    val p = spark.createDataFrame(rows).toDF("doc_id", "lang", "source", "pfx")
+    for (k <- Seq(2, 8)) {
+      val want = bruteEdit(p, k)
+      val got = fastEdit(p, k)
+      assert(got === want, s"k=$k: ${(got diff want).take(5)} extra, ${
+        (want diff got).take(5)} missing")
+      assert(want.nonEmpty, s"k=$k sweep found no close pairs — corpus too sparse")
+    }
+  }
 }
