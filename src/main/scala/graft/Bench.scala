@@ -120,9 +120,13 @@ object Bench {
     val ms = memoTimes.map { case (k, v) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a failed query records -1.0 in the map; n_failed makes a dead
+    // bench SELF-ANNOUNCING (the r11 incident: 147 silent -1.0s needed
+    // a human reading the map to notice)
+    val nFailed = results.count(_._2 < 0)
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"memos":$ms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"memos":$ms,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a finite stdout tail, which truncates the
     // per-query map once the suite is large (BENCH_r10 held 136 of 255

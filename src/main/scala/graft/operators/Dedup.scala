@@ -626,15 +626,17 @@ object Dedup {
     * asserts the equivalence against an in-Spark brute force on both a
     * fixture dir and an adversarial synthetic corpus.
     *
-    * Scale: shuffle mass is Σ_shingle |posting|² within blocks — the
-    * co-occurrence mass of genuinely-overlapping docs, not the block
-    * pair count (the previous all-pairs form was O(B²) per block: one
-    * "English/web" block at 100 TB made it the suite's scale-killer).
-    * At web scale the standard refinements compose on top without
-    * changing semantics: prefix filtering (join only the first
-    * |A| − ⌈t·|A|⌉ + 1 shingles under a global frequency order — still
-    * complete for threshold t, Bayardo et al., WWW 2007) and a size
-    * ratio filter (J ≤ min/max ⟹ prune |A|/|B| outside [t, 1/t]).
+    * Scale: candidate mass is Σ_shingle |prefix|·|posting| within
+    * blocks — the PREFIX-FILTERED refinement (Bayardo et al., WWW 2007;
+    * join only the first |A| − ⌈t·|A|⌉ + 1 shingles under the global
+    * rarest-first order — still complete for threshold t) plus the
+    * size-ratio prune (J ≤ min/max ⟹ prune |A|/|B| outside [t, 1/t]),
+    * both implemented in [[ngramJaccardPairs]] with the completeness
+    * argument. History: the all-pairs form was O(B²) per block (one
+    * "English/web" block at 100 TB made it the suite's scale-killer,
+    * round 3); the unfiltered inverted index that replaced it was
+    * bounded by posting squares, whose corpus-hot shingles were 64 s
+    * of the r12 sf1 bench — the rarest-first prefix retires those too.
     */
   val q48 = {
     val hashSql = RollingHash.duckSql("b", sfx = "2")
@@ -668,34 +670,72 @@ object Dedup {
     * frame (doc_id, lang, source, toks — see [[tokensOf]]) — q48 has the
     * semantics, equivalence proof and scale notes. Factored out so
     * DedupEquivalenceSpec can drive it on synthetic corpora.
+    *
+    * PREFIX-FILTERED (the refinement q48's scaladoc promised, already
+    * shipped for q132): candidates come from joining each doc's PREFIX
+    * postings — its first |A| − ⌈t·|A|⌉ + 1 shingles under the global
+    * rarest-first (df, h) order — against the FULL postings of the
+    * block. Completeness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·(|A|+|B|)/(1+t) ≥
+    * t·max(|A|,|B|) ≥ t·|A|, so A's intersection misses at most
+    * |A| − ⌈t·|A|⌉ of A's shingles and its prefix under ANY fixed total
+    * order contains ≥ 1 shared shingle — probing both directions covers
+    * both sides. The rarest-first order is what retires the hot-shingle
+    * square: a corpus-hot shingle sorts LAST in every doc, so it sits
+    * in full postings but in almost no prefix, and the join mass
+    * Σ_h |prefix_h|·|posting_h| collapses exactly on the keys where
+    * |posting_h|² was the sf1 bottleneck. The ⌈·⌉ is computed with a
+    * −1e-9 guard so float noise can only LENGTHEN a prefix (longer
+    * stays complete). Candidates then verify EXACTLY with the
+    * codegen'd [[graft.functions.SortedIntersectCount]] on the pair's
+    * sorted shingle arrays (the count-join |A∩B| of the unfiltered
+    * form is no longer available once prefixes prune the index), after
+    * the size-ratio prune (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t, ε-guarded
+    * conservative — prune is speed-only, never semantics).
     */
   private[graft] def ngramJaccardPairs(tokdf: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
     val toks = col("toks")
     val bigrams =
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit("_"), b))
-    val hashed = array_distinct(transform(bigrams, b => RollingHash.rollingHash(b)))
+    val hashed = array_sort(array_distinct(transform(bigrams,
+      b => RollingHash.rollingHash(b))))
     val bg = tokdf
       .select(col("doc_id"), col("lang"), col("source"), hashed.as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // per-doc shingle-set sizes: O(docs) rows, rejoined to candidates on
-    // doc_id (AQE broadcasts at fixture scale; a plain key shuffle at 100 TB)
-    val sz = bg.select(col("doc_id"), col("n_sh"))
+      .localCheckpoint() // shared by postings, prefixes, and the verify
     val posting = bg.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("sh")).as("h"))
-    val x = posting.alias("x")
-    val y = posting.alias("y")
-    val cand = x.join(y,
+      col("n_sh"), explode(col("sh")).as("h"))
+    // global rarest-first order: per-shingle document frequency
+    val sdf = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = posting.join(sdf, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
+    val cand = prefix.alias("x")
+      .join(posting.select(col("doc_id"), col("lang"), col("source"),
+          col("h")).alias("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-          && col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      // count of shared shingles == |A∩B| (each doc's shingles are distinct)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
+          && col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
     cand
-      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(bg.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(bg.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .filter(col("n_a") + 1e-6 >= col("n_b") * threshold
+        && col("n_b") + 1e-6 >= col("n_a") * threshold)
+      .withColumn("inter",
+        sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        when(col("n_a") + col("n_b") - col("inter") > 0,
+          col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -821,16 +861,17 @@ object Dedup {
     *      touches that segment, at a boundary touches none). k+1
     *      segments, ≤ k touched ⟹ some segment i is UNTOUCHED and its
     *      characters appear contiguous and unchanged in r.
-    *   2. Probe role: that copy starts at start_i + shift where shift =
-    *      (#ins − #del) strictly before the segment, so |shift| ≤ k;
-    *      and since total ins−del over the string is Δ = |r| − |s|,
-    *      the ops at/after the segment give |Δ − shift| ≤ k too. So
-    *      probing the substrings of r of length m_i that start in
-    *      [start_i − k, start_i + k] ∩ [start_i + Δ − k, start_i + Δ + k]
-    *      (clamped to r) for every indexed length l ∈ [|r|−k, |r|+k]
-    *      and every segment id i is COMPLETE. Zero-length segments
-    *      (L < k+1) are trivially untouched and match the empty
-    *      substring, so short keys stay covered.
+    *   2. Probe role: that copy starts at start_i + shift. The optimal
+    *      alignment DECOMPOSES around the untouched segment into a
+    *      prefix alignment (length-difference lower bound: cost ≥
+    *      |shift|) and a suffix alignment (cost ≥ |Δ − shift| with
+    *      Δ = |r| − |s|), so |shift| + |Δ − shift| ≤ k — i.e. shift ∈
+    *      [min(0,Δ) − ⌊(k−|Δ|)/2⌋, max(0,Δ) + ⌊(k−|Δ|)/2⌋], a window
+    *      of at most k+1 positions (≈half the naive ±k). Probing those
+    *      substrings of r, for every indexed length l ∈ [|r|−k, |r|+k]
+    *      present in the block and every segment id i, is COMPLETE.
+    *      Zero-length segments (L < k+1) are trivially untouched and
+    *      match the empty substring, so short keys stay covered.
     *
     * Both roles run over the same corpus (self-join), so every
     * qualifying pair is generated in at least one orientation;
@@ -838,13 +879,17 @@ object Dedup {
     * EXACTLY, so no false positive survives — the DuckDB brute-force
     * oracle hash-matches by construction, not probabilistically.
     *
-    * Scale shape: the probe explode is a bounded fan-out — ≤ (2k+1)
-    * lengths × (k+1) segments × ≤ (2k+1) offsets per doc, a constant —
-    * and the lens dimension is ≤ |pfx-domain| rows per (lang, source)
-    * (broadcast). Candidate mass is Σ_key |idx posting|·|probe posting|
-    * over (lang, source, l, i, segment) keys — co-occurrence mass, not
-    * block², the same contract as q48's inverted index. Verification is
-    * O(len·k) banded DP per surviving candidate.
+    * Scale shape: the probe side is a chain of EXPLODES (codegen'd
+    * Generate nodes — the first draft built nested arrays with
+    * transform/flatten HOFs, which are CodegenFallback and ate 22 s of
+    * interpreted eval at the 10× bench) with bounded fan-out — ≤ 2k+1
+    * lengths × (k+1) segments × ≤ k+1 offsets per doc — deduped on
+    * (doc, l, i, sub) before the join. The lens dimension is ≤
+    * |pfx-domain| rows per (lang, source) (broadcast). Candidate mass
+    * is Σ_key |idx posting|·|probe posting| over (lang, source, l, i,
+    * segment) keys — co-occurrence mass, not block², the same contract
+    * as q48's inverted index. Verification is O(len·k) banded DP per
+    * surviving candidate.
     */
   private[graft] def passJoinEditPairs(p0: DataFrame, k: Int): DataFrame = {
     val nSeg = k + 1
@@ -853,6 +898,7 @@ object Dedup {
     val p = p0.withColumn("len", length(col("pfx")))
       .localCheckpoint() // scanned by index, probe, and both verify joins
     // index role: the k+1 segments of each key under its own scheme
+    // (HOF is fine here: one array per doc, not per probe row)
     val idx = p.select(col("doc_id"), col("lang"), col("source"),
       col("len").as("l"),
       posexplode(transform(sequence(lit(0), lit(k)), i => {
@@ -863,25 +909,27 @@ object Dedup {
     // ±k of mine, the substrings some segment could have landed on
     val lens = p.groupBy(col("lang"), col("source"))
       .agg(collect_set(col("len")).as("ls"))
-    val emptyCand = array().cast("array<struct<i:int,sub:string>>")
-    val cands = flatten(transform(sequence(lit(0), lit(k)), i => {
-      val st = segStart(i, col("l"))
-      val m = segStart(i + 1, col("l")) - st
-      val delta = col("len") - col("l")
-      val lo = greatest(lit(0), st - k, st + delta - k)
-      val hi = least(col("len") - m, st + lit(k), st + delta + lit(k))
-      when(hi >= lo, transform(sequence(lo, hi), pos =>
-          struct(i.cast("int").as("i"),
-            col("pfx").substr(pos + 1, m).as("sub"))))
-        .otherwise(emptyCand)
-    }))
+    val st = segStart(col("i"), col("l"))
+    val m = segStart(col("i") + 1, col("l")) - st
+    val delta = col("len") - col("l")
+    val slack = floor((lit(k) - abs(delta)) / 2).cast("int")
+    val lo = greatest(lit(0), st + least(delta, lit(0)) - slack)
+    val hi = least(col("len") - m, st + greatest(delta, lit(0)) + slack)
     val probe = p.join(broadcast(lens), Seq("lang", "source"))
-      .select(col("doc_id"), col("lang"), col("source"), col("len"), col("pfx"),
-        explode(filter(col("ls"), l => abs(l - col("len")) <= k)).as("l"))
-      .select(col("doc_id"), col("lang"), col("source"), col("l"),
-        explode(array_distinct(cands)).as("c"))
-      .select(col("doc_id"), col("lang"), col("source"), col("l"),
-        col("c.i").as("i"), col("c.sub").as("sub"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len"),
+        col("pfx"), explode(col("ls")).as("l"))
+      .where(abs(col("l") - col("len")) <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("len"),
+        col("pfx"), col("l"), explode(sequence(lit(0), lit(k))).as("i"))
+      .select(col("doc_id"), col("lang"), col("source"), col("l"), col("i"),
+        col("pfx"), m.as("m"), lo.as("lo"), hi.as("hi"))
+      .where(col("hi") >= col("lo"))
+      .select(col("doc_id"), col("lang"), col("source"), col("l"), col("i"),
+        col("pfx"), col("m"),
+        explode(sequence(col("lo"), col("hi"))).as("pos"))
+      .select(col("doc_id"), col("lang"), col("source"), col("l"), col("i"),
+        col("pfx").substr(col("pos") + 1, col("m")).as("sub"))
+      .dropDuplicates("doc_id", "lang", "source", "l", "i", "sub")
     val cand = probe.alias("x").join(idx.alias("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
           && col("x.l") === col("y.l") && col("x.i") === col("y.i")

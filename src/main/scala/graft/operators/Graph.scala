@@ -702,6 +702,95 @@ object Graph {
       .orderBy(col("user_id"))
   }
 
+  /** q313 — PER-SEED personalized PageRank (the full restart-vector
+    * MATRIX): for each of 8 seeds, its OWN random-walk-with-restart
+    * score over every reached node — the (seed, node) relevance table
+    * that related-item / people-you-may-know features actually serve
+    * from, where q171 collapses all seeds into one restart
+    * distribution. State is keyed (seed, node) and kept SPARSE: only
+    * reached rows exist (unreached nodes simply have no row — their
+    * absence is the signal), so per-seed state is O(|ball|), not O(n),
+    * and the whole walk is `seeds` independent sparse walks sharing one
+    * scan of the pre-partitioned edge memo per round. The recurrence is
+    * q152's exact BIGINT fixed-point with restart support {seed}:
+    * init = Scale at (seed, seed); per round
+    * rnk' = (seed==node ? 15·Scale/100 : 0) + 85·(Σ_{u→v} rnk(u) div
+    * deg(u)) div 100, assembled as UNION ALL + re-aggregate so the
+    * engine-side relation algebra is identical to the oracle's CTE, and
+    * zero rows are pruned each round ON BOTH SIDES (a zero row
+    * contributes zero inflow and its own next value never reads prior
+    * presence — receiving inflow is sender-driven — so the prune is
+    * value-neutral and keeps the frontier sparse). 4 rounds, lazy
+    * checkpoints, one materialization. Scale shape: each round shuffles
+    * only the sparse (seed, node, rnk) state against the static edge
+    * layout — the Pregel discipline with a bounded seed-multiplier.
+    */
+  val q313 = oracled(
+    "q313_per_seed_ppr",
+    "per-seed personalized PageRank matrix (8 seeds x reached nodes, exact fixed-point)",
+    {
+      def step(k: Int): String =
+        s"""fl$k AS (
+             SELECT p.seed, d.dst AS node,
+               CAST(SUM(p.rnk // o.deg) AS BIGINT) AS inflow
+             FROM ps${k - 1} p
+             JOIN d ON d.src = p.node
+             JOIN outd o ON o.src = p.node
+             GROUP BY 1, 2),
+           ps$k AS (
+             SELECT seed, node, CAST(SUM(v) AS BIGINT) AS rnk FROM (
+               SELECT seed, seed AS node, (15 * ${Scale}) // 100 AS v
+                 FROM seedset
+               UNION ALL
+               SELECT seed, node, (85 * inflow) // 100 FROM fl$k) t
+             GROUP BY 1, 2 HAVING SUM(v) > 0)"""
+      s"""WITH $edgesCte,
+         outd AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
+         seedset AS (SELECT user_id AS seed FROM nodes
+           ORDER BY user_id LIMIT 8),
+         ps0 AS (SELECT seed, seed AS node, ${Scale} AS rnk FROM seedset),
+         ${(1 to Iterations).map(step).mkString(",\n")}
+         SELECT seed, node AS user_id, rnk AS ppr
+         FROM ps$Iterations ORDER BY seed, user_id"""
+    }) { (s, dir) =>
+    val (edges, nodes) = coRatingGraph(s, dir)
+    perSeedPpr(edges, nodes.orderBy(col("user_id")).limit(8)
+        .select(col("user_id").as("seed")), Iterations)
+      .select(col("seed"), col("node").as("user_id"), col("rnk").as("ppr"))
+      .orderBy(col("seed"), col("user_id"))
+  }
+
+  /** Per-seed sparse restart walk over a directed edge list carrying
+    * `deg` (src out-degree) — see [[q313]] for the recurrence and the
+    * zero-prune argument. Output: (seed, node, rnk), only rnk > 0 rows.
+    * Exercised on hand-checked graphs by GraphSpec.
+    */
+  private[graft] def perSeedPpr(edges: DataFrame, seeds: DataFrame,
+      iterations: Int): DataFrame = {
+    val withDeg =
+      if (edges.columns.contains("deg")) edges
+      else edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint()
+    val sd = seeds.localCheckpoint(false)
+    val base = sd.select(col("seed"), col("seed").as("node"),
+      lit(15L * Scale / 100L).as("v"))
+    var st = sd.select(col("seed"), col("seed").as("node"),
+      lit(Scale).as("rnk")).localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val fl = withDeg.join(st, col("src") === col("node"))
+        .select(col("seed"), col("dst"), expr("rnk div deg").as("c"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(expr("85 * sum(c) div 100").as("v"))
+        .select(col("seed"), col("dst").as("node"), col("v"))
+      st = base.unionByName(fl)
+        .groupBy(col("seed"), col("node")).agg(sum(col("v")).as("rnk"))
+        .filter(col("rnk") > 0)
+        .localCheckpoint(false)
+    }
+    st
+  }
+
   /** k-core threshold and peel-round cap for q172. The peel is MONOTONE
     * (the alive set only shrinks; once stable, further rounds are
     * no-ops), so running a FIXED number of rounds is both deterministic
@@ -2029,5 +2118,6 @@ object Graph {
   }
 
   val all: Seq[GQuery] = Seq(q152, q154, q162, q166, q170, q171, q172, q173,
-    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263, q281, q285)
+    q180, q188, q200, q211, q221, q239, q246, q251, q252, q263, q281, q285,
+    q313)
 }

@@ -28,13 +28,34 @@ object Similarity {
         / (sqrt(${duckDot(s"$x.embedding", s"$x.embedding")})
          * sqrt(${duckDot(s"$y.embedding", s"$y.embedding")})))"""
 
+  /** Vector-count gate on q49's EXACT all-pairs track (the q211
+    * precedent): the O(n²) self-join exists to be q51's recall oracle
+    * and MUST keep running at oracle scales, but ungated it was the
+    * bench's second-slowest query (80 s at the 10× fixture) measuring
+    * the gate artifact, not the engine. Above the threshold q49 runs
+    * the sign-LSH BUCKETED near-dup (q51's candidate scheme at the
+    * same 0.45 threshold — exact cosine on same-bucket pairs) and
+    * prepends an explicit (-1, -1, NULL) marker row so the semantics
+    * change is never silent. Default 5000 covers every oracle fixture
+    * (2000 vectors at sf0.1) and gates the 20000-vector bench fixture.
+    * Surfaced via -Dgraft.cosine.exactMaxVecs /
+    * GRAFT_COSINE_EXACT_MAX_VECS (the sf1 driver-oracle spot-sweep
+    * raises it to keep the exact compare).
+    */
+  private[graft] val CosineExactMaxVecs: Long =
+    sys.props.get("graft.cosine.exactMaxVecs")
+      .orElse(sys.env.get("GRAFT_COSINE_EXACT_MAX_VECS"))
+      .map(_.toLong).getOrElse(5000L)
+
   /** q49 — embedding-cosine near-duplicate pairs (threshold 0.45). The
-    * fixture is small enough for the all-pairs join; the 100 TB path is
-    * q51's LSH bucketing (this query is its recall oracle).
+    * EXACT all-pairs track runs at-or-below [[CosineExactMaxVecs]]
+    * vectors, where it is q51's recall oracle; above the gate the
+    * bucketed scale path runs instead with a marker row (gate scaladoc
+    * has the contract). The 100 TB path is always the bucketing.
     */
   val q49 = oracled(
     "q49_cosine_near_dup",
-    "all-pairs cosine >= 0.45 near-duplicate detection",
+    "all-pairs cosine >= 0.45 near-duplicate detection (exact track size-gated; LSH-bucketed above)",
     s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          ${duckCos("x", "y")} AS cos_sim
        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
@@ -45,14 +66,33 @@ object Similarity {
     // Values are bit-identical to the per-pair oracle formula.
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    val x = e.alias("x")
-    val y = e.alias("y")
-    x.join(y, col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dotF(col("x.embedding"), col("y.embedding"))
-          / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.45)
-      .orderBy(col("vec_a"), col("vec_b"))
+    val nVecs = e.count()
+    if (nVecs > CosineExactMaxVecs) {
+      System.err.println(s"[graft] q49($dir): $nVecs vectors > " +
+        s"exactMaxVecs=$CosineExactMaxVecs — LSH-bucketed candidates " +
+        "only (exact all-pairs recall oracle runs at oracle scales)")
+      val b = e.withColumn("bucket", bucketCol).localCheckpoint()
+      val marker = s.range(1).select(lit(-1L).as("vec_a"),
+        lit(-1L).as("vec_b"), lit(null).cast("double").as("cos_sim"))
+      marker.unionByName(
+          b.alias("x").join(b.alias("y"),
+            col("x.bucket") === col("y.bucket")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            (dotF(col("x.embedding"), col("y.embedding"))
+              / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.45))
+        .orderBy(col("vec_a"), col("vec_b"))
+    } else {
+      val x = e.alias("x")
+      val y = e.alias("y")
+      x.join(y, col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          (dotF(col("x.embedding"), col("y.embedding"))
+            / (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.45)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
   }
 
   /** Embeddings with the L2 norm precomputed once per vector. */
@@ -108,6 +148,15 @@ object Similarity {
   private def plane(j: Int): Column =
     typedLit(Seq.tabulate(64)(d => ((j * 53 + (d + 1) * 67) % 19) / 19.0 - 0.45))
 
+  /** 8-plane sign-LSH bucket id over `embedding` — q51's candidate
+    * scheme, shared by q49's gated scale path: bit j = sign of the dot
+    * against deterministic [[plane]] j, 8 codegen'd dots per vector.
+    */
+  private def bucketCol: Column =
+    (0 until 8).map { j =>
+      when(dotF(col("embedding"), plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** DuckDB fragment: sign bit of the dot against deterministic plane j,
     * weighted 2^j — the exact SQL twin of [[plane]] + the bucket fold in
     * q51 (same integer plane formula, same double math, same ascending
@@ -144,11 +193,7 @@ object Similarity {
        WHERE rn <= 5
        ORDER BY query_id, rn""") { (s, dir) =>
     val e = withNorm(Tables.embeddings(s, dir))
-    // bucket bit j = sign(dot(embedding, plane_j)) — 8 codegen'd dots
-    val bucket = (0 until 8).map { j =>
-      when(dotF(col("embedding"), plane(j)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val b = e.withColumn("bucket", bucket)
+    val b = e.withColumn("bucket", bucketCol)
     topK(cosineScored(b.filter(col("vec_id") < 10), b,
       col("x.bucket") === col("y.bucket")), 5)
   }

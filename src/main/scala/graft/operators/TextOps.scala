@@ -949,6 +949,14 @@ object TextOps {
         expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
           s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
           .as("wi"))
+      // EXACT hot-token prune: the div-1024 quantization sends common
+      // tokens (df → N ⟹ log gap → 0) to wi = 0, and a zero weight
+      // contributes 0 to every dot and every norm — dropping those rows
+      // changes NO value (pairs whose every shared token is zero-weight
+      // had dot = 0, already excluded by the dot > 0 filter) while
+      // removing precisely the corpus-hot postings whose squares were
+      // the join's sf1 bottleneck. The oracle keeps the unfiltered form.
+      .filter(col("wi") =!= 0L)
     val nrm = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
     val a = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("tok"), col("wi").as("wa"))

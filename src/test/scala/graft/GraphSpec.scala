@@ -117,6 +117,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum <= Scale)
   }
 
+  test("perSeedPpr == one single-seed referencePpr per seed; sparse rows only") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 5), (7, 5), (3, 8))
+    val nodes = (1L to 9L)
+    val seeds = Seq(1L, 4L, 9L) // 9 is isolated: its walk stays at home
+    val got = operators.Graph.perSeedPpr(edges.toDF("src", "dst"),
+        seeds.toDF("seed"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each seed's column of the matrix must equal the SINGLE-seed serial
+    // recurrence restricted to its nonzero rows
+    for (sd <- seeds) {
+      val want = referencePpr(edges, nodes, Set(sd), 4).filter(_._2 > 0)
+      val gotSeed = got.collect { case ((s, v), r) if s == sd => v -> r }
+      assert(gotSeed == want, s"seed $sd")
+    }
+    // sparsity: no zero rows materialize, and the isolated seed's walk
+    // is exactly its own restart mass
+    assert(got.values.forall(_ > 0))
+    assert(got.keys.count { case (s, _) => s == 9L } == 1)
+  }
+
   test("personalized pageRank with seeds = all nodes IS global pageRank") {
     import spark.implicits._
     val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (1, 3)).toDF("src", "dst")
