@@ -1612,9 +1612,10 @@ object Temporal {
       .orderBy(col("day"))
   }
 
-  val q261 = oracled(
-    "q261_seasonal_decomposition",
-    "integer STL-lite: centered-MA trend, per-weekday seasonal, rational remainder over daily revenue",
+  /** The q261 decomposition oracle — shared verbatim by q314's
+    * incremental-replay twin (same final series ⟹ same decomposition).
+    */
+  private val stlSql =
     """WITH daily AS (
          SELECT CAST(ts AS DATE) AS day,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
@@ -1634,10 +1635,49 @@ object Temporal {
          CAST(dt.detr_x7 * seas.s_den - seas.s_num AS BIGINT) AS rem_x7_num,
          seas.s_den AS rem_den
        FROM dt LEFT JOIN seas ON seas.wd = dt.wd
-       ORDER BY dt.day""") { (s, dir) =>
+       ORDER BY dt.day"""
+
+  val q261 = oracled(
+    "q261_seasonal_decomposition",
+    "integer STL-lite: centered-MA trend, per-weekday seasonal, rational remainder over daily revenue",
+    stlSql) { (s, dir) =>
     stlDecompose(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("v_cents")))
+  }
+
+  /** q314 — STREAMING twin of q261 (VERDICT r11 #10 / r12 #10): the
+    * daily-revenue series is maintained INCREMENTALLY by
+    * [[graft.streaming.SeasonalStream.step]] — four time-ordered
+    * micro-batches folded through the pure (daily, wm, batch) →
+    * (daily', wm') step, each batch costing batch-sized work against
+    * calendar-bounded state — and the decomposition view over the
+    * maintained series must EQUAL q261's from-scratch run (the oracle
+    * is q261's SQL verbatim). Batch k = events in the k-th quarter of
+    * the [min ts, max ts] span (a pure function of ts, so same-ts rows
+    * never split and the (ts, event_id) ordering contract holds across
+    * batches); the middle batch is delivered TWICE to exercise the
+    * high-water-mark fixpoint in the gated path, not just in the spec.
+    */
+  val q314 = oracled(
+    "q314_seasonal_stream_replay",
+    "4-batch incremental daily-series fold (with a duplicate delivery) + decomposition == from-scratch q261",
+    stlSql) { (s, dir) =>
+    import graft.streaming.SeasonalStream
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val span = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+    val staged = ev.crossJoin(broadcast(span))
+      .withColumn("bk", least(lit(3L),
+        expr("(unix_micros(ts) - mn) * 4 div (mx - mn + 1)")))
+      .localCheckpoint() // four filtered scans below, one materialization
+    var st = (SeasonalStream.emptyDaily(s), SeasonalStream.emptyWm(s))
+    for (k <- Seq(0, 1, 2, 2, 3)) // batch 2 redelivered: replay fixpoint
+      st = SeasonalStream.step(st._1, st._2,
+        staged.filter(col("bk") === k)
+          .select(col("event_id"), col("ts"), col("value")))
+    stlDecompose(st._1)
   }
 
   // --------------------------------------------------- autocorrelation
@@ -2200,5 +2240,5 @@ object Temporal {
     Seq(q56, q57, q58, q87, q115, q117, q126, q128, q133, q153, q159, q161,
       q163, q178, q179, q196, q218, q219, q220, q226, q227, q233, q234,
       q235, q242, q243, q248, q261, q282, q286, q293, q295, q306, q307,
-      q308)
+      q308, q314)
 }

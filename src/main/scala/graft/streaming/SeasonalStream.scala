@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, DateType, TimestampType, StructType}
+
+/** STREAMING daily-revenue maintenance — the incremental twin of batch
+  * q261's seasonal decomposition input: the (day, v_cents) daily series
+  * is a maintained ARTIFACT updated with batch-sized work, and the
+  * STL-lite decomposition (trend/seasonal/remainder) is a VIEW over it
+  * that any consumer recomputes in calendar-bounded time (the series is
+  * 365 rows/year at any corpus scale — re-deriving the decomposition
+  * from the maintained series is never the expensive part; folding the
+  * corpus into the series is, and that is what this stream
+  * incrementalizes).
+  *
+  * Per micro-batch ([[step]] — a PURE (daily, wm, batch) →
+  * (daily', wm') function shared verbatim by the batch replay query
+  * q314, so stream == batch is equality of the same fold):
+  *
+  *   1. DEDUPE delivery by HIGH-WATER MARK: the additive day-sum state
+  *      cannot absorb a redelivered row (IndexStream's problem), but
+  *      unlike doc-ids the event stream HAS a total order — (ts,
+  *      event_id) — and arrives monotonically under the TwaStream
+  *      ordering contract (any replayable time-ordered log). So the
+  *      seen-set degenerates to ONE (ts, event_id) pair: rows at or
+  *      below the mark are redelivery and contribute zero delta,
+  *      making the step a fixpoint under at-least-once replay with
+  *      O(1) dedup state instead of an O(events) seen store.
+  *   2. Reduce fresh rows to the per-day cents delta (one partial-agg
+  *      groupBy of batch-sized input; cents = FLOOR(value·100) exactly
+  *      as q261's oracle).
+  *   3. MERGE: union old series with the delta and re-aggregate by day
+  *      — SUM composes, so after any prefix of batches the series
+  *      EQUALS the from-scratch daily aggregation over arrived events
+  *      (SeasonalStreamSpec asserts it, plus restart and replay).
+  *
+  * State: `dailyDir` (day, v_cents) and `wmDir` (wm_ts, wm_id) as
+  * parquet, rewritten per batch via localCheckpoint-then-overwrite —
+  * the daily store is calendar-bounded, the watermark store is one
+  * row; the two-store-write non-transactionality caveat is
+  * ClusterStream's, verbatim.
+  */
+object SeasonalStream {
+
+  private val dailySchema = new StructType()
+    .add("day", DateType).add("v_cents", LongType)
+  private val wmSchema = new StructType()
+    .add("wm_ts", TimestampType).add("wm_id", LongType)
+
+  /** Empty initial states for a from-nothing fold (batch q314). */
+  private[graft] def emptyDaily(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], dailySchema)
+  private[graft] def emptyWm(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], wmSchema)
+
+  /** One incremental update. daily: (day, v_cents); wm: 0-or-1 row
+    * (wm_ts, wm_id); batch: the `events` shape (event_id, ts, value —
+    * extra columns ignored). Returns the updated (daily, wm) — both
+    * fully materialized frames.
+    */
+  private[graft] def step(daily: DataFrame, wm: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    // agg collapses the 0-or-1-row mark to exactly one (possibly-null)
+    // row, so the cross join below is total — no driver-side scalar
+    val w1 = wm.agg(max(col("wm_ts")).as("wm_ts"), max(col("wm_id")).as("wm_id"))
+    val fresh = batch.select(col("event_id"), col("ts"), col("value"))
+      .crossJoin(broadcast(w1))
+      .filter(col("wm_ts").isNull
+        || col("ts") > col("wm_ts")
+        || (col("ts") === col("wm_ts") && col("event_id") > col("wm_id")))
+      .localCheckpoint() // feeds the delta and the mark update
+    val delta = fresh
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("v_cents"))
+    val merged = daily.unionByName(delta)
+      .groupBy(col("day"))
+      .agg(sum(col("v_cents")).as("v_cents"))
+    // new mark = max over (old mark ∪ fresh rows) under the (ts, id)
+    // lexicographic struct order; empty-so-far stays empty
+    val wm2 = wm.select(struct(col("wm_ts").as("ts"), col("wm_id").as("id")).as("m"))
+      .unionByName(fresh.select(struct(col("ts"), col("event_id").as("id")).as("m")))
+      .agg(max(col("m")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m.ts").as("wm_ts"), col("m.id").as("wm_id"))
+    (merged.localCheckpoint(), wm2.localCheckpoint())
+  }
+
+  /** Start the streaming intake: the daily series maintained at
+    * `dailyDir`, the high-water mark at `wmDir`.
+    */
+  def start(events: DataFrame, dailyDir: String, wmDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, dailyDir, wmDir)
+      }
+      .start()
+
+  private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    // Hadoop FileSystem existence check — see IndexStream.readOr
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(dir)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private[graft] def processBatch(batch: DataFrame, dailyDir: String,
+      wmDir: String): Unit = {
+    val s = batch.sparkSession
+    val (daily2, wm2) = step(
+      readOr(s, dailyDir, dailySchema), readOr(s, wmDir, wmSchema),
+      batch.localCheckpoint())
+    stats(daily2, wm2, dailyDir, wmDir)
+  }
+
+  private def stats(daily2: DataFrame, wm2: DataFrame,
+      dailyDir: String, wmDir: String): Unit = {
+    // step localCheckpoints both outputs, so overwriting the paths they
+    // were read from is safe
+    daily2.write.mode(SaveMode.Overwrite).parquet(dailyDir)
+    wm2.write.mode(SaveMode.Overwrite).parquet(wmDir)
+  }
+}
