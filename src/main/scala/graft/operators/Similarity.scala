@@ -762,6 +762,149 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** DuckDB fragment: raw dot of `embedding` against deterministic
+    * sign-LSH plane j — the pre-sign value whose |·| is the margin
+    * multi-probe ranks. Exact SQL twin of `dotF(embedding, plane(j))`
+    * (same integer plane formula, same double math, same ascending
+    * fold), so margin ORDER matches bit-for-bit.
+    */
+  private def duckPlaneDot(j: Int): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * ((($j*53 + i*67) % 19)/19.0 - 0.45)),
+        (u, v) -> u + v)"""
+
+  /** q315 — MULTI-PROBE LSH (Lv et al., VLDB 2007) closing q51's
+    * recall gap at the same index cost: a query probes its own bucket
+    * PLUS the two buckets reached by flipping its lowest-|margin| bits
+    * (margin = the raw hyperplane dot — the smaller its magnitude, the
+    * likelier the true neighbor landed on the other side of that
+    * plane). Probing is query-side only — the INDEX is unchanged, so
+    * at 100 TB the same bucketed layout serves both policies and a
+    * probe is just two more bucket lookups. The ledger gates the
+    * POLICY COMPARISON per query: flipped bits, candidates seen and
+    * exact-top-5 recall under single-probe vs multi-probe. Recall can
+    * only rise: multi candidates ⊇ single candidates, and a true
+    * top-5 member can be displaced from a top-5 only by globally
+    * better vectors, of which there are at most 4 — PipelineSpec pins
+    * the dominance law, the oracle pins the exact values. Margins,
+    * buckets, cosines and tie-breaks are all the deterministic q50/q51
+    * building blocks, so every column hash-matches.
+    */
+  val q315 = oracled(
+    "q315_multiprobe_lsh",
+    "multi-probe LSH (flip 2 lowest-margin bits): per-query candidate counts + recall@5 vs single-probe",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       qs AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 10),
+       md AS (
+         ${(0 until 8).map(j =>
+           s"SELECT vec_id, $j AS j, abs(${duckPlaneDot(j)}) AS m FROM qs")
+           .mkString("\n         UNION ALL ")}),
+       rk AS (SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, j) AS r
+         FROM md),
+       fl AS (SELECT vec_id,
+           MAX(CASE WHEN r = 1 THEN j END) AS j1,
+           MAX(CASE WHEN r = 2 THEN j END) AS j2
+         FROM rk GROUP BY 1),
+       pr AS (
+         SELECT vec_id, bucket AS probe FROM qs
+         UNION ALL
+         SELECT q.vec_id, xor(q.bucket, CAST(1 << f.j1 AS BIGINT))
+           FROM qs q JOIN fl f ON f.vec_id = q.vec_id
+         UNION ALL
+         SELECT q.vec_id, xor(q.bucket, CAST(1 << f.j2 AS BIGINT))
+           FROM qs q JOIN fl f ON f.vec_id = q.vec_id),
+       cs1 AS (SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cs
+         FROM qs x JOIN b y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id),
+       csm AS (SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cs
+         FROM pr p JOIN qs x ON x.vec_id = p.vec_id
+         JOIN b y ON y.bucket = p.probe AND y.vec_id <> p.vec_id),
+       ex AS (SELECT query_id, vec_b FROM (
+           SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+           FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+           WHERE x.vec_id < 10) t
+         WHERE rn <= 5),
+       an1 AS (SELECT query_id, vec_b FROM (
+           SELECT query_id, vec_b, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, vec_b) AS rn FROM cs1) t
+         WHERE rn <= 5),
+       anm AS (SELECT query_id, vec_b FROM (
+           SELECT query_id, vec_b, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, vec_b) AS rn FROM csm) t
+         WHERE rn <= 5),
+       n1 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS c
+         FROM cs1 GROUP BY 1),
+       nm AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS c
+         FROM csm GROUP BY 1),
+       r1 AS (SELECT a.query_id, CAST(COUNT(e.vec_b) AS BIGINT) AS rc
+         FROM an1 a LEFT JOIN ex e
+           ON e.query_id = a.query_id AND e.vec_b = a.vec_b GROUP BY 1),
+       rm AS (SELECT a.query_id, CAST(COUNT(e.vec_b) AS BIGINT) AS rc
+         FROM anm a LEFT JOIN ex e
+           ON e.query_id = a.query_id AND e.vec_b = a.vec_b GROUP BY 1)
+       SELECT qs.vec_id AS query_id,
+         CAST(fl.j1 AS BIGINT) AS flip1, CAST(fl.j2 AS BIGINT) AS flip2,
+         COALESCE(n1.c, 0) AS n_cand_single, COALESCE(nm.c, 0) AS n_cand_multi,
+         COALESCE(r1.rc, 0) AS recall_single, COALESCE(rm.rc, 0) AS recall_multi
+       FROM qs JOIN fl ON fl.vec_id = qs.vec_id
+       LEFT JOIN n1 ON n1.query_id = qs.vec_id
+       LEFT JOIN nm ON nm.query_id = qs.vec_id
+       LEFT JOIN r1 ON r1.query_id = qs.vec_id
+       LEFT JOIN rm ON rm.query_id = qs.vec_id
+       ORDER BY query_id""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+    val b = e.withColumn("bucket", bucketCol).localCheckpoint()
+    val q10 = b.filter(col("vec_id") < 10)
+      .withColumn("mj", array_sort(array((0 until 8).map(j =>
+        struct(abs(dotF(col("embedding"), plane(j))).as("m"),
+          lit(j).as("j"))): _*)))
+      .withColumn("j1", col("mj").getItem(0).getField("j"))
+      .withColumn("j2", col("mj").getItem(1).getField("j"))
+      .drop("mj")
+      .localCheckpoint() // spine, both candidate joins, and the ledger
+    val qp = q10.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(col("bucket"),
+        col("bucket").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), j1)")),
+        col("bucket").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), j2)"))))
+        .as("probe"))
+    val cs1 = cosineScored(q10, b, col("x.bucket") === col("y.bucket"))
+      .localCheckpoint()
+    val csm = cosineScored(qp, b, col("x.probe") === col("y.bucket"))
+      .localCheckpoint()
+    val exact = topK(cosineScored(q10, e, lit(true)), 5)
+      .select(col("query_id"), col("vec_b"), lit(1L).as("hit"))
+    def recallOf(cs: DataFrame): DataFrame =
+      topK(cs, 5)
+        .join(exact, Seq("query_id", "vec_b"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("rc"))
+    def countOf(cs: DataFrame): DataFrame =
+      cs.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+    q10.select(col("vec_id").as("query_id"),
+        col("j1").cast("long").as("flip1"), col("j2").cast("long").as("flip2"))
+      .join(countOf(cs1).select(col("query_id"), col("c").as("ns")),
+        Seq("query_id"), "left")
+      .join(countOf(csm).select(col("query_id"), col("c").as("nm")),
+        Seq("query_id"), "left")
+      .join(recallOf(cs1).select(col("query_id"), col("rc").as("rs")),
+        Seq("query_id"), "left")
+      .join(recallOf(csm).select(col("query_id"), col("rc").as("rm")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), col("flip1"), col("flip2"),
+        coalesce(col("ns"), lit(0L)).as("n_cand_single"),
+        coalesce(col("nm"), lit(0L)).as("n_cand_multi"),
+        coalesce(col("rs"), lit(0L)).as("recall_single"),
+        coalesce(col("rm"), lit(0L)).as("recall_multi"))
+      .orderBy(col("query_id"))
+  }
+
   // --------------------------------------------------------- DBSCAN
 
   /** q305 — DBSCAN density clustering (Ester/Kriegel/Sander/Xu KDD
@@ -910,5 +1053,5 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305)
+    q249, q269, q305, q315)
 }
