@@ -905,6 +905,140 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q316 — HARD-NEGATIVE / HARD-POSITIVE MINING for contrastive
+    * training (the triplet-selection pass every embedding-model
+    * pipeline runs before a training epoch): for each query vector in
+    * a bounded panel, the hardest positive (same label, LOWEST cosine
+    * — the in-class example the model most struggles to pull in) and
+    * the hardest negative (different label, HIGHEST cosine — the
+    * out-of-class example it most confuses), plus the triplet margin
+    * pos − neg (negative margin = an active triplet). Labels with no
+    * second member yield NULL positives — kept (their absence is the
+    * curriculum signal). Cosines are the q50 fold (bit-exact both
+    * engines), ties break on vec_b, so the mined ids hash-match.
+    * Scale shape: bounded panel × catalog, the q50/q269 BNLJ
+    * orientation (panel broadcasts, catalog streams); a full-corpus
+    * mining run goes through the q51/q315 bucketed shortlist instead.
+    */
+  val q316 = oracled(
+    "q316_hard_negative_mining",
+    "per-query hardest positive (same label, min cos) + hardest negative (cross label, max cos) + margin",
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+         WHERE vec_id < 20),
+       sc AS (SELECT x.vec_id AS query_id, x.label AS qlabel,
+           y.vec_id AS vec_b, y.label AS blabel,
+           ${duckCos("x", "y")} AS cs
+         FROM q x JOIN embeddings y ON y.vec_id <> x.vec_id),
+       hp AS (SELECT query_id, vec_b, cs FROM (
+           SELECT query_id, vec_b, cs, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cs, vec_b) AS rn
+           FROM sc WHERE blabel = qlabel) t WHERE rn = 1),
+       hn AS (SELECT query_id, vec_b, cs FROM (
+           SELECT query_id, vec_b, cs, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cs DESC, vec_b) AS rn
+           FROM sc WHERE blabel <> qlabel) t WHERE rn = 1)
+       SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+         hp.vec_b AS hardest_pos, hp.cs AS pos_cos,
+         hn.vec_b AS hardest_neg, hn.cs AS neg_cos,
+         hp.cs - hn.cs AS margin
+       FROM q LEFT JOIN hp ON hp.query_id = q.vec_id
+       LEFT JOIN hn ON hn.query_id = q.vec_id
+       ORDER BY query_id""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+    val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val q = e.join(lbl, "vec_id").filter(col("vec_id") < 20)
+    val cat = e.join(lbl, "vec_id")
+    val sc = q.alias("x").join(cat.alias("y"),
+        col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("x.label").as("qlabel"),
+        col("y.vec_id").as("vec_b"), col("y.label").as("blabel"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cs"))
+      .localCheckpoint() // both mining windows scan it
+    def pick(f: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sc.filter(f).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_b"), col("cs"))
+    val hp = pick(col("blabel") === col("qlabel"),
+      Window.partitionBy(col("query_id")).orderBy(col("cs"), col("vec_b")))
+    val hn = pick(col("blabel") =!= col("qlabel"),
+      Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("vec_b")))
+    q.select(col("vec_id").as("query_id"), col("label").cast("long").as("label"))
+      .join(hp.select(col("query_id"), col("vec_b").as("hardest_pos"),
+        col("cs").as("pos_cos")), Seq("query_id"), "left")
+      .join(hn.select(col("query_id"), col("vec_b").as("hardest_neg"),
+        col("cs").as("neg_cos")), Seq("query_id"), "left")
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q317 — INT8 SYMMETRIC QUANTIZATION audit of the embedding corpus
+    * (the serving-time compression every vector store applies, gated
+    * as data): per vector, scale = max |x_i|, code_i = ⌊x_i·127 /
+    * scale⌋ (the declared floor discipline — no round-half policy
+    * crosses an engine), and the ledger reports the floor-scaled
+    * scale, the max absolute reconstruction error (max is
+    * order-independent, so a per-element double is gate-safe where a
+    * SUM would not be), saturated codes (|code| = 127) and
+    * zeroed-out nonzero elements (code 0, x ≠ 0 — true information
+    * loss). All-zero vectors quantize to all-zero by declaration.
+    * Scale shape: pure scan-local per-vector array math (one
+    * codegen'd projection, zero shuffle) + the final sort.
+    */
+  val q317 = oracled(
+    "q317_int8_quant_audit",
+    "per-vector int8 symmetric quantization ledger: scale, max reconstruction error, saturation, zero-loss",
+    """WITH m AS (SELECT vec_id,
+           list_reduce(list_transform(range(1, 65),
+             i -> abs(CAST(embedding[i] AS DOUBLE))),
+             (u, v) -> CASE WHEN v > u THEN v ELSE u END) AS mx,
+           embedding
+         FROM embeddings),
+       c AS (SELECT vec_id, mx,
+           list_transform(range(1, 65), i -> CASE WHEN mx = 0 THEN 0
+             ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / mx)
+               AS BIGINT) END) AS codes,
+           embedding
+         FROM m)
+       SELECT vec_id,
+         CAST(FLOOR(mx * 1000000) AS BIGINT) AS scale_x1e6,
+         CAST(FLOOR(list_reduce(list_transform(range(1, 65),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+               - CASE WHEN mx = 0 THEN 0
+                 ELSE codes[i] * mx / 127 END)),
+             (u, v) -> CASE WHEN v > u THEN v ELSE u END) * 1000000)
+           AS BIGINT) AS max_err_x1e6,
+         CAST(len(list_filter(range(1, 65),
+           i -> abs(codes[i]) = 127)) AS BIGINT) AS n_saturated,
+         CAST(len(list_filter(range(1, 65),
+           i -> codes[i] = 0 AND CAST(embedding[i] AS DOUBLE) <> 0))
+           AS BIGINT) AS n_zeroed
+       FROM c ORDER BY vec_id""") { (s, dir) =>
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val mx = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (u, v) => when(v > u, v).otherwise(u))
+    val codes = transform(col("e"), x =>
+      when(col("mx") === 0, lit(0L))
+        .otherwise(floor(x * 127 / col("mx")).cast("long")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), emb.as("e"), mx.as("mx"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"),
+        floor(col("mx") * 1000000).cast("long").as("scale_x1e6"),
+        floor(aggregate(
+          zip_with(col("e"), col("codes"), (x, c) =>
+            abs(x - when(col("mx") === 0, lit(0.0))
+              .otherwise(c * col("mx") / 127))),
+          lit(0.0), (u, v) => when(v > u, v).otherwise(u)) * 1000000)
+          .cast("long").as("max_err_x1e6"),
+        size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+          .as("n_saturated"),
+        size(filter(zip_with(col("e"), col("codes"),
+            (x, c) => struct(x.as("x"), c.as("c"))),
+          p => p.getField("c") === 0 && p.getField("x") =!= 0.0))
+          .cast("long").as("n_zeroed"))
+      .orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------------- DBSCAN
 
   /** q305 — DBSCAN density clustering (Ester/Kriegel/Sander/Xu KDD
@@ -1053,5 +1187,5 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305, q315)
+    q249, q269, q305, q315, q316, q317)
 }
