@@ -1260,23 +1260,48 @@ object Dedup {
        FROM k a JOIN k b ON a.doc_id < b.doc_id
          AND levenshtein(a.s, b.s) <= 1
        ORDER BY doc_a, doc_b""") { (s, dir) =>
+    // TWO-LEVEL (the q45 banding trick): a duplicate-dense corpus has
+    // far fewer DISTINCT 10-char keys than documents, and identical
+    // keys share every deletion variant — so the variant equi-join ran
+    // over doc-level buckets whose squares were 44 s at the 10× bench.
+    // Level 1 dedupes to distinct strings (variant join + banded
+    // verify over string-groups only — Σ bucket² in DISTINCT keys);
+    // level 2 expands string pairs back to doc pairs through group
+    // membership: within a group every pair is dist 0 (identical
+    // keys), across verified groups the distance is the group-level
+    // value (distance is a function of the strings). Each doc pair is
+    // emitted exactly once (groups are disjoint), so no pair distinct
+    // ever touches doc-level cardinality.
     val k = Tables.documents(s, dir)
       .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 10).as("s"))
       .filter(length(col("s")) === 10)
-    val variants = k
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 10)")).as("i"))
-      .select(col("doc_id"), col("s"),
+      .localCheckpoint() // feeds groups and both membership expansions
+    val groups = k.groupBy(col("s")).agg(min(col("doc_id")).as("gid"))
+      .localCheckpoint()
+    val variants = groups
+      .select(col("gid"), col("s"), explode(expr("sequence(0, 10)")).as("i"))
+      .select(col("gid"), col("s"),
         concat(expr("substring(s, 1, i)"), expr("substring(s, i + 2)")).as("v"))
-    val cand = variants.alias("a")
+    val sPairs = variants.alias("a")
       .join(variants.alias("b"),
-        col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.s").as("sa"),
-        col("b.doc_id").as("doc_b"), col("b.s").as("sb"))
-      .distinct()
-    cand
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+        col("a.v") === col("b.v") && col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("g1"), col("a.s").as("sa"),
+        col("b.gid").as("g2"), col("b.s").as("sb"))
+      .distinct() // over distinct-string pairs — bounded by keys², not docs²
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), 1).cast("long"))
+      .filter(col("dist").between(0, 1))
+      .select(col("g1"), col("g2"), col("dist"))
+    val mem = k.join(groups, "s").select(col("gid"), col("doc_id"))
+    val within = mem.alias("m1").join(mem.alias("m2"),
+        col("m1.gid") === col("m2.gid") && col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+        lit(0L).as("dist"))
+    val cross = sPairs
+      .join(mem.alias("ma"), col("g1") === col("ma.gid"))
+      .join(mem.alias("mb"), col("g2") === col("mb.gid"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"), col("dist"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

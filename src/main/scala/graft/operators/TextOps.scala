@@ -942,7 +942,13 @@ object TextOps {
       explode(col("toks")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint() // feeds df, the weight join, and the dot join
+    // df from the COLLAPSED (doc, tok) relation: tf already holds one
+    // row per document-token, so df is a cheap second-level count —
+    // the previous countDistinct(doc_id) over raw postings was a
+    // second corpus-sized shuffle (plus distinct's own two-phase agg)
+    // for the same number
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("lang"), col("source"), col("tok"),

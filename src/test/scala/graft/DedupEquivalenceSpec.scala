@@ -331,6 +331,25 @@ class DedupEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 two-level symspell expansion == in-Spark brute force on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val k = docs
+      .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 10).as("s"))
+      .filter(length(col("s")) === 10)
+    val brute = k.alias("a").join(k.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSeq = Dedup.q247.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the two-level expansion must emit each pair exactly once
+    assert(gotSeq.distinct.length === gotSeq.length, "duplicate pairs emitted")
+    assert(gotSeq.toSet === brute,
+      s"${(gotSeq.toSet diff brute).take(5)} extra, ${(brute diff gotSeq.toSet).take(5)} missing")
+    assert(brute.nonEmpty, "fixture has no dist<=1 prefix pairs — vacuous")
+  }
+
   /** Brute-force within-block Levenshtein join — the executable oracle
     * for [[Dedup.passJoinEditPairs]] (the plan q70 retired).
     */
