@@ -151,10 +151,15 @@ object ClusterStream {
       .start()
 
   private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists()) s.read.parquet(dir)
+      schema: StructType): DataFrame = {
+    // Hadoop FileSystem existence check — see IndexStream.readOr (a
+    // java.io.File check silently treats HDFS/S3 state as empty)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(dir)
     else s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private[graft] def processBatch(batch: DataFrame, labelsDir: String,
       hubDir: String): Unit = {

@@ -72,8 +72,12 @@ object NearDupStream {
     // streaming lineage so the two pigeonhole joins below don't
     // recompute the tokenize+aggregate per consumer
     val fps = Dedup.simhashOfTokens(Dedup.tokensOf(batch)).localCheckpoint()
+    // Hadoop FileSystem existence check — see IndexStream.readOr (a
+    // java.io.File check silently treats HDFS/S3 state as empty)
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeFs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val store =
-      if (new java.io.File(storeDir).exists()) s.read.parquet(storeDir)
+      if (storeFs.exists(storePath)) s.read.parquet(storeDir)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
     val vsStore = Dedup.nearDupJoin(fps, store)
       .select(col("delta_doc").as("doc_id"))

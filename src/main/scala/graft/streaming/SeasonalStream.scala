@@ -66,6 +66,9 @@ object SeasonalStream {
     // row, so the cross join below is total — no driver-side scalar
     val w1 = wm.agg(max(col("wm_ts")).as("wm_ts"), max(col("wm_id")).as("wm_id"))
     val fresh = batch.select(col("event_id"), col("ts"), col("value"))
+      // a row delivered twice WITHIN one batch is invisible to the mark
+      // (IndexStream's in-batch lesson); event_id is the log's unique key
+      .dropDuplicates("event_id")
       .crossJoin(broadcast(w1))
       .filter(col("wm_ts").isNull
         || col("ts") > col("wm_ts")
