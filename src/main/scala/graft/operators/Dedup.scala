@@ -331,21 +331,45 @@ object Dedup {
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.Memo.sync(pairsCache, graft.Memo.key(s, dir))( {
       val sim = simhashes(s, dir)
-      // chunk id folded into the join key (posexplode) -> ONE equi-join
-      // for all pigeonhole chunks; the per-doc chunk table is cached
-      // across the self-join sides.
-      val chunked = pigeonholeChunked(sim).cache()
+      // TWO-LEVEL (the q45/q247 trick): duplicate-dense corpora have
+      // far fewer DISTINCT fingerprints than documents, and identical
+      // fingerprints share every chunk — so the chunk join previously
+      // ran over doc-level buckets whose squares dominated the memo at
+      // the 10× bench. Level 1: chunk-join + Hamming verify over
+      // distinct fingerprints only (chunk id folded into the join key
+      // via posexplode → ONE equi-join for all pigeonhole chunks).
+      // Level 2: expand fingerprint pairs to doc pairs through group
+      // membership — within a group every pair is dist 0, across
+      // verified groups the distance is the fingerprint-level value.
+      // Groups are disjoint, so each pair is emitted exactly once and
+      // no distinct ever touches doc-level cardinality.
+      val groups = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("gid"))
+        .localCheckpoint()
+      val chunked = pigeonholeChunked(
+        groups.select(col("gid").as("doc_id"), col("simhash"))).cache()
       val x = chunked.alias("x")
       val y = chunked.alias("y")
-      val pairs = x.join(y,
+      val gPairs = x.join(y,
           col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk")
             && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        .select(col("x.doc_id").as("g1"), col("y.doc_id").as("g2"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("dist"))
         // cheap bit-count filter BEFORE the distinct so the dedup shuffle
-        // only carries true near-dup pairs, not every chunk collision
+        // only carries true near-dup fingerprint pairs
         .filter(col("dist") <= HamT)
-        .distinct()
+        .distinct() // over fingerprint pairs — bounded by prints², not docs²
+      val mem = sim.join(groups, "simhash").select(col("gid"), col("doc_id"))
+        .localCheckpoint()
+      val within = mem.alias("m1").join(mem.alias("m2"),
+          col("m1.gid") === col("m2.gid") && col("m1.doc_id") < col("m2.doc_id"))
+        .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+          lit(0L).as("dist"))
+      val cross = gPairs
+        .join(mem.alias("ma"), col("g1") === col("ma.gid"))
+        .join(mem.alias("mb"), col("g2") === col("mb.gid"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"), col("dist"))
+      val pairs = within.unionByName(cross)
         .localCheckpoint() // eager: lets the chunk cache release below
       chunked.unpersist()
       pairs
