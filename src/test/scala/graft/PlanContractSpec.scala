@@ -403,4 +403,26 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "interval fan-out join crept in\n" + p)
   }
+
+  test("q70: PassJoin candidates are codegen'd explode chains + equi-join, never all-pairs") {
+    val p = plan(operators.Analytics.q70)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance candidates degenerated to all-pairs\n" + p)
+    // the probe side must be Generate (explode) nodes — the HOF draft
+    // (transform/flatten) fell out of codegen and cost 22 s interpreted
+    assert("\\bGenerate\\b".r.findAllIn(p).length >= 3,
+      "expected the explode-chain probe construction\n" + p)
+  }
+
+  test("q247: two-level symspell joins are equi-joins over distinct keys, never all-pairs") {
+    val p = plan(operators.Dedup.q247)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "variant join degenerated to a cross product\n" + p)
+  }
+
+  test("q315: multi-probe candidates join bucket-to-bucket, never all-pairs") {
+    val p = plan(operators.Similarity.q315)
+    assert(!p.contains("CartesianProduct"),
+      "probe join degenerated to a cross product\n" + p)
+  }
 }
