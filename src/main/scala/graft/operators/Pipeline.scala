@@ -2043,8 +2043,64 @@ object Pipeline {
     out.orderBy(col("rnd"))
   }
 
+  /** q319 — DOMAIN-MIXING rebalance ledger (the data-mixture step
+    * between curation and training: given a TARGET distribution over
+    * domains, what per-domain sampling rate rebalances the corpus and
+    * what token budget survives). Target here is uniform over (lang ×
+    * source) domains — the declared policy, not an estimate; rates are
+    * EXACT integer ppm: rate_ppm = (10⁶ · total_tokens) div (n_domains
+    * · domain_tokens), capped at 10⁶ (downsample-only in one pass —
+    * upsampling is the epoch scheduler's job, so the cap is reported
+    * rather than silently exceeded: `capped` = 1 marks domains the
+    * uniform target would have to upsample). kept_tokens = domain
+    * tokens · min(rate, 10⁶) div 10⁶ — every column a BIGINT, the q212
+    * floor-key discipline. Scale shape: one partial-agg groupBy(lang,
+    * source) over the corpus, then arithmetic on the bounded domain
+    * table against a 1-row broadcast total.
+    */
+  val q319 = oracled(
+    "q319_domain_mixing",
+    "uniform-target domain rebalance: exact ppm sampling rates + surviving token budget per (lang, source)",
+    """WITH d AS (SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1, 2),
+       t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_domains FROM d)
+       SELECT d.lang, d.source, d.n_docs, d.n_tokens,
+         (1000000 * d.n_tokens) // t.total AS share_ppm,
+         CASE WHEN (1000000 * t.total) // (t.n_domains * d.n_tokens) > 1000000
+           THEN 1000000
+           ELSE (1000000 * t.total) // (t.n_domains * d.n_tokens) END AS rate_ppm,
+         CASE WHEN (1000000 * t.total) // (t.n_domains * d.n_tokens) > 1000000
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS capped,
+         d.n_tokens * (CASE WHEN (1000000 * t.total) // (t.n_domains * d.n_tokens) > 1000000
+           THEN 1000000
+           ELSE (1000000 * t.total) // (t.n_domains * d.n_tokens) END) // 1000000
+           AS kept_tokens
+       FROM d CROSS JOIN t
+       ORDER BY d.lang, d.source""") { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), " "))).as("n_tokens"))
+    val t = d.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_domains"))
+    val rawRate = expr("(1000000 * total) div (n_domains * n_tokens)")
+    val rate = when(rawRate > 1000000L, lit(1000000L)).otherwise(rawRate)
+    d.crossJoin(broadcast(t))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens) div total").as("share_ppm"),
+        rate.as("rate_ppm"),
+        when(rawRate > 1000000L, lit(1L)).otherwise(lit(0L)).as("capped"),
+        expr(s"n_tokens * (CASE WHEN (1000000 * total) div (n_domains * n_tokens) > 1000000 THEN 1000000 ELSE (1000000 * total) div (n_domains * n_tokens) END) div 1000000")
+          .as("kept_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
-      q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299)
+      q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
+      q319)
 }

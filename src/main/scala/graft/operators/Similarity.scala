@@ -1039,6 +1039,63 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q318 — SEMANTIC DEDUPLICATION ledger (SemDeDup, Abbas et al.
+    * 2023, re-expressed over the deterministic sign-LSH buckets): the
+    * embedding-space twin of the text near-dup family — partition the
+    * corpus into buckets, and within each bucket DROP every vector
+    * that has a LOWER-id τ-similar neighbor (τ = 0.45, the corpus
+    * near-dup threshold), keeping one representative per duplicate
+    * neighborhood. The drop rule is declared and deterministic
+    * ("exists a lower-id same-bucket vector with cos ≥ τ"), so the
+    * kept set is a pure function of the data — note it is the ONE-PASS
+    * greedy, not the transitive-closure representative set (a chain
+    * a~b~c with a≁c drops both b and c; the closure variant is q255's
+    * job on the q49 pair graph). Ledger per bucket: population,
+    * dropped, kept — the dedup-yield curve a data team reads before
+    * committing to a threshold.
+    *
+    * Scale shape: within-bucket pairs only (the q51 bucket join), one
+    * partial-agg distinct over dropped ids, one bounded ledger
+    * aggregate. At 100 TB the bucket count grows with more planes and
+    * the per-bucket work stays Σ bucket² over BOUNDED buckets — the
+    * same contract every LSH family member here declares.
+    */
+  val q318 = oracled(
+    "q318_semdedup",
+    "SemDeDup yield ledger: per LSH bucket, drop vectors with a lower-id cos>=0.45 neighbor",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       dr AS (SELECT DISTINCT y.vec_id
+         FROM b x JOIN b y
+           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         WHERE ${duckCos("x", "y")} >= 0.45)
+       SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(COUNT(dr.vec_id) AS BIGINT) AS n_dropped,
+         CAST(COUNT(*) - COUNT(dr.vec_id) AS BIGINT) AS n_kept
+       FROM b LEFT JOIN dr ON dr.vec_id = b.vec_id
+       GROUP BY b.bucket ORDER BY b.bucket""") { (s, dir) =>
+    val b = withNorm(Tables.embeddings(s, dir))
+      .withColumn("bucket", bucketCol)
+      .localCheckpoint() // pair join (both sides) + the ledger spine
+    val dropped = b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .filter((dotF(col("x.embedding"), col("y.embedding"))
+        / (col("x.nrm") * col("y.nrm"))) >= 0.45)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    b.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L))))
+          .as("n_kept"))
+      .orderBy(col("bucket"))
+  }
+
   // --------------------------------------------------------- DBSCAN
 
   /** q305 — DBSCAN density clustering (Ester/Kriegel/Sander/Xu KDD
@@ -1187,5 +1244,5 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305, q315, q316, q317)
+    q249, q269, q305, q315, q316, q317, q318)
 }
