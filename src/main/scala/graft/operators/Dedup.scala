@@ -1899,7 +1899,45 @@ object Dedup {
       .orderBy(col("layout"), col("copies"))
   }
 
+  /** q320 — CROSS-SOURCE COPYING MATRIX: q47's near-dup pairs rolled
+    * up by the (source, source) combination of their endpoints — the
+    * provenance view a curation team reads before deciding which
+    * source to keep when near-duplicates span feeds (the diagonal is
+    * within-source duplication; off-diagonal cells are one source
+    * republishing another). Pure derived ledger over the memoized
+    * SimHash pair table: two doc_id joins against the documents
+    * projection, canonicalize the unordered source pair with
+    * least/greatest (strings compare identically on both engines),
+    * one bounded groupBy (|sources|² cells). The oracle recomputes
+    * the pairs brute-force (q47's own gate construction) and rolls up
+    * the same way.
+    */
+  val q320 = oracled(
+    "q320_cross_source_copying",
+    "near-dup pair counts by canonical (source, source) cell: who copies whom",
+    s"""WITH $simhashCte,
+       p AS (SELECT x.doc_id AS a, y.doc_id AS b
+         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT),
+       j AS (SELECT
+           LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b
+         FROM p JOIN documents da ON da.doc_id = p.a
+         JOIN documents db ON db.doc_id = p.b)
+       SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM j GROUP BY 1, 2 ORDER BY source_a, source_b""") { (s, dir) =>
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    simhashPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259, q280, q288, q294)
+      q204, q230, q247, q255, q256, q259, q280, q288, q294, q320)
 }
