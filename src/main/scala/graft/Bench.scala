@@ -36,6 +36,7 @@ object Bench {
     "q73_dedup_clusters",       // Dedup.ccCache
     "q63_ann_ivf_kmeans",       // Advanced.ivfCellsCache
     "q108_pq_ann",              // Advanced.pqCache
+    "q197_tfidf_cosine_pairs",  // TextOps.tfidfCache (weights + vecs; serves q197/q322)
     "q152_pagerank",            // Graph.edgeCache (co-rating edges; serves q138/q152/q154/q158)
     "q138_triangle_count",      // Analytics.triCache (per-vertex triangles; serves q158)
     "q92_dirty_ingest",         // Ingest.dirtyPathCache + parsedCache

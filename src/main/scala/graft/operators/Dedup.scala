@@ -328,7 +328,9 @@ object Dedup {
       .filter(col("dist") <= HamT)
       .distinct()
 
-  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  // private[graft]: q197's threshold track reads one pair per doc from
+  // this memo as its source of REAL high-cosine pairs (TextOps scaladoc)
+  private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.Memo.sync(pairsCache, graft.Memo.key(s, dir))( {
       val sim = simhashes(s, dir)
       // TWO-LEVEL (the q45/q247 trick): duplicate-dense corpora have
@@ -915,31 +917,45 @@ object Dedup {
     * as q48's inverted index. Verification is O(len·k) banded DP per
     * surviving candidate.
     */
-  private[graft] def passJoinEditPairs(p0: DataFrame, k: Int): DataFrame = {
-    val nSeg = k + 1
-    def segStart(i: Column, l: Column): Column =
-      floor(i * l / nSeg).cast("int")
-    val p = p0.withColumn("len", length(col("pfx")))
-      .localCheckpoint() // scanned by index, probe, and both verify joins
-    // index role: the k+1 segments of each key under its own scheme
-    // (HOF is fine here: one array per doc, not per probe row)
-    val idx = p.select(col("doc_id"), col("lang"), col("source"),
+  private def passJoinSegStart(i: Column, l: Column, k: Int): Column =
+    floor(i * l / (k + 1)).cast("int")
+
+  /** PassJoin INDEX role over a (doc_id, lang, source, pfx, len) frame:
+    * the k+1 segments of each key under its own length scheme as
+    * (doc_id, lang, source, l, i, sub) rows. Shared by the batch
+    * self-join ([[passJoinEditPairs]]) and the streaming twin's
+    * persisted segment store ([[graft.streaming.PassJoinStream]]) —
+    * the store MUST be built by this exact construction or the
+    * pigeonhole completeness proof does not transfer.
+    */
+  private[graft] def passJoinIndex(p: DataFrame, k: Int): DataFrame =
+    p.select(col("doc_id"), col("lang"), col("source"),
       col("len").as("l"),
       posexplode(transform(sequence(lit(0), lit(k)), i => {
-        val st = segStart(i, col("len"))
-        col("pfx").substr(st + 1, segStart(i + 1, col("len")) - st)
+        val st = passJoinSegStart(i, col("len"), k)
+        col("pfx").substr(st + 1, passJoinSegStart(i + 1, col("len"), k) - st)
       })).as(Seq("i", "sub")))
-    // probe role: for every indexed length PRESENT in the block within
-    // ±k of mine, the substrings some segment could have landed on
-    val lens = p.groupBy(col("lang"), col("source"))
-      .agg(collect_set(col("len")).as("ls"))
-    val st = segStart(col("i"), col("l"))
-    val m = segStart(col("i") + 1, col("l")) - st
+
+  /** PassJoin PROBE role: for every indexed length PRESENT in the
+    * block (`lens`: lang, source, ls ARRAY<INT>) within ±k of mine,
+    * the substrings some segment could have landed on — a bounded
+    * explode chain (≤ 2k+1 lengths × k+1 segments × ≤ k+1 offsets),
+    * deduped on the join key. One-directional completeness (the
+    * streaming twin's contract): for ANY pair (a, b) with edit
+    * distance ≤ k, at least one of b's k+1 index segments appears
+    * EXACTLY in a inside the alignment window |shift| + |Δ − shift| ≤
+    * k — so probing a against an index CONTAINING b suffices; the
+    * batch self-join gets both orientations for free.
+    */
+  private[graft] def passJoinProbe(p: DataFrame, lens: DataFrame,
+      k: Int): DataFrame = {
+    val st = passJoinSegStart(col("i"), col("l"), k)
+    val m = passJoinSegStart(col("i") + 1, col("l"), k) - st
     val delta = col("len") - col("l")
     val slack = floor((lit(k) - abs(delta)) / 2).cast("int")
     val lo = greatest(lit(0), st + least(delta, lit(0)) - slack)
     val hi = least(col("len") - m, st + greatest(delta, lit(0)) + slack)
-    val probe = p.join(broadcast(lens), Seq("lang", "source"))
+    p.join(broadcast(lens), Seq("lang", "source"))
       .select(col("doc_id"), col("lang"), col("source"), col("len"),
         col("pfx"), explode(col("ls")).as("l"))
       .where(abs(col("l") - col("len")) <= k)
@@ -954,6 +970,18 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("l"), col("i"),
         col("pfx").substr(col("pos") + 1, col("m")).as("sub"))
       .dropDuplicates("doc_id", "lang", "source", "l", "i", "sub")
+  }
+
+  private[graft] def passJoinEditPairs(p0: DataFrame, k: Int): DataFrame = {
+    val p = p0.withColumn("len", length(col("pfx")))
+      .localCheckpoint() // scanned by index, probe, and both verify joins
+    // index role: the k+1 segments of each key under its own scheme
+    // (HOF is fine here: one array per doc, not per probe row)
+    val idx = passJoinIndex(p, k)
+    // probe role: see passJoinProbe
+    val lens = p.groupBy(col("lang"), col("source"))
+      .agg(collect_set(col("len")).as("ls"))
+    val probe = passJoinProbe(p, lens, k)
     val cand = probe.alias("x").join(idx.alias("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
           && col("x.l") === col("y.l") && col("x.i") === col("y.i")

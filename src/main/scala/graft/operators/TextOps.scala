@@ -888,24 +888,66 @@ object TextOps {
   }
 
   /** q197 — exact all-pairs TF-IDF cosine within (lang, source) blocks,
-    * top-20: the weighted sibling of q48's Jaccard join — same inverted
-    * index (postings per token, candidates generated only where a term
-    * is SHARED), but the pair statistic is Σ w_a·w_b over quantized
-    * TF-IDF weights instead of a set intersection, so near-duplicates
-    * rank by what the retrieval stack actually scores with. Weights are
+    * top-20: the weighted sibling of q48's Jaccard join. Weights are
     * q64's exact-integer log2 tf-idf de-scaled 10 bits (ROUNDDIV
     * burndown, VERDICT r10 #7):
     *   wi = tf·(L2_x20(N+1) − L2_x20(df+1)) div 1024
-    * (units tf·2⁻¹⁰ log2 — the quantization contract the former
-    * ROUND+×1e5 weight served, now with NO transcendental: wi ≤
-    * tf·42·2¹⁰ keeps wi² < 2^63 for tf into the tens of thousands, and
-    * every downstream sum — dots, norms — is an exact BIGINT, so join
-    * order, partial aggregation, and engine make no difference). The
-    * only serving-time doubles are the final IEEE
-    * dot/(|a||b|) divisions of exact integers. Norms cover the FULL
-    * vector (blocking restricts candidates, not the geometry).
-    * Scale shape = q48's: shuffle mass is Σ_token |posting|² within
-    * blocks, the co-occurrence mass of genuinely overlapping docs.
+    * (no transcendental: wi ≤ tf·42·2¹⁰ keeps wi² < 2^63, every dot and
+    * norm is an exact BIGINT, so join order / partial aggregation /
+    * engine make no difference). The only serving-time doubles are the
+    * final IEEE dot/(|a||b|) divisions of exact integers. Norms cover
+    * the FULL vector (blocking restricts candidates, not geometry).
+    *
+    * CANDIDATE SCHEME (r13 VERDICT #1 — the suite's last quadratic
+    * intermediate): the unfiltered posting self-join carried
+    * Σ_token |posting|² rows (measured 86 M at the 10× fixture for a
+    * 20-row output). It is replaced by a THRESHOLD-TRACK L2 PREFIX
+    * FILTER (Bayardo et al., WWW'07 all-pairs; the suffix-norm bound is
+    * L2AP's l2 bound, Anastasiu & Karypis, ICDE'14):
+    *
+    *  1. τ track — ONE candidate pair per document (its smallest
+    *     SimHash-Hamming-≤3 partner, read from the memoized q47 pair
+    *     table), block-filtered and scored with the exact final
+    *     formula: a linear-sized set of REAL pairs of the answer
+    *     relation, and — because the global top-20 are extreme
+    *     near-duplicates — one that reaches the true floor (measured
+    *     sf1: τ = 0.959 = the true 20th-best). With ≥ 20 such pairs,
+    *     τ = the minimum of their top-20 cosines lower-bounds the true
+    *     20th-best pair cosine (20 real pairs score ≥ τ); with < 20,
+    *     τ = 0 and the plan degenerates to the complete unfiltered
+    *     join. (The first draft grouped identical pruned vectors —
+    *     exact-dup groups — but the real corpus has none at any scale:
+    *     the near-dups differ in surviving tokens, so the τ source
+    *     must be a near-dup detector, not an equality group.)
+    *  2. Prefix — per doc, tokens ordered rarest-first (df, tok); rank
+    *     r stays in the prefix iff min(Σ_{j≥r} ŵ_j·mw(t_j),
+    *     √(Σ_{j≥r} ŵ_j²)) ≥ τ − 1e-9, where ŵ = wi/√n2 and mw(t) is
+    *     the corpus max of ŵ over t. COMPLETENESS: if a pair (a,b)
+    *     with cos ≥ τ shared no token of a's prefix, its whole dot
+    *     would live in a's suffix, and cos(a,b) = Σ_suffix ŵa·ŵb is
+    *     bounded BOTH by Σ_suffix ŵa·mw (each partner weight ≤ its
+    *     corpus max) AND by ‖â_suffix‖·‖b̂‖ = ‖â_suffix‖
+    *     (Cauchy-Schwarz, b̂ unit) — both < τ − 1e-9 outside the
+    *     prefix, contradiction; the 1e-9 guard dwarfs the ~1e-15 IEEE
+    *     noise of the bound arithmetic (the dot itself is an exact
+    *     integer), so float error can only LENGTHEN a prefix. Probing
+    *     EVERY doc's prefix against FULL postings therefore catches
+    *     every qualifying pair from the a-side alone. At τ ≈ 1 the l2
+    *     bound collapses prefixes to ~1 token/doc: measured candidate
+    *     mass at the 10× fixture is 9.3 M probe rows / 4.2 M distinct
+    *     candidates (63× below the 587 M unfiltered join mass); at
+    *     sf0.01 the fallback τ = 0 branch is the old plan exactly.
+    *  3. Verify — candidates join the per-doc sorted (tok, wi) arrays
+    *     and the dot is re-derived EXACTLY: integer Σ wa·wb via the
+    *     codegen'd [[graft.functions.SortedDotLong]] two-pointer
+    *     merge, so the emitted (dot, cosine) are bit-identical to the
+    *     oracle's unfiltered join. (A map_from_entries + aggregate-HOF
+    *     draft was CodegenFallback — interpreted, one map allocation
+    *     per pair — and dominated the verify; the q70 lesson repeats.)
+    *
+    * The wi ≠ 0 prune stays upstream of everything (df → N sends
+    * corpus-hot tokens to wi = 0, contributing 0 to every dot and
+    * norm — value-neutral by the dot > 0 output filter).
     */
   val q197 = oracled(
     "q197_tfidf_cosine_pairs",
@@ -937,12 +979,64 @@ object TextOps {
                  JOIN nrm nb ON nb.doc_id = dt.doc_b)
        SELECT doc_a, doc_b, dot, cosine FROM sc WHERE dot > 0
        ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""") { (s, dir) =>
+    val (w, vecs) = tfidfArtifacts(s, dir)
+    // --- τ track: one memoized near-dup pair per doc (scaladoc §1) ---
+    import graft.functions.SortedDotLong.sortedDotLong
+    val tauPairs = Dedup.simhashPairs(s, dir)
+      .groupBy(col("doc_a")).agg(min(col("doc_b")).as("doc_b"))
+      .join(vecs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("source").as("sa"), col("vec").as("va"), col("n2").as("na")),
+        "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("lang"),
+        col("source"), col("vec").as("vb"), col("n2").as("nb")), "doc_b")
+      .filter(col("la") === col("lang") && col("sa") === col("source"))
+      .select((sortedDotLong(col("va"), col("vb")).cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .as("cs"))
+    val tau = tauPairs
+      .orderBy(col("cs").desc).limit(20)
+      .agg(when(count(lit(1)) === 20, min(col("cs")))
+        .otherwise(lit(0.0)).as("tau"))
+    cosinePrefixPairs(w, vecs, tau)
+      .filter(col("dot") > 0)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val tfidfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** The exact-integer tf-idf weight relation (doc_id, lang, source,
+    * tok, df, wi) with wi ≠ 0, plus its per-doc vector/norm form —
+    * MATERIALIZED once per (context, dir) and shared by q197 and the
+    * unified similarity join (q322): in a production retrieval stack
+    * the weighted postings are a persisted artifact every similarity
+    * consumer reads, not a per-query recomputation (the `tokenized` /
+    * `simhashes` memo discipline; ~12 s of the q197 sf1 time was this
+    * build, and q322 was paying it again).
+    */
+  private[graft] def tfidfArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    graft.Memo.sync(tfidfCache, graft.Memo.key(s, dir))( {
+      val w = tfidfWeightsOf(s, dir)
+      (w, tfidfVecs(w))
+    })
+
+  private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame =
+    tfidfArtifacts(s, dir)._1
+
+  /** Un-memoized build — see [[tfidfArtifacts]]. One materialization
+    * feeds the norms, the vector arrays, the postings, and the prefix
+    * derivation (the r13 plan rebuilt the weight join three times).
+    */
+  private def tfidfWeightsOf(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokenized(s, dir)
     val tok = toks.select(col("doc_id"), col("lang"), col("source"),
       explode(col("toks")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds df, the weight join, and the dot join
+      .localCheckpoint() // feeds df and the weight join
     // df from the COLLAPSED (doc, tok) relation: tf already holds one
     // row per document-token, so df is a cheap second-level count —
     // the previous countDistinct(doc_id) over raw postings was a
@@ -950,8 +1044,8 @@ object TextOps {
     // for the same number
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"),
+    tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"), col("df"),
         expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
           s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
           .as("wi"))
@@ -959,29 +1053,73 @@ object TextOps {
       // tokens (df → N ⟹ log gap → 0) to wi = 0, and a zero weight
       // contributes 0 to every dot and every norm — dropping those rows
       // changes NO value (pairs whose every shared token is zero-weight
-      // had dot = 0, already excluded by the dot > 0 filter) while
-      // removing precisely the corpus-hot postings whose squares were
-      // the join's sf1 bottleneck. The oracle keeps the unfiltered form.
+      // had dot = 0, below every positive threshold and excluded by
+      // q197's dot > 0 filter) while removing the corpus-hot postings.
       .filter(col("wi") =!= 0L)
-    val nrm = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
-    val a = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("tok"), col("wi").as("wa"))
-    val b = w.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
-      col("source").as("sb"), col("tok").as("tb"), col("wi").as("wb"))
-    val dot = a.join(b, col("tok") === col("tb") && col("lang") === col("lb")
-        && col("source") === col("sb") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    dot
-      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
-      .filter(col("dot") > 0)
+      .localCheckpoint()
+  }
+
+  /** Per-doc sorted (tok, wi) array + exact norm — the verify side of
+    * the prefix-filtered joins (doc-length bounded: one row per doc,
+    * array of its wi ≠ 0 terms).
+    */
+  private[graft] def tfidfVecs(w: DataFrame): DataFrame =
+    w.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("wi")))).as("vec"),
+        sum(col("wi") * col("wi")).as("n2"))
+      .localCheckpoint()
+
+  /** L2-prefix-filtered cosine pair join at threshold `tau` (a 1-row
+    * (tau DOUBLE) frame, broadcast-crossed so the whole plan stays
+    * lazy): returns every same-(lang, source) pair with cosine ≥ tau —
+    * possibly more (candidates the prefix could not exclude; callers
+    * re-filter) — as (doc_a, doc_b, dot, cosine) with the dot
+    * re-derived EXACTLY from the full integer vectors. Completeness
+    * proof and bound derivation: q197's scaladoc §2-3. τ = 0
+    * degenerates to the complete unfiltered posting join.
+    */
+  private[graft] def cosinePrefixPairs(w: DataFrame, vecs: DataFrame,
+      tau: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // prefix under min(Σ ŵ·mw, ‖suffix‖) ≥ τ − 1e-9, rarest-first
+    val nw = w.join(vecs.select(col("doc_id"), col("n2")), "doc_id")
+      .withColumn("nwt",
+        col("wi").cast("double") / sqrt(col("n2").cast("double")))
+    val mw = nw.groupBy(col("tok")).agg(max(col("nwt")).as("mw"))
+    val tailW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = nw.join(mw, "tok").crossJoin(broadcast(tau))
+      .withColumn("tailb", sum(col("nwt") * col("mw")).over(tailW))
+      .withColumn("tailn", sqrt(sum(col("nwt") * col("nwt")).over(tailW)))
+      .filter(least(col("tailb"), col("tailn")) >= col("tau") - 1e-9)
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"))
+    val cand = prefix.alias("x")
+      .join(w.select(col("doc_id"), col("lang"), col("source"),
+          col("tok")).alias("y"),
+        col("x.tok") === col("y.tok") && col("x.lang") === col("y.lang")
+          && col("x.source") === col("y.source")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    // exact verify over the pair's FULL vectors: integer Σ wa·wb via
+    // the codegen'd two-pointer merge on the sorted term arrays. The
+    // vec side carries the term ARRAYS — merge-hinted so no policy
+    // ever broadcasts megabytes of arrays per rep (the r14 bench OOM:
+    // array broadcasts from concurrent verify joins outlived their
+    // reps faster than the ContextCleaner reclaimed them)
+    import graft.functions.SortedDotLong.sortedDotLong
+    cand
+      .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va"),
+        col("n2").as("na")).hint("merge"), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb"),
+        col("n2").as("nb")).hint("merge"), "doc_b")
+      .withColumn("dot", sortedDotLong(col("va"), col("vb")))
       .select(col("doc_a"), col("doc_b"), col("dot"),
         (col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
-      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
   /** TextRank fixed-point scale (independent of Graph.Scale — no
@@ -1945,8 +2083,98 @@ object TextOps {
       .orderBy(col("r"))
   }
 
+  /** Unified similarity-join thresholds (q322): high enough that the
+    * output is the true near-dup set, not the co-occurrence mass.
+    */
+  private val SimJoinJacT = 0.8
+  private val SimJoinCosT = 0.95
+
+  /** q322 — the user-facing `similarity_join(threshold, metric)`
+    * operator (r13 VERDICT #8): ONE prefix-filtered join surface
+    * serving both set similarity (bigram-shingle Jaccard ≥
+    * [[SimJoinJacT]], q48's rarest-first count prefix) and weighted
+    * similarity (exact-integer TF-IDF cosine ≥ [[SimJoinCosT]], q197's
+    * L2 prefix at a USER threshold instead of the top-k track — the
+    * same [[cosinePrefixPairs]], τ supplied as a literal). Both legs
+    * share the candidate-generation law the family proves piecewise:
+    * prefixes under a fixed rarest-first order probed against full
+    * postings are COMPLETE at the leg's threshold (q48 scaladoc for
+    * the count bound, q197 §2 for the weighted L2 bound), and both
+    * verify exactly (sorted-merge intersection / integer map-lookup
+    * dot), so the brute-force oracle hash-matches. Output: (metric,
+    * doc_a, doc_b, score) — a single relation a dedup pipeline can
+    * route on metric.
+    */
+  val q322 = {
+    val hashSql = graft.functions.RollingHash.duckSql("b", sfx = "2")
+    oracled(
+      "q322_similarity_join",
+      "unified prefix-filtered similarity join: bigram Jaccard >= 0.8 and TF-IDF cosine >= 0.95 legs",
+      s"""WITH t AS (
+           SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang, source,
+             list_sort(list_distinct(list_transform(
+               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               b -> $hashSql))) AS sh
+           FROM t),
+         jac AS (SELECT doc_a, doc_b, jaccard FROM (
+             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+                 THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 ELSE NULL END AS jaccard
+             FROM bg x JOIN bg y
+               ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
+           WHERE jaccard >= $SimJoinJacT),
+         tok AS (
+           SELECT doc_id, lang, source,
+             unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, lang, source, tok, COUNT(*) AS tf
+           FROM tok GROUP BY 1, 2, 3, 4),
+         df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         w AS (SELECT doc_id, lang, source, tf.tok,
+             tf.tf * (${graft.functions.IntLog2.duckSql("(n.n_docs + 1)")}
+                    - ${graft.functions.IntLog2.duckSql("(df.df + 1)")}) // 1024
+               AS wi
+           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+         nrm AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2
+           FROM w GROUP BY 1),
+         dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.wi * b.wi) AS BIGINT) AS dot
+           FROM w a JOIN w b ON a.tok = b.tok AND a.lang = b.lang
+             AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         cosp AS (SELECT doc_a, doc_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+           FROM dt JOIN nrm na ON na.doc_id = dt.doc_a
+                   JOIN nrm nb ON nb.doc_id = dt.doc_b)
+         SELECT * FROM (
+           SELECT 'jaccard' AS metric, doc_a, doc_b, jaccard AS score FROM jac
+           UNION ALL
+           SELECT 'cosine' AS metric, doc_a, doc_b, cosine AS score
+           FROM cosp WHERE cosine >= $SimJoinCosT)
+         ORDER BY metric, doc_a, doc_b""") { (s, dir) =>
+      val jac = Dedup.ngramJaccardPairs(Dedup.tokenized(s, dir), SimJoinJacT)
+        .select(lit("jaccard").as("metric"), col("doc_a"), col("doc_b"),
+          col("jaccard").as("score"))
+      val (w, vecs) = tfidfArtifacts(s, dir)
+      val tauF = s.range(1).select(lit(SimJoinCosT).as("tau"))
+      val cos = cosinePrefixPairs(w, vecs, tauF)
+        .filter(col("cosine") >= SimJoinCosT)
+        .select(lit("cosine").as("metric"), col("doc_a"), col("doc_b"),
+          col("cosine").as("score"))
+      jac.unionByName(cos)
+        .orderBy(col("metric"), col("doc_a"), col("doc_b"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303, q304, q309)
+      q271, q273, q283, q292, q303, q304, q309, q322)
 }

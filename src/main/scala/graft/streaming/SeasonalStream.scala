@@ -65,15 +65,30 @@ object SeasonalStream {
     // agg collapses the 0-or-1-row mark to exactly one (possibly-null)
     // row, so the cross join below is total — no driver-side scalar
     val w1 = wm.agg(max(col("wm_ts")).as("wm_ts"), max(col("wm_id")).as("wm_id"))
-    val fresh = batch.select(col("event_id"), col("ts"), col("value"))
+    val marked = batch.select(col("event_id"), col("ts"), col("value"))
       // a row delivered twice WITHIN one batch is invisible to the mark
       // (IndexStream's in-batch lesson); event_id is the log's unique key
       .dropDuplicates("event_id")
       .crossJoin(broadcast(w1))
-      .filter(col("wm_ts").isNull
+      .withColumn("is_fresh", col("wm_ts").isNull
         || col("ts") > col("wm_ts")
         || (col("ts") === col("wm_ts") && col("event_id") > col("wm_id")))
-      .localCheckpoint() // feeds the delta and the mark update
+      .localCheckpoint() // feeds the delta, the mark update, and the guard
+    // DATA-LOSS GUARD (r13 ADVICE): rows at-or-below the mark are
+    // DROPPED as replays. That is sound ONLY under the documented
+    // monotone (ts, event_id) delivery contract — the mark cannot
+    // distinguish a replay from a genuinely new late row without a
+    // seen-set (IndexStream's design, deliberately not paid here).
+    // The drop is made OBSERVABLE instead of silent: any batch that
+    // loses rows to the mark announces the count, so a source that
+    // violates ordering shows up in the log, not as quiet data loss.
+    val nDropped = marked.filter(!col("is_fresh")).count()
+    if (nDropped > 0)
+      System.err.println(s"[SeasonalStream] $nDropped row(s) at-or-below " +
+        "the high-water mark dropped as replays (monotone (ts, event_id) " +
+        "delivery contract; genuinely-new late rows would be LOST here)")
+    val fresh = marked.filter(col("is_fresh"))
+      .select(col("event_id"), col("ts"), col("value"), col("wm_ts"), col("wm_id"))
     val delta = fresh
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("v_cents"))
@@ -92,6 +107,15 @@ object SeasonalStream {
 
   /** Start the streaming intake: the daily series maintained at
     * `dailyDir`, the high-water mark at `wmDir`.
+    *
+    * DELIVERY CONTRACT (data-loss mode, stated explicitly per r13
+    * ADVICE): the source must deliver events in monotone (ts, event_id)
+    * order across batches — redeliveries may only replay an already-
+    * committed prefix. A source that violates that order (a generic
+    * unordered foreachBatch input) will have genuinely NEW rows at-or-
+    * below the mark dropped as replays; the drop is logged with a count
+    * per batch (see [[step]]) but the rows are not recoverable. Use
+    * [[IndexStream]]'s seen-set design when the input is unordered.
     */
   def start(events: DataFrame, dailyDir: String, wmDir: String,
       checkpointDir: String): StreamingQuery =

@@ -425,4 +425,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "probe join degenerated to a cross product\n" + p)
   }
+
+  test("q197: prefix-filtered candidates + codegen'd exact verify, no unfiltered dot join") {
+    val p = plan(operators.TextOps.q197)
+    // the verify path exists ONLY in the prefix-filtered plan: the
+    // unfiltered formulation computes the dot as join+groupBy and has
+    // no sorted-merge expression anywhere (r13's 86M-row intermediate)
+    assert(p.contains("sorted_dot_long"),
+      "exact verify missing: the unfiltered posting self-join is back\n" + p)
+    // the L2 prefix bounds are windowed suffix sums over each doc
+    assert("\\bWindow\\b".r.findAllIn(p).nonEmpty,
+      "prefix tail-bound window missing\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidate join degenerated to a cross product\n" + p)
+  }
+
+  test("q322: both similarity-join legs are prefix-filtered equi-joins with exact verifies") {
+    val p = plan(operators.TextOps.q322)
+    assert(p.contains("sorted_dot_long") && p.contains("sorted_intersect_count"),
+      "a leg lost its exact verify (prefix filter gone?)\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "a candidate join degenerated to a cross product\n" + p)
+  }
+
+  test("q321: full-corpus cosine near-dup joins bucket-to-bucket, never all-pairs") {
+    val p = plan(operators.Similarity.q321)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket join degenerated to a cross product\n" + p)
+  }
 }

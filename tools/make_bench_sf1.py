@@ -16,14 +16,16 @@ dups and near-dup/LSH bucket structure densifies 10x instead of
 degenerating to a 100% duplicate corpus); embeddings keep their
 vectors (ANN buckets densify 10x).
 
-Usage: python3 tools/make_bench_sf1.py [outDir]   (default target/bench_sf1)
+Usage: python3 tools/make_bench_sf1.py [outDir] [copies]
+  (defaults: target/bench_sf1, 10 — pass e.g. target/bench_sf3 30 for
+  the 30x dedup-family stress fixture, VERDICT r13 #9)
 """
 import sys, os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/bench_sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 def main():
     os.makedirs(OUT, exist_ok=True)

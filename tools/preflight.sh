@@ -27,12 +27,28 @@ if [ $# -ge 1 ]; then
 fi
 
 echo "== preflight: no uncommitted bench/correctness artifacts left behind =="
-# round artifacts must be IN the snapshot, not dirty in the tree
-dirty=$(git status --porcelain BENCH_local.json LEAKCHECK.json 2>/dev/null)
+# round artifacts must be IN the snapshot, not dirty in the tree.
+# r13 ADVICE: glob the whole artifact family, and make the check FATAL
+# when a verifyOutDir was supplied (i.e. this is a round-closing run) —
+# the incident class (artifacts missing from the snapshot commit)
+# recurred in r12 AND r13 as a warning.
+dirty=$(git status --porcelain 'BENCH_*.json' 'CORRECTNESS_*.json' \
+  VERDICT.md ADVICE.md LEAKCHECK.json COPYCHECK.json 2>/dev/null)
 if [ -n "$dirty" ]; then
-  echo "WARNING: round artifacts modified but not staged:" >&2
+  echo "round artifacts modified but not staged:" >&2
   echo "$dirty" >&2
-  echo "(stage them with the closing commit — not fatal)" >&2
+  if [ $# -ge 1 ]; then
+    fail "stage round artifacts with the closing commit (fatal on round-closing runs)"
+  else
+    echo "(stage them with the closing commit — not fatal without verifyOutDir)" >&2
+  fi
 fi
+
+echo "== preflight: bench variance guard =="
+# flags >1.3x drift on UNTOUCHED queries between the two most recent
+# committed sf1 benches (VERDICT r13 #4): a real regression must be
+# distinguishable from the documented ambient box variance. Warning-only
+# (variance is ambient); the point is the drift is SEEN at commit time.
+python3 tools/bench_drift.py || echo "(bench drift check unavailable — not fatal)" >&2
 
 echo "PREFLIGHT OK"
