@@ -985,12 +985,14 @@ object TextOps {
     val tauPairs = Dedup.simhashPairs(s, dir)
       .groupBy(col("doc_a")).agg(min(col("doc_b")).as("doc_b"))
       .join(vecs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
-        col("source").as("sa"), col("vec").as("va"), col("n2").as("na")),
-        "doc_a")
+        col("source").as("sa"), col("ka").as("kaa"), col("wa").as("waa"),
+        col("n2").as("na")), "doc_a")
       .join(vecs.select(col("doc_id").as("doc_b"), col("lang"),
-        col("source"), col("vec").as("vb"), col("n2").as("nb")), "doc_b")
+        col("source"), col("ka").as("kab"), col("wa").as("wab"),
+        col("n2").as("nb")), "doc_b")
       .filter(col("la") === col("lang") && col("sa") === col("source"))
-      .select((sortedDotLong(col("va"), col("vb")).cast("double")
+      .select((sortedDotLong(col("kaa"), col("waa"), col("kab"), col("wab"))
+        .cast("double")
         / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .as("cs"))
     val tau = tauPairs
@@ -1042,10 +1044,20 @@ object TextOps {
     // the previous countDistinct(doc_id) over raw postings was a
     // second corpus-sized shuffle (plus distinct's own two-phase agg)
     // for the same number
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // the dictionary: a dense BIGINT id per DISTINCT token under the
+    // deterministic (tok) total order — a bijection, so joins and
+    // merges on tid are joins and merges on the token, at 1/10 the
+    // row width of the string (the r14 verify OOM was rows carrying
+    // string-keyed struct arrays through two sort-merge joins). Built
+    // with the distributed ordinal (range sort + stitch), never a
+    // single-partition window — the vocabulary is corpus-scale at
+    // 100 TB even though this fixture's is ~4 k.
+    val dfreq = graft.plans.Ordinal.withGlobalOrdinal(
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tid", col("tok"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"), col("df"),
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"),
+        col("tid"), col("df"),
         expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
           s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
           .as("wi"))
@@ -1059,14 +1071,20 @@ object TextOps {
       .localCheckpoint()
   }
 
-  /** Per-doc sorted (tok, wi) array + exact norm — the verify side of
-    * the prefix-filtered joins (doc-length bounded: one row per doc,
-    * array of its wi ≠ 0 terms).
+  /** Per-doc PRIMITIVE vector form + exact norm — the verify side of
+    * the prefix-filtered joins: sorted dictionary ids `ka` with
+    * aligned weights `wa` as parallel ARRAY<BIGINT> (doc-length
+    * bounded, one row per doc; primitive arrays so the verify merge
+    * is allocation-free — see [[graft.functions.SortedDotLong]]).
     */
   private[graft] def tfidfVecs(w: DataFrame): DataFrame =
     w.groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(sort_array(collect_list(struct(col("tok"), col("wi")))).as("vec"),
+      .agg(sort_array(collect_list(struct(col("tid"), col("wi")))).as("v"),
         sum(col("wi") * col("wi")).as("n2"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        transform(col("v"), e => e.getField("tid")).as("ka"),
+        transform(col("v"), e => e.getField("wi")).as("wa"),
+        col("n2"))
       .localCheckpoint()
 
   /** L2-prefix-filtered cosine pair join at threshold `tau` (a 1-row
@@ -1093,11 +1111,11 @@ object TextOps {
       .withColumn("tailb", sum(col("nwt") * col("mw")).over(tailW))
       .withColumn("tailn", sqrt(sum(col("nwt") * col("nwt")).over(tailW)))
       .filter(least(col("tailb"), col("tailn")) >= col("tau") - 1e-9)
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tid"))
     val cand = prefix.alias("x")
       .join(w.select(col("doc_id"), col("lang"), col("source"),
-          col("tok")).alias("y"),
-        col("x.tok") === col("y.tok") && col("x.lang") === col("y.lang")
+          col("tid")).alias("y"),
+        col("x.tid") === col("y.tid") && col("x.lang") === col("y.lang")
           && col("x.source") === col("y.source")
           && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -1111,11 +1129,12 @@ object TextOps {
     // reps faster than the ContextCleaner reclaimed them)
     import graft.functions.SortedDotLong.sortedDotLong
     cand
-      .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va"),
-        col("n2").as("na")).hint("merge"), "doc_a")
-      .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb"),
-        col("n2").as("nb")).hint("merge"), "doc_b")
-      .withColumn("dot", sortedDotLong(col("va"), col("vb")))
+      .join(vecs.select(col("doc_id").as("doc_a"), col("ka").as("kaa"),
+        col("wa").as("waa"), col("n2").as("na")).hint("merge"), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("ka").as("kab"),
+        col("wa").as("wab"), col("n2").as("nb")).hint("merge"), "doc_b")
+      .withColumn("dot",
+        sortedDotLong(col("kaa"), col("waa"), col("kab"), col("wab")))
       .select(col("doc_a"), col("doc_b"), col("dot"),
         (col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
