@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): one local JVM hosts EVERY memoized
+  // artifact of a 322-query suite plus the driver plus 32 executor
+  // threads — r14's full-suite sf1 run exhausted 8g mid-suite (GCLocker
+  // alloc failures) while every query passes in isolation at 8g. Real
+  // deployments size executors independently of artifact count.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

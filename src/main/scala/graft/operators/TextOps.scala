@@ -1056,7 +1056,11 @@ object TextOps {
       tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tid", col("tok"))
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"),
+      // the token STRING does not survive into the artifact: ordering,
+      // grouping and join keys all use the dictionary id (a bijection
+      // ordered BY the token, so (df, tid) is the (df, tok) order) —
+      // the resident memo carries ~half the bytes
+      .select(col("doc_id"), col("lang"), col("source"),
         col("tid"), col("df"),
         expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
           s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
@@ -1103,11 +1107,11 @@ object TextOps {
     val nw = w.join(vecs.select(col("doc_id"), col("n2")), "doc_id")
       .withColumn("nwt",
         col("wi").cast("double") / sqrt(col("n2").cast("double")))
-    val mw = nw.groupBy(col("tok")).agg(max(col("nwt")).as("mw"))
+    val mw = nw.groupBy(col("tid")).agg(max(col("nwt")).as("mw"))
     val tailW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("tok"))
+      .orderBy(col("df"), col("tid"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val prefix = nw.join(mw, "tok").crossJoin(broadcast(tau))
+    val prefix = nw.join(mw, "tid").crossJoin(broadcast(tau))
       .withColumn("tailb", sum(col("nwt") * col("mw")).over(tailW))
       .withColumn("tailn", sqrt(sum(col("nwt") * col("nwt")).over(tailW)))
       .filter(least(col("tailb"), col("tailn")) >= col("tau") - 1e-9)
