@@ -93,10 +93,17 @@ object Advanced {
     * cell-assigned vector table, localCheckpoint'd (eager) so the
     * feature-vector working cache can be released immediately.
     */
-  private val ivfCellsCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val ivfCellsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame, Array[Array[Double]])]
 
-  private def ivfCells(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** One k-means fit per (context, dir): the assigned-cell frame PLUS
+    * the 16 centroid vectors (the coarse quantizer itself — q323's
+    * multi-probe needs per-query distances to the OTHER centroids,
+    * which only the model knows; re-fitting per consumer would be the
+    * round-3 q63 leak again).
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Array[Array[Double]]) =
     graft.Memo.sync(ivfCellsCache, graft.Memo.key(s, dir))( {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -107,11 +114,15 @@ object Advanced {
         .cache()
       try {
         val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(e)
-        model.transform(e)
+        val cells = model.transform(e)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
           .localCheckpoint() // eager: materialize before releasing e
+        (cells, model.clusterCenters.map(_.toArray))
       } finally e.unpersist()
     })
+
+  private def ivfCells(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ivfIndex(s, dir)._1
 
   /** The q63 candidate listing (query_id, vec_b, cos_sim, rn): each
     * query probes ONLY its own k-means cell and takes top-5 by cosine.
@@ -156,6 +167,70 @@ object Advanced {
       .agg(
         countDistinct(col("query_id")).as("n_queries"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= IvfRecallFloor).as("recall_ok"))
+  }
+
+  /** q323 — IVF MULTI-PROBE (nprobe = 2): each query probes its own
+    * k-means cell PLUS its nearest OTHER centroid — the clustered-index
+    * sibling of q51/q315's bit-flip probing, completing the r14
+    * multi-probe family across both bucketed indexes. The second probe
+    * is chosen by exact per-query centroid distance (argmin over
+    * −2·x·c + ‖c‖² with the centroids as literals — ‖x‖² is constant
+    * per row, and the model-assigned own cell is EXCLUDED rather than
+    * re-derived, so an fp disagreement with MLlib's assignment can
+    * never flip probe 1). Like q63, the listing depends on the seeded
+    * MLlib fit and cannot be oracle-hashed; the query emits the
+    * service contract as data: per-query DOMINANCE (multi candidates ⊇
+    * single ⟹ counts and recall@5 monotone — the q315 displacement
+    * argument verbatim) and the overall multi-probe recall floor. At
+    * 100 TB the index is unchanged — probing is query-side, one extra
+    * cell scan per query (2/16 of the corpus instead of 1/16).
+    */
+  val q323 = oracled(
+    "q323_ivf_multiprobe",
+    "IVF multi-probe (nprobe=2): dominance + recall@5 contract vs single-cell probing",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         TRUE AS dominance_ok, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 10""") { (s, dir) =>
+    import graft.functions.VecOps.dotF
+    val (cells, cents) = ivfIndex(s, dir)
+    val centArr = cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        (lit(-2.0) * dotF(col("embedding"), typedLit(c.toSeq))
+          + lit(c.map(v => v * v).sum)).as("d"),
+        lit(j).as("j"))
+    }
+    val q10 = cells.filter(col("vec_id") < 10)
+      .withColumn("ds", array_sort(array(centArr.toIndexedSeq: _*)))
+      .withColumn("cell2",
+        filter(col("ds"), e => e.getField("j") =!= col("cell"))
+          .getItem(0).getField("j"))
+      .drop("ds")
+      .localCheckpoint() // spine of both candidate joins + the ledger
+    val qp = q10.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(col("cell"), col("cell2"))).as("probe"))
+    val cs1 = Similarity.cosineScored(q10, cells,
+      col("x.cell") === col("y.cell")).localCheckpoint()
+    val csm = Similarity.cosineScored(qp, cells,
+      col("x.probe") === col("y.cell")).localCheckpoint()
+    val e = Similarity.withNorm(Tables.embeddings(s, dir))
+    val exact = Similarity.topK(
+      Similarity.cosineScored(q10, e, lit(true)), 5)
+      .select(col("query_id"), col("vec_b"), lit(1L).as("hit"))
+    def perQuery(cs: org.apache.spark.sql.DataFrame, sfx: String) = {
+      val rc = Similarity.topK(cs, 5)
+        .join(exact, Seq("query_id", "vec_b"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as(s"rc_$sfx"))
+      val nc = cs.groupBy(col("query_id")).agg(count(lit(1)).as(s"nc_$sfx"))
+      rc.join(nc, Seq("query_id"))
+    }
+    perQuery(cs1, "s").join(perQuery(csm, "m"), Seq("query_id"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        every(col("nc_m") >= col("nc_s") && col("rc_m") >= col("rc_s"))
+          .as("dominance_ok"),
+        (sum(col("rc_m")).cast("double") / (count(lit(1)) * 5)
           >= IvfRecallFloor).as("recall_ok"))
   }
 
@@ -625,5 +700,5 @@ object Advanced {
   }
 
   val all: Seq[GQuery] = Seq(q60, q61, q62, q63, q77, q78, q79, q108, q118,
-    q119, q291)
+    q119, q291, q323)
 }

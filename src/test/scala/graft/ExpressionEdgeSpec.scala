@@ -204,4 +204,40 @@ class ExpressionEdgeSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(z.length === 16 && z.forall(_ == 0L))
   }
+
+  test("SortedDotLong: merge semantics, disjoint/empty/null edges, codegen == interpreted") {
+    import spark.implicits._
+    import graft.functions.SortedDotLong.sortedDotLong
+    def dot(ka: Seq[Long], wa: Seq[Long], kb: Seq[Long], wb: Seq[Long]): java.lang.Long = {
+      val r = Seq((ka, wa, kb, wb)).toDF("ka", "wa", "kb", "wb")
+        .select(sortedDotLong(col("ka"), col("wa"), col("kb"), col("wb")).as("d"))
+        .collect()(0)
+      if (r.isNullAt(0)) null else Long.box(r.getLong(0))
+    }
+    // overlap on keys 2 and 5: 20*3 + 7*(-4) = 32
+    assert(dot(Seq(1L, 2L, 5L), Seq(9L, 20L, 7L), Seq(2L, 5L, 6L), Seq(3L, -4L, 8L)) === 32L)
+    // disjoint key sets: zero
+    assert(dot(Seq(1L, 3L), Seq(5L, 5L), Seq(2L, 4L), Seq(7L, 7L)) === 0L)
+    // either side empty: zero
+    assert(dot(Seq.empty, Seq.empty, Seq(1L), Seq(1L)) === 0L)
+    // identical vectors: the exact norm
+    assert(dot(Seq(1L, 2L), Seq(3L, 4L), Seq(1L, 2L), Seq(3L, 4L)) === 25L)
+    // null array: null out (BinaryExpression-style null propagation)
+    val nr = Seq((Option.empty[Seq[Long]], Seq(1L), Seq(1L), Seq(1L)))
+      .toDF("ka", "wa", "kb", "wb")
+      .select(sortedDotLong(col("ka"), col("wa"), col("kb"), col("wb")).as("d"))
+      .collect()(0)
+    assert(nr.isNullAt(0))
+    // interpreted path (no-codegen) agrees with the codegen'd value
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(dot(Seq(1L, 2L, 5L), Seq(9L, 20L, 7L), Seq(2L, 5L, 6L), Seq(3L, -4L, 8L)) === 32L)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
 }
