@@ -2290,9 +2290,115 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  // --------------------------------------- two-sample Kolmogorov–Smirnov
+
+  /** q324 — TWO-SAMPLE KOLMOGOROV–SMIRNOV drift ledger for every pair of
+    * languages over the document-length (n_chars) distribution — the
+    * distribution-free "did this subcorpus's shape change?" test that
+    * completes the q191 (Welch) / q296 (Mann–Whitney) / q297 (χ²)
+    * family: Welch compares means, U compares stochastic order, KS
+    * compares the WHOLE CDF, which is what a corpus-curation pipeline
+    * watches when a crawl or filter quietly shifts length profiles.
+    *
+    * Exactness: D = sup_v |F_a(v) − F_b(v)| is attained at a jump point,
+    * i.e. at some observed value, so scanning the merged value grid is
+    * exact; cross-multiplying clears the denominators — ks_num =
+    * max_v |cum_a(v)·n_b − cum_b(v)·n_a| is pure BIGINT (≲ 10¹⁴ at any
+    * realistic per-lang count × count), ks_ppm = (10⁶·ks_num) div
+    * (n_a·n_b), and ks_at_chars is the SMALLEST value attaining the max
+    * (deterministic argmax). No float anywhere.
+    *
+    * Scale shape (the q296 discipline): the corpus collapses onto the
+    * VALUE-DOMAIN histogram groupBy(lang, n_chars) — one partial-agg
+    * pass; pairs come from a broadcast lang×lang frame; the cumulative
+    * window partitions on (lang_a, lang_b) but runs over the bounded
+    * histogram (|n_chars domain| rows per pair, corpus-size-independent),
+    * so the single-task-per-pair shape is domain-bounded, not
+    * corpus-bounded. The argmax join-back touches only the pair ledger.
+    */
+  val q324 = oracled(
+    "q324_ks_drift",
+    "pairwise two-sample KS over doc-length CDFs: exact cross-multiplied integer statistic",
+    """WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM documents GROUP BY 1, 2),
+       lg AS (SELECT DISTINCT lang FROM documents),
+       pr AS (SELECT a.lang AS la, b.lang AS lb
+         FROM lg a JOIN lg b ON a.lang < b.lang),
+       ph AS (SELECT la, lb, v,
+           CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+         FROM (
+           SELECT p.la, p.lb, h.v, h.cnt AS ca, 0 AS cb
+           FROM pr p JOIN h ON h.lang = p.la
+           UNION ALL
+           SELECT p.la, p.lb, h.v, 0, h.cnt
+           FROM pr p JOIN h ON h.lang = p.lb) u
+         GROUP BY 1, 2, 3),
+       cu AS (SELECT la, lb, v,
+           SUM(ca) OVER (PARTITION BY la, lb ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS cum_a,
+           SUM(cb) OVER (PARTITION BY la, lb ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS cum_b
+         FROM ph),
+       tot AS (SELECT la, lb, CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b
+         FROM ph GROUP BY 1, 2),
+       d AS (SELECT c.la, c.lb, c.v,
+           ABS(c.cum_a * t.n_b - c.cum_b * t.n_a) AS dd
+         FROM cu c JOIN tot t ON t.la = c.la AND t.lb = c.lb),
+       mx AS (SELECT la, lb, CAST(MAX(dd) AS BIGINT) AS ks_num
+         FROM d GROUP BY 1, 2)
+       SELECT m.la AS lang_a, m.lb AS lang_b, t.n_a, t.n_b, m.ks_num,
+         CAST(MIN(d.v) AS BIGINT) AS ks_at_chars,
+         (1000000 * m.ks_num) // (t.n_a * t.n_b) AS ks_ppm
+       FROM mx m
+       JOIN tot t ON t.la = m.la AND t.lb = m.lb
+       JOIN d ON d.la = m.la AND d.lb = m.lb AND d.dd = m.ks_num
+       GROUP BY 1, 2, 3, 4, 5
+       ORDER BY lang_a, lang_b""") { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val lg = h.select(col("lang")).distinct()
+    val pr = lg.select(col("lang").as("la"))
+      .join(lg.select(col("lang").as("lb")), col("la") < col("lb"))
+    val ph = broadcast(pr).join(h, col("lang") === col("la"))
+      .select(col("la"), col("lb"), col("v"), col("cnt").as("ca"),
+        lit(0L).as("cb"))
+      .union(broadcast(pr).join(h, col("lang") === col("lb"))
+        .select(col("la"), col("lb"), col("v"), lit(0L).as("ca"),
+          col("cnt").as("cb")))
+      .groupBy(col("la"), col("lb"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .localCheckpoint(false)
+    val wCum = Window.partitionBy(col("la"), col("lb")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cu = ph
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+    val tot = ph.groupBy(col("la"), col("lb"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val d = cu.join(broadcast(tot), Seq("la", "lb"))
+      .withColumn("dd",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val mx = d.groupBy(col("la").as("mla"), col("lb").as("mlb"))
+      .agg(max(col("dd")).as("ks_num"))
+    d.join(broadcast(mx),
+        col("la") === col("mla") && col("lb") === col("mlb")
+          && col("dd") === col("ks_num"))
+      .groupBy(col("la").as("lang_a"), col("lb").as("lang_b"), col("n_a"),
+        col("n_b"), col("ks_num"))
+      .agg(min(col("v")).as("ks_at_chars"))
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("ks_num"), col("ks_at_chars"),
+        expr("(1000000 * ks_num) div (n_a * n_b)").as("ks_ppm"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297, q301, q302, q310, q312)
+      q296, q297, q301, q302, q310, q312, q324)
 }

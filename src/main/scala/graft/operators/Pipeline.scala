@@ -2098,9 +2098,70 @@ object Pipeline {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q326 — PER-USER CONTRIBUTION CAPPING ledger (the DP-prep step q290's
+    * geometric release assumes has already happened: a user's influence
+    * on any released aggregate must be BOUNDED before noise calibration
+    * means anything). Two bounds at once, per event_type: a RECORD cap
+    * (each user's first 3 events of that type by (ts, event_id) — the
+    * "contribution bounding" of DP-SQL systems) and a VALUE clip on the
+    * kept records (cents clamped at 100.00). The ledger carries raw vs
+    * kept counts and exact cent sums plus how many users were truncated
+    * — the numbers a privacy review reads to pick the cap.
+    *
+    * Exactness: values go through the dec2×100 cents convention
+    * (BIGINT everywhere); (ts, event_id) is a total order so "first 3"
+    * is deterministic in both engines.
+    *
+    * Scale shape: ONE window pass partitioned by (user_id, event_type)
+    * — the highest-cardinality key in the table, so tasks stay balanced
+    * at any scale (no low-cardinality partition; the round-6 rule is
+    * satisfied by construction) — then one partial-agg groupBy over
+    * event_type. No join anywhere.
+    */
+  val q326 = oracled(
+    "q326_contribution_capping",
+    "DP-prep per-user record cap (first 3 by ts) + value clip: exact cents ledger per event type",
+    """WITH e AS (SELECT event_type, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS rn
+         FROM events)
+       SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT CASE WHEN rn > 3 THEN user_id END)
+           AS BIGINT) AS n_users_truncated,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents_raw,
+         CAST(SUM(CASE WHEN rn <= 3 THEN cents ELSE 0 END) AS BIGINT)
+           AS sum_cents_kept,
+         CAST(SUM(CASE WHEN rn <= 3 THEN LEAST(cents, 10000) ELSE 0 END)
+           AS BIGINT) AS sum_cents_clipped
+       FROM e GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"),
+        row_number().over(w).as("rn"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("rn") <= 3, 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("rn") > 3, col("user_id")))
+          .as("n_users_truncated"),
+        sum(col("cents")).as("sum_cents_raw"),
+        sum(when(col("rn") <= 3, col("cents")).otherwise(0L))
+          .as("sum_cents_kept"),
+        sum(when(col("rn") <= 3, least(col("cents"), lit(10000L)))
+          .otherwise(0L)).as("sum_cents_clipped"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
       q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
-      q319)
+      q319, q326)
 }

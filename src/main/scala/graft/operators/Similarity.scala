@@ -1362,6 +1362,198 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  // ------------------------------------ Matryoshka truncation audit
+
+  /** DuckDB fragment: sequential-fold dot over the FIRST [[d]] list
+    * elements — the truncated-prefix twin of [[duckDot]], same
+    * ascending left fold so values stay bit-identical to [[dotF]] over
+    * `slice(embedding, 1, d)`.
+    */
+  private def duckDotPfx(a: String, b: String, d: Int): String =
+    s"""list_reduce(list_transform(range(1, ${d + 1}),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (u, v) -> u + v)"""
+
+  private def duckCosPfx(x: String, y: String, d: Int): String =
+    s"""(${duckDotPfx(s"$x.embedding", s"$y.embedding", d)}
+        / (sqrt(${duckDotPfx(s"$x.embedding", s"$x.embedding", d)})
+         * sqrt(${duckDotPfx(s"$y.embedding", s"$y.embedding", d)})))"""
+
+  /** q325 — MATRYOSHKA TRUNCATION recall audit: can serving keep only
+    * the first 16 of 64 embedding dimensions (4× memory/bandwidth cut —
+    * the Matryoshka-representation deployment question, Kusupati et al.
+    * 2022) without losing the neighborhood structure? For the q50 panel
+    * (vec_id < 10) the ledger compares exact top-5 under FULL 64-dim
+    * cosine vs top-5 under the 16-dim PREFIX cosine and reports
+    * per-query overlap (recall@5 hits, 0..5) and whether the top-1
+    * survived — exact integers, the floats stay inside the rank
+    * comparison where both engines compute the identical ascending
+    * fold ([[duckDotPfx]] vs `dotF` over `slice`).
+    *
+    * Scale shape: ONE panel×corpus join computes both similarities per
+    * candidate row (the truncated dot is not a second scan — `slice` on
+    * the already-read vector), two windows rank the bounded panel's
+    * candidate lists, and the overlap join touches 2×5 rows per query.
+    * At 100 TB the panel side is broadcast and the corpus side streams
+    * through one whole-stage-codegen'd stage.
+    */
+  val q325 = oracled(
+    "q325_matryoshka_recall",
+    "16-of-64-dim prefix-cosine top-5 recall vs full-dim exact (per-query overlap + top-1 survival)",
+    s"""WITH sc AS (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cf,
+           ${duckCosPfx("x", "y", 16)} AS ct
+         FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+         WHERE x.vec_id < 10),
+       fu AS (SELECT query_id, vec_b,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cf DESC, vec_b) AS rn
+         FROM sc),
+       tr AS (SELECT query_id, vec_b,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ct DESC, vec_b) AS rn
+         FROM sc),
+       f5 AS (SELECT * FROM fu WHERE rn <= 5),
+       t5 AS (SELECT * FROM tr WHERE rn <= 5)
+       SELECT f5.query_id,
+         CAST(COUNT(t5.vec_b) AS BIGINT) AS recall5_hits,
+         CAST(MAX(CASE WHEN f5.rn = 1 AND t5.rn = 1
+           THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
+       FROM f5 LEFT JOIN t5
+         ON t5.query_id = f5.query_id AND t5.vec_b = f5.vec_b
+       GROUP BY f5.query_id
+       ORDER BY f5.query_id""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+      .withColumn("emb16", slice(col("embedding"), 1, 16))
+      .withColumn("nrm16", sqrt(dotF(col("emb16"), col("emb16"))))
+    val q = e.filter(col("vec_id") < 10)
+    // one pair join, both similarities from the same candidate row
+    val sc = q.alias("x").join(e.alias("y"),
+        col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cf"),
+        (dotF(col("x.emb16"), col("y.emb16"))
+          / (col("x.nrm16") * col("y.nrm16"))).as("ct"))
+      .localCheckpoint(false)
+    def top5(byCol: String) = sc.withColumn("rn",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col(byCol).desc, col("vec_b"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_b"), col("rn"))
+    val f5 = top5("cf").alias("f")
+    val t5 = top5("ct").alias("t")
+    f5.join(t5, col("t.query_id") === col("f.query_id")
+          && col("t.vec_b") === col("f.vec_b"), "left")
+      .groupBy(col("f.query_id").as("query_id"))
+      .agg(count(col("t.vec_b")).as("recall5_hits"),
+        max(when(col("f.rn") === 1 && col("t.rn") === 1, 1L)
+          .otherwise(0L)).as("top1_match"))
+      .orderBy(col("query_id"))
+  }
+
+  // --------------------------------- two-stage retrieval (int8 -> exact)
+
+  /** q327 — TWO-STAGE RETRIEVAL audit: the standard serving
+    * architecture (coarse scan over compressed codes, exact rerank of
+    * the survivors) measured against ground truth. Stage 1 ranks ALL
+    * candidates by the INTEGER dot of q317's int8 codes (floor(x·127/
+    * max|x|) per dimension — scale-free MIPS proxy, pure BIGINT so both
+    * engines rank identically by construction); stage 2 reranks the
+    * coarse top-20 by exact full-precision cosine and keeps 5. Ledger
+    * per panel query (vec_id < 10): recall@5 of the reranked list vs
+    * the exact top-5, and the coarse rank of the true top-1 — the
+    * number that says how deep stage 1 must reach before stage 2 can
+    * recover the answer.
+    *
+    * Scale shape: ONE panel×corpus join computes the integer code dot
+    * and the exact cosine per candidate row (codes are derived scan-
+    * local from the vector already in hand — at serving time they'd be
+    * the stored column and the float vector the late fetch); the three
+    * rankings are windows over the bounded panel's candidate lists.
+    */
+  val q327 = oracled(
+    "q327_two_stage_retrieval",
+    "int8-coarse top-20 -> exact-rerank top-5 vs exact top-5: recall + coarse rank of true top-1",
+    s"""WITH c AS (SELECT vec_id, embedding,
+           list_transform(range(1, 65), i -> CASE WHEN mx = 0 THEN 0
+             ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / mx)
+               AS BIGINT) END) AS codes
+         FROM (SELECT vec_id, embedding,
+             list_reduce(list_transform(range(1, 65),
+               i -> abs(CAST(embedding[i] AS DOUBLE))),
+               (u, v) -> CASE WHEN v > u THEN v ELSE u END) AS mx
+           FROM embeddings)),
+       sc AS (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS cf,
+           list_reduce(list_transform(range(1, 65),
+             i -> x.codes[i] * y.codes[i]), (u, v) -> u + v) AS ci
+         FROM c x JOIN c y ON y.vec_id <> x.vec_id
+         WHERE x.vec_id < 10),
+       rk AS (SELECT query_id, vec_b, cf,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ci DESC, vec_b) AS rn_c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cf DESC, vec_b) AS rn_f
+         FROM sc),
+       rr AS (SELECT query_id, vec_b,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cf DESC, vec_b) AS rn_r
+         FROM rk WHERE rn_c <= 20),
+       f5 AS (SELECT query_id, vec_b FROM rk WHERE rn_f <= 5),
+       r5 AS (SELECT query_id, vec_b FROM rr WHERE rn_r <= 5),
+       ov AS (SELECT f5.query_id,
+           CAST(COUNT(r5.vec_b) AS BIGINT) AS recall5_hits
+         FROM f5 LEFT JOIN r5
+           ON r5.query_id = f5.query_id AND r5.vec_b = f5.vec_b
+         GROUP BY f5.query_id)
+       SELECT ov.query_id, ov.recall5_hits,
+         CAST(t1.rn_c AS BIGINT) AS top1_coarse_rank
+       FROM ov JOIN (SELECT query_id, rn_c FROM rk WHERE rn_f = 1) t1
+         ON t1.query_id = ov.query_id
+       ORDER BY ov.query_id""") { (s, dir) =>
+    val mx = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (u, v) => when(v > u, v).otherwise(u))
+    val codes = transform(col("embedding"), x =>
+      when(col("mx") === 0, lit(0L))
+        .otherwise(floor(x.cast("double") * 127 / col("mx")).cast("long")))
+    val e = Tables.embeddings(s, dir)
+      .withColumn("mx", mx)
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"), codes.as("codes"))
+    val q = e.filter(col("vec_id") < 10)
+    val sc = q.alias("x").join(e.alias("y"),
+        col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("vec_b"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cf"),
+        aggregate(zip_with(col("x.codes"), col("y.codes"), _ * _),
+          lit(0L), _ + _).as("ci"))
+    val rk = sc
+      .withColumn("rn_c", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("ci").desc, col("vec_b"))))
+      .withColumn("rn_f", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("cf").desc, col("vec_b"))))
+      .localCheckpoint(false)
+    val r5 = rk.filter(col("rn_c") <= 20)
+      .withColumn("rn_r", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("cf").desc, col("vec_b"))))
+      .filter(col("rn_r") <= 5)
+      .select(col("query_id").as("rq"), col("vec_b").as("rb"))
+    val ov = rk.filter(col("rn_f") <= 5)
+      .join(r5, col("rq") === col("query_id") && col("rb") === col("vec_b"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("rb")).as("recall5_hits"))
+    ov.join(rk.filter(col("rn_f") === 1)
+          .select(col("query_id").as("tq"), col("rn_c")),
+        col("tq") === col("query_id"))
+      .select(col("query_id"), col("recall5_hits"),
+        col("rn_c").cast("long").as("top1_coarse_rank"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305, q315, q316, q317, q318, q321)
+    q249, q269, q305, q315, q316, q317, q318, q321, q325, q327)
 }

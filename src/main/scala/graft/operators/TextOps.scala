@@ -2196,8 +2196,76 @@ object TextOps {
     }
   }
 
+  // ------------------------------------------------- n-gram novelty
+
+  /** q328 — N-GRAM NOVELTY curve: per document (in doc_id ingest
+    * order), how many of its word trigrams were NEVER seen in any
+    * earlier document — the marginal-content measure behind
+    * dedup-aware corpus growth ("is this crawl increment adding
+    * anything?") and the per-doc complement of q156's corpus-level
+    * vocabulary curve: near-copies score ≈ 0 novelty, fresh content
+    * scores high. Ledger per doc: trigram positions, distinct
+    * trigrams, novel trigrams (first global occurrence is here), and
+    * novel_ppm = 10⁶·novel div distinct — all BIGINT.
+    *
+    * Scale shape: "seen earlier" needs no ordered scan or cumulative
+    * distinct — a trigram is novel in EXACTLY the doc where it first
+    * occurs, so one distinct over (gram, doc), one groupBy(gram) →
+    * min(doc_id), and a join back on (gram, doc_id) settle every doc
+    * in three keyed linear shuffles (the q156 first-occurrence trick
+    * carried to per-doc resolution). Grams travel as rolling hashes
+    * on the Spark side — collision-free on this corpus because the
+    * oracle, which carries FULL gram strings, hash-matches.
+    */
+  val q328 = oracled(
+    "q328_ngram_novelty",
+    "per-doc trigram novelty vs all earlier docs: first-occurrence join, exact BIGINT ledger",
+    """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+           FROM documents),
+       tri AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+         FROM tok),
+       d AS (SELECT DISTINCT doc_id, g FROM tri),
+       fo AS (SELECT g, MIN(doc_id) AS first_doc FROM d GROUP BY g),
+       pd AS (SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN fo.first_doc = d.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+         FROM d JOIN fo ON fo.g = d.g GROUP BY d.doc_id),
+       np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions
+         FROM tri GROUP BY doc_id)
+       SELECT pd.doc_id, np.n_positions, pd.n_distinct, pd.n_novel,
+         (1000000 * pd.n_novel) // pd.n_distinct AS novel_ppm
+       FROM pd JOIN np ON np.doc_id = pd.doc_id
+       ORDER BY pd.doc_id""") { (s, dir) =>
+    val tri = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          greatest(size(col("t")) - 2, lit(0)) + 1)).as("i"),
+        col("t"))
+      .filter(col("i") <= size(col("t")) - 2)
+      .select(col("doc_id"),
+        rollingHash(array_join(slice(col("t"), col("i"), lit(3)), " "))
+          .as("g"))
+    val np = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_positions"))
+    val d = tri.distinct().localCheckpoint(false)
+    val fo = d.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val pd = d.join(fo, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    pd.join(np, Seq("doc_id"))
+      .select(col("doc_id"), col("n_positions"), col("n_distinct"),
+        col("n_novel"),
+        expr("(1000000 * n_novel) div n_distinct").as("novel_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303, q304, q309, q322)
+      q271, q273, q283, q292, q303, q304, q309, q322, q328)
 }
