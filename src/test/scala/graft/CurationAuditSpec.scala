@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics proofs for the round-14 curation-audit additions
+  * (q324–q328) on CRAFTED corpora where the expected ledgers are
+  * hand-computable — the driver's DuckDB gate proves engine==oracle on
+  * the fixture; these prove the SEMANTICS are the intended ones (a KS
+  * statistic someone can check by hand, a quantization-induced recall
+  * loss the two-stage audit must detect, a truncation that provably
+  * destroys/preserves the neighborhood order).
+  */
+class CurationAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeDocs(dir: String,
+      rows: Seq[(Long, String, String, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // ------------------------------------------------------------- q324
+
+  test("q324 KS: hand-computed cross-multiplied statistic on a 6-doc corpus") {
+    // lang a lengths {1,2,3}, lang b {2,4}, lang c {5}
+    val dir = tempDir("ks_drift")
+    writeDocs(dir, Seq(
+      (1L, "t", "a", "s", 1L), (2L, "t", "a", "s", 2L), (3L, "t", "a", "s", 3L),
+      (4L, "t", "b", "s", 2L), (5L, "t", "b", "s", 4L),
+      (6L, "t", "c", "s", 5L)))
+    val rows = operators.Analytics.q324.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (a,b): cum_a/cum_b over v=1,2,3,4 → |ca·2−cb·3| = 2,1,3,0
+    assert(rows(("a", "b")) == ((3L, 2L, 3L, 3L, 500000L)))
+    // (a,c): |ca·1−cc·3| over v=1,2,3,5 = 1,2,3,0 → max 3 at v=3
+    assert(rows(("a", "c")) == ((3L, 1L, 3L, 3L, 1000000L)))
+    // (b,c): |cb·1−cc·2| over v=2,4,5 = 1,2,0 → max 2 at v=4
+    assert(rows(("b", "c")) == ((2L, 1L, 2L, 4L, 1000000L)))
+    assert(rows.size == 3)
+  }
+
+  test("q324 KS: identical distributions score zero") {
+    val dir = tempDir("ks_zero")
+    writeDocs(dir, Seq(
+      (1L, "t", "a", "s", 10L), (2L, "t", "a", "s", 20L),
+      (3L, "t", "b", "s", 10L), (4L, "t", "b", "s", 20L)))
+    val r = operators.Analytics.q324.run(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(4) == 0L && r(0).getLong(6) == 0L)
+  }
+
+  // ------------------------------------------------------------- q325
+
+  private def writeEmb(dir: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("q325: information confined to the 16-dim prefix → full recall") {
+    // 20-dim vectors, dims 17..20 all zero: the truncated ranking IS the
+    // full ranking, so every query must report 5 hits + top-1 survival.
+    val dir = tempDir("mat_full")
+    def v(seed: Int): Seq[Float] =
+      Seq.tabulate(20)(d => if (d < 16) ((seed * 7 + d * 3) % 11 + 1).toFloat else 0f)
+    writeEmb(dir, (0L, v(1)) +: (100L to 107L).map(i => (i, v(i.toInt))))
+    val rows = operators.Similarity.q325.run(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 1L)
+  }
+
+  test("q325: information confined to dims 17+ → truncation destroys the order") {
+    // All candidates share the identical 16-dim prefix (ties resolve by
+    // vec_id, so truncated top-5 = ids 100..104); the true order lives in
+    // dim 17 and is the REVERSE (largest id = best) → zero overlap.
+    val dir = tempDir("mat_none")
+    val prefix = 1f +: Seq.fill(15)(0f)
+    val query = (0L, prefix ++ Seq(1f, 0f, 0f, 0f))
+    val cands = (100L to 109L).map(i =>
+      (i, prefix ++ Seq(((i - 99) * 0.05).toFloat, 0f, 0f, 0f)))
+    writeEmb(dir, query +: cands)
+    val rows = operators.Similarity.q325.run(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 0L)
+  }
+
+  // ------------------------------------------------------------- q326
+
+  test("q326: record cap, value clip, and truncated-user accounting by hand") {
+    import spark.implicits._
+    val dir = tempDir("contrib_cap")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      // user 1: five purchases; the 3rd (200.00) is kept AND clipped
+      (1L, ts(1), 1L, "purchase", 10.00, "{}"),
+      (2L, ts(2), 1L, "purchase", 20.00, "{}"),
+      (3L, ts(3), 1L, "purchase", 200.00, "{}"),
+      (4L, ts(4), 1L, "purchase", 30.00, "{}"),
+      (5L, ts(5), 1L, "purchase", 40.00, "{}"),
+      // user 2: two purchases, under the cap
+      (6L, ts(1), 2L, "purchase", 50.00, "{}"),
+      (7L, ts(2), 2L, "purchase", 60.00, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Pipeline.q326.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "purchase")
+    assert(row.getLong(1) == 7L, "n_raw")
+    assert(row.getLong(2) == 5L, "n_kept: 3 (capped user 1) + 2 (user 2)")
+    assert(row.getLong(3) == 2L, "n_users")
+    assert(row.getLong(4) == 1L, "only user 1 was truncated")
+    assert(row.getLong(5) == 41000L, "sum_cents_raw")
+    assert(row.getLong(6) == 34000L, "kept: 23000 (u1 first 3) + 11000 (u2)")
+    assert(row.getLong(7) == 24000L, "clipped: 200.00 → 100.00")
+  }
+
+  // ------------------------------------------------------------- q327
+
+  test("q327: quantization-induced recall loss is detected (true top-1 past the coarse cut)") {
+    // Query = [1, .5, 0, 0]; B (vec 100) equals the query direction
+    // exactly (cos = 1, the true top-1) and codes to [127, 63] →
+    // coarse 127²+63² = 20098. Each C_i = [.9, .5, δ_i, 0] codes to
+    // [127, 70] (mx = .9 stretches the second dim) → coarse 20539 >
+    // 20098, while its exact cosine stays < 1. With 21 C's the true
+    // top-1 sits at coarse rank 22 — OUTSIDE the top-20 — so the
+    // reranked list can recover at most 4 of the exact top-5.
+    val dir = tempDir("two_stage")
+    val q = (0L, Seq(1f, 0.5f, 0f, 0f))
+    val b = (100L, Seq(1f, 0.5f, 0f, 0f))
+    val cs = (101L to 121L).map(i =>
+      (i, Seq(0.9f, 0.5f, ((i - 100) * 0.0001).toFloat, 0f)))
+    writeEmb(dir, q +: b +: cs)
+    val rows = operators.Similarity.q327.run(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(2) == 22L, "true top-1 must rank 22nd coarsely")
+    assert(rows(0).getLong(1) == 4L,
+      "rerank recovers exactly the 4 in-cut members of the exact top-5")
+  }
+
+  test("q327: alignment-preserving corpus → perfect two-stage recall") {
+    // Candidates colinear with the query at power-of-two scales: the
+    // scaling is exact in float AND cancels bitwise in the cosine (both
+    // norms and the dot shift by the same 2^k), so every cf ties, every
+    // int8 code vector is identical, and BOTH rankings resolve by
+    // vec_id — the audit must report 5/5 and coarse rank 1.
+    val dir = tempDir("two_stage_ok")
+    val q = (0L, Seq(4f, 3f, 2f, 1f))
+    val cands = (100L to 107L).map { i =>
+      val s = (1 << (i - 100).toInt).toFloat
+      (i, Seq(4f / s, 3f / s, 2f / s, 1f / s))
+    }
+    writeEmb(dir, q +: cands)
+    val rows = operators.Similarity.q327.run(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 1L)
+  }
+
+  // ------------------------------------------------------------- q328
+
+  test("q328: novelty = first-occurrence; copies score zero, partial overlap prorated") {
+    val dir = tempDir("novelty")
+    writeDocs(dir, Seq(
+      (1L, "a b c d", "en", "s", 7L),   // trigrams "a b c","b c d": both novel
+      (2L, "a b c d", "en", "s", 7L),   // exact copy: zero novelty
+      (3L, "a b c x", "en", "s", 7L),   // "a b c" seen, "b c x" novel
+      (4L, "a b", "en", "s", 3L)))      // too short: no trigram, absent
+    val rows = operators.TextOps.q328.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 3, "the trigram-free doc must be absent")
+    assert(rows(1L) == ((2L, 2L, 2L, 1000000L)))
+    assert(rows(2L) == ((2L, 2L, 0L, 0L)))
+    assert(rows(3L) == ((2L, 2L, 1L, 500000L)))
+  }
+}

@@ -453,4 +453,46 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "bucket join degenerated to a cross product\n" + p)
   }
+
+  test("q324: corpus collapses to the histogram first; no unhinted cross product") {
+    val p = plan(operators.Analytics.q324)
+    // the lang-pair grid is a bounded BNLJ by design; what must NOT
+    // appear is an unhinted CartesianProduct or a corpus-sized window
+    assert(!p.contains("CartesianProduct"), p)
+    // the histogram's own partial phase sits above the memo checkpoint;
+    // what this plan must show is map-side partials on every aggregate
+    // it DOES contain (totals, max, argmax)
+    assert(p.contains("partial_"),
+      "pair aggregates lost their map-side partial phase\n" + p)
+  }
+
+  test("q326: the capping window partitions on (user, type), never type alone") {
+    val p = plan(operators.Pipeline.q326)
+    assert(p.contains("windowspecdefinition(user_id"),
+      "row cap must window on the high-cardinality (user_id, event_type) " +
+        "key — a type-only window is one task per type at scale\n" + p)
+  }
+
+  test("q327/q325: no cross product; rankings window on the panel query id") {
+    // the panel×corpus join itself sits above the scored-relation
+    // checkpoint (lineage-truncated here); the visible contract is that
+    // every ranking window partitions on query_id — the bounded panel —
+    // and nothing downstream degenerates to a cross product
+    for (q <- Seq(operators.Similarity.q327, operators.Similarity.q325)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        "a downstream join degenerated to an unhinted cross product\n" + p)
+      assert(p.contains("windowspecdefinition(query_id"),
+        "rankings must window per panel query\n" + p)
+    }
+  }
+
+  test("q328: first-occurrence resolution is equi-joins + partial aggs, no window") {
+    val p = plan(operators.TextOps.q328)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty join degenerated to a cross product\n" + p)
+    assert(!p.contains("windowspecdefinition"),
+      "novelty must come from the first-occurrence groupBy+join, " +
+        "not a cumulative-distinct window\n" + p)
+  }
 }
