@@ -2159,9 +2159,60 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** q329 — TEMPERATURE-SAMPLED domain mixture (α = 0.5): the mixing
+    * policy multilingual/multi-source LM training actually uses — q319
+    * rebalances to a UNIFORM target, but a uniform target starves head
+    * domains and over-repeats tail ones, so practice samples
+    * proportionally to n^α with α ∈ (0,1) (Lample & Conneau 2019's
+    * exponent-smoothed rates). Ledger per (lang, source): token count,
+    * w = ⌊√n_tokens⌋ (α = 0.5 as an EXACT integer — IEEE sqrt is
+    * correctly rounded and n < 2⁵³ is exact in double, so both engines
+    * floor the identical value), weight_ppm, tokens drawn at a budget
+    * of half the corpus, and epochs_x1000 = how many passes over the
+    * domain that draw implies (>1000 ⟹ the tail domain repeats — the
+    * number an epoch scheduler reads).
+    *
+    * Scale shape: one partial-agg groupBy over the corpus; everything
+    * after is arithmetic on the bounded domain table against a 1-row
+    * broadcast total (the q319 shape).
+    */
+  val q329 = oracled(
+    "q329_temperature_mixture",
+    "alpha=0.5 temperature-sampled domain mixture: exact isqrt weights, ppm rates, implied epochs",
+    """WITH d AS (SELECT lang, source,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY 1, 2),
+       w AS (SELECT lang, source, n_tokens,
+           CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+         FROM d),
+       t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+           CAST(SUM(w) AS BIGINT) AS wsum FROM w)
+       SELECT w.lang, w.source, w.n_tokens, w.w,
+         (1000000 * w.w) // t.wsum AS weight_ppm,
+         ((t.total // 2) * w.w) // t.wsum AS drawn_tokens,
+         (1000 * (((t.total // 2) * w.w) // t.wsum)) // w.n_tokens
+           AS epochs_x1000
+       FROM w CROSS JOIN t
+       ORDER BY w.lang, w.source""") { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(trim(col("text")), " "))).as("n_tokens"))
+    val w = d.withColumn("w",
+      expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val t = w.agg(sum(col("n_tokens")).as("total"), sum(col("w")).as("wsum"))
+    w.crossJoin(broadcast(t))
+      .select(col("lang"), col("source"), col("n_tokens"), col("w"),
+        expr("(1000000 * w) div wsum").as("weight_ppm"),
+        expr("((total div 2) * w) div wsum").as("drawn_tokens"),
+        expr("(1000 * (((total div 2) * w) div wsum)) div n_tokens")
+          .as("epochs_x1000"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
       q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
-      q319, q326)
+      q319, q326, q329)
 }

@@ -1554,6 +1554,117 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // -------------------------------------------- MMR diversification
+
+  /** q330 — MAXIMAL MARGINAL RELEVANCE diversification (Carbonell &
+    * Goldstein 1998): re-rank each panel query's exact top-10 into a
+    * 5-item list that trades relevance against redundancy — greedy
+    * argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 0.7 — the
+    * standard answer to "the top-5 are five near-copies" in retrieval
+    * serving (and in dedup-aware eval-set construction). Scores stay
+    * floats INSIDE the greedy comparison (both engines compute the
+    * identical doubles: rel and pairwise sims are the q50 ascending
+    * fold, the MMR combination is the same two multiplies and a
+    * subtract); the emitted ledger is (query, round, picked id,
+    * ⌊10⁶·score⌋) with ties broken on vec_id.
+    *
+    * Scale shape: relevance is the one panel×corpus scored join (q50's
+    * shape); everything after — the 10-candidate lists, the ≤90
+    * ordered candidate pairs per query, five greedy rounds — runs on
+    * BOUNDED relations (panel × 10 and panel × 90 rows), so the greedy
+    * loop's 5 steps are driver-composed plans over broadcast-sized
+    * frames, never corpus-sized work (the q299 greedy discipline).
+    */
+  val q330 = oracled(
+    "q330_mmr_diversification",
+    "MMR re-ranking (lambda=0.7): greedy 5-of-top-10 per panel query, exact greedy twin in SQL",
+    {
+      def round(k: Int) = s"""
+       mx$k AS (SELECT p.query_id, p.da, MAX(p.pcos) AS pen
+         FROM pp p JOIN sel${k - 1} s
+           ON s.query_id = p.query_id AND s.vec_b = p.db
+         GROUP BY 1, 2),
+       sc$k AS (SELECT c.query_id, c.vec_b,
+           0.7 * c.rel - 0.3 * m.pen AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY 0.7 * c.rel - 0.3 * m.pen DESC, c.vec_b) AS pk
+         FROM cand c
+         JOIN mx$k m ON m.query_id = c.query_id AND m.da = c.vec_b
+         WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+           WHERE s.query_id = c.query_id AND s.vec_b = c.vec_b)),
+       sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+         SELECT query_id, vec_b, CAST($k AS BIGINT) AS rnd, score
+         FROM sc$k WHERE pk = 1)"""
+      s"""WITH sc AS (
+         SELECT x.vec_id AS query_id, y.vec_id AS vec_b,
+           ${duckCos("x", "y")} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+         FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+         WHERE x.vec_id < 10),
+       cand AS (SELECT query_id, vec_b, rel FROM sc WHERE rn <= 10),
+       ce AS (SELECT c.query_id, c.vec_b, c.rel, e.embedding
+         FROM cand c JOIN embeddings e ON e.vec_id = c.vec_b),
+       pp AS (SELECT a.query_id, a.vec_b AS da, b.vec_b AS db,
+           ${duckCos("a", "b")} AS pcos
+         FROM ce a JOIN ce b
+           ON b.query_id = a.query_id AND b.vec_b <> a.vec_b),
+       sel1 AS (SELECT query_id, vec_b, CAST(1 AS BIGINT) AS rnd, score
+         FROM (SELECT query_id, vec_b, 0.7 * rel AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY 0.7 * rel DESC, vec_b) AS pk
+           FROM cand) t WHERE pk = 1),
+       ${(2 to 5).map(round).mkString(",\n")}
+       SELECT query_id, rnd, vec_b AS vec_id,
+         CAST(FLOOR(1000000 * score) AS BIGINT) AS score_x1e6
+       FROM sel5 ORDER BY query_id, rnd"""
+    }) { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+    val cand = topK(cosineScored(e.filter(col("vec_id") < 10), e,
+        lit(true)), 10)
+      .select(col("query_id"), col("vec_b"), col("cos_sim").as("rel"))
+      .localCheckpoint(false)
+    val ce = cand.join(
+      e.select(col("vec_id").as("vec_b"), col("embedding"), col("nrm")),
+      Seq("vec_b"))
+    val pp = ce.select(col("query_id"), col("vec_b").as("da"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(ce.select(col("query_id").as("qb"), col("vec_b").as("db"),
+          col("embedding").as("eb"), col("nrm").as("nb")),
+        col("qb") === col("query_id") && col("db") =!= col("da"))
+      .select(col("query_id"), col("da"), col("db"),
+        (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("pcos"))
+      .localCheckpoint(false)
+    def pick(scored: DataFrame, k: Int): DataFrame =
+      scored.withColumn("pk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_b"))))
+        .filter(col("pk") === 1)
+        .select(col("query_id"), col("vec_b"), lit(k.toLong).as("rnd"),
+          col("score"))
+    var sel = pick(cand.select(col("query_id"), col("vec_b"),
+      (lit(0.7) * col("rel")).as("score")), 1).localCheckpoint(false)
+    for (k <- 2 to 5) {
+      val mx = pp.join(broadcast(sel.select(col("query_id").as("qs"),
+          col("vec_b").as("ds"))),
+          col("qs") === col("query_id") && col("ds") === col("db"))
+        .groupBy(col("query_id"), col("da"))
+        .agg(max(col("pcos")).as("pen"))
+      val scored = cand
+        .join(sel.select(col("query_id").as("qe"), col("vec_b").as("de")),
+          col("qe") === col("query_id") && col("de") === col("vec_b"),
+          "left_anti")
+        .join(mx.select(col("query_id").as("qm"), col("da"), col("pen")),
+          col("qm") === col("query_id") && col("da") === col("vec_b"))
+        .select(col("query_id"), col("vec_b"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
+      sel = sel.unionByName(pick(scored, k)).localCheckpoint(false)
+    }
+    sel.select(col("query_id"), col("rnd"), col("vec_b").as("vec_id"),
+        floor(lit(1000000) * col("score")).cast("long").as("score_x1e6"))
+      .orderBy(col("query_id"), col("rnd"))
+  }
+
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305, q315, q316, q317, q318, q321, q325, q327)
+    q249, q269, q305, q315, q316, q317, q318, q321, q325, q327, q330)
 }

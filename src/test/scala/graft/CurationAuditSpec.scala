@@ -171,6 +171,54 @@ class CurationAuditSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 1L)
   }
 
+  // ------------------------------------------------------------- q329
+
+  test("q329: temperature weights by hand (isqrt 4→2, 9→3; budget = half)") {
+    val dir = tempDir("temp_mix")
+    writeDocs(dir, Seq(
+      (1L, "w w w w", "a", "s1", 7L),          // domain (a,s1): 4 tokens
+      (2L, "w w w w w w w w w", "b", "s2", 17L))) // domain (b,s2): 9 tokens
+    val rows = operators.Pipeline.q329.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // total=13, wsum=5, budget=6: drawn a=6·2/5=2 (epochs .500),
+    // b=6·3/5=3 (epochs .333)
+    assert(rows(("a", "s1")) == ((4L, 2L, 400000L, 2L, 500L)))
+    assert(rows(("b", "s2")) == ((9L, 3L, 600000L, 3L, 333L)))
+  }
+
+  // ------------------------------------------------------------- q330
+
+  test("q330: MMR demotes the exact copy below the diverse candidate") {
+    // Query on the x-axis; A (100) and its exact copy A2 (101) at rel ≈
+    // .902; B (102) mirrored (same rel — round 1 tie resolves to the
+    // lowest id, A). Round 2: A2's redundancy penalty is 0.3·1 (copy of
+    // the selected A) → score ≈ .331; B's penalty is 0.3·sim(B,A) ≈
+    // .188 → score ≈ .443 — MMR must pick B second, the copy last.
+    val dir = tempDir("mmr")
+    writeEmb(dir, Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (100L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (101L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (102L, Seq(0.9f, -0.43f, 0f, 0f))))
+    val rows = operators.Similarity.q330.run(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows == Map(1L -> 100L, 2L -> 102L, 3L -> 101L),
+      "greedy order must be original, diverse mirror, then the copy")
+  }
+
+  test("q330: relevance-only round 1 equals the exact top-1") {
+    // on the real fixture, every query's round-1 pick must be its exact
+    // cosine top-1 (MMR round 1 has no penalty term by construction)
+    val sfDir = "/root/testdata/sf0.001"
+    val top1 = operators.Similarity.q50.run(spark, sfDir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mmr1 = operators.Similarity.q330.run(spark, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mmr1 == top1)
+  }
+
   // ------------------------------------------------------------- q328
 
   test("q328: novelty = first-occurrence; copies score zero, partial overlap prorated") {
