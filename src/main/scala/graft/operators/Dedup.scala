@@ -1965,7 +1965,90 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q331 — CLUSTER-SAFE train/test split: the near-dup-leakage fix
+    * for eval construction. A per-document split (here doc_id % 5 → the
+    * 20% test fold) strands near-duplicates ACROSS the boundary — the
+    * model "generalizes" to test items it effectively trained on. The
+    * cluster-safe policy assigns whole q73 components (cluster % 5), so
+    * no near-dup pair can cross by construction. The ledger puts both
+    * policies side by side — doc/token counts per fold AND the measured
+    * cross-fold near-dup pair count (COMPUTED over the pair table for
+    * both, not asserted: the cluster row's 0 is an output the gate
+    * hashes, the doc-hash row's nonzero is the leak made visible).
+    *
+    * Scale shape: labels come from the memoized CC table (cluster once,
+    * consume many times); fold assignment is scan-local arithmetic;
+    * the ledger is one partial-agg groupBy; the cross check is one
+    * keyed join of the memoized pair table against the 2-policy
+    * assignment — all linear in docs + pairs.
+    */
+  val q331 = oracled(
+    "q331_cluster_safe_split",
+    "cluster-safe vs per-doc eval split: fold sizes + measured cross-fold near-dup pairs (leakage ledger)",
+    s"""WITH RECURSIVE $ccOracleCte,
+       dtok AS (SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       asg AS (
+         SELECT 'cluster' AS policy, c.doc_id,
+           CASE WHEN c.cluster % 5 = 0 THEN 1 ELSE 0 END AS is_test
+         FROM cc c
+         UNION ALL
+         SELECT 'doc_hash', c.doc_id,
+           CASE WHEN c.doc_id % 5 = 0 THEN 1 ELSE 0 END
+         FROM cc c),
+       led AS (SELECT policy,
+           CAST(SUM(1 - is_test) AS BIGINT) AS n_train_docs,
+           CAST(SUM(is_test) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN is_test = 0 THEN t.n_tok ELSE 0 END)
+             AS BIGINT) AS n_train_tokens,
+           CAST(SUM(CASE WHEN is_test = 1 THEN t.n_tok ELSE 0 END)
+             AS BIGINT) AS n_test_tokens
+         FROM asg JOIN dtok t ON t.doc_id = asg.doc_id
+         GROUP BY policy),
+       cx AS (SELECT a.policy, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pairs p
+         JOIN asg a ON a.doc_id = p.doc_a
+         JOIN asg b ON b.doc_id = p.doc_b AND b.policy = a.policy
+         WHERE a.is_test <> b.is_test
+         GROUP BY a.policy)
+       SELECT l.policy, l.n_train_docs, l.n_test_docs,
+         l.n_train_tokens, l.n_test_tokens,
+         COALESCE(cx.n, 0) AS n_cross_pairs
+       FROM led l LEFT JOIN cx ON cx.policy = l.policy
+       ORDER BY l.policy""") { (s, dir) =>
+    val lab = ccLabels(s, dir)
+    val tok = Tables.documents(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+    val asg = lab.select(lit("cluster").as("policy"), col("doc_id"),
+        when(col("cluster") % 5 === 0, 1L).otherwise(0L).as("is_test"))
+      .unionByName(lab.select(lit("doc_hash").as("policy"), col("doc_id"),
+        when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("is_test")))
+      .localCheckpoint(false)
+    val led = asg.join(tok, Seq("doc_id"))
+      .groupBy(col("policy"))
+      .agg(sum(lit(1L) - col("is_test")).as("n_train_docs"),
+        sum(col("is_test")).as("n_test_docs"),
+        sum(when(col("is_test") === 0, col("n_tok")).otherwise(0L))
+          .as("n_train_tokens"),
+        sum(when(col("is_test") === 1, col("n_tok")).otherwise(0L))
+          .as("n_test_tokens"))
+    val cx = simhashPairs(s, dir)
+      .join(asg.select(col("policy"), col("doc_id").as("doc_a"),
+        col("is_test").as("ta")), Seq("doc_a"))
+      .join(asg.select(col("policy"), col("doc_id").as("doc_b"),
+        col("is_test").as("tb")), Seq("doc_b", "policy"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n"))
+    led.join(cx, Seq("policy"), "left")
+      .select(col("policy"), col("n_train_docs"), col("n_test_docs"),
+        col("n_train_tokens"), col("n_test_tokens"),
+        coalesce(col("n"), lit(0L)).as("n_cross_pairs"))
+      .orderBy(col("policy"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259, q280, q288, q294, q320)
+      q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331)
 }

@@ -2210,9 +2210,75 @@ object Pipeline {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q332 — LEAVE-ONE-SOURCE-OUT impact ledger: for every source,
+    * what dropping it would do to the corpus mixture — the question a
+    * curation review asks before cutting a crawl ("which source moves
+    * the corpus most?"). Two exact movement measures per source:
+    * lang_shift_ppm = Σ_lang |ppm-share of lang without s − with s|
+    * (L1 distance between the lang mixtures, each share floored to ppm
+    * FIRST so every term is a small exact integer — no count×count
+    * cross-products, which would overflow BIGINT at 10¹²-doc scale),
+    * and len_shift_pm = |per-mille mean doc length without s − with s|
+    * under the same floor-first discipline.
+    *
+    * Scale shape: one partial-agg groupBy(source, lang) builds the
+    * bounded grid; per-lang and global totals broadcast; everything
+    * after is arithmetic on |sources|×|langs| rows.
+    */
+  val q332 = oracled(
+    "q332_loo_source_impact",
+    "leave-one-source-out mixture movement: exact floor-first ppm lang-shift + per-mille length-shift per source",
+    """WITH g AS (SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1, 2),
+       l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM g GROUP BY 1),
+       s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns,
+           CAST(SUM(chars) AS BIGINT) AS cs
+         FROM g GROUP BY 1),
+       t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+           CAST(SUM(chars) AS BIGINT) AS ct FROM g),
+       sh AS (SELECT s.source, l.lang,
+           ABS((1000000 * (l.nl - COALESCE(g.n, 0)))
+               // (t.nt - s.ns)
+             - (1000000 * l.nl) // t.nt) AS d
+         FROM s CROSS JOIN l
+         LEFT JOIN g ON g.source = s.source AND g.lang = l.lang
+         CROSS JOIN t),
+       ls AS (SELECT source, CAST(SUM(d) AS BIGINT) AS lang_shift_ppm
+         FROM sh GROUP BY 1)
+       SELECT s.source, s.ns AS n_docs, s.cs AS n_chars,
+         ls.lang_shift_ppm,
+         ABS((1000 * (t.ct - s.cs)) // (t.nt - s.ns)
+           - (1000 * t.ct) // t.nt) AS len_shift_pm
+       FROM s JOIN ls ON ls.source = s.source CROSS JOIN t
+       ORDER BY s.source""") { (sp, dir) =>
+    val g = Tables.documents(sp, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .localCheckpoint(false)
+    val l = g.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val srcs = g.groupBy(col("source"))
+      .agg(sum(col("n")).as("ns"), sum(col("chars")).as("cs"))
+    val t = g.agg(sum(col("n")).as("nt"), sum(col("chars")).as("ct"))
+    val sh = srcs.crossJoin(broadcast(l))
+      .join(g, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("source"),
+        abs(expr("(1000000 * (nl - COALESCE(n, 0))) div (nt - ns)")
+          - expr("(1000000 * nl) div nt")).as("d"))
+      .groupBy(col("source")).agg(sum(col("d")).as("lang_shift_ppm"))
+    srcs.join(sh, Seq("source")).crossJoin(broadcast(t))
+      .select(col("source"), col("ns").as("n_docs"),
+        col("cs").as("n_chars"), col("lang_shift_ppm"),
+        abs(expr("(1000 * (ct - cs)) div (nt - ns)")
+          - expr("(1000 * ct) div nt")).as("len_shift_pm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
       q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
-      q319, q326, q329)
+      q319, q326, q329, q332)
 }

@@ -219,6 +219,47 @@ class CurationAuditSpec extends AnyFunSuite {
     assert(mmr1 == top1)
   }
 
+  // ------------------------------------------------------------- q331
+
+  test("q331: cluster split strands zero near-dup pairs; doc split leaks one") {
+    // docs 4 and 5 are exact duplicates (one near-dup pair, cluster 4);
+    // docs 1 and 10 are singletons. doc_hash folds on id%5: {5,10} test
+    // → the (4,5) pair CROSSES. cluster folds on cluster%5: cluster 4
+    // keeps both dups in train, cluster 10 goes to test → zero crossings.
+    val dir = tempDir("cluster_split")
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (4L, "dup text here", "en", "s", 13L),
+      (5L, "dup text here", "en", "s", 13L),
+      (10L, "other words now", "en", "s", 15L)))
+    val rows = operators.Dedup.q331.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows("cluster") == ((3L, 1L, 9L, 3L, 0L)),
+      "cluster policy must keep the dup pair whole (zero cross pairs)")
+    assert(rows("doc_hash") == ((2L, 2L, 6L, 6L, 1L)),
+      "per-doc policy must strand the dup pair across the fold boundary")
+  }
+
+  // ------------------------------------------------------------- q332
+
+  test("q332: leave-one-source-out shifts by hand (floor-first ppm)") {
+    val dir = tempDir("loo_impact")
+    writeDocs(dir, Seq(
+      (1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 10L),
+      (3L, "t", "fr", "B", 40L)))
+    val rows = operators.Pipeline.q332.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // drop A: en 666666→0 (d 666666), fr 333333→1000000 (d 666667);
+    // mean chars 20000‰→40000‰
+    assert(rows("A") == ((2L, 20L, 1333333L, 20000L)))
+    // drop B: en 666666→1000000 (d 333334), fr 333333→0 (d 333333);
+    // mean 20000‰→10000‰
+    assert(rows("B") == ((1L, 40L, 666667L, 10000L)))
+  }
+
   // ------------------------------------------------------------- q328
 
   test("q328: novelty = first-occurrence; copies score zero, partial overlap prorated") {
