@@ -2356,10 +2356,19 @@ object Analytics {
        JOIN d ON d.la = m.la AND d.lb = m.lb AND d.dd = m.ks_num
        GROUP BY 1, 2, 3, 4, 5
        ORDER BY lang_a, lang_b""") { (s, dir) =>
-    val h = Tables.documents(s, dir)
+    ksFromHistogram(Tables.documents(s, dir)
       .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The q324 KS derivation over an ARBITRARY (lang, v, cnt) histogram —
+    * factored out so the streaming twin (q334: the histogram as a
+    * MAINTAINED artifact via [[graft.streaming.DriftStream]]) computes
+    * the identical ledger as a view over its state. See q324's scaladoc
+    * for the exactness and scale arguments.
+    */
+  private[graft] def ksFromHistogram(hin: DataFrame): DataFrame = {
+    val h = hin.localCheckpoint(false)
     val lg = h.select(col("lang")).distinct()
     val pr = lg.select(col("lang").as("la"))
       .join(lg.select(col("lang").as("lb")), col("la") < col("lb"))
@@ -2396,9 +2405,42 @@ object Analytics {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** q334 — the STREAMING twin of q324: the per-(lang, length)
+    * histogram maintained incrementally by [[graft.streaming
+    * .DriftStream.step]] — here replayed as 4 doc_id-ordered batches
+    * with one DUPLICATE delivery (the at-least-once shape; the doc_id
+    * high-water mark makes the redelivered batch a no-op) — then the
+    * identical KS ledger recomputed as a view over the maintained
+    * state ([[ksFromHistogram]]). The oracle is q324's from-scratch SQL
+    * verbatim: after any full replay the maintained histogram EQUALS
+    * the from-scratch aggregation (sum composes under the mark), so
+    * stream-shaped maintenance is hash-checked against batch truth —
+    * the q314 pattern on the drift family.
+    */
+  val q334 = oracled(
+    "q334_drift_stream_replay",
+    "4-batch incremental histogram fold (with duplicate delivery) + KS view == from-scratch q324",
+    q324.oracle.get) { (s, dir) =>
+    import graft.streaming.DriftStream
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = docs.agg(min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"))
+    val staged = docs.crossJoin(broadcast(span))
+      .withColumn("bk", least(lit(3L),
+        expr("(doc_id - mn) * 4 div (mx - mn + 1)")))
+      .localCheckpoint() // four filtered scans below, one materialization
+    var st = (DriftStream.emptyHist(s), DriftStream.emptyWm(s))
+    for (k <- Seq(0, 1, 2, 2, 3)) // batch 2 redelivered: replay fixpoint
+      st = DriftStream.step(st._1, st._2,
+        staged.filter(col("bk") === k)
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+    ksFromHistogram(st._1)
+  }
+
   val all: Seq[GQuery] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q75, q82, q90, q91, q134,
       q135, q138, q145, q146, q148, q151, q155, q158, q160, q169, q181,
       q183, q191, q199, q210, q223, q236, q237, q238, q262, q268, q278,
-      q296, q297, q301, q302, q310, q312, q324)
+      q296, q297, q301, q302, q310, q312, q324, q334)
 }

@@ -2048,7 +2048,90 @@ object Dedup {
       .orderBy(col("policy"))
   }
 
+  /** q333 — WINNOWING fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS sketch): per document, the set of windowed
+    * minima over token-4-gram rolling hashes (window w = 5 full-window
+    * positions), then every doc pair sharing ≥ 2 fingerprints. Unlike
+    * q120's content-defined anchors (hash % 8 — a match can
+    * probabilistically select NO anchor), winnowing has the paper's
+    * coverage GUARANTEE: any verbatim token overlap of length ≥
+    * w + k − 1 = 8 contains a full window, whose minimum is selected
+    * IDENTICALLY in both documents — ≥ 1 shared fingerprint with
+    * certainty. The listing applies a ≥ 2-shared evidence rule, which
+    * is itself certain from overlap length 13: an overlap of L tokens
+    * holds L − 7 full windows, one selection covers at most w = 5 of
+    * them, so L ≥ 13 forces ≥ ⌈6/5⌉ = 2 distinct selections
+    * (CurationAuditSpec plants that boundary).
+    *
+    * Scale shape: gram hashes and windowed minima are scan-local per
+    * doc (the min window partitions on doc_id — the highest-cardinality
+    * key); the pair join runs over DISTINCT (doc, fp) with fingerprints
+    * of document frequency > 50 DROPPED first (the MOSS
+    * "too-common-to-be-evidence" rule, and the bounded-candidate knob:
+    * candidate mass is Σ_{df≤50} df² ≤ 50·|postings| — LINEAR, never
+    * the q197-class quadratic-intermediate-vs-bounded-output shape).
+    * Inside a duplicate cluster the shared fingerprints exceed the df
+    * cap and drop out, which is exactly the designed division of
+    * labor: clusters belong to q45/q255, winnowing lists the RARE
+    * verbatim overlaps (plagiarism/citation pairs) those miss.
+    */
+  val q333 = oracled(
+    "q333_winnowing_fingerprints",
+    "winnowing (MOSS) sketch pairs: windowed-min 4-gram fingerprints, df-capped postings, >=2 shared",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+       g AS (SELECT doc_id, len(toks) AS n,
+           unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS p, toks
+         FROM t),
+       h AS (SELECT doc_id, n, p,
+           ${RollingHash.duckSql("array_to_string(toks[p:p+3], ' ')")} AS h
+         FROM g),
+       w AS (SELECT doc_id, p, n,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+         FROM h),
+       f AS (SELECT DISTINCT doc_id, fp FROM w WHERE p <= n - 7),
+       df AS (SELECT fp FROM f GROUP BY fp
+         HAVING COUNT(*) > 1 AND COUNT(*) <= 50),
+       fr AS (SELECT f.doc_id, f.fp FROM f JOIN df ON df.fp = f.fp)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM fr a JOIN fr b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= 2
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    val grams = tokenized(s, dir)
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        explode(sequence(lit(1), greatest(size(col("toks")) - 3, lit(1))))
+          .as("p"),
+        col("toks"))
+      .filter(col("p") <= col("n") - 3)
+      .select(col("doc_id"), col("n"), col("p"),
+        RollingHash.rollingHash(
+          array_join(slice(col("toks"), col("p"), lit(4)), " ")).as("h"))
+    val fps = grams
+      .withColumn("fp", min(col("h")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(0, 4)))
+      .filter(col("p") <= col("n") - 7)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(false)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > 1 && col("dfc") <= 50)
+      .select(col("fp"))
+    val fr = fps.join(keep, Seq("fp"))
+    fr.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fr.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
-      q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331)
+      q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
+      q333)
 }

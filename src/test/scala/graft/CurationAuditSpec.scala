@@ -242,6 +242,26 @@ class CurationAuditSpec extends AnyFunSuite {
       "per-doc policy must strand the dup pair across the fold boundary")
   }
 
+  // ------------------------------------------------------------- q333
+
+  test("q333: a 13-token verbatim overlap is certainly listed (winnowing guarantee boundary)") {
+    // docs 1 and 2 share exactly 13 consecutive tokens (distinct words,
+    // so all 4-gram hashes differ) embedded in otherwise-disjoint text;
+    // 13 tokens ⟹ 6 full windows ⟹ ≥ 2 shared fingerprints ⟹ the pair
+    // MUST be listed. doc 3 shares nothing.
+    val dir = tempDir("winnow")
+    val shared = (1 to 13).map(i => s"m$i").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, s"aa bb cc dd ee $shared ff gg hh", "en", "s", 0L),
+      (2L, s"pp qq rr $shared ss tt uu vv ww xx", "en", "s", 0L),
+      (3L, "zz yy xx2 ww2 vv2 uu2 tt2 ss2 rr2 qq2 pp2 oo2 nn2", "en", "s", 0L)))
+    val rows = operators.Dedup.q333.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((1L, 2L)), "the planted overlap must be detected")
+    assert(rows((1L, 2L)) >= 2L)
+    assert(rows.keySet == Set((1L, 2L)), "no spurious pairs")
+  }
+
   // ------------------------------------------------------------- q332
 
   test("q332: leave-one-source-out shifts by hand (floor-first ppm)") {

@@ -487,6 +487,12 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q333: winnowing pair join is df-capped postings, never all-pairs") {
+    val p = plan(operators.Dedup.q333)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint join degenerated to a cross product\n" + p)
+  }
+
   test("q328: first-occurrence resolution is equi-joins + partial aggs, no window") {
     val p = plan(operators.TextOps.q328)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
