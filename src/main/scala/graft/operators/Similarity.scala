@@ -1665,6 +1665,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rnd"))
   }
 
+  // --------------------------------------------- kNN-distance outliers
+
+  /** q335 — kNN-DISTANCE OUTLIER scan (the k-distance core of LOF,
+    * Breunig et al. 2000, bucketed): a vector whose 5th-nearest
+    * neighbor is far — or which has fewer than 5 neighbors in its own
+    * sign-LSH bucket at all — is the OOD/garbage-embedding candidate a
+    * curation pass quarantines before training. Neighbors are searched
+    * within the q51 bucket (the declared approximation: hash-space
+    * isolation IS evidence of outlierness, so bucket-local k-distance
+    * ranks the right tail first); the ledger lists the 100 most
+    * outlier-ish vectors by ascending 5th-neighbor cosine, with
+    * bucket-starved vectors (< 5 same-bucket neighbors) pinned to the
+    * front via a −2·10⁶ sentinel (any real ⌊10⁶·cos⌋ ≥ −10⁶).
+    *
+    * Scale shape: the candidate join is the q321 bucket equi-join
+    * (Σ bucket² candidate mass, the LSH family's declared contract);
+    * the per-vector ranking windows on vec_id — the highest-cardinality
+    * key — and the output is a bounded top-100.
+    */
+  val q335 = oracled(
+    "q335_knn_outlier_score",
+    "bucketed 5th-NN cosine outlier ledger: 100 most isolated vectors, bucket-starved pinned first",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       nb AS (SELECT x.vec_id, ${duckCos("x", "y")} AS c,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY ${duckCos("x", "y")} DESC, y.vec_id) AS rn
+         FROM b x JOIN b y
+           ON y.bucket = x.bucket AND y.vec_id <> x.vec_id),
+       st AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nb,
+           MAX(CASE WHEN rn = 5 THEN c END) AS c5
+         FROM nb GROUP BY vec_id),
+       led AS (
+         SELECT v.vec_id,
+           CAST(COALESCE(st.n_nb, 0) AS BIGINT) AS n_bucket_neighbors,
+           CAST(CASE WHEN st.c5 IS NULL THEN -2000000
+             ELSE FLOOR(1000000 * st.c5) END AS BIGINT) AS knn5_x1e6
+         FROM b v LEFT JOIN st ON st.vec_id = v.vec_id)
+       SELECT vec_id, n_bucket_neighbors, knn5_x1e6
+       FROM led ORDER BY knn5_x1e6, vec_id LIMIT 100""") { (s, dir) =>
+    val b = withNorm(Tables.embeddings(s, dir))
+      .withColumn("bucket", bucketCol)
+      .localCheckpoint(false)
+    val nb = b.alias("x").join(b.alias("y"),
+        col("y.bucket") === col("x.bucket")
+          && col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("c"),
+        col("y.vec_id").as("nid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("nid"))))
+    val st = nb.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_nb"),
+        max(when(col("rn") === 5, col("c"))).as("c5"))
+    b.select(col("vec_id"))
+      .join(st, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_nb"), lit(0L)).as("n_bucket_neighbors"),
+        when(col("c5").isNull, lit(-2000000L))
+          .otherwise(floor(lit(1000000) * col("c5")).cast("long"))
+          .as("knn5_x1e6"))
+      .orderBy(col("knn5_x1e6"), col("vec_id"))
+      .limit(100)
+  }
+
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
-    q249, q269, q305, q315, q316, q317, q318, q321, q325, q327, q330)
+    q249, q269, q305, q315, q316, q317, q318, q321, q325, q327, q330,
+    q335)
 }

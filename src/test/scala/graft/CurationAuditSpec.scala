@@ -280,6 +280,34 @@ class CurationAuditSpec extends AnyFunSuite {
     assert(rows("B") == ((1L, 40L, 666667L, 10000L)))
   }
 
+  // ------------------------------------------------------------- q335
+
+  test("q335: the isolated vector ranks first; cluster members score near 1") {
+    // 6 vectors tightly around e1 plus one orthogonal outlier (id 200):
+    // the outlier's 5th-nearest cosine is ≈ 0, every cluster member's is
+    // ≈ 1 — the outlier must lead the ledger.
+    val dir = tempDir("knn_out")
+    val cluster = (100L to 105L).map(i =>
+      (i, Seq(1f, ((i - 100) * 0.01f), 0f, 0f)))
+    writeEmb(dir, cluster :+ ((200L, Seq(0f, 0f, 1f, 0f))))
+    val rows = operators.Similarity.q335.run(spark, dir).collect()
+    assert(rows.head.getLong(0) == 200L, "outlier must rank first")
+    assert(rows.head.getLong(2) < 500000L, "outlier 5th-NN cosine ≈ 0")
+    assert(rows.filter(_.getLong(0) != 200L).forall(_.getLong(2) > 900000L),
+      "cluster members' 5th-NN cosine ≈ 1")
+  }
+
+  test("q335: bucket-starved vectors get the sentinel and pin to the front") {
+    val dir = tempDir("knn_starved")
+    writeEmb(dir, (100L to 103L).map(i => (i, Seq(1f, i * 0.1f, 0f, 0f))))
+    val rows = operators.Similarity.q335.run(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getLong(1) == 3L && r.getLong(2) == -2000000L),
+      "with 3 neighbors each, every vector is bucket-starved")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L),
+      "sentinel ties must order by vec_id")
+  }
+
   // ------------------------------------------------------------- q328
 
   test("q328: novelty = first-occurrence; copies score zero, partial overlap prorated") {

@@ -487,6 +487,14 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q335: outlier neighbor search joins bucket-to-bucket, never all-pairs") {
+    val p = plan(operators.Similarity.q335)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket join degenerated to a cross product\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "bounded top-100 must plan as TakeOrdered, not a full sort\n" + p)
+  }
+
   test("q333: winnowing pair join is df-capped postings, never all-pairs") {
     val p = plan(operators.Dedup.q333)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
