@@ -120,44 +120,57 @@ object TextOps {
     * synthetic, so accuracy is meaningless — the operator shape
     * (vote columns + deterministic argmax cascade) is what's exercised.
     */
+  // shared by q42 (per-doc predictions) and q336 (confusion matrix):
+  // the classifier must be ONE definition or the eval audits a fork
+  private val langIdMarkers = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def langScoreSql(ws: Seq[String]) = {
+    val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t)))"
+  }
+
+  /** The marker-vote argmax over s_en/s_de/s_es/s_fr columns (SQL). */
+  private def langCaseSql: String = {
+    val s = langIdMarkers.map { case (l, _) => l -> s"s_$l" }.toMap
+    s"""CASE WHEN ${s("en")} > 0 AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("fr")} THEN 'en'
+        WHEN ${s("de")} > 0 AND ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")} THEN 'de'
+        WHEN ${s("es")} > 0 AND ${s("es")} >= ${s("fr")} THEN 'es'
+        WHEN ${s("fr")} > 0 THEN 'fr'
+        ELSE 'unknown' END"""
+  }
+
+  private def langScoredCteSql: String =
+    s"""SELECT doc_id, lang,
+          ${langIdMarkers.map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n          ")}
+        FROM documents"""
+
+  /** The same classifier as a Spark column over `text`. */
+  private[graft] def langPred: Column = {
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => array_contains(typedLit(ws), t)))
+    val sc = langIdMarkers.map { case (l, ws) => l -> score(ws) }.toMap
+    when(sc("en") > 0 && sc("en") >= sc("de") && sc("en") >= sc("es") && sc("en") >= sc("fr"), "en")
+      .when(sc("de") > 0 && sc("de") >= sc("es") && sc("de") >= sc("fr"), "de")
+      .when(sc("es") > 0 && sc("es") >= sc("fr"), "es")
+      .when(sc("fr") > 0, "fr")
+      .otherwise("unknown")
+  }
+
   val q42 = {
-    val markers = Seq(
-      "en" -> Seq("the", "a", "of"),
-      "de" -> Seq("der", "die", "und"),
-      "es" -> Seq("el", "la", "que"),
-      "fr" -> Seq("le", "les", "et"))
-    def scoreSql(ws: Seq[String]) = {
-      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t)))"
-    }
-    val caseSql = {
-      val s = markers.map { case (l, _) => l -> s"s_$l" }.toMap
-      s"""CASE WHEN ${s("en")} > 0 AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("fr")} THEN 'en'
-          WHEN ${s("de")} > 0 AND ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")} THEN 'de'
-          WHEN ${s("es")} > 0 AND ${s("es")} >= ${s("fr")} THEN 'es'
-          WHEN ${s("fr")} > 0 THEN 'fr'
-          ELSE 'unknown' END"""
-    }
+    val caseSql = langCaseSql
     oracled(
       "q42_lang_id",
       "marker-word language-ID votes + deterministic argmax",
-      s"""WITH scored AS (
-           SELECT doc_id, lang,
-             ${markers.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n             ")}
-           FROM documents)
+      s"""WITH scored AS ($langScoredCteSql)
          SELECT doc_id, lang, $caseSql AS pred_lang,
            (lang = $caseSql) AS is_correct
          FROM scored
          ORDER BY doc_id""") { (s, dir) =>
-      def score(ws: Seq[String]): Column =
-        size(filter(toks, t => array_contains(typedLit(ws), t)))
-      val sc = markers.map { case (l, ws) => l -> score(ws) }.toMap
-      val pred =
-        when(sc("en") > 0 && sc("en") >= sc("de") && sc("en") >= sc("es") && sc("en") >= sc("fr"), "en")
-          .when(sc("de") > 0 && sc("de") >= sc("es") && sc("de") >= sc("fr"), "de")
-          .when(sc("es") > 0 && sc("es") >= sc("fr"), "es")
-          .when(sc("fr") > 0, "fr")
-          .otherwise("unknown")
+      val pred = langPred
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
           (col("lang") === pred).as("is_correct"))
@@ -2264,8 +2277,96 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------- classifier evaluation
+
+  /** q336 — LANG-ID CONFUSION MATRIX: q42's marker-vote classifier
+    * evaluated as a classifier — counts per (true lang, predicted
+    * lang) cell plus each cell's exact ppm share of its true-lang row
+    * (the diagonal's share IS per-lang recall). This is the eval
+    * artifact a pipeline review reads before trusting q42's labels to
+    * gate anything; the classifier is the SHARED [[langPred]] /
+    * [[langCaseSql]] definition, so the audit can never fork from the
+    * operator it audits.
+    *
+    * Scale shape: the classifier is scan-local per document; the
+    * matrix is one partial-agg groupBy over the bounded lang ×
+    * (langs + unknown) grid; row totals broadcast.
+    */
+  val q336 = oracled(
+    "q336_lang_confusion",
+    "lang-ID confusion matrix: (true, predicted) counts + exact ppm row shares (diagonal = recall)",
+    s"""WITH scored AS ($langScoredCteSql),
+       p AS (SELECT lang, $langCaseSql AS pred_lang FROM scored),
+       m AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2),
+       t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+         FROM m GROUP BY 1)
+       SELECT m.lang, m.pred_lang, m.n_docs,
+         (1000000 * m.n_docs) // t.n_lang AS share_ppm
+       FROM m JOIN t ON t.lang = m.lang
+       ORDER BY m.lang, m.pred_lang""") { (s, dir) =>
+    val m = Tables.documents(s, dir)
+      .select(col("lang"), langPred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val t = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    m.join(broadcast(t), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("(1000000 * n_docs) div n_lang").as("share_ppm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** q337 — QUALITY × DUPLICATION interaction ledger: are low-quality
+    * documents disproportionately duplicates? Documents are cut into
+    * ascending-quality deciles by NTILE(10) under the (quality,
+    * doc_id) total order (the q312 determinism discipline; quality is
+    * q41's [[qualityScore]], whose doubles both engines compute
+    * identically — the q41 oracle's proof carries over), each doc is
+    * flagged exact-dup iff its raw text occurs more than once, and the
+    * ledger is per-decile counts + exact dup ppm — the curve that says
+    * whether a quality gate and a dedup pass do overlapping work.
+    *
+    * Scale shape: quality is scan-local; the dup flag is one
+    * partial-agg groupBy(text) + keyed join back; the global NTILE is
+    * the q302/q312-documented cutpoint-substitution site past
+    * single-task row counts.
+    */
+  val q337 = oracled(
+    "q337_quality_dup_interaction",
+    "quality deciles x exact-dup membership: per-decile dup ppm (do quality and dedup gates overlap?)",
+    s"""WITH q AS (SELECT doc_id, text,
+           ${qualityDuckSql("text")} AS qual
+         FROM documents),
+       d AS (SELECT doc_id, text,
+           CAST(NTILE(10) OVER (ORDER BY qual, doc_id) AS BIGINT) AS decile
+         FROM q),
+       dup AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
+       SELECT d.decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+         CAST((1000000 * SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END))
+           // COUNT(*) AS BIGINT) AS dup_ppm
+       FROM d JOIN dup ON dup.text = d.text
+       GROUP BY d.decile ORDER BY d.decile""") { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), qualityScore(col("text")).as("qual"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("qual"), col("doc_id"))).cast("long"))
+    val dup = Tables.documents(s, dir)
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+    d.join(dup, Seq("text"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        expr("(1000000 * n_dups) div n_docs").as("dup_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303, q304, q309, q322, q328)
+      q271, q273, q283, q292, q303, q304, q309, q322, q328, q336, q337)
 }
