@@ -2130,8 +2130,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q338 — THRESHOLD SENSITIVITY sweep for the SimHash near-dup knob:
+    * pair count and touched-doc count at every Hamming radius
+    * t ∈ {0..3} — the "what does loosening the radius buy, and what
+    * does it drag in" ledger a curation team reads before committing
+    * to a dedup threshold (t = 0 is exact-fingerprint dup; each
+    * increment admits fuzzier pairs). Candidate-COMPLETE for every
+    * t ≤ [[HamT]] from the ONE memoized pair table: pairs at distance
+    * ≤ t are a subset of the ≤ HamT pairs the pigeonhole join already
+    * proves complete, so the sweep is a filter, not a recompute.
+    * Sweeping ABOVE HamT would need a finer chunking (HamT+2 chunks) —
+    * the declared boundary of this ledger.
+    *
+    * Scale shape: distances come from two keyed joins of the pair
+    * table against the fingerprint memo; the 4-radius fan-out is a
+    * broadcast theta-join against a 4-row grid (×4 of the pair table,
+    * bounded); everything aggregates with map-side partials.
+    */
+  val q338 = oracled(
+    "q338_threshold_sweep",
+    "SimHash radius sweep t=0..3: pairs + touched docs per threshold from the one memoized pair table",
+    s"""WITH $simhashCte,
+       pd AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash)) AS d
+         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT),
+       ts AS (SELECT unnest(range(0, ${HamT + 1})) AS t),
+       np AS (SELECT ts.t, CAST(COUNT(pd.a) AS BIGINT) AS n_pairs
+         FROM ts LEFT JOIN pd ON pd.d <= ts.t GROUP BY ts.t),
+       dc AS (SELECT t, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         FROM (SELECT ts.t, pd.a AS doc FROM ts JOIN pd ON pd.d <= ts.t
+               UNION ALL
+               SELECT ts.t, pd.b FROM ts JOIN pd ON pd.d <= ts.t) u
+         GROUP BY t)
+       SELECT np.t, np.n_pairs,
+         CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_touched
+       FROM np LEFT JOIN dc ON dc.t = np.t
+       ORDER BY np.t""") { (s, dir) =>
+    val fp = simhashes(s, dir)
+    val pd = simhashPairs(s, dir)
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha")),
+        Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .localCheckpoint(false)
+    val ts = s.range(0, HamT + 1).select(col("id").as("t"))
+    val np = broadcast(ts).join(pd, col("d") <= col("t"), "left")
+      .groupBy(col("t")).agg(count(col("doc_a")).as("n_pairs"))
+    val dc = broadcast(ts).join(pd, col("d") <= col("t"))
+      .select(col("t"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("t")).agg(countDistinct(col("doc")).as("n_docs"))
+    np.join(dc, Seq("t"), "left")
+      .select(col("t"), col("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs_touched"))
+      .orderBy(col("t"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333)
+      q333, q338)
 }
