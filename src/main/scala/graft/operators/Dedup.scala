@@ -2188,8 +2188,50 @@ object Dedup {
       .orderBy(col("t"))
   }
 
+  /** q339 — per-source ORIGINALITY rate: for each source, how many of
+    * its documents are their near-dup cluster's REPRESENTATIVE (the
+    * min-id member — singletons represent themselves) vs copies of
+    * content that exists elsewhere — the cluster-based, per-source
+    * complement of q320's pair-based copying matrix, and the number
+    * that separates sources producing content from sources mirroring
+    * it when a mixture policy (q319/q329) decides who gets budget.
+    *
+    * Scale shape: a DERIVED ledger over the memoized CC label table
+    * (cluster once, consume many times — q73/q83/q331's discipline):
+    * one bounded groupBy(cluster) for representatives, two keyed
+    * joins, one partial-agg groupBy(source).
+    */
+  val q339 = oracled(
+    "q339_source_originality",
+    "per-source cluster-representative rate: originals vs mirrored copies, exact ppm",
+    s"""WITH RECURSIVE $ccOracleCte,
+       rep AS (SELECT cluster, MIN(doc_id) AS rep FROM cc GROUP BY cluster),
+       d AS (SELECT doc.source, c.doc_id, r.rep
+         FROM documents doc
+         JOIN cc c ON c.doc_id = doc.doc_id
+         JOIN rep r ON r.cluster = c.cluster)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_originals,
+         CAST((1000000 * SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END))
+           // COUNT(*) AS BIGINT) AS originality_ppm
+       FROM d GROUP BY source ORDER BY source""") { (s, dir) =>
+    val lab = ccLabels(s, dir)
+    val rep = lab.groupBy(col("cluster")).agg(min(col("doc_id")).as("rep"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(lab, Seq("doc_id"))
+      .join(rep, Seq("cluster"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("rep"), 1L).otherwise(0L))
+          .as("n_originals"))
+      .select(col("source"), col("n_docs"), col("n_originals"),
+        expr("(1000000 * n_originals) div n_docs").as("originality_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333, q338)
+      q333, q338, q339)
 }

@@ -262,6 +262,23 @@ class CurationAuditSpec extends AnyFunSuite {
     assert(rows.keySet == Set((1L, 2L)), "no spurious pairs")
   }
 
+  // ------------------------------------------------------------- q339
+
+  test("q339: copies count against their source; representatives and singletons are original") {
+    // source A holds the original (id 4) and a singleton (id 1) → 2/2
+    // original; source B holds only the copy of 4 (id 5) → 0/1.
+    val dir = tempDir("originality")
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma", "en", "A", 16L),
+      (4L, "dup text here", "en", "A", 13L),
+      (5L, "dup text here", "en", "B", 13L)))
+    val rows = operators.Dedup.q339.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("A") == ((2L, 2L, 1000000L)))
+    assert(rows("B") == ((1L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------------- q332
 
   test("q332: leave-one-source-out shifts by hand (floor-first ppm)") {
