@@ -18,9 +18,20 @@ import org.apache.spark.sql.SparkSession
   *   3. Timed phase: each query runs REPS (default 3) times; the
   *      reported value is the MEDIAN. spark.catalog.clearCache() runs
   *      between reps (outside the timed window) so every rep measures
-  *      the same cold-SQL-cache work; localCheckpoint-backed memos
-  *      survive clearCache by design, so memo reuse — the steady-state
-  *      a long-lived cluster session would see — is what's measured.
+  *      the same cold-SQL-cache work; memoized artifacts survive
+  *      clearCache by design (parquet artifacts on disk, plus the few
+  *      in-context memos), so memo reuse — the steady-state a
+  *      long-lived cluster session would see — is what's measured.
+  *
+  * Round 15 — the r14 in-suite-interference fix: the shared table
+  * memos (tokenized corpus, fingerprints, pair/CC tables, tf-idf,
+  * IVF/PQ) are now PARQUET ARTIFACTS ([[Memo.artifact]]), not
+  * localCheckpoint block residents, so the 339-query suite no longer
+  * accumulates executor-memory blocks that distorted mid-suite
+  * readings up to 14× (r14 adjudication: q09 9.37 s in-suite vs
+  * 0.65 s isolated). Each bench run builds its artifacts in a fresh
+  * per-JVM temp root (see [[Memo.artifactRoot]]), keeping the
+  * memo-warmup phase an honest first-build measurement.
   */
 object Bench {
   /** Queries whose first invocation builds a memoized artifact shared by
@@ -29,16 +40,16 @@ object Bench {
     */
   private val memoBuilders = Seq(
     "q36_als_recommender",      // ml.Recommender.modelCache (serves q36/q37/q38)
-    "q40_token_stats",          // Dedup.tokCache via TextOps (tokenized corpus)
-    "q45_dedup_minhash_lsh",    // Dedup.labeledCache (MinHash signature groups)
-    "q46_simhash_fingerprint",  // Dedup.simhashCache
-    "q47_simhash_near_dup",     // Dedup.pairsCache
-    "q73_dedup_clusters",       // Dedup.ccCache
-    "q63_ann_ivf_kmeans",       // Advanced.ivfCellsCache
-    "q108_pq_ann",              // Advanced.pqCache
-    "q197_tfidf_cosine_pairs",  // TextOps.tfidfCache (weights + vecs; serves q197/q322)
+    "q40_token_stats",          // "tokenized" artifact via TextOps
+    "q45_dedup_minhash_lsh",    // "minhash_groups" artifact
+    "q46_simhash_fingerprint",  // "simhash" artifact
+    "q47_simhash_near_dup",     // "simhash_pairs" artifact
+    "q73_dedup_clusters",       // "cc_labels" artifact
+    "q63_ann_ivf_kmeans",       // "ivf_cells"/"ivf_centroids" artifacts
+    "q108_pq_ann",              // "pq_codes"/"pq_codebook" artifacts
+    "q197_tfidf_cosine_pairs",  // "tfidf_weights"/"tfidf_vecs" artifacts (serve q197/q322)
     "q152_pagerank",            // Graph.edgeCache (co-rating edges; serves q138/q152/q154/q158)
-    "q138_triangle_count",      // Analytics.triCache (per-vertex triangles; serves q158)
+    "q138_triangle_count",      // "co_rating_triangles" artifact (serves q158)
     "q92_dirty_ingest",         // Ingest.dirtyPathCache + parsedCache
     "q105_json_dirty_accounting", // Ingest.jsonlPathCache
     "q123_orc_roundtrip",       // Ingest.orcPathCache

@@ -100,7 +100,12 @@ object Advanced {
     * the 16 centroid vectors (the coarse quantizer itself — q323's
     * multi-probe needs per-query distances to the OTHER centroids,
     * which only the model knows; re-fitting per consumer would be the
-    * round-3 q63 leak again).
+    * round-3 q63 leak again). Both halves persist as parquet artifacts
+    * — the cell table as the big scan-side relation, the centroids as
+    * a 16-row sidecar — so a fresh context (or a later RUN under a
+    * stable SPARK_GRAFT_ARTIFACT_DIR) reloads the index instead of
+    * re-fitting; the in-context memo only holds the reconstructed
+    * driver-side centroid array and the cell-scan handle.
     */
   private def ivfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Array[Array[Double]]) =
@@ -108,17 +113,28 @@ object Advanced {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import graft.functions.VecOps.l2Norm
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
-          array_to_vector(col("embedding")).as("features"))
-        .cache()
-      try {
-        val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(e)
-        val cells = model.transform(e)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
-          .localCheckpoint() // eager: materialize before releasing e
-        (cells, model.clusterCenters.map(_.toArray))
-      } finally e.unpersist()
+      // fitted at most once: evaluated only when an artifact is absent
+      lazy val fitted: (org.apache.spark.sql.DataFrame, Array[Array[Double]]) = {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+            array_to_vector(col("embedding")).as("features"))
+          .cache()
+        try {
+          val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(e)
+          val cells = model.transform(e)
+            .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
+            .localCheckpoint() // eager: materialize before releasing e
+          (cells, model.clusterCenters.map(_.toArray))
+        } finally e.unpersist()
+      }
+      val cells = graft.Memo.artifact(s, dir, "ivf_cells")(fitted._1)
+      val cents = graft.Memo.artifact(s, dir, "ivf_centroids")( {
+        import s.implicits._
+        fitted._2.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cell", "vec")
+      })
+      (cells, cents.orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray))
     })
 
   private def ivfCells(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -254,7 +270,11 @@ object Advanced {
     * the raw vectors, which is the entire point of PQ.
     *
     * Memo value: (codebook[m][k][d], codes frame (vec_id, embedding,
-    * codes ARRAY<INT>)), localCheckpoint'd like the IVF cells.
+    * codes ARRAY<INT>)) — persisted as the "pq_codes" parquet artifact
+    * plus a [[PqSub]]×[[PqK]]-row "pq_codebook" sidecar (m, k, vec), so
+    * the index reloads across contexts/runs instead of re-training; the
+    * codebook readback is a bounded-artifact collect (128 rows), the
+    * same class as the training-sample collect below.
     */
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame)]
@@ -262,6 +282,7 @@ object Advanced {
   private[graft] def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) =
     graft.Memo.sync(pqCache, graft.Memo.key(s, dir))( {
+      lazy val fitted: (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) = {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).cache()
       try {
         // Codebooks train DRIVER-SIDE on a bounded content-deterministic
@@ -293,6 +314,20 @@ object Advanced {
           .localCheckpoint() // eager: release the raw-vector cache below
         (codebook, codes)
       } finally e.unpersist()
+      }
+      val codes = graft.Memo.artifact(s, dir, "pq_codes")(fitted._2)
+      val cb = graft.Memo.artifact(s, dir, "pq_codebook")( {
+        import s.implicits._
+        (for { m <- fitted._1.indices; k <- fitted._1(m).indices }
+          yield (m.toLong, k.toLong, fitted._1(m)(k).toSeq))
+          .toDF("m", "k", "vec")
+      })
+      val rows = cb.orderBy(col("m"), col("k")).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getSeq[Double](2).toArray))
+      val codebook = Array.tabulate(PqSub, PqK)((m, k) =>
+        rows.find(t => t._1 == m && t._2 == k).get._3)
+      (codebook, codes)
     })
 
   /** Deterministic Lloyd k-means: evenly-spaced init over the (ordered)

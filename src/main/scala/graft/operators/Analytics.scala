@@ -529,19 +529,16 @@ object Analytics {
   /** One triangle computation per data dir, over the SHARED co-rating
     * edge table ([[Graph.coRatingGraph]] — also feeds q152 PageRank and
     * q154 BFS): q138 lists the counts, q158 derives the clustering
-    * coefficient. The memoized value is a 2-column per-vertex frame.
+    * coefficient. Persisted as a 2-column per-vertex parquet artifact.
     */
-  private val triCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
   private def coRatingTriangles(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.Memo.sync(triCache, graft.Memo.key(s, dir))( {
+    graft.Memo.artifact(s, dir, "co_rating_triangles")( {
       val (edges, _) = Graph.coRatingGraph(s, dir)
       // the directed table holds both orientations; keep the ua < ub half
       val und = edges.filter(col("src") < col("dst"))
         .select(col("src").as("ua"), col("dst").as("ub"))
-      triangleCounts(und).localCheckpoint()
+      triangleCounts(und)
     })
 
   /** Per-vertex triangle counts of an undirected simple graph given as
@@ -2303,10 +2300,20 @@ object Analytics {
     * Exactness: D = sup_v |F_a(v) − F_b(v)| is attained at a jump point,
     * i.e. at some observed value, so scanning the merged value grid is
     * exact; cross-multiplying clears the denominators — ks_num =
-    * max_v |cum_a(v)·n_b − cum_b(v)·n_a| is pure BIGINT (≲ 10¹⁴ at any
-    * realistic per-lang count × count), ks_ppm = (10⁶·ks_num) div
-    * (n_a·n_b), and ks_at_chars is the SMALLEST value attaining the max
+    * max_v |cum_a(v)·n_b − cum_b(v)·n_a| is pure BIGINT, ks_ppm =
+    * (10⁶·ks_num) div (n_a·n_b) computed in DECIMAL(38,0) (oracle:
+    * HUGEINT), and ks_at_chars is the SMALLEST value attaining the max
     * (deterministic argmax). No float anywhere.
+    *
+    * Safety envelope (stated, not assumed): ks_num ≤ n_a·n_b — EQUALITY
+    * is reached by fully disjoint length distributions — so the Int64
+    * bound on ks_num itself is n_a·n_b ≤ 2⁶³−1, i.e. ~3×10⁹ docs in
+    * each language of a pair; beyond that the cross-multiplied ledger
+    * needs a wider type end-to-end. Within that envelope every derived
+    * quantity here is exact: the 10⁶ ppm scaling, which WOULD wrap
+    * Int64 at n_a·n_b > 9.2×10¹² (~3×10⁶ docs per language — easily
+    * reached at corpus scale), runs in DECIMAL(38,0)/HUGEINT where
+    * 10⁶·ks_num < 10²⁵ always fits.
     *
     * Scale shape (the q296 discipline): the corpus collapses onto the
     * VALUE-DOMAIN histogram groupBy(lang, n_chars) — one partial-agg
@@ -2350,7 +2357,8 @@ object Analytics {
          FROM d GROUP BY 1, 2)
        SELECT m.la AS lang_a, m.lb AS lang_b, t.n_a, t.n_b, m.ks_num,
          CAST(MIN(d.v) AS BIGINT) AS ks_at_chars,
-         (1000000 * m.ks_num) // (t.n_a * t.n_b) AS ks_ppm
+         CAST((1000000 * CAST(m.ks_num AS HUGEINT))
+           // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS ks_ppm
        FROM mx m
        JOIN tot t ON t.la = m.la AND t.lb = m.lb
        JOIN d ON d.la = m.la AND d.lb = m.lb AND d.dd = m.ks_num
@@ -2401,7 +2409,17 @@ object Analytics {
       .agg(min(col("v")).as("ks_at_chars"))
       .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
         col("ks_num"), col("ks_at_chars"),
-        expr("(1000000 * ks_num) div (n_a * n_b)").as("ks_ppm"))
+        // ks_num can reach n_a·n_b (fully disjoint CDFs), so the 10⁶
+        // scaling runs in DECIMAL(38,0) — Int64 would wrap (silently,
+        // under Spark's non-ANSI arithmetic) once n_a·n_b > 9.2e12,
+        // i.e. ~3M docs per language, while the DuckDB oracle (HUGEINT)
+        // raises; 10⁶·ks_num ≤ 10⁶·n_a·n_b < 10²⁵ fits DECIMAL(38,0)
+        // exactly wherever ks_num itself is exact. `div` on decimals is
+        // exact floor division for the nonnegative operands here, so
+        // both engines compute the identical BIGINT.
+        expr("""CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000)
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("ks_ppm"))
       .orderBy(col("lang_a"), col("lang_b"))
   }
 

@@ -54,12 +54,9 @@ object Dedup {
     * consumes — splitting the same 100 TB of text once per detector is
     * the kind of repeated scan this memo eliminates.
     */
-  private val tokCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private[graft] def tokenized(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Memo.sync(tokCache, graft.Memo.key(s, dir))(
-      tokensOf(Tables.documents(s, dir)).localCheckpoint())
+    graft.Memo.artifact(s, dir, "tokenized")(
+      tokensOf(Tables.documents(s, dir)))
 
   /** (doc_id, lang, source, toks) from a raw documents frame — the
     * un-memoized form, used directly by equivalence specs on synthetic
@@ -134,21 +131,14 @@ object Dedup {
     s"""WITH $minhashPairCtes
        SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"""
 
-  /** Memoized (doc_id, mh, gid) signature-group frame for q45 — one row
-    * per doc, labeled with the min doc_id sharing its full signature.
-    */
-  private val labeledCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** Label every doc with its signature-group id — a shared artifact
-    * memoized per (context, dir) like `tokenized`: repeat invocations
-    * reuse one materialization instead of leaking a fresh cache each
-    * (localCheckpoint blocks die with the context; no unpersist needed).
-    * Shared by q45 (pair listing) and q255 (pair-free clustering).
+  /** Label every doc with its signature-group id — a persisted table
+    * artifact like `tokenized` ((doc_id, mh, gid): one row per doc,
+    * gid = min doc_id sharing its full signature). Shared by q45 (pair
+    * listing) and q255 (pair-free clustering).
     */
   private def labeledSignatures(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.Memo.sync(labeledCache, graft.Memo.key(s, dir))( {
+    graft.Memo.artifact(s, dir, "minhash_groups")( {
       val sigs = minhashSignatures(tokenized(s, dir))
       // group-rep labeling as groupBy + equi-join, NOT min().over(
       // partitionBy(mh)): the signature domain is LOW-cardinality by
@@ -159,7 +149,6 @@ object Dedup {
       // join back is a plain balanced key shuffle on the doc side.
       sigs.join(sigs.groupBy(col("mh")).agg(min(col("doc_id")).as("gid")),
           Seq("mh"))
-        .localCheckpoint()
     })
 
   /** One row per DISTINCT signature per band — the collision-join side.
@@ -237,12 +226,9 @@ object Dedup {
     * persisted artifact consumed by every downstream dedup stage, not
     * recomputed per query. O(1 row × 2 longs) per document held.
     */
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private def simhashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Memo.sync(simhashCache, graft.Memo.key(s, dir))(
-      simhashOfTokens(tokenized(s, dir)).localCheckpoint())
+    graft.Memo.artifact(s, dir, "simhash")(
+      simhashOfTokens(tokenized(s, dir)))
 
   /** (doc_id, simhash) from a (doc_id, ..., toks) frame — the
     * un-memoized form, shared by the corpus memo above, the streaming
@@ -294,8 +280,6 @@ object Dedup {
     * fingerprints, with the chunk table's working cache released after
     * the pair table is checkpointed.
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** (doc_id, simhash, chunk_id, chunk): each fingerprint exploded into
     * its [[HamT]]+1 pigeonhole chunks — the shared candidate-generation
@@ -331,7 +315,7 @@ object Dedup {
   // private[graft]: q197's threshold track reads one pair per doc from
   // this memo as its source of REAL high-cosine pairs (TextOps scaladoc)
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Memo.sync(pairsCache, graft.Memo.key(s, dir))( {
+    graft.Memo.artifact(s, dir, "simhash_pairs")( {
       val sim = simhashes(s, dir)
       // TWO-LEVEL (the q45/q247 trick): duplicate-dense corpora have
       // far fewer DISTINCT fingerprints than documents, and identical
@@ -372,7 +356,8 @@ object Dedup {
         .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
           greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"), col("dist"))
       val pairs = within.unionByName(cross)
-        .localCheckpoint() // eager: lets the chunk cache release below
+        .localCheckpoint() // eager: lets the chunk cache release before
+                           // the artifact write re-consumes the union
       chunked.unpersist()
       pairs
     })
@@ -455,14 +440,11 @@ object Dedup {
   /** One CC computation per data dir: q73 (cluster listing) and q83
     * (pipeline summary) share the converged label table — cluster once,
     * consume many times, like the ALS fit in [[graft.ml.Recommender]].
-    * The memoized value is a localCheckpoint'd 2-column frame (one row
-    * per doc), so holding it costs O(corpus keys), not O(pipeline).
+    * Persisted as a 2-column parquet artifact (one row per doc): the
+    * downstream ledgers (q331/q332/q339 …) are file scans over it.
     */
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Memo.sync(ccCache, graft.Memo.key(s, dir))(
+    graft.Memo.artifact(s, dir, "cc_labels")(
       connectedComponents(
         Tables.documents(s, dir).select(col("doc_id")),
         simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))

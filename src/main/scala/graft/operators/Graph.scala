@@ -120,7 +120,14 @@ object Graph {
 
   /** One edge table per data dir: q152 and q154 share the derived graph
     * (cluster-scale reading: the persisted edge table is built once and
-    * every graph algorithm consumes it).
+    * every graph algorithm consumes it). Deliberately the IN-CONTEXT
+    * memo tier, not a [[graft.Memo.artifact]] parquet table: the memo's
+    * value is the frame TOGETHER WITH its declared hashpartitioning(src)
+    * layout, which every iteration of every consumer joins on without
+    * an exchange — a plain parquet read-back would discard the layout
+    * and re-shuffle the static side each round. (The production
+    * equivalent is a src-bucketed table — the [[graft.operators
+    * .Relational]] bucketing path — not a flat file.)
     */
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]

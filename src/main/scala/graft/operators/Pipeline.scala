@@ -2224,7 +2224,42 @@ object Pipeline {
     * Scale shape: one partial-agg groupBy(source, lang) builds the
     * bounded grid; per-lang and global totals broadcast; everything
     * after is arithmetic on |sources|×|langs| rows.
+    *
+    * Declared boundary: when a source is the corpus's ONLY source the
+    * without-s mixture doesn't exist (nt − ns = 0), and both shift
+    * columns are explicitly NULL — guarded identically on both sides
+    * rather than left to engine-specific ÷0 behavior (Spark's non-ANSI
+    * div yields NULL where DuckDB raises). PipelineSpec pins the
+    * single-source case.
     */
+  private[graft] def looImpact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .localCheckpoint(false)
+    val l = g.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val srcs = g.groupBy(col("source"))
+      .agg(sum(col("n")).as("ns"), sum(col("chars")).as("cs"))
+    val t = g.agg(sum(col("n")).as("nt"), sum(col("chars")).as("ct"))
+    val sh = srcs.crossJoin(broadcast(l))
+      .join(g, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("source"),
+        when(col("nt") === col("ns"), lit(null).cast("long"))
+          .otherwise(
+            abs(expr("(1000000 * (nl - COALESCE(n, 0))) div (nt - ns)")
+              - expr("(1000000 * nl) div nt"))).as("d"))
+      .groupBy(col("source")).agg(sum(col("d")).as("lang_shift_ppm"))
+    srcs.join(sh, Seq("source")).crossJoin(broadcast(t))
+      .select(col("source"), col("ns").as("n_docs"),
+        col("cs").as("n_chars"), col("lang_shift_ppm"),
+        when(col("nt") === col("ns"), lit(null).cast("long"))
+          .otherwise(
+            abs(expr("(1000 * (ct - cs)) div (nt - ns)")
+              - expr("(1000 * ct) div nt"))).as("len_shift_pm"))
+      .orderBy(col("source"))
+  }
+
   val q332 = oracled(
     "q332_loo_source_impact",
     "leave-one-source-out mixture movement: exact floor-first ppm lang-shift + per-mille length-shift per source",
@@ -2239,9 +2274,10 @@ object Pipeline {
        t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
            CAST(SUM(chars) AS BIGINT) AS ct FROM g),
        sh AS (SELECT s.source, l.lang,
-           ABS((1000000 * (l.nl - COALESCE(g.n, 0)))
-               // (t.nt - s.ns)
-             - (1000000 * l.nl) // t.nt) AS d
+           CASE WHEN t.nt = s.ns THEN NULL ELSE
+             ABS((1000000 * (l.nl - COALESCE(g.n, 0)))
+                 // (t.nt - s.ns)
+               - (1000000 * l.nl) // t.nt) END AS d
          FROM s CROSS JOIN l
          LEFT JOIN g ON g.source = s.source AND g.lang = l.lang
          CROSS JOIN t),
@@ -2249,31 +2285,12 @@ object Pipeline {
          FROM sh GROUP BY 1)
        SELECT s.source, s.ns AS n_docs, s.cs AS n_chars,
          ls.lang_shift_ppm,
-         ABS((1000 * (t.ct - s.cs)) // (t.nt - s.ns)
-           - (1000 * t.ct) // t.nt) AS len_shift_pm
+         CASE WHEN t.nt = s.ns THEN NULL ELSE
+           ABS((1000 * (t.ct - s.cs)) // (t.nt - s.ns)
+             - (1000 * t.ct) // t.nt) END AS len_shift_pm
        FROM s JOIN ls ON ls.source = s.source CROSS JOIN t
        ORDER BY s.source""") { (sp, dir) =>
-    val g = Tables.documents(sp, dir)
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-      .localCheckpoint(false)
-    val l = g.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
-    val srcs = g.groupBy(col("source"))
-      .agg(sum(col("n")).as("ns"), sum(col("chars")).as("cs"))
-    val t = g.agg(sum(col("n")).as("nt"), sum(col("chars")).as("ct"))
-    val sh = srcs.crossJoin(broadcast(l))
-      .join(g, Seq("source", "lang"), "left")
-      .crossJoin(broadcast(t))
-      .select(col("source"),
-        abs(expr("(1000000 * (nl - COALESCE(n, 0))) div (nt - ns)")
-          - expr("(1000000 * nl) div nt")).as("d"))
-      .groupBy(col("source")).agg(sum(col("d")).as("lang_shift_ppm"))
-    srcs.join(sh, Seq("source")).crossJoin(broadcast(t))
-      .select(col("source"), col("ns").as("n_docs"),
-        col("cs").as("n_chars"), col("lang_shift_ppm"),
-        abs(expr("(1000 * (ct - cs)) div (nt - ns)")
-          - expr("(1000 * ct) div nt")).as("len_shift_pm"))
-      .orderBy(col("source"))
+    looImpact(Tables.documents(sp, dir))
   }
 
   val all: Seq[GQuery] =

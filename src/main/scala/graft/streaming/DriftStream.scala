@@ -34,11 +34,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *      EQUALS the from-scratch aggregation over arrived documents
   *      (DriftStreamSpec asserts it, plus restart and replay).
   *
-  * State: `histDir` (lang, v, cnt) and `wmDir` (wm_id) as parquet,
-  * rewritten per batch via localCheckpoint-then-overwrite — the
-  * histogram store is domain-bounded, the mark is one row; the
-  * two-store-write non-transactionality caveat is ClusterStream's,
-  * verbatim.
+  * State: ONE `stateDir` holding BOTH stores — the (lang, v, cnt)
+  * histogram and the one-row high-water mark — committed ATOMICALLY
+  * per batch: each batch writes a fresh `v<N>/hist` + `v<N>/wm`
+  * version directory and then creates the zero-byte marker
+  * `v<N>/_COMMITTED`; readers resolve the HIGHEST committed version.
+  * A crash anywhere mid-batch leaves an unmarked version directory
+  * that readers never see, so the stream replays the batch against
+  * the last fully-committed (hist, wm) pair — no histogram can ever
+  * advance without its mark (silent double-count) and no mark without
+  * its histogram (silent loss): the two-store-write window that
+  * ClusterStream/IndexStream/SeasonalStream document as a caveat is
+  * CLOSED here (marker-file creation is the single atomic commit
+  * point; versions below the committed one are garbage-collected
+  * after each commit). The histogram store is domain-bounded, the
+  * mark is one row, so the per-batch rewrite is O(domain), not
+  * O(corpus).
   */
 object DriftStream {
 
@@ -88,42 +99,88 @@ object DriftStream {
     (merged.localCheckpoint(), wm2.localCheckpoint())
   }
 
-  /** Start the streaming intake: the histogram maintained at `histDir`,
-    * the high-water mark at `wmDir`. DELIVERY CONTRACT (data-loss mode,
-    * stated per the r13 ADVICE): documents must arrive in monotone
-    * doc_id order across batches — redeliveries may only replay an
-    * already-committed prefix; violations are logged per batch (see
-    * [[step]]) but the rows are not recoverable. Use [[IndexStream]]'s
-    * seen-set design when the input is unordered.
+  /** Start the streaming intake: both stores maintained atomically
+    * under `stateDir` (see the class scaladoc's commit protocol).
+    * DELIVERY CONTRACT (data-loss mode, stated per the r13 ADVICE):
+    * documents must arrive in monotone doc_id order across batches —
+    * redeliveries may only replay an already-committed prefix;
+    * violations are logged per batch (see [[step]]) but the rows are
+    * not recoverable. Use [[IndexStream]]'s seen-set design when the
+    * input is unordered.
     */
-  def start(docs: DataFrame, histDir: String, wmDir: String,
+  def start(docs: DataFrame, stateDir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, histDir, wmDir)
+        processBatch(batch, stateDir)
       }
       .start()
 
-  private def readOr(s: org.apache.spark.sql.SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    // Hadoop FileSystem existence check — see IndexStream.readOr
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.parquet(dir)
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def fsOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version under `stateDir`, or -1 when none.
+    * A version counts ONLY with its `_COMMITTED` marker — a crash
+    * mid-batch leaves an unmarked `v<N>` that is invisible here (and
+    * overwritten when the replayed batch claims the same N).
+    */
+  private[graft] def committedVersion(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): Long = {
+    val fs = fsOf(s, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_COMMITTED")))
+      .foldLeft(-1L)(math.max)
   }
 
-  private[graft] def processBatch(batch: DataFrame, histDir: String,
-      wmDir: String): Unit = {
+  private def readVersioned(s: org.apache.spark.sql.SparkSession,
+      stateDir: String, store: String, schema: StructType): DataFrame = {
+    val v = committedVersion(s, stateDir)
+    if (v < 0) s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.parquet(s"$stateDir/v$v/$store")
+  }
+
+  /** The committed histogram / mark — the read side of the atomic
+    * store (what a monitoring consumer feeds to ksFromHistogram).
+    */
+  private[graft] def readHist(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = readVersioned(s, stateDir, "hist", histSchema)
+  private[graft] def readWm(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = readVersioned(s, stateDir, "wm", wmSchema)
+
+  private[graft] def processBatch(batch: DataFrame, stateDir: String): Unit = {
     val s = batch.sparkSession
+    val prev = committedVersion(s, stateDir)
     val (hist2, wm2) = step(
-      readOr(s, histDir, histSchema), readOr(s, wmDir, wmSchema),
-      batch.localCheckpoint())
-    // step localCheckpoints both outputs, so overwriting the paths they
-    // were read from is safe
-    hist2.write.mode(SaveMode.Overwrite).parquet(histDir)
-    wm2.write.mode(SaveMode.Overwrite).parquet(wmDir)
+      readHist(s, stateDir), readWm(s, stateDir), batch.localCheckpoint())
+    // step fully materializes both outputs (localCheckpoint), so the
+    // writes below cannot re-read the version they replace
+    val next = prev + 1
+    val fs = fsOf(s, stateDir)
+    val vdir = s"$stateDir/v$next"
+    // a leftover UNMARKED v<next> from a crashed attempt is discarded
+    fs.delete(new org.apache.hadoop.fs.Path(vdir), true)
+    hist2.write.mode(SaveMode.Overwrite).parquet(s"$vdir/hist")
+    wm2.write.mode(SaveMode.Overwrite).parquet(s"$vdir/wm")
+    // THE commit point: marker creation is all-or-nothing, and it
+    // publishes hist and wm together
+    fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), false).close()
+    // GC every version strictly below the new commit (listed, not
+    // counted down — at most the previous version plus whatever a
+    // crash-before-GC left behind, so O(live versions) ≈ O(1))
+    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
+          && n.drop(1).toLong < next)
+        fs.delete(st.getPath, true)
+    }
   }
 }

@@ -50,13 +50,13 @@ class DriftStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("driftstream").toString
-    val (histDir, wmDir, ckpt) = (s"$base/hist", s"$base/wm", s"$base/ckpt")
+    val (stateDir, ckpt) = (s"$base/state", s"$base/ckpt")
     val docs = fixtureDocs
     assert(docs.length > 10, "fixture too small to exercise batching")
 
     val in = MemoryStream[(Long, String, Long)]
     val q = DriftStream.start(
-      in.toDF().toDF("doc_id", "lang", "n_chars"), histDir, wmDir, ckpt)
+      in.toDF().toDF("doc_id", "lang", "n_chars"), stateDir, ckpt)
     try {
       docs.grouped((docs.length + 2) / 3).foreach { b =>
         in.addData(b.toSeq)
@@ -64,9 +64,9 @@ class DriftStreamSpec extends AnyFunSuite {
       }
     } finally q.stop()
 
-    assert(histMap(spark.read.parquet(histDir)) === batchHist,
+    assert(histMap(DriftStream.readHist(spark, stateDir)) === batchHist,
       "streamed histogram drifted from the corpus truth")
-    val wm = spark.read.parquet(wmDir).collect()
+    val wm = DriftStream.readWm(spark, stateDir).collect()
     assert(wm.length === 1 && wm.head.getLong(0) === docs.last._1)
   }
 
@@ -74,13 +74,13 @@ class DriftStreamSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("driftstream_restart").toString
-    val (histDir, wmDir, ckpt) = (s"$base/hist", s"$base/wm", s"$base/ckpt")
+    val (stateDir, ckpt) = (s"$base/state", s"$base/ckpt")
     val docs = fixtureDocs
     val (phase1, phase2) = docs.splitAt(docs.length / 2)
 
     val in = MemoryStream[(Long, String, Long)]
     def start() = DriftStream.start(
-      in.toDF().toDF("doc_id", "lang", "n_chars"), histDir, wmDir, ckpt)
+      in.toDF().toDF("doc_id", "lang", "n_chars"), stateDir, ckpt)
 
     val q1 = start()
     in.addData(phase1.toSeq)
@@ -93,8 +93,51 @@ class DriftStreamSpec extends AnyFunSuite {
       q2.processAllAvailable()
     } finally q2.stop()
 
-    assert(histMap(spark.read.parquet(histDir)) === batchHist,
+    assert(histMap(DriftStream.readHist(spark, stateDir)) === batchHist,
       "restarted fold drifted from the corpus truth")
+  }
+
+  test("crash mid-batch is invisible: unmarked version dirs never publish, replay recommits atomically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("driftstream_crash").toString
+    val stateDir = s"$base/state"
+    val docs = fixtureDocs
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    def frame(b: Seq[(Long, String, Long)]) =
+      b.toDF("doc_id", "lang", "n_chars")
+
+    // batch 1 commits normally (version 0)
+    DriftStream.processBatch(frame(b1.toSeq), stateDir)
+    val committed1 = histMap(DriftStream.readHist(spark, stateDir))
+    val wm1 = DriftStream.readWm(spark, stateDir).collect().head.getLong(0)
+
+    // simulate a crash DURING batch 2: both stores fully written for
+    // v1 but no _COMMITTED marker (the worst pre-fix window — under
+    // the old two-path overwrite this is exactly the state that
+    // silently double-counted or silently lost the batch)
+    val (h2, w2) = (DriftStream.readHist(spark, stateDir),
+      DriftStream.readWm(spark, stateDir))
+    val next = DriftStream.step(h2, w2, frame(b2.toSeq))
+    next._1.write.parquet(s"$stateDir/v1/hist")
+    next._2.write.parquet(s"$stateDir/v1/wm")
+    // no marker → readers must still see version 0, both stores in step
+    assert(DriftStream.committedVersion(spark, stateDir) === 0L)
+    assert(histMap(DriftStream.readHist(spark, stateDir)) === committed1,
+      "an uncommitted histogram version leaked to readers")
+    assert(DriftStream.readWm(spark, stateDir).collect().head.getLong(0)
+      === wm1, "an uncommitted mark version leaked to readers")
+
+    // the stream replays batch 2 (foreachBatch re-delivery after the
+    // crash): the orphaned v1 is discarded and recommitted whole
+    DriftStream.processBatch(frame(b2.toSeq), stateDir)
+    assert(DriftStream.committedVersion(spark, stateDir) === 1L)
+    assert(histMap(DriftStream.readHist(spark, stateDir)) === batchHist,
+      "replay over the orphaned version diverged from the corpus truth")
+    assert(DriftStream.readWm(spark, stateDir).collect().head.getLong(0)
+      === docs.last._1)
+    // GC left only the committed version
+    val live = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(live === Set("v1"), s"stale versions survived GC: $live")
   }
 
   test("step re-applied to committed batches is a fixpoint (doc_id mark idempotence)") {

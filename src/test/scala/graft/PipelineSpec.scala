@@ -429,6 +429,27 @@ class PipelineSpec extends AnyFunSuite {
       (13L, 1L, 1L), (14L, 9L, 0L)))
   }
 
+  test("q332 leave-one-source-out: single-source corpus yields explicit NULL shifts (declared boundary)") {
+    import spark.implicits._
+    // one source only → the without-s corpus is empty (nt == ns): both
+    // shift columns must be NULL by the guard, not a ÷0 artifact
+    val solo = Seq(
+      (1L, "en", "web", 100L), (2L, "fr", "web", 50L), (3L, "en", "web", 70L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val got = operators.Pipeline.looImpact(solo).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "web" && r.getLong(1) === 3L
+      && r.getLong(2) === 220L)
+    assert(r.isNullAt(3) && r.isNullAt(4),
+      "single-source shifts must be NULL, not a division artifact")
+    // and a two-source corpus keeps real (non-NULL) ledger values
+    val duo = solo.union(Seq((4L, "en", "crawl", 30L))
+      .toDF("doc_id", "lang", "source", "n_chars"))
+    val got2 = operators.Pipeline.looImpact(duo).collect()
+    assert(got2.length === 2 && got2.forall(r2 => !r2.isNullAt(3) && !r2.isNullAt(4)))
+  }
+
   test("q290 bit-run draw is EXACTLY Geometric(1/2) over a dense word range") {
     // trailing-ones count of v: over v = 0..4095 the histogram must be
     // the exact power law {0: 2048, 1: 1024, ..., 11: 1, 12: 1} — the

@@ -116,11 +116,22 @@ class PlanContractSpec extends AnyFunSuite {
       .findAllIn(df.queryExecution.optimizedPlan.toString).size
     assert(hints <= 1, "vocabulary side must stay unhinted\n" +
       df.queryExecution.optimizedPlan.toString)
-    // both tf and df read the memoized tokenized corpus, never re-scan
-    // parquet (tokenize 100 TB once, not once per statistic)
+    // both tf and df read the TOKENIZED ARTIFACT (Memo.artifact parquet
+    // — tokenize 100 TB once, persist, scan per statistic), never the
+    // raw corpus: a scan of documents.parquet here would mean the plan
+    // re-tokenizes (re-reads `text`) once per statistic
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("FileScan"),
-      "q64 must feed off the tokenized memo, not re-tokenize the corpus\n" + p)
+    assert(!p.contains("documents.parquet"),
+      "q64 must feed off the tokenized artifact, not re-scan the raw corpus\n" + p)
+    assert(!p.contains("text#"),
+      "q64 must never carry the raw text column — tokenization happens once, at artifact build\n" + p)
+    val artifactTag = new java.io.File(graft.Memo.artifactRoot).getName
+    assert(p.contains("FileScan parquet") && p.contains(artifactTag),
+      s"q64 lost its tokenized-artifact scan (expected a path under $artifactTag)\n" + p)
+    // the artifact being a plain parquet table buys the scan goodies a
+    // block-manager memo never had: column pruning must reach it
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,toks:array<string>>"),
+      "artifact scan must prune to (doc_id, toks)\n" + p)
   }
 
   test("q117: the time-range frame costs exactly one data shuffle (user partitioning)") {
