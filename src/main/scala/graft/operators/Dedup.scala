@@ -2212,8 +2212,113 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q342 — CLUSTER METADATA-CONSISTENCY audit: every multi-doc
+    * near-dup cluster (the q73 CC memo) with the SPREAD of its
+    * members' metadata — distinct langs, distinct sources, min/max
+    * n_chars. Near-identical content carrying two different language
+    * labels or wildly different length metadata is labeler/extractor
+    * noise made visible: the lang-ID gate (q42/q336) and any
+    * source-level policy are only as sound as these labels, and the
+    * cluster is exactly the unit where disagreement is checkable
+    * (members are near-copies, so their metadata SHOULD agree). The
+    * curation complement of q337 (quality × dup) and q339 (per-source
+    * originality): same memo, label-consistency lens.
+    *
+    * Scale shape: a derived ledger over the persisted CC artifact —
+    * one keyed join to documents, one partial-agg groupBy(cluster)
+    * filtered to size ≥ 2; output is bounded by the number of
+    * multi-doc clusters, never pairs. The oracle pays the usual
+    * recursive-CTE closure cost (the q331/q339 precedent: the
+    * quadratic lives in DuckDB's fixpoint, not the engine).
+    */
+  val q342 = oracled(
+    "q342_cluster_label_consistency",
+    "metadata spread inside each multi-doc near-dup cluster: lang/source/length disagreement ledger",
+    s"""WITH RECURSIVE $ccOracleCte
+       SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         CAST(MIN(d.n_chars) AS BIGINT) AS chars_min,
+         CAST(MAX(d.n_chars) AS BIGINT) AS chars_max
+       FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+       GROUP BY c.cluster HAVING COUNT(*) >= 2
+       ORDER BY c.cluster""") { (s, dir) =>
+    ccLabels(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("chars_min"),
+        max(col("n_chars")).as("chars_max"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("cluster"))
+  }
+
+  /** q345 — CRAWL-INCREMENT AUDIT: split the corpus at the doc_id
+    * midpoint into the COMMITTED half and the INCREMENT (the
+    * deterministic value-based staging q334 uses), then ask the
+    * question a crawl review asks before paying for ingestion: how
+    * much of the new batch is a near-duplicate MIRROR of content the
+    * corpus already has? Per (lang, source) of the increment: new
+    * docs, new docs with a SimHash near-dup (Hamming ≤ [[HamT]])
+    * among the committed half, and the fresh rate in ppm.
+    *
+    * Scale shape: a filter over the persisted pair ARTIFACT — a
+    * cross-split pair is exactly (doc_a ≤ mid < doc_b) since pairs
+    * are canonically doc_a < doc_b, so "mirror" is one filtered
+    * projection + distinct + keyed semi-join, never a recompute of
+    * candidate generation (the q338 sweep discipline). The streaming
+    * twin of this ledger is [[graft.streaming.NearDupStream]]'s
+    * delta×corpus intake; here it is the batch acceptance report.
+    */
+  val q345 = oracled(
+    "q345_increment_audit",
+    "new-half docs near-duplicating the committed half: per (lang, source) mirror/fresh ppm ledger",
+    s"""WITH $simhashCte,
+       pairs AS (
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT),
+       m AS (SELECT CAST((MIN(doc_id) + MAX(doc_id)) // 2 AS BIGINT)
+           AS mid FROM documents),
+       newd AS (SELECT d.doc_id, d.lang, d.source
+         FROM documents d CROSS JOIN m WHERE d.doc_id > m.mid),
+       mirror AS (SELECT DISTINCT p.doc_b AS doc_id
+         FROM pairs p CROSS JOIN m
+         WHERE p.doc_a <= m.mid AND p.doc_b > m.mid)
+       SELECT n.lang, n.source, CAST(COUNT(*) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN mr.doc_id IS NULL THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_mirror,
+         CAST((1000000 * SUM(CASE WHEN mr.doc_id IS NULL THEN 1 ELSE 0
+           END)) // COUNT(*) AS BIGINT) AS fresh_ppm
+       FROM newd n LEFT JOIN mirror mr ON mr.doc_id = n.doc_id
+       GROUP BY 1, 2 ORDER BY n.lang, n.source""") { (s, dir) =>
+    val m = Tables.documents(s, dir)
+      .agg(expr("(MIN(doc_id) + MAX(doc_id)) div 2").as("mid"))
+    val newd = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .crossJoin(broadcast(m))
+      .filter(col("doc_id") > col("mid"))
+    val mirror = simhashPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .crossJoin(broadcast(m))
+      .filter(col("doc_a") <= col("mid") && col("doc_b") > col("mid"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_mirror", lit(1L))
+    newd.join(mirror, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("is_mirror"), lit(0L))).as("n_mirror"))
+      .select(col("lang"), col("source"), col("n_new"), col("n_mirror"),
+        expr("(1000000 * (n_new - n_mirror)) div n_new").as("fresh_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333, q338, q339)
+      q333, q338, q339, q342, q345)
 }

@@ -2293,9 +2293,187 @@ object Pipeline {
     looImpact(Tables.documents(sp, dir))
   }
 
+  // ------------------------------------------- UniMax mixture allocation
+
+  /** Epoch cap for [[q340]]: no (lang, source) bucket may be drawn more
+    * than this many times over (the UniMax repeat budget).
+    */
+  private val UniMaxEpochs = 4L
+
+  /** q340 — UNIMAX TOKEN-BUDGET ALLOCATION (Chung et al., "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR 2023): distribute a training
+    * budget T (here 2× the corpus) across (lang, source) buckets as
+    * UNIFORMLY as possible subject to a per-bucket repeat cap of
+    * [[UniMaxEpochs]] epochs — small buckets get their full cap, large
+    * buckets split the remainder evenly. The integer WATERFILL solves
+    * this exactly without iteration: sort buckets by capacity
+    * c = cap·n_tokens ascending; bucket at rank i is CAPPED iff its
+    * cap fits even when every later bucket takes the same amount —
+    * c_i·(n−i+1) ≤ T − cumcap_{i−1} — a predicate that is monotone in
+    * i, so the capped set is a prefix of length k* and every uncapped
+    * bucket receives the identical floor share (T − S_{k*}) div
+    * (n − k*). The ≤ n−k*−1 remainder tokens of the floor are
+    * deliberately UNDISTRIBUTED (declared; a real sampler rounds at
+    * the batch level anyway).
+    *
+    * Exactness envelope: c_i·(n−i+1) ≤ UniMaxEpochs·T_total·n_buckets
+    * — Int64-safe to ~10¹⁴ corpus tokens at 10⁴ buckets.
+    *
+    * Scale shape: the corpus collapses to the (lang, source) grid in
+    * one partial-agg groupBy; everything after — the sort, the
+    * cumulative window, the k* reduction — runs on the bucket grid
+    * (domain-bounded, corpus-size-independent), with the 1-row budget
+    * and k* frames broadcast back.
+    */
+  val q340 = oracled(
+    "q340_unimax_allocation",
+    "UniMax epoch-capped token-budget waterfill over (lang, source) buckets: exact integer closed form",
+    s"""WITH g AS (SELECT lang, source,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY 1, 2),
+       t AS (SELECT CAST(2 * SUM(n_tokens) AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n FROM g),
+       r AS (SELECT lang, source, n_tokens,
+           $UniMaxEpochs * n_tokens AS cap,
+           CAST(ROW_NUMBER() OVER (ORDER BY $UniMaxEpochs * n_tokens,
+             lang, source) AS BIGINT) AS i,
+           CAST(SUM($UniMaxEpochs * n_tokens) OVER (ORDER BY
+             $UniMaxEpochs * n_tokens, lang, source
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumcap
+         FROM g),
+       k AS (SELECT CAST(COALESCE(SUM(CASE WHEN
+             r.cap * (t.n - r.i + 1) <= t.budget - (r.cumcap - r.cap)
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS kstar
+         FROM r CROSS JOIN t),
+       s AS (SELECT CAST(COALESCE(MAX(CASE WHEN r.i = k.kstar
+             THEN r.cumcap END), 0) AS BIGINT) AS capped_sum
+         FROM r CROSS JOIN k),
+       a AS (SELECT r.lang, r.source, r.n_tokens, r.cap,
+           CASE WHEN r.i <= k.kstar THEN r.cap
+             WHEN t.n = k.kstar THEN r.cap
+             ELSE (t.budget - s.capped_sum) // (t.n - k.kstar) END
+             AS alloc,
+           CASE WHEN r.i <= k.kstar THEN 1 ELSE 0 END AS capped
+         FROM r CROSS JOIN t CROSS JOIN k CROSS JOIN s)
+       SELECT lang, source, n_tokens, cap AS cap_tokens,
+         CAST(alloc AS BIGINT) AS alloc_tokens,
+         (1000 * CAST(alloc AS BIGINT)) // n_tokens AS epochs_x1000,
+         CAST(capped AS BIGINT) AS is_capped
+       FROM a ORDER BY lang, source""") { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(trim(col("text")), " "))).cast("long").as("n_tokens"))
+    val t = g.agg((lit(2L) * sum(col("n_tokens"))).as("budget"),
+      count(lit(1)).as("n"))
+    // the waterfill runs on the bounded bucket grid: a single-partition
+    // window over |lang × source| rows is the DECLARED domain-bounded
+    // carve-out (the q329/q324 grid discipline), never corpus-sized
+    val ord = Window.orderBy(col("cap"), col("lang"), col("source"))
+    val r = g.withColumn("cap", lit(UniMaxEpochs) * col("n_tokens"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cumcap", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(false) // feeds k*, S, and the final ledger
+    val k = r.crossJoin(broadcast(t))
+      .agg(coalesce(sum(when(
+          col("cap") * (col("n") - col("i") + 1)
+            <= col("budget") - (col("cumcap") - col("cap")), 1L)
+          .otherwise(0L)), lit(0L)).as("kstar"))
+    val cs = r.crossJoin(broadcast(k))
+      .agg(coalesce(max(when(col("i") === col("kstar"), col("cumcap"))),
+        lit(0L)).as("capped_sum"))
+    r.crossJoin(broadcast(t)).crossJoin(broadcast(k))
+      .crossJoin(broadcast(cs))
+      .withColumn("alloc",
+        when(col("i") <= col("kstar"), col("cap"))
+          .when(col("n") === col("kstar"), col("cap"))
+          .otherwise(expr("(budget - capped_sum) div (n - kstar)")))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+        expr("(1000 * alloc) div n_tokens").as("epochs_x1000"),
+        when(col("i") <= col("kstar"), 1L).otherwise(0L).as("is_capped"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ------------------------------------------ containment decontamination
+
+  /** q344 — CONTAINMENT-RANKED DECONTAMINATION: for every eval doc
+    * (q99's deterministic doc_id % 7 = 0 slice), the single training
+    * doc that CONTAINS most of it — containment C(e,t) = |S_e ∩ S_t|
+    * / |S_e| over distinct 5-gram shingles, the DIRECTED overlap that
+    * catches a benchmark quoted inside a larger page, which symmetric
+    * Jaccard dilutes away (the q99 flag says "shares ≥1 shingle"; this
+    * ranks HOW MUCH is leaked and names the leaking doc). Argmax is
+    * deterministic: max shared count, ties to the smallest train
+    * doc_id. Eval docs with no shared shingle have no row (q99 lists
+    * the clean slice implicitly).
+    *
+    * Scale shape: q99's exact join geometry — the eval shingle set is
+    * the bounded broadcast side, the corpus is scanned once — then one
+    * partial-agg groupBy (eval, train) and a per-eval max(struct)
+    * reduction (no window, no pair blow-up beyond the true overlap
+    * rows the join already emits).
+    */
+  val q344 = oracled(
+    "q344_containment_decontam",
+    "per-eval-doc max-containment training doc: directed shingle overlap, deterministic argmax",
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+       sh AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             i -> array_to_string(toks[i:i+4], ' ')))) AS s
+         FROM t),
+       ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+       en AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         FROM ev GROUP BY 1),
+       tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0),
+       ov AS (SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS shared
+         FROM ev JOIN tr ON tr.s = ev.s GROUP BY 1, 2),
+       best AS (SELECT eval_doc, train_doc, shared,
+           ROW_NUMBER() OVER (PARTITION BY eval_doc
+             ORDER BY shared DESC, train_doc) AS rn
+         FROM ov)
+       SELECT b.eval_doc, en.n_shingles, b.train_doc AS best_train_doc,
+         b.shared, (1000000 * b.shared) // en.n_shingles
+           AS containment_ppm
+       FROM best b JOIN en ON en.doc_id = b.eval_doc
+       WHERE b.rn = 1 ORDER BY b.eval_doc""") { (s, dir) =>
+    val shingle5 = when(size(col("toks")) >= 5,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+        i => array_join(slice(col("toks"), i, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(shingle5).as("s"))
+      .localCheckpoint(false) // feeds the eval side twice and the train side
+    val ev = sh.filter(col("doc_id") % 7 === 0)
+      .withColumnRenamed("doc_id", "eval_doc")
+    val en = ev.groupBy(col("eval_doc")).agg(count(lit(1)).as("n_shingles"))
+    val ov = sh.filter(col("doc_id") % 7 =!= 0)
+      .withColumnRenamed("doc_id", "train_doc")
+      .join(broadcast(ev), Seq("s"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared"))
+    // deterministic argmax without a window: max over (shared, -id)
+    // orders ties to the SMALLEST train doc_id in one partial-agg pass
+    ov.groupBy(col("eval_doc"))
+      .agg(max(struct(col("shared"), (-col("train_doc")).as("neg_id")))
+        .as("m"))
+      .select(col("eval_doc"), (-col("m.neg_id")).as("best_train_doc"),
+        col("m.shared").as("shared"))
+      .join(broadcast(en), Seq("eval_doc"))
+      .select(col("eval_doc"), col("n_shingles"), col("best_train_doc"),
+        col("shared"),
+        expr("(1000000 * shared) div n_shingles").as("containment_ppm"))
+      .orderBy(col("eval_doc"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
       q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
-      q319, q326, q329, q332)
+      q319, q326, q329, q332, q340, q344)
 }

@@ -2283,6 +2283,136 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------- lexical concentration
+
+  /** q341 — LEXICAL CONCENTRATION per source: type-token ratio plus
+    * two exact concentration indices over the token-frequency
+    * distribution — Herfindahl (Σp² — the "how much of this source is
+    * a few tokens" number, the HHI of market-share fame) and Simpson's
+    * index Σn(n−1)/(N(N−1)) (the probability two random tokens
+    * coincide, the unbiased small-sample form). Low-diversity sources
+    * (template/boilerplate farms) stand out before any model sees
+    * them — the cheap screen that runs ahead of the dedup family.
+    *
+    * Exactness: both indices are ratios of integer sums; the numerator
+    * Σn² reaches N², so the 10⁶ ppm scaling runs in DECIMAL(38,0)
+    * (oracle: HUGEINT) — the q324 envelope discipline: exact up to
+    * N ≤ 3×10⁹ tokens per source per Int64 n, and the widened ppm
+    * arithmetic never wraps below 10²⁵. N ≤ 1 yields explicit NULL
+    * simpson (declared boundary), not a ÷0 artifact.
+    *
+    * Scale shape: one partial-agg groupBy(source, tok) over the
+    * tokenized ARTIFACT scan (column-pruned to (source, toks)), then a
+    * source-bounded second aggregate. No joins, no windows.
+    */
+  val q341 = oracled(
+    "q341_lexical_concentration",
+    "per-source type-token ratio + exact Herfindahl/Simpson token concentration (ppm)",
+    """WITH tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+       g AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+         FROM tok GROUP BY 1, 2),
+       a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           SUM(CAST(n AS HUGEINT) * n) AS sum_sq,
+           SUM(CAST(n AS HUGEINT) * (n - 1)) AS sum_pp
+         FROM g GROUP BY 1)
+       SELECT source, n_tokens, n_types,
+         (1000000 * n_types) // n_tokens AS ttr_ppm,
+         CAST((sum_sq * 1000000)
+           // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS hhi_ppm,
+         CASE WHEN n_tokens <= 1 THEN NULL ELSE
+           CAST((sum_pp * 1000000)
+             // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+           END AS simpson_ppm
+       FROM a ORDER BY source""") { (s, dir) =>
+    val tok = Dedup.tokenized(s, dir)
+      .select(col("source"), explode(col("toks")).as("tok"))
+    tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sum_sq"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("sum_pp"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("""CAST((sum_sq * 1000000)
+                div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
+          .as("hhi_ppm"),
+        expr("""CASE WHEN n_tokens <= 1 THEN NULL ELSE
+                CAST((sum_pp * 1000000)
+                  div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))
+                AS BIGINT) END""").as("simpson_ppm"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------- cross-document repetition
+
+  /** q343 — CROSS-DOCUMENT 5-GRAM COVERAGE: per document, the fraction
+    * of its word-5-gram POSITIONS whose gram also occurs in at least
+    * one OTHER document — the span-level memorization-risk measure of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): content repeated across documents is what a
+    * model memorizes verbatim. The per-doc complement of q328's
+    * novelty ledger: q328 asks "was this gram ever seen BEFORE", this
+    * asks "is this span shared with ANY other doc" — symmetric, so a
+    * near-dup pair scores high on both sides. Docs under 5 tokens have
+    * no 5-gram positions and no row (declared).
+    *
+    * Scale shape: three keyed linear shuffles over the position table
+    * — distinct (gram, doc), groupBy(gram) doc-count, flag join back —
+    * with grams travelling as the SAME rolling hash in engine and
+    * oracle (the q328/q333 shared-hash discipline). No pair join
+    * anywhere: "shared with another doc" is a doc-count ≥ 2 predicate
+    * on the gram key, never an enumeration of the pairs.
+    */
+  val q343 = oracled(
+    "q343_crossdoc_gram_coverage",
+    "per-doc share of 5-gram positions shared with other docs: first-class memorization-risk ledger",
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+       pos AS (SELECT doc_id,
+           unnest(list_transform(
+             list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> array_to_string(toks[i:i+4], ' ')),
+             gs -> ${duckSql("gs", sfx = "g")})) AS g
+         FROM t),
+       np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions
+         FROM pos GROUP BY 1),
+       d AS (SELECT DISTINCT doc_id, g FROM pos),
+       crossg AS (SELECT g FROM d GROUP BY g HAVING COUNT(*) >= 2),
+       nc AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_cross
+         FROM pos p JOIN crossg c ON c.g = p.g GROUP BY 1)
+       SELECT np.doc_id, np.n_positions,
+         CAST(COALESCE(nc.n_cross, 0) AS BIGINT) AS n_cross,
+         (1000000 * CAST(COALESCE(nc.n_cross, 0) AS BIGINT))
+           // np.n_positions AS cross_ppm
+       FROM np LEFT JOIN nc ON nc.doc_id = np.doc_id
+       ORDER BY np.doc_id""") { (s, dir) =>
+    val pos = Dedup.tokenized(s, dir)
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 5,
+            sequence(lit(1), size(col("toks")) - 4))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        rollingHash(array_join(slice(col("toks"), col("i"), lit(5)), " "))
+          .as("g"))
+      .localCheckpoint(false) // feeds np, the distinct, and the flag join
+    val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_positions"))
+    val crossg = pos.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val nc = pos.join(crossg, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross"))
+    np.join(nc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+        expr("(1000000 * COALESCE(n_cross, 0)) div n_positions")
+          .as("cross_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------- classifier evaluation
 
   /** q336 — LANG-ID CONFUSION MATRIX: q42's marker-vote classifier
@@ -2374,5 +2504,6 @@ object TextOps {
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
-      q271, q273, q283, q292, q303, q304, q309, q322, q328, q336, q337)
+      q271, q273, q283, q292, q303, q304, q309, q322, q328, q336, q337,
+      q341, q343)
 }

@@ -450,6 +450,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2.length === 2 && got2.forall(r2 => !r2.isNullAt(3) && !r2.isNullAt(4)))
   }
 
+  test("q340 UniMax waterfill invariants: caps respected, uncapped shares equal, budget exhausted to < n remainder") {
+    val rows = operators.Pipeline.q340.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val budget = 2L * rows.map(_.getLong(2)).sum // 2 × total tokens, the declared T
+    val allocs = rows.map(r => (r.getLong(3), r.getLong(4), r.getLong(6))) // (cap, alloc, is_capped)
+    allocs.foreach { case (cap, alloc, capped) =>
+      assert(alloc <= cap, s"allocation $alloc exceeds cap $cap")
+      if (capped == 1L) assert(alloc === cap, "capped bucket must receive exactly its cap")
+    }
+    val uncapped = allocs.filter(_._3 == 0L).map(_._2).distinct
+    assert(uncapped.length <= 1, s"uncapped buckets must share one floor value, got $uncapped")
+    val spent = allocs.map(_._2).sum
+    assert(spent <= budget, "waterfill overspent the budget")
+    // floor semantics: at most n−1 remainder tokens stay undistributed
+    assert(budget - spent < n, s"undistributed remainder ${budget - spent} >= n=$n")
+  }
+
   test("q290 bit-run draw is EXACTLY Geometric(1/2) over a dense word range") {
     // trailing-ones count of v: over v = 0..4095 the histogram must be
     // the exact power law {0: 2048, 1: 1024, ..., 11: 1, 12: 1} — the
