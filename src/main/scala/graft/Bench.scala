@@ -83,7 +83,14 @@ object Bench {
     // steady-state protocol doesn't hide the build cost round-over-round
     // (VERDICT r6 #7) — each number is that query's first invocation
     // INCLUDING its artifact build.
-    val memoTimes = memoBuilders.flatMap { name =>
+    // SPARK_GRAFT_MEMO_ONLY: comma-separated qNN prefixes restricting the
+    // memo-warmup phase (targeted stress runs — e.g. the sf3 ledger —
+    // shouldn't pay every family's artifact build to measure one family)
+    val memoOnly = sys.env.get("SPARK_GRAFT_MEMO_ONLY")
+      .map(_.split(',').toSet)
+    val memoTimes = memoBuilders
+      .filter(n => memoOnly.forall(_.exists(n.startsWith)))
+      .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

@@ -2317,8 +2317,125 @@ object Dedup {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q346 — REPRESENTATIVE-POLICY comparison: dedup keeps one doc per
+    * cluster, but WHICH one is a policy choice with a measurable
+    * per-source effect — min-doc-id (the q73/q339 canonical rep, i.e.
+    * "first crawled wins") vs LONGEST-DOC (max n_chars, ties to the
+    * smaller id — "keep the most complete copy", the common production
+    * default because truncated mirrors are shorter than originals).
+    * Per source: representative count and kept-character mass under
+    * each policy, side by side — the number a curation review reads
+    * before flipping the rep policy ("does first-crawled systematically
+    * strand the fuller copies of source X?"). Singletons represent
+    * themselves under both policies, so only multi-doc clusters can
+    * move mass between sources.
+    *
+    * Scale shape: two bounded aggregates over the persisted CC
+    * artifact — min(doc_id) and max(struct(n_chars, −doc_id)) per
+    * cluster (both single partial-agg groupBys; the argmax travels as
+    * one struct, no window) — then two keyed joins back to documents
+    * and a source-grid assembly via left joins from the distinct
+    * source list (a source CAN hold zero reps under a policy).
+    */
+  val q346 = oracled(
+    "q346_rep_policy_comparison",
+    "per-source representative count + kept chars under min-id vs longest-doc dedup policies",
+    s"""WITH RECURSIVE $ccOracleCte,
+       rm AS (SELECT cluster, MIN(doc_id) AS rep FROM cc GROUP BY 1),
+       rl AS (SELECT cluster, doc_id AS rep FROM (
+           SELECT c.cluster, c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+           FROM cc c JOIN documents d ON d.doc_id = c.doc_id) t
+         WHERE rn = 1),
+       srcs AS (SELECT DISTINCT source FROM documents),
+       am AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.n_chars) AS BIGINT) AS ch
+         FROM rm JOIN documents d ON d.doc_id = rm.rep GROUP BY 1),
+       al AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.n_chars) AS BIGINT) AS ch
+         FROM rl JOIN documents d ON d.doc_id = rl.rep GROUP BY 1)
+       SELECT s.source,
+         CAST(COALESCE(am.n, 0) AS BIGINT) AS n_reps_minid,
+         CAST(COALESCE(am.ch, 0) AS BIGINT) AS chars_minid,
+         CAST(COALESCE(al.n, 0) AS BIGINT) AS n_reps_longest,
+         CAST(COALESCE(al.ch, 0) AS BIGINT) AS chars_longest
+       FROM srcs s
+       LEFT JOIN am ON am.source = s.source
+       LEFT JOIN al ON al.source = s.source
+       ORDER BY s.source""") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    val lab = ccLabels(s, dir).join(docs, Seq("doc_id"))
+    val rm = lab.groupBy(col("cluster")).agg(min(col("doc_id")).as("rep"))
+    val rl = lab.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select((-col("m.neg_id")).as("rep"))
+    def perSource(reps: DataFrame, n: String, ch: String): DataFrame =
+      reps.join(docs.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(n), sum(col("n_chars")).as(ch))
+    val srcs = docs.select(col("source")).distinct()
+    srcs.join(perSource(rm.select(col("rep")), "n_reps_minid", "chars_minid"),
+        Seq("source"), "left")
+      .join(perSource(rl, "n_reps_longest", "chars_longest"),
+        Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_reps_minid"), lit(0L)).as("n_reps_minid"),
+        coalesce(col("chars_minid"), lit(0L)).as("chars_minid"),
+        coalesce(col("n_reps_longest"), lit(0L)).as("n_reps_longest"),
+        coalesce(col("chars_longest"), lit(0L)).as("chars_longest"))
+      .orderBy(col("source"))
+  }
+
+  /** q347 — DUPLICATE-AWARE EFFECTIVE SIZE: weight every document by
+    * 1/|its near-dup cluster| and sum per source — the "effective
+    * dataset size" a dedup-aware loss weighting or mixture planner
+    * sees (a source of 10⁶ docs that is one giant mirror cluster has
+    * effective mass ≈ 1). The fractional complement of q339's 0/1
+    * representative rate: q339 asks "who holds the originals", this
+    * asks "how much UNIQUE mass does each source contribute when
+    * every copy pays 1/k". Weights are floored to MICRO-docs
+    * (10⁶ div k per member — declared floor semantics; the ≤ k−1
+    * lost µdocs per cluster are the price of exact integer compare),
+    * and the inflation ratio docs/effective is reported ×1000 with
+    * DECIMAL(38,0)/HUGEINT widening (the q324 envelope discipline —
+    * 10⁹·n_docs wraps Int64 at 10¹⁰ docs).
+    *
+    * Scale shape: cluster sizes are one partial-agg groupBy over the
+    * persisted CC artifact; the weight is scan-local arithmetic on the
+    * (doc, cluster, size) join; the ledger is one groupBy(source).
+    */
+  val q347 = oracled(
+    "q347_effective_size",
+    "per-source duplicate-aware effective mass: sum of 1/cluster-size in exact micro-docs",
+    s"""WITH RECURSIVE $ccOracleCte,
+       cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS k
+         FROM cc GROUP BY 1),
+       w AS (SELECT d.source, (1000000 // cs.k) AS w
+         FROM cc c JOIN cs ON cs.cluster = c.cluster
+         JOIN documents d ON d.doc_id = c.doc_id)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS effective_micro,
+         CAST((1000 * CAST(COUNT(*) AS HUGEINT) * 1000000)
+           // SUM(w) AS BIGINT) AS inflation_x1000
+       FROM w GROUP BY source ORDER BY source""") { (s, dir) =>
+    val lab = ccLabels(s, dir)
+    val cs = lab.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+    lab.join(cs, Seq("cluster"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), expr("1000000 div k").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("effective_micro"))
+      .select(col("source"), col("n_docs"), col("effective_micro"),
+        expr("""CAST((1000 * CAST(n_docs AS DECIMAL(38,0)) * 1000000)
+                div effective_micro AS BIGINT)""").as("inflation_x1000"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333, q338, q339, q342, q345)
+      q333, q338, q339, q342, q345, q346, q347)
 }

@@ -2471,9 +2471,84 @@ object Pipeline {
       .orderBy(col("eval_doc"))
   }
 
+  // ------------------------------------------ source content overlap
+
+  /** q348 — EXACT SOURCE-OVERLAP MATRIX: pairwise Jaccard between the
+    * DISTINCT 5-gram shingle sets of every source pair, in ppm — the
+    * content-level "how much of source A is also in source B", which
+    * complements q320's near-dup PAIR counts (q320 counts whole-doc
+    * near-copies; this measures shared text mass even where no doc
+    * pair crosses the near-dup threshold — partial syndication,
+    * shared boilerplate, quote farms). Pairs with zero shared
+    * shingles have no row (declared).
+    *
+    * Scale shape: one distinct over (source, gram-hash) — postings
+    * collapse to ≤ |sources| rows per gram — then a gram-keyed
+    * self-join whose fan-out is bounded by |sources|² per gram
+    * (sources are a bounded domain; the join is linear in postings
+    * times a constant), and set sizes broadcast back. Grams travel as
+    * the shared rolling hash on both sides (q328/q333/q343
+    * discipline); the ppm scaling is DECIMAL(38,0)/HUGEINT-widened
+    * (10⁶·|A∩B| wraps Int64 at ~9×10¹² shared shingles).
+    */
+  val q348 = oracled(
+    "q348_source_overlap_matrix",
+    "pairwise exact shingle-set Jaccard between sources, ppm: content overlap beyond near-dup pairs",
+    s"""WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks
+           FROM documents),
+       d AS (SELECT DISTINCT source,
+           unnest(list_transform(
+             list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> array_to_string(toks[i:i+4], ' ')),
+             gs -> ${graft.functions.RollingHash.duckSql("gs", sfx = "g")}))
+             AS g
+         FROM t),
+       sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         FROM d GROUP BY 1),
+       ov AS (SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT o.source_a, o.source_b, na.n AS n_a, nb.n AS n_b,
+         o.n_shared,
+         CAST((1000000 * CAST(o.n_shared AS HUGEINT))
+           // (na.n + nb.n - o.n_shared) AS BIGINT) AS jaccard_ppm
+       FROM ov o JOIN sz na ON na.source = o.source_a
+       JOIN sz nb ON nb.source = o.source_b
+       ORDER BY o.source_a, o.source_b""") { (s, dir) =>
+    import graft.functions.RollingHash.rollingHash
+    val d = Tables.documents(s, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("toks"))
+      .select(col("source"),
+        explode(when(size(col("toks")) >= 5,
+            sequence(lit(1), size(col("toks")) - 4))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("toks"))
+      .select(col("source"),
+        rollingHash(array_join(slice(col("toks"), col("i"), lit(5)), " "))
+          .as("g"))
+      .distinct()
+      .localCheckpoint(false) // feeds sizes and both join sides
+    val sz = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ov = d.alias("a").join(d.alias("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    ov.join(broadcast(sz.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("""CAST((1000000 * CAST(n_shared AS DECIMAL(38,0)))
+                div (n_a + n_b - n_shared) AS BIGINT)""").as("jaccard_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q96, q97, q98, q99, q100, q101, q102, q103, q104, q107, q112, q113,
       q116, q120, q121, q122, q129, q137, q143, q144, q174, q184, q193,
       q212, q232, q244, q245, q260, q275, q277, q279, q284, q290, q299,
-      q319, q326, q329, q332, q340, q344)
+      q319, q326, q329, q332, q340, q344, q348)
 }

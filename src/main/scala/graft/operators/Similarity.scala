@@ -1233,15 +1233,28 @@ object Similarity {
     * ambiguity), the rest is noise. Ledger: per cluster label the
     * core/border counts, noise as label −1.
     *
-    * Scale shape: the ε-graph comes from q287's grid join (3×3
-    * neighborhood replication meets home cells — candidates bounded
-    * by cell occupancy); the sample bounds the per-cluster pair
-    * quadratic at every fixture. At 100 TB the pair listing inside
-    * dense cells is the known hot spot — the GriDBSCAN refinement
-    * (an ε/√2 cell with ≥ minPts points is all-core and unions AS A
-    * UNIT, so intra-cell pairs are never materialized) is the
-    * documented production path; the component step is Graph.cc
-    * either way.
+    * Scale shape — GriDBSCAN (the r15 fix; the r14 plan materialized
+    * the full ε-pair graph and paid e≈3 at the 30× stress, 398 s):
+    * cells of side 353 = ⌊ε/√2⌋, so a cell with ≥ minPts points is
+    * ALL-CORE and single-cluster BY CONSTRUCTION (diagonal 353·√2 ≈
+    * 499.2 ≤ ε) — dense-cell points never enter a pair join for
+    * coreness, never carry point-level CC edges, and the dense cell
+    * contracts to ONE supernode (its min point id) before the
+    * component step. The dense-dense witness join ("do two cells'
+    * clusters touch?") still enumerates cross-cell candidate pairs,
+    * but its output collapses to (cellA, cellB) under a partial-agg
+    * distinct — map-side combine keeps the quadratic INSIDE the scan,
+    * nothing pair-shaped is ever shuffled, stored, or iterated on.
+    * Only points OUTSIDE dense cells (noise + fringe — the sparse
+    * minority at any density worth clustering) run the classic 5×5
+    * neighborhood count (⌈ε/353⌉ = 2 cells of reach). Graph.cc runs
+    * on the CONTRACTED graph: supernodes + sparse cores, witness +
+    * sparse edges — domain-bounded where the r14 graph was pair-bound.
+    * Component labels then expand back through cell membership; the
+    * supernode id being the cell's min point id makes the component
+    * minimum equal the true min-core-id label, so the contraction is
+    * exact, not approximate — the unchanged full-DBSCAN oracle
+    * hash-gates that claim at every fixture.
     */
   val q305 = oracled(
     "q305_dbscan",
@@ -1315,38 +1328,82 @@ object Similarity {
           lit(12500L) + lit(25000L) * expr("cid div 4")
             + col("hc") % 801 - 400)
           .otherwise(col("hc") % 100000).as("y"))
-      .withColumn("cx", expr("x div 500"))
-      .withColumn("cy", expr("y div 500"))
+      // GriDBSCAN cell side ⌊ε/√2⌋ = 353: same-cell ⟹ within ε
+      .withColumn("cx", expr("x div 353"))
+      .withColumn("cy", expr("y div 353"))
       .localCheckpoint(false)
-    val offsets = Seq(-1L, 0L, 1L).flatMap(dx =>
-      Seq(-1L, 0L, 1L).map(dy => struct(lit(dx), lit(dy))))
-    val build = pts.select(col("id").as("ia"), col("x").as("xa"),
-        col("y").as("ya"), explode(array(offsets: _*)).as("o"),
-        col("cx"), col("cy"))
+    // dense cell (≥ minPts points): all-core, one cluster, contracted
+    // to its min point id as the supernode
+    val denseCells = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
+      .filter(col("occ") >= 4)
+      .select(col("cx"), col("cy"), col("rep"))
+    val ptsD = pts.join(denseCells, Seq("cx", "cy"), "left")
+      .localCheckpoint(false) // rep IS NULL marks the sparse minority
+    // ε = 500 spans ⌈500/353⌉ = 2 cells: 5×5 neighborhood replication
+    val offsets = Seq(-2L, -1L, 0L, 1L, 2L).flatMap(dx =>
+      Seq(-2L, -1L, 0L, 1L, 2L).map(dy => struct(lit(dx), lit(dy))))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val probe = ptsD.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"),
+      col("rep").as("repB"))
+    // sparse points (outside dense cells) run the classic neighborhood
+    // count — the only point-level ε-join left in the plan
+    val nbS = ptsD.filter(col("rep").isNull)
+      .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+        explode(array(offsets: _*)).as("o"), col("cx"), col("cy"))
       .select(col("ia"), col("xa"), col("ya"),
         (col("cx") + col("o.col1")).as("jx"),
         (col("cy") + col("o.col2")).as("jy"))
-    val probe = pts.select(col("id").as("ib"), col("x").as("xb"),
-      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
-    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-      (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    val nb = build.join(probe, Seq("jx", "jy"))
+      .join(probe, Seq("jx", "jy"))
       .filter(col("ia") =!= col("ib") && d2 <= 250000L)
-      .select(col("ia"), col("ib"))
-      .localCheckpoint(false)
-    val core = nb.groupBy(col("ia")).agg(count(lit(1)).as("deg"))
+      .select(col("ia"), col("ib"), col("repB"))
+      .localCheckpoint(false) // feeds coreness, edges, and border attach
+    val sparseCore = nbS.groupBy(col("ia")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") + 1 >= 4)
       .select(col("ia").as("id"))
       .localCheckpoint(false)
-    val ce = nb
-      .join(core.select(col("id").as("ia")), Seq("ia"), "left_semi")
-      .join(core.select(col("id").as("ib")), Seq("ib"), "left_semi")
-      .filter(col("ia") < col("ib"))
-    val lab = Graph.cc(core, ce.select(col("ia"), col("ib")))
-      .select(col("node").as("id"), col("component").as("lbl"))
+    // dense-dense witness: any cross-cell ε-pair merges the two
+    // supernodes — the join output collapses to (cellA, cellB) under
+    // the distinct's map-side partial agg; no pair row survives the scan
+    val denseP = ptsD.filter(col("rep").isNotNull)
+    val witness = denseP
+      .select(col("rep").as("a"), col("x").as("xa"), col("y").as("ya"),
+        explode(array(offsets: _*)).as("o"), col("cx"), col("cy"))
+      .select(col("a"), col("xa"), col("ya"),
+        (col("cx") + col("o.col1")).as("jx"),
+        (col("cy") + col("o.col2")).as("jy"))
+      .join(denseP.select(col("rep").as("b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy")),
+        Seq("jx", "jy"))
+      .filter(col("a") =!= col("b") && d2 <= 250000L)
+      .select(col("a"), col("b")).distinct()
+    // sparse-core edges: to a dense supernode or to another sparse core
+    val eToDense = nbS.filter(col("repB").isNotNull)
+      .select(col("ia"), col("repB").as("b"))
+    val eToSparse = nbS.filter(col("repB").isNull)
+      .join(sparseCore.select(col("id").as("ib")), Seq("ib"), "left_semi")
+      .select(col("ia"), col("ib").as("b"))
+    val eSparse = eToDense.unionByName(eToSparse)
+      .join(sparseCore.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .select(col("ia").as("a"), col("b"))
+    // CC on the CONTRACTED graph: supernodes + sparse cores only
+    val nodes = denseCells.select(col("rep").as("id"))
+      .unionByName(sparseCore)
+    val comp = Graph.cc(nodes, witness.unionByName(eSparse))
+      .select(col("node"), col("component"))
       .localCheckpoint(false)
-    val border = nb.join(core.select(col("id").as("ia")), Seq("ia"),
-        "left_anti")
+    // expand supernode labels back to member points; the supernode id
+    // is the cell's min point id, so component minima ARE the true
+    // min-core-id labels
+    val lab = denseP.select(col("id"), col("rep").as("node"))
+      .unionByName(sparseCore.select(col("id"), col("id").as("node")))
+      .join(comp, Seq("node"))
+      .select(col("id"), col("component").as("lbl"))
+      .localCheckpoint(false)
+    val border = nbS
+      .join(sparseCore.select(col("id").as("ia")), Seq("ia"), "left_anti")
       .join(lab.select(col("id").as("ib"), col("lbl")), Seq("ib"))
       .groupBy(col("ia").as("id")).agg(min(col("lbl")).as("lbl"))
     val noise = pts.select(col("id"))
