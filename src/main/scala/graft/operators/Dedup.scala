@@ -2434,8 +2434,63 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q349 — CLUSTER CHAINING audit: transitive closure is the textbook
+    * dedup clustering (q73), and its textbook failure mode is CHAINING
+    * — a~b and b~c union a with c even when a and c are NOT near-dups,
+    * so a loose chain can glue unrelated documents into one "duplicate"
+    * cluster and a rep-keeping policy then silently drops originals.
+    * Per multi-doc cluster: members, DIRECT pairs (edges actually ≤
+    * [[HamT]]), the worst direct-pair distance, and density_ppm =
+    * direct pairs per possible pair — density 10⁶ means a clique
+    * (every member is a true near-dup of every other; safe to keep one
+    * rep), low density means a chain (review before deleting). The
+    * quality gate on q73's own output.
+    *
+    * Scale shape: a derived ledger over the two persisted artifacts —
+    * pair table and CC labels: one keyed join (pairs → cluster via
+    * doc_a; both endpoints share a cluster by construction), two
+    * partial-agg groupBys. Possible-pairs k(k−1)/2 and the ppm scaling
+    * widen to DECIMAL(38,0)/HUGEINT (Int64 wraps at k ≈ 3×10⁹ members
+    * / 9.2×10¹² pair-products — the q324 envelope discipline).
+    */
+  val q349 = oracled(
+    "q349_cluster_chaining",
+    "per-cluster direct-pair density + worst direct distance: the chaining audit over q73's closure",
+    s"""WITH RECURSIVE $ccOracleCte,
+       pd AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HamT),
+       ks AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS k
+         FROM cc GROUP BY 1 HAVING COUNT(*) >= 2),
+       pc AS (SELECT c.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(pd.dist) AS BIGINT) AS max_dist
+         FROM pd JOIN cc c ON c.doc_id = pd.a GROUP BY 1)
+       SELECT ks.cluster, ks.k AS n_docs, pc.n_pairs, pc.max_dist,
+         CAST((2000000 * CAST(pc.n_pairs AS HUGEINT))
+           // (CAST(ks.k AS HUGEINT) * (ks.k - 1)) AS BIGINT)
+           AS density_ppm
+       FROM ks JOIN pc ON pc.cluster = ks.cluster
+       ORDER BY ks.cluster""") { (s, dir) =>
+    val lab = ccLabels(s, dir)
+    val ks = lab.groupBy(col("cluster")).agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+    val pc = simhashPairs(s, dir)
+      .join(lab.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("dist")).as("max_dist"))
+    ks.join(pc, Seq("cluster"))
+      .select(col("cluster"), col("k").as("n_docs"), col("n_pairs"),
+        col("max_dist"),
+        expr("""CAST((2000000 * CAST(n_pairs AS DECIMAL(38,0)))
+                div (CAST(k AS DECIMAL(38,0)) * (k - 1))
+                AS BIGINT)""").as("density_ppm"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333, q338, q339, q342, q345, q346, q347)
+      q333, q338, q339, q342, q345, q346, q347, q349)
 }
