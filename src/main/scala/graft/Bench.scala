@@ -138,6 +138,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ms = memoTimes.map { case (k, v) => s"\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // artifact-footprint ledger (r15 VERDICT #3/#6): per artifact, file
+    // count + bytes on disk + fused build-and-write seconds (r = 1
+    // marks a cross-run reuse, i.e. the warm path: no job ran). This is
+    // the attribution lens the memo map alone lacks — a memo-seconds
+    // regression with flat bytes is compute, with grown bytes is I/O.
+    val arts = graft.Memo.ledger.map { r =>
+      s"\"${r.name}\":{\"f\":${r.files},\"b\":${r.bytes}," +
+        s"\"s\":${fmt(r.buildWriteS)},\"r\":${if (r.reused) 1 else 0}}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // a failed query records -1.0 in the map; n_failed makes a dead
     // bench SELF-ANNOUNCING (the r11 incident: 147 silent -1.0s needed
@@ -145,7 +154,7 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"memos":$ms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"memos":$ms,"artifacts":$arts,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a finite stdout tail, which truncates the
     // per-query map once the suite is large (BENCH_r10 held 136 of 255

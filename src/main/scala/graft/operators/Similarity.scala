@@ -1328,7 +1328,15 @@ object Similarity {
           lit(12500L) + lit(25000L) * expr("cid div 4")
             + col("hc") % 801 - 400)
           .otherwise(col("hc") % 100000).as("y"))
-      // GriDBSCAN cell side ⌊ε/√2⌋ = 353: same-cell ⟹ within ε
+      // GriDBSCAN cell side ⌊ε/√2⌋ = 353: same-cell ⟹ within ε.
+      // PRECONDITION: x, y ≥ 0 (true by construction above — both
+      // branches are nonnegative-mod arithmetic on nonnegative hashes,
+      // min x = 12500 − 400). Spark's `div` truncates toward zero, not
+      // floor: with a negative coordinate, cell 0 would span
+      // [−352, 352] (width 704 > ε = 500) and the same-cell invariant
+      // would silently merge non-neighbors into an all-core cell. A
+      // signed fixture must switch to a true floor division, e.g.
+      // `(x - ((x % 353) + 353) % 353) div 353` (r15 ADVICE).
       .withColumn("cx", expr("x div 353"))
       .withColumn("cy", expr("y div 353"))
       .localCheckpoint(false)

@@ -46,8 +46,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * its histogram (silent loss): the two-store-write window that
   * ClusterStream/IndexStream/SeasonalStream document as a caveat is
   * CLOSED here (marker-file creation is the single atomic commit
-  * point; versions below the committed one are garbage-collected
-  * after each commit). The histogram store is domain-bounded, the
+  * point; versions more than one below the commit are
+  * garbage-collected after each commit — the immediately-previous
+  * version is retained so reader frames survive one concurrent
+  * commit, see [[readHist]]). The histogram store is domain-bounded,
+  * the
   * mark is one row, so the per-batch rewrite is O(domain), not
   * O(corpus).
   */
@@ -117,6 +120,14 @@ object DriftStream {
       }
       .start()
 
+  /** `v<digits>` with a NON-EMPTY digit suffix — `forall(_.isDigit)`
+    * alone is vacuously true on the empty string, so a stray directory
+    * named exactly "v" would parse as "".toLong and crash both the
+    * version resolve and the GC loop (r15 ADVICE).
+    */
+  private def isVersionDir(n: String): Boolean =
+    n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit)
+
   private def fsOf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir)
@@ -133,7 +144,7 @@ object DriftStream {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(root)) -1L
     else fs.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .filter(isVersionDir)
       .map(_.drop(1).toLong)
       .filter(v => fs.exists(
         new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_COMMITTED")))
@@ -150,6 +161,13 @@ object DriftStream {
 
   /** The committed histogram / mark — the read side of the atomic
     * store (what a monitoring consumer feeds to ksFromHistogram).
+    * READ-VALIDITY WINDOW: the returned frame is a lazy parquet scan
+    * pinned to the version committed at call time; the GC retains one
+    * superseded version, so the frame stays resolvable across AT MOST
+    * ONE subsequent batch commit — resolve (collect/write) promptly,
+    * and never hold a frame across two commits. The internal
+    * processBatch path is safe regardless: step() localCheckpoints its
+    * inputs' derivatives before any write.
     */
   private[graft] def readHist(s: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame = readVersioned(s, stateDir, "hist", histSchema)
@@ -173,13 +191,19 @@ object DriftStream {
     // THE commit point: marker creation is all-or-nothing, and it
     // publishes hist and wm together
     fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), false).close()
-    // GC every version strictly below the new commit (listed, not
-    // counted down — at most the previous version plus whatever a
-    // crash-before-GC left behind, so O(live versions) ≈ O(1))
+    // GC every version strictly below the PREVIOUS commit, keeping
+    // v<next-1> alive one extra cycle: readHist/readWm hand out LAZY
+    // frames pinned to the version current at call time, and a
+    // monitoring consumer may resolve or hold such a frame across the
+    // next batch commit — deleting its files mid-scan would throw
+    // FileNotFoundException (r15 ADVICE). One-version retention makes
+    // any frame obtained after commit N survive through commit N+1;
+    // holding a frame across TWO commits remains undefined (documented
+    // on readHist). Listed, not counted down — at most two live
+    // versions plus whatever a crash-before-GC left, so O(1).
     fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
-          && n.drop(1).toLong < next)
+      if (isVersionDir(n) && n.drop(1).toLong < next - 1)
         fs.delete(st.getPath, true)
     }
   }

@@ -135,9 +135,42 @@ class DriftStreamSpec extends AnyFunSuite {
       "replay over the orphaned version diverged from the corpus truth")
     assert(DriftStream.readWm(spark, stateDir).collect().head.getLong(0)
       === docs.last._1)
-    // GC left only the committed version
+    // GC retains the committed version plus its immediate predecessor
+    // (the reader-validity window — see the next test), nothing older
     val live = new java.io.File(stateDir).listFiles().map(_.getName).toSet
-    assert(live === Set("v1"), s"stale versions survived GC: $live")
+    assert(live === Set("v0", "v1"), s"GC retention drifted: $live")
+  }
+
+  test("reader frames survive one concurrent commit; stray 'v' dir is ignored (r15 ADVICE)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("driftstream_reader").toString
+    val stateDir = s"$base/state"
+    val docs = fixtureDocs
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    def frame(b: Seq[(Long, String, Long)]) =
+      b.toDF("doc_id", "lang", "n_chars")
+
+    DriftStream.processBatch(frame(b1.toSeq), stateDir)
+    // a directory named exactly "v" used to crash the version parse
+    // ("".toLong) in both committedVersion and the GC loop
+    new java.io.File(s"$stateDir/v").mkdirs()
+    // lazy reader frame pinned to v0 ...
+    val held = DriftStream.readHist(spark, stateDir)
+    // ... held across the NEXT commit: the one-version GC retention
+    // keeps v0 on disk, so resolving the held frame must not throw
+    DriftStream.processBatch(frame(b2.toSeq), stateDir)
+    val heldTotal = held.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .collect().head.getLong(0)
+    assert(heldTotal === b1.size.toLong,
+      "held v0 frame no longer reads its version's truth")
+    // third commit: v0 is now two versions back and reclaimed; the
+    // stray "v" dir must survive untouched (never parsed, never GC'd)
+    DriftStream.processBatch(frame(b3.toSeq), stateDir)
+    val live = new java.io.File(stateDir).listFiles().map(_.getName).toSet
+    assert(live === Set("v", "v1", "v2"), s"unexpected live set: $live")
+    assert(DriftStream.committedVersion(spark, stateDir) === 2L)
+    assert(histMap(DriftStream.readHist(spark, stateDir)) === batchHist)
   }
 
   test("step re-applied to committed batches is a fixpoint (doc_id mark idempotence)") {

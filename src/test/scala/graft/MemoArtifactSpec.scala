@@ -7,8 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Contract of the parquet artifact memo tier ([[Memo.artifact]]):
   * build-once per (context, dir, name), served as a plain file scan,
-  * complete-on-disk detection via _SUCCESS (a crashed write rebuilds),
-  * and race safety (concurrent cold callers run ONE build).
+  * complete-on-disk detection via the framework-owned _GRAFT_OK marker
+  * (a crashed write rebuilds; the committer's _SUCCESS alone does NOT
+  * count — it is absent on marksuccessfuljobs=false deployments), race
+  * safety (concurrent cold callers run ONE build), stale-lock takeover
+  * (a crashed foreign writer's .lock cannot wedge the tier), ledger
+  * emission, and collision-proof data-dir path mapping.
   */
 class MemoArtifactSpec extends AnyFunSuite {
 
@@ -36,23 +40,84 @@ class MemoArtifactSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(id), LessThan(id,10)"), p)
   }
 
-  test("an incomplete artifact (no _SUCCESS) is rebuilt, not served") {
+  test("an incomplete artifact (no _GRAFT_OK) is rebuilt, even when the committer's _SUCCESS is present") {
     val builds = new AtomicInteger(0)
-    val path = Memo.artifactRoot + "/_memoartifact_spec2/t2"
-    // simulate a crashed writer: parquet part present, no _SUCCESS
+    val path = Memo.artifactRoot + "/" + Memo.dirSegment("/memoartifact/spec2") + "/t2"
+    // simulate a crashed graft writer: the parquet job itself finished
+    // (parts + the committer's _SUCCESS on disk) but the JVM died
+    // before the framework marker — completeness must key on OUR
+    // marker, not the committer's (r15 ADVICE: _SUCCESS is config-
+    // dependent and absent on object-store committers)
     spark.range(5).write.parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"), false)
     val got = Memo.artifact(spark, "/memoartifact/spec2", "t2") {
       builds.incrementAndGet()
       spark.range(7).toDF("id")
     }
-    // the builder keyed the SAME path shape the crashed writer used?
-    // (artifact paths are root/<sanitized dir>/<name> — the simulated
-    // crash above wrote to the sanitized location of this call)
     assert(builds.get() === 1, "incomplete artifact must trigger a rebuild")
     assert(got.count() === 7L, "rebuild must overwrite the partial data")
+  }
+
+  test("a stale foreign .lock is reclaimed; a completed foreign build is reused not rebuilt") {
+    val builds = new AtomicInteger(0)
+    val seg = Memo.dirSegment("/memoartifact/spec4")
+    val fs = new org.apache.hadoop.fs.Path(Memo.artifactRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed foreign writer left its advisory lock beside the (not
+    // yet existing) artifact dir, hours ago
+    val lock = new org.apache.hadoop.fs.Path(
+      Memo.artifactRoot + "/" + seg + "/t4.lock")
+    fs.create(lock, true).close()
+    new java.io.File(lock.toUri.getPath).setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    val prevStale = Memo.lockStaleMs
+    try {
+      Memo.lockStaleMs = 1000 // anything older than 1 s is stale
+      val got = Memo.artifact(spark, "/memoartifact/spec4", "t4") {
+        builds.incrementAndGet()
+        spark.range(9).toDF("id")
+      }
+      assert(builds.get() === 1, "stale lock must be reclaimed and built over")
+      assert(got.count() === 9L)
+      assert(!fs.exists(lock), "builder must release the lock")
+    } finally Memo.lockStaleMs = prevStale
+    // a COMPLETE artifact written by "another JVM" (simulated: parts +
+    // _GRAFT_OK on disk before this JVM's first call for the key) is
+    // reused without a build, and ledgered as such
+    val path5 = Memo.artifactRoot + "/" + Memo.dirSegment("/memoartifact/spec5") + "/t5"
+    spark.range(13).toDF("id").write.parquet(path5)
+    fs.create(new org.apache.hadoop.fs.Path(path5 + "/_GRAFT_OK"), true).close()
+    val builds2 = new AtomicInteger(0)
+    val got2 = Memo.artifact(spark, "/memoartifact/spec5", "t5") {
+      builds2.incrementAndGet(); spark.range(1).toDF("id")
+    }
+    assert(builds2.get() === 0 && got2.count() === 13L,
+      "a marker-complete foreign artifact must be served, not rebuilt")
+    val row = Memo.ledger.filter(r => r.dataDir == "/memoartifact/spec5")
+    assert(row.size === 1 && row.head.reused && row.head.bytes > 0)
+  }
+
+  test("distinct data dirs that sanitize identically get distinct artifact paths") {
+    // /a/sf1 and /a_sf1 collapse under the bare character sanitizer —
+    // the appended dir hash must keep their artifacts apart (r15
+    // ADVICE: a collision silently serves one corpus the other's data)
+    assert(Memo.dirSegment("/a/sf1") !== Memo.dirSegment("/a_sf1"))
+    assert(Memo.dirSegment("/data/sf1") !== Memo.dirSegment("/data.sf1"))
+    val a = Memo.artifact(spark, "/memocollide/sf1", "t") {
+      spark.range(3).toDF("id") }
+    val b = Memo.artifact(spark, "/memocollide_sf1", "t") {
+      spark.range(8).toDF("id") }
+    assert(a.count() === 3L && b.count() === 8L,
+      "colliding dir segments served one corpus the other's artifact")
+  }
+
+  test("every materialization and reuse appends a ledger row with bytes on disk") {
+    Memo.artifact(spark, "/memoledger/spec", "tl") {
+      spark.range(50).toDF("id") }.count()
+    val rows = Memo.ledger.filter(r =>
+      r.dataDir == "/memoledger/spec" && r.name == "tl")
+    assert(rows.size === 1 && !rows.head.reused
+      && rows.head.bytes > 0 && rows.head.files > 0
+      && rows.head.buildWriteS > 0.0, rows.toString)
   }
 
   test("concurrent cold callers run exactly one build") {
