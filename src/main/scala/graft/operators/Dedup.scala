@@ -700,18 +700,29 @@ object Dedup {
     * the size-ratio prune (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t, ε-guarded
     * conservative — prune is speed-only, never semantics).
     */
-  private[graft] def ngramJaccardPairs(tokdf: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.SortedIntersectCount.sortedIntersectCount
+  /** (doc_id, lang, source, sh, n_sh): each doc's SORTED DISTINCT
+    * hashed bigram shingles — the q48 shingle construction, factored
+    * so the streaming similarity join scores arrivals with bit-equal
+    * arithmetic ([[graft.streaming.SimilarityJoinStream]]). `sh` is
+    * ascending by hash, which doubles as the FIXED total order the
+    * stream's prefix probe uses.
+    */
+  private[graft] def bigramShingleVecs(tokdf: DataFrame): DataFrame = {
     val toks = col("toks")
     val bigrams =
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit("_"), b))
     val hashed = array_sort(array_distinct(transform(bigrams,
       b => RollingHash.rollingHash(b))))
-    val bg = tokdf
+    tokdf
       .select(col("doc_id"), col("lang"), col("source"), hashed.as("sh"))
       .withColumn("n_sh", size(col("sh")))
+  }
+
+  private[graft] def ngramJaccardPairs(tokdf: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val bg = bigramShingleVecs(tokdf)
       .localCheckpoint() // shared by postings, prefixes, and the verify
     val posting = bg.select(col("doc_id"), col("lang"), col("source"),
       col("n_sh"), explode(col("sh")).as("h"))

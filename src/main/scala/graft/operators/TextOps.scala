@@ -1043,12 +1043,66 @@ object TextOps {
     * feeds the norms, the vector arrays, the postings, and the prefix
     * derivation (the r13 plan rebuilt the weight join three times).
     */
+  /** Per-(doc, token) term frequencies from a (doc_id, lang, source,
+    * toks) frame — factored so the streaming similarity join
+    * ([[graft.streaming.SimilarityJoinStream]]) scores its arrivals
+    * through the SAME aggregation the batch artifacts were built with.
+    */
+  private[graft] def termFrequencies(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The IDF dictionary from a term-frequency relation: (tok, tid, df)
+    * under the deterministic (tok) total order — see the dictionary
+    * rationale in [[tfidfWeightsOf]].
+    */
+  private[graft] def dictOf(tf: DataFrame): DataFrame =
+    graft.plans.Ordinal.withGlobalOrdinal(
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tid", col("tok"))
+
+  /** The FROZEN-dictionary artifact for streaming consumers: (tok,
+    * tid, df) persisted beside the weight artifacts. A production
+    * retrieval stack does not recompute IDF per event — the dictionary
+    * is a periodically-rebuilt snapshot artifact, and arrivals are
+    * scored against it; [[SimilarityJoinStream]]'s stream == batch
+    * equality holds exactly when the stream replays the corpus the
+    * dictionary was frozen from (its scaladoc states the contract).
+    */
+  private[graft] def tfidfDict(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.artifact(s, dir, "tfidf_dict")(
+      dictOf(termFrequencies(Dedup.tokenized(s, dir))))
+
+  /** Exact-integer weights for a term-frequency relation against a
+    * FIXED dictionary + corpus size — the shared arithmetic of
+    * [[tfidfWeightsOf]] (which feeds it the corpus-derived dictionary)
+    * and the streaming scorer (which feeds it the frozen one).
+    * `nDocs`: a 1-row (n_docs) frame, broadcast-crossed to keep the
+    * plan lazy. Tokens absent from the dictionary drop out (the inner
+    * join) — impossible on the dictionary's own corpus, the declared
+    * OOV policy for anything newer.
+    */
+  private[graft] def weightsFromDict(tf: DataFrame, dict: DataFrame,
+      nDocs: DataFrame): DataFrame =
+    tf.join(dict, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("tid"), col("df"),
+        expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
+          s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
+          .as("wi"))
+      // EXACT hot-token prune: the div-1024 quantization sends common
+      // tokens (df → N ⟹ log gap → 0) to wi = 0, and a zero weight
+      // contributes 0 to every dot and every norm — dropping those rows
+      // changes NO value (pairs whose every shared token is zero-weight
+      // had dot = 0, below every positive threshold and excluded by
+      // q197's dot > 0 filter) while removing the corpus-hot postings.
+      .filter(col("wi") =!= 0L)
+
   private def tfidfWeightsOf(s: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.tokenized(s, dir)
-    val tok = toks.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("toks")).as("tok"))
-    val tf = tok.groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(toks)
       .localCheckpoint() // feeds df and the weight join
     // df from the COLLAPSED (doc, tok) relation: tf already holds one
     // row per document-token, so df is a cheap second-level count —
@@ -1063,26 +1117,13 @@ object TextOps {
     // with the distributed ordinal (range sort + stitch), never a
     // single-partition window — the vocabulary is corpus-scale at
     // 100 TB even though this fixture's is ~4 k.
-    val dfreq = graft.plans.Ordinal.withGlobalOrdinal(
-      tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tid", col("tok"))
+    // the token STRING does not survive into the artifact: ordering,
+    // grouping and join keys all use the dictionary id (a bijection
+    // ordered BY the token, so (df, tid) is the (df, tok) order) —
+    // the resident memo carries ~half the bytes
+    val dfreq = dictOf(tf)
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
-      // the token STRING does not survive into the artifact: ordering,
-      // grouping and join keys all use the dictionary id (a bijection
-      // ordered BY the token, so (df, tid) is the (df, tok) order) —
-      // the resident memo carries ~half the bytes
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("tid"), col("df"),
-        expr(s"tf * (${graft.functions.IntLog2.sparkSql("(n_docs + 1L)")}" +
-          s" - ${graft.functions.IntLog2.sparkSql("(df + 1L)")}) div 1024")
-          .as("wi"))
-      // EXACT hot-token prune: the div-1024 quantization sends common
-      // tokens (df → N ⟹ log gap → 0) to wi = 0, and a zero weight
-      // contributes 0 to every dot and every norm — dropping those rows
-      // changes NO value (pairs whose every shared token is zero-weight
-      // had dot = 0, below every positive threshold and excluded by
-      // q197's dot > 0 filter) while removing the corpus-hot postings.
-      .filter(col("wi") =!= 0L)
+    weightsFromDict(tf, dfreq, nDocs)
       .localCheckpoint()
   }
 
@@ -2120,8 +2161,8 @@ object TextOps {
   /** Unified similarity-join thresholds (q322): high enough that the
     * output is the true near-dup set, not the co-occurrence mass.
     */
-  private val SimJoinJacT = 0.8
-  private val SimJoinCosT = 0.95
+  private[graft] val SimJoinJacT = 0.8
+  private[graft] val SimJoinCosT = 0.95
 
   /** q322 — the user-facing `similarity_join(threshold, metric)`
     * operator (r13 VERDICT #8): ONE prefix-filtered join surface
