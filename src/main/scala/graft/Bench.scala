@@ -67,6 +67,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op for the µs fixture; keeps a ns-encoded events file readable
+      // artifact-write codec A/B knob (r15 VERDICT #7): default snappy
+      // (Spark's default); zstd trades write CPU for bytes — measured
+      // for the sf3 pair-table artifact in BUILDLOG r16
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // --- phase 1: session + table warmup ---

@@ -17,6 +17,16 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op for the µs fixture; keeps a ns-encoded events file readable
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The 7-vs-32-cpu determinism proof runs TWO Verify JVMs and
+    // relies on each building its OWN artifacts (Memo's per-JVM temp
+    // default) — a shared SPARK_GRAFT_ARTIFACT_DIR would let run A
+    // serve run B's tables and the proof would only prove parquet
+    // round-tripping. Sharing is legitimate for the cross-run reuse
+    // demo, so this is a loud notice, not an abort.
+    if (sys.env.contains("SPARK_GRAFT_ARTIFACT_DIR"))
+      System.err.println("[verify] NOTE: SPARK_GRAFT_ARTIFACT_DIR is set — " +
+        "artifacts are shared across runs. UNSET it for the 7-vs-32 " +
+        "determinism proof (each side must build independently).")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
