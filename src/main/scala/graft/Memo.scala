@@ -156,7 +156,15 @@ object Memo {
             if (acquired)
               try {
                 val t0 = System.nanoTime()
+                // zstd by default: artifacts are write-once/read-many
+                // (often cross-run under a stable dir), so footprint
+                // beats write CPU — measured at sf3 on the 225 M-row
+                // pair table: −40% bytes (560.6→337.6 MB) for +5.8%
+                // build+write time, and the build is compute-dominated
+                // anyway (BUILDLOG r16 codec A/B)
                 build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .option("compression",
+                    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_CODEC", "zstd"))
                   .parquet(path)
                 fs.create(new org.apache.hadoop.fs.Path(
                   path + "/" + OkMarker), true).close()

@@ -2500,8 +2500,70 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** q352 — PREFIX-PROBE cost ledger for the jaccard similarity-join
+    * scheme (q48/q322, and the stream's probe —
+    * [[graft.streaming.SimilarityJoinStream]]): per (lang, source)
+    * block, documents, total shingle postings (Σ n_sh over the sorted
+    * distinct HASHED bigrams — hashed in the oracle too, the
+    * q328/q333 collision-declaring discipline), total PROBE rows the
+    * t = 0.8 prefix actually explodes, and probe_ppm — the measured
+    * fraction of the index a streaming arrival touches instead of its
+    * full posting set. The prefix length is computed EXACT-INTEGER as
+    * n − ⌈4n/5⌉ + 1 = n − (4n+4) div 5 + 1 (n > 0; 0 when the doc has
+    * no shingles): for t = 4/5 this equals the engine's float form
+    * n − ceil(0.8·n − 1e-9) + 1 — 4n/5's fractional part lives in
+    * {0, .2, .4, .6, .8}, so the 1e-9 guard never crosses an integer
+    * — giving both engines the same ledger with no float division
+    * anywhere.
+    *
+    * Scale shape: the shingle build is the q48 scan (per-doc local),
+    * then ONE partial agg per block — the ledger never generates a
+    * candidate pair. The 10⁶ scaling widens to DECIMAL(38,0)/HUGEINT.
+    */
+  val q352 = {
+    val hashSql = RollingHash.duckSql("b", sfx = "2")
+    oracled(
+      "q352_prefix_probe_ledger",
+      "probe rows vs full postings for the t=0.8 jaccard prefix scheme: what a stream arrival actually touches",
+      s"""WITH t AS (
+           SELECT doc_id, lang, source,
+             string_split(trim(text), ' ') AS toks FROM documents),
+         bg AS (
+           SELECT doc_id, lang, source,
+             len(list_distinct(list_transform(
+               list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]),
+               b -> $hashSql))) AS n_sh
+           FROM t),
+         p AS (SELECT lang, source, n_sh,
+             CASE WHEN n_sh = 0 THEN 0
+                  ELSE n_sh - (4 * n_sh + 4) // 5 + 1 END AS probe_len
+           FROM bg)
+         SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS total_postings,
+           CAST(SUM(probe_len) AS BIGINT) AS probe_rows,
+           CAST((1000000 * CAST(SUM(probe_len) AS HUGEINT))
+             // GREATEST(SUM(n_sh), 1) AS BIGINT) AS probe_ppm
+         FROM p GROUP BY 1, 2 ORDER BY lang, source""") { (s, dir) =>
+      bigramShingleVecs(tokenized(s, dir))
+        .select(col("lang"), col("source"), col("n_sh"),
+          expr("""CASE WHEN n_sh = 0 THEN 0
+                  ELSE n_sh - (4 * n_sh + 4) div 5 + 1 END""").as("probe_len"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("total_postings"),
+          sum(col("probe_len")).as("probe_rows"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_postings"), col("probe_rows"),
+          expr("""CAST((1000000 * CAST(probe_rows AS DECIMAL(38,0)))
+                  div GREATEST(total_postings, 1) AS BIGINT)""")
+            .as("probe_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }
+  }
+
   val all: Seq[GQuery] =
     Seq(q44, q45, q46, q47, q48, q73, q83, q93, q132, q149, q157, q189,
       q204, q230, q247, q255, q256, q259, q280, q288, q294, q320, q331,
-      q333, q338, q339, q342, q345, q346, q347, q349)
+      q333, q338, q339, q342, q345, q346, q347, q349, q352)
 }

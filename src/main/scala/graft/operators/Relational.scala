@@ -1177,7 +1177,63 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** q353 — JOIN-SKEW diagnosis ledger: per fact join-key family, the
+    * numbers the salting decision is actually made on (the measured
+    * companion to q266/[[Skew.saltedJoin]] and this round's SkewBench
+    * A/B): rows, distinct keys, the hottest key's row count, its
+    * corpus share (top1_ppm), and skew_x1000 = 1000·max/mean — AQE's
+    * `skewedPartitionFactor` compares a partition to the median
+    * partition, and this is the KEY-level analogue a pipeline can
+    * compute BEFORE the shuffle exists. skew_x1000 ≈ 1000 means
+    * uniform keys (salting is pure overhead); ≥ 5000 with a large
+    * top1_ppm means the hot key owns its reducer and the join needs
+    * salt, a forced AQE split, or a broadcast. Exact-integer
+    * throughout; the max·keys and 10⁶ products widen to
+    * DECIMAL(38,0)/HUGEINT (Int64 wraps at ~10¹² rows × 10⁶ keys —
+    * the q324 envelope discipline).
+    *
+    * Scale shape: one partial-agg groupBy per family over the fact
+    * (map-side combined), then a family-level fold over key-count
+    * rows — never a join, never a pair. Exactly the two linear passes
+    * a 100 TB pre-flight can afford per candidate join key.
+    */
+  val q353 = oracled(
+    "q353_join_skew_diagnosis",
+    "per join-key family: top-key concentration and max/mean skew factor - the pre-shuffle salting decision ledger",
+    """WITH fams AS (
+         SELECT 'l_orderkey' AS family, l_orderkey AS k FROM lineitem
+         UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+         UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+       per AS (SELECT family, k, CAST(COUNT(*) AS BIGINT) AS c
+         FROM fams GROUP BY 1, 2)
+       SELECT family,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST((1000000 * CAST(MAX(c) AS HUGEINT)) // SUM(c)
+           AS BIGINT) AS top1_ppm,
+         CAST((1000 * CAST(MAX(c) AS HUGEINT) * COUNT(*)) // SUM(c)
+           AS BIGINT) AS skew_x1000
+       FROM per GROUP BY family ORDER BY family""") { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val fams = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .map(f => li.select(lit(f).as("family"), col(f).as("k")))
+      .reduce(_ unionByName _)
+    fams.groupBy(col("family"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("family"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"))
+      .select(col("family"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        expr("""CAST((1000000 * CAST(max_key_rows AS DECIMAL(38,0)))
+                div n_rows AS BIGINT)""").as("top1_ppm"),
+        expr("""CAST((1000 * CAST(max_key_rows AS DECIMAL(38,0)) * n_keys)
+                div n_rows AS BIGINT)""").as("skew_x1000"))
+      .orderBy(col("family"))
+  }
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q167, q202, q207, q208, q240, q265, q266,
-    q274, q287, q300, q311)
+    q274, q287, q300, q311, q353)
 }

@@ -2542,9 +2542,117 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  // --------------------------------------- inverted-index audit
+
+  /** q350 — POSTING-INDEX cardinality audit: the tf-idf inverted
+    * index's posting mass bucketed by octave of document frequency
+    * (band = ⌊log2 df⌋ via `length(bin(df)) − 1`, identical integer
+    * arithmetic in both engines) — the retrieval-planning profile
+    * behind every prefix-filter and stop-list decision this family
+    * makes: hot octaves (high df) are where posting joins square
+    * (q132's lesson), and this ledger is how a pipeline SEES that
+    * before paying it. Per band: distinct tokens, total postings, and
+    * postings_ppm of the whole index (the product 10⁶ × band-postings
+    * widens to DECIMAL(38,0)/HUGEINT — at 100 TB a band holds ~10¹²
+    * postings and the product wraps Int64 at ~9.2×10¹², the q324
+    * envelope discipline).
+    *
+    * Scale shape: one distinct over (doc, tok), one groupBy(tok), one
+    * groupBy(band) over vocabulary-sized rows, one broadcast scalar —
+    * three keyed linear shuffles, no joins against the corpus.
+    */
+  val q350 = oracled(
+    "q350_posting_index_audit",
+    "posting mass per df octave: the hot-token profile prefix filters and stop lists are decided on",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+       d AS (SELECT DISTINCT doc_id, tok FROM tok),
+       dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY 1),
+       tot AS (SELECT CAST(SUM(df) AS BIGINT) AS total_postings FROM dfr)
+       SELECT (length(bin(df)) - 1) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(df) AS BIGINT) AS n_postings,
+         CAST((1000000 * CAST(SUM(df) AS HUGEINT)) // tot.total_postings
+           AS BIGINT) AS postings_ppm
+       FROM dfr CROSS JOIN tot
+       GROUP BY 1, tot.total_postings ORDER BY band""") { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      .distinct()
+    val dfr = d.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = dfr.agg(sum(col("df")).as("total_postings"))
+    dfr.select(expr("length(bin(df)) - 1").as("band"), col("df"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("band_postings"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n_tokens"),
+        col("band_postings").as("n_postings"),
+        expr("""CAST((1000000 * CAST(band_postings AS DECIMAL(38,0)))
+                div total_postings AS BIGINT)""").as("postings_ppm"))
+      .orderBy(col("band"))
+  }
+
+  /** q351 — FROZEN-DICTIONARY OOV drift: the measured cost of the
+    * snapshot-dictionary contract [[graft.streaming.SimilarityJoinStream]]
+    * scores under — freeze the vocabulary on the first half of the
+    * corpus (doc_id ≤ max/2, the crawl-increment split q345 uses) and
+    * ledger the second half against it per (lang, source): documents,
+    * token positions, OOV positions (token absent from the snapshot
+    * vocabulary — exactly the rows [[weightsFromDict]]'s inner join
+    * drops), and oov_ppm. High oov_ppm in a block is the signal to
+    * re-freeze the dictionary before similarity scores there decay.
+    *
+    * Scale shape: vocabulary is corpus-scale, so the membership probe
+    * is a keyed LEFT JOIN on tok (never a broadcast — the scaladoc'd
+    * r14 lesson on string-keyed big sides), then one partial agg per
+    * block. The 10⁶ product widens to DECIMAL(38,0)/HUGEINT.
+    */
+  val q351 = oracled(
+    "q351_frozen_dict_oov",
+    "second-half OOV rate against a first-half vocabulary snapshot: when to re-freeze the IDF dictionary",
+    """WITH thr AS (SELECT MAX(doc_id) // 2 AS t FROM documents),
+       tok AS (SELECT doc_id, lang, source,
+           unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       vocab AS (SELECT DISTINCT tk.tok AS vtok
+         FROM tok tk CROSS JOIN thr WHERE tk.doc_id <= thr.t),
+       nw AS (SELECT tk.* FROM tok tk CROSS JOIN thr WHERE tk.doc_id > thr.t),
+       m AS (SELECT nw.lang, nw.source, nw.doc_id,
+           CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END AS oov
+         FROM nw LEFT JOIN vocab v ON v.vtok = nw.tok)
+       SELECT lang, source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_positions,
+         CAST(SUM(oov) AS BIGINT) AS n_oov,
+         CAST((1000000 * CAST(SUM(oov) AS HUGEINT)) // COUNT(*)
+           AS BIGINT) AS oov_ppm
+       FROM m GROUP BY 1, 2 ORDER BY lang, source""") { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+    val thr = Tables.documents(s, dir)
+      .agg(expr("max(doc_id) div 2").as("t"))
+    val tokT = tok.crossJoin(broadcast(thr))
+    val vocab = tokT.filter(col("doc_id") <= col("t"))
+      .select(col("tok").as("vtok")).distinct()
+    tokT.filter(col("doc_id") > col("t"))
+      .join(vocab, col("vtok") === col("tok"), "left")
+      .select(col("lang"), col("source"), col("doc_id"),
+        when(col("vtok").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_positions"), sum(col("oov")).as("n_oov"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_positions"),
+        col("n_oov"),
+        expr("""CAST((1000000 * CAST(n_oov AS DECIMAL(38,0)))
+                div n_positions AS BIGINT)""").as("oov_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[GQuery] =
     Seq(q40, q41, q42, q43, q64, q76, q114, q124, q130, q131, q142, q147,
       q156, q168, q177, q185, q190, q197, q203, q224, q250, q267, q270,
       q271, q273, q283, q292, q303, q304, q309, q322, q328, q336, q337,
-      q341, q343)
+      q341, q343, q350, q351)
 }
