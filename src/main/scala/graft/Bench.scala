@@ -41,7 +41,7 @@ object Bench {
   private val memoBuilders = Seq(
     "q36_als_recommender",      // ml.Recommender.modelCache (serves q36/q37/q38)
     "q40_token_stats",          // "tokenized" artifact via TextOps
-    "q45_dedup_minhash_lsh",    // "minhash_groups" artifact
+    "q45_dedup_minhash_lsh",    // "minhash_groups" + "minhash_pairs" artifacts
     "q46_simhash_fingerprint",  // "simhash" artifact
     "q47_simhash_near_dup",     // "simhash_pairs" artifact
     "q73_dedup_clusters",       // "cc_labels" artifact
@@ -55,7 +55,7 @@ object Bench {
     "q123_orc_roundtrip",       // Ingest.orcPathCache
     "q205_schema_evolution",    // Ingest.evoPathCache (staged generations)
     "q213_evolution_stream_join", // Ingest.evoEventsPathCache (staged event generations)
-    "q214_dynamic_partition_pruning" // Ingest.monthPartPathCache (month-partitioned layout)
+    "q214_dynamic_partition_pruning" // "lineitem_by_ship_month" layout artifact
   )
 
   def main(args: Array[String]): Unit = {

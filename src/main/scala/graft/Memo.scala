@@ -135,61 +135,95 @@ object Memo {
   def artifact(s: SparkSession, dir: String, name: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sync(artifactFrames, key(s, dir) + "#" + name) {
-      val path = artifactPath(dir, name)
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      def summarize(reused: Boolean, secs: Double): Unit = {
-        val (nf, nb) =
-          try { val cs = fs.getContentSummary(hp); (cs.getFileCount, cs.getLength) }
-          catch { case _: java.io.IOException => (-1L, -1L) }
-        ledgerRows.add(ArtifactLedgerRow(dir, name, nf, nb, secs, reused))
-      }
-      if (artifactExists(s, dir, name)) summarize(reused = true, 0.0)
-      else {
-        var built = false
-        while (!built) {
-          if (artifactExists(s, dir, name)) built = true // another JVM finished
-          else {
-            val acquired =
-              try { fs.create(lockPath(path), false).close(); true }
-              catch { case _: java.io.IOException => false }
-            if (acquired)
-              try {
-                val t0 = System.nanoTime()
-                // zstd by default: artifacts are write-once/read-many
-                // (often cross-run under a stable dir), so footprint
-                // beats write CPU — measured at sf3 on the 225 M-row
-                // pair table: −40% bytes (560.6→337.6 MB) for +5.8%
-                // build+write time, and the build is compute-dominated
-                // anyway (BUILDLOG r16 codec A/B)
-                build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-                  .option("compression",
-                    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_CODEC", "zstd"))
-                  .parquet(path)
-                fs.create(new org.apache.hadoop.fs.Path(
-                  path + "/" + OkMarker), true).close()
-                summarize(reused = false, (System.nanoTime() - t0) / 1e9)
-                built = true
-              } finally fs.delete(lockPath(path), false)
-            else {
-              // a foreign writer holds the lock: wait for its marker,
-              // or reclaim once the lock is stale (crashed writer)
-              val st = try Some(fs.getFileStatus(lockPath(path)))
-                       catch { case _: java.io.IOException => None }
-              st match {
-                case Some(l) if System.currentTimeMillis() - l.getModificationTime > lockStaleMs =>
-                  fs.delete(lockPath(path), false) // stale: reclaim and re-contend
-                case Some(_) => Thread.sleep(200)
-                case None => () // lock vanished between attempts: re-contend
-              }
-            }
-          }
-        }
-        if (artifactExists(s, dir, name) && ledger.forall(r =>
-          !(r.dataDir == dir && r.name == name))) summarize(reused = true, 0.0)
+      val path = buildProtocol(s, dir, name) { p =>
+        // zstd by default: artifacts are write-once/read-many
+        // (often cross-run under a stable dir), so footprint
+        // beats write CPU — measured at sf3 on the 225 M-row
+        // pair table: −40% bytes (560.6→337.6 MB) for +5.8%
+        // build+write time, and the build is compute-dominated
+        // anyway (BUILDLOG r16 codec A/B)
+        build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression",
+            sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_CODEC", "zstd"))
+          .parquet(p)
       }
       s.read.parquet(path)
     }
+
+  private val artifactLayoutPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** LAYOUT artifact: like [[artifact]] but the builder owns the write
+    * (directory partitioning, bucketing, custom sinks — anything
+    * `build.write.parquet` can't express), and the memo's value is the
+    * PATH, not a frame. Same lock/marker/ledger protocol; the writer
+    * must fully materialize into the given path (SaveMode.Overwrite —
+    * an interrupted write leaves no [[OkMarker]] and is rebuilt over).
+    * This is how a physical-layout table (e.g. the ship-month-
+    * partitioned fact of q214) joins the cross-run artifact tier: at
+    * 100 TB the partitioned fact is laid down once and every run's
+    * pruning-dependent queries scan it — rebuilding the layout per run
+    * would dwarf the queries it exists to accelerate.
+    */
+  def artifactLayout(s: SparkSession, dir: String, name: String)(
+      write: String => Unit): String =
+    sync(artifactLayoutPaths, key(s, dir) + "#" + name) {
+      buildProtocol(s, dir, name)(write)
+    }
+
+  /** The shared build-once protocol: serve a complete on-disk artifact,
+    * else elect one builder via the advisory `.lock` (stale locks
+    * reclaimed), run `write` into the artifact path, stamp [[OkMarker]],
+    * and ledger every materialization or reuse. Returns the path.
+    */
+  private def buildProtocol(s: SparkSession, dir: String, name: String)(
+      write: String => Unit): String = {
+    val path = artifactPath(dir, name)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def summarize(reused: Boolean, secs: Double): Unit = {
+      val (nf, nb) =
+        try { val cs = fs.getContentSummary(hp); (cs.getFileCount, cs.getLength) }
+        catch { case _: java.io.IOException => (-1L, -1L) }
+      ledgerRows.add(ArtifactLedgerRow(dir, name, nf, nb, secs, reused))
+    }
+    if (artifactExists(s, dir, name)) summarize(reused = true, 0.0)
+    else {
+      var built = false
+      while (!built) {
+        if (artifactExists(s, dir, name)) built = true // another JVM finished
+        else {
+          val acquired =
+            try { fs.create(lockPath(path), false).close(); true }
+            catch { case _: java.io.IOException => false }
+          if (acquired)
+            try {
+              val t0 = System.nanoTime()
+              write(path)
+              fs.create(new org.apache.hadoop.fs.Path(
+                path + "/" + OkMarker), true).close()
+              summarize(reused = false, (System.nanoTime() - t0) / 1e9)
+              built = true
+            } finally fs.delete(lockPath(path), false)
+          else {
+            // a foreign writer holds the lock: wait for its marker,
+            // or reclaim once the lock is stale (crashed writer)
+            val st = try Some(fs.getFileStatus(lockPath(path)))
+                     catch { case _: java.io.IOException => None }
+            st match {
+              case Some(l) if System.currentTimeMillis() - l.getModificationTime > lockStaleMs =>
+                fs.delete(lockPath(path), false) // stale: reclaim and re-contend
+              case Some(_) => Thread.sleep(200)
+              case None => () // lock vanished between attempts: re-contend
+            }
+          }
+        }
+      }
+      if (artifactExists(s, dir, name) && ledger.forall(r =>
+        !(r.dataDir == dir && r.name == name))) summarize(reused = true, 0.0)
+    }
+    path
+  }
   /** applicationId + startTime is unique per SparkContext for the life of
     * the JVM (identityHashCode is not: a GC'd context's hash can be
     * reused, which would serve dead localCheckpoint-backed artifacts to a

@@ -632,31 +632,30 @@ object Ingest {
         max(col("l_orderkey")).as("max_key"))
   }
 
-  private val monthPartPathCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Ship-month-partitioned physical layout of lineitem — the fact-table
     * organization every 100 TB warehouse uses (one directory per month,
     * `ship_mon=YYYY-MM/`). Rows carry the revenue pre-quantized to exact
-    * integer cents so the consumer aggregate is decimal-free. Memoized
-    * per (SparkContext, dir) like [[writeDirtyTsv]].
+    * integer cents so the consumer aggregate is decimal-free. A LAYOUT
+    * artifact ([[graft.Memo.artifactLayout]], r16): the directory
+    * partitioning IS the value, so it can't go through the plain
+    * `artifact` writer — but it absolutely belongs in the cross-run
+    * tier (a warehouse lays the partitioned fact down once; rebuilding
+    * it per run would dwarf the pruning it exists to prove). One month
+    * ≈ 1/80 of the fixture, so the per-directory write is coalesced to
+    * 1 file — 32 shuffle partitions × 80 month dirs would otherwise
+    * spray ~2.5 k tiny files (the r15 q214-anomaly review's hypothesis).
     */
   private[graft] def writeMonthPartitionedLineitem(
       s: SparkSession, dir: String): String =
-    graft.Memo.sync(monthPartPathCache, graft.Memo.key(s, dir))( {
-      val out = sys.props("java.io.tmpdir") +
-        s"/graft_q214_monthpart_${ProcessHandle.current().pid()}_" +
-        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+    graft.Memo.artifactLayout(s, dir, "lineitem_by_ship_month") { out =>
       Tables.lineitem(s, dir)
         .select(
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_mon"),
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast(LongType).as("cents"))
+        .repartition(col("ship_mon"))
         .write.mode("overwrite").partitionBy("ship_mon").parquet(out)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(out))))
-      out
-    })
+    }
 
   /** q214 — DYNAMIC partition pruning: the month-dim side of the join
     * is only known at runtime (months whose urgent-order count exceeds

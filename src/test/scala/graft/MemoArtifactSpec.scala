@@ -120,6 +120,42 @@ class MemoArtifactSpec extends AnyFunSuite {
       && rows.head.buildWriteS > 0.0, rows.toString)
   }
 
+  test("artifactLayout: builder-owned write runs once, keeps its directory partitioning, and is reused") {
+    val builds = new AtomicInteger(0)
+    def get() = Memo.artifactLayout(spark, "/memolayout/spec", "bymod") { out =>
+      builds.incrementAndGet()
+      spark.range(40).select(col("id"), (col("id") % 4).as("m"))
+        .write.mode("overwrite").partitionBy("m").parquet(out)
+    }
+    val p1 = get()
+    assert(builds.get() === 1)
+    // the layout (not just the rows) is the memo's value: partition
+    // dirs on disk + partition pruning in the consumer's plan
+    assert(new java.io.File(p1 + "/m=2").isDirectory, p1)
+    val plan = spark.read.parquet(p1).filter(col("m") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(m"), plan)
+    assert(get() === p1 && builds.get() === 1,
+      "second call must serve the laid-down path, not rewrite")
+    assert(spark.read.parquet(p1).count() === 40L)
+    val rows = Memo.ledger.filter(r => r.dataDir == "/memolayout/spec")
+    assert(rows.size === 1 && !rows.head.reused && rows.head.bytes > 0)
+  }
+
+  test("artifactLayout: a write without the marker is rebuilt over") {
+    val path = Memo.artifactRoot + "/" + Memo.dirSegment("/memolayout/crash") + "/t"
+    // simulate a crashed writer: data present, no _GRAFT_OK
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(path)
+    new java.io.File(path + "/_GRAFT_OK").delete()
+    val builds = new AtomicInteger(0)
+    val got = Memo.artifactLayout(spark, "/memolayout/crash", "t") { out =>
+      builds.incrementAndGet()
+      spark.range(9).toDF("id").write.mode("overwrite").parquet(out)
+    }
+    assert(builds.get() === 1, "marker-less layout must trigger a rebuild")
+    assert(spark.read.parquet(got).count() === 9L)
+  }
+
   test("concurrent cold callers run exactly one build") {
     val builds = new AtomicInteger(0)
     def get() = Memo.artifact(spark, "/memoartifact/spec3", "t3") {
