@@ -224,6 +224,106 @@ object Memo {
     }
     path
   }
+  /** On-disk state of one artifact in the tier — the lifecycle view
+    * behind `SHOW GRAFT ARTIFACTS` and retirement planning. Unlike
+    * [[ledger]] (what THIS JVM built or reused), this is what the tier
+    * holds RIGHT NOW, including incomplete wrecks (`complete = false`:
+    * a crashed writer's partial data, rebuilt-over on next use) and
+    * in-flight builds (`locked = true`).
+    */
+  final case class ArtifactDiskRow(dirSegment: String, name: String,
+    files: Long, bytes: Long, complete: Boolean, locked: Boolean,
+    modifiedMs: Long)
+
+  /** Enumerate the artifact tier on disk: one row per
+    * `<dirSegment>/<name>` directory under [[artifactRoot]], sorted.
+    * Empty when the root does not exist yet (no artifact built).
+    */
+  def diskState(conf: org.apache.hadoop.conf.Configuration): Seq[ArtifactDiskRow] = {
+    val root = new org.apache.hadoop.fs.Path(artifactRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory).flatMap { seg =>
+      fs.listStatus(seg.getPath).toIndexedSeq.filter(_.isDirectory).map { st =>
+        val p = st.getPath
+        val (nf, nb) =
+          try { val cs = fs.getContentSummary(p); (cs.getFileCount, cs.getLength) }
+          catch { case _: java.io.IOException => (-1L, -1L) }
+        ArtifactDiskRow(seg.getPath.getName, p.getName, nf, nb,
+          complete = fs.exists(new org.apache.hadoop.fs.Path(p, OkMarker)),
+          locked = fs.exists(lockPath(p.toString)),
+          modifiedMs = st.getModificationTime)
+      }
+    }.sortBy(r => (r.dirSegment, r.name))
+  }
+
+  /** Retire ONE artifact: acquire its build lock (deletion must never
+    * race a live foreign writer — same election as [[buildProtocol]],
+    * stale locks reclaimed), delete the artifact directory, release the
+    * lock, and evict this session's cached frame so a later
+    * [[artifact]] call rebuilds. Returns false WITHOUT touching disk
+    * when a live foreign writer holds the lock — retirement of an
+    * artifact someone is building is a caller-level conflict, not a
+    * race to win. Retirement is Scala-API-only BY DESIGN: under the
+    * delegating-parser pattern a side-effecting statement would execute
+    * at PARSE time (`EXPLAIN RETIRE ...` would delete data), so the SQL
+    * surface stays read-only and deletion keeps an explicit call site.
+    */
+  def retireArtifact(s: SparkSession, dir: String, name: String): Boolean = {
+    val path = artifactPath(dir, name)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lp = lockPath(path)
+    var acquired = false
+    var attempts = 0
+    while (!acquired && attempts < 3) {
+      attempts += 1
+      acquired =
+        try { fs.create(lp, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val st = try Some(fs.getFileStatus(lp))
+                 catch { case _: java.io.IOException => None }
+        st match {
+          case Some(l) if System.currentTimeMillis() - l.getModificationTime > lockStaleMs =>
+            fs.delete(lp, false) // stale crashed writer: reclaim and retry
+          case Some(_) => return false // live foreign writer
+          case None => () // lock vanished between attempts: retry
+        }
+      }
+    }
+    if (!acquired) return false
+    try fs.delete(hp, true) finally fs.delete(lp, false)
+    artifactFrames.remove(key(s, dir) + "#" + name)
+    artifactLayoutPaths.remove(key(s, dir) + "#" + name)
+    true
+  }
+
+  /** Retire a corpus' ENTIRE artifact subtree — the documented GC unit
+    * of a stable-dir deployment (artifacts are keyed by (data dir,
+    * name) and immutable once complete, so when a corpus snapshot is
+    * retired its whole `<dirSegment>/` tree goes with it). Refuses
+    * (false, disk untouched) if ANY artifact under the segment holds a
+    * live build lock; stale locks do not block (they die with the
+    * tree). Evicts this session's cached frames for the dir.
+    */
+  def retireCorpus(s: SparkSession, dir: String): Boolean = {
+    val seg = new org.apache.hadoop.fs.Path(artifactRoot + "/" + dirSegment(dir))
+    val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(seg)) {
+      val liveLock = fs.listStatus(seg).exists { st =>
+        st.getPath.getName.endsWith(".lock") &&
+          System.currentTimeMillis() - st.getModificationTime <= lockStaleMs
+      }
+      if (liveLock) return false
+      fs.delete(seg, true)
+    }
+    val prefix = key(s, dir) + "#"
+    artifactFrames.keys.filter(_.startsWith(prefix)).foreach(artifactFrames.remove)
+    artifactLayoutPaths.keys.filter(_.startsWith(prefix)).foreach(artifactLayoutPaths.remove)
+    true
+  }
+
   /** applicationId + startTime is unique per SparkContext for the life of
     * the JVM (identityHashCode is not: a GC'd context's hash can be
     * reused, which would serve dead localCheckpoint-backed artifacts to a

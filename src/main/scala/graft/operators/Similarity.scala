@@ -1799,7 +1799,239 @@ object Similarity {
       .limit(100)
   }
 
+  /** q354 — SemDeDup ledger (Abbas et al., arXiv:2303.09540): semantic
+    * deduplication keeps, within each embedding cluster, the documents
+    * LEAST similar to the cluster centroid (the "most atypical"
+    * representative survives; templated boilerplate nearest the
+    * centroid goes). The paper clusters with k-means; a k-means fit is
+    * not cross-engine-reproducible (MLlib iteration order), so the
+    * cluster here is the house sign-LSH bucket (q51/q321's 8 rational
+    * hyperplanes — bit-identical in both engines), playing the same
+    * candidate-confinement role. Deterministic semantics:
+    *
+    *   - centroid: per-bucket per-dimension sums of
+    *     floor(embedding·1e6) — EXACT BIGINTs, so the aggregation is
+    *     order-free (a double mean would vary with Spark's partition
+    *     fold order); keepability k(d) = cos(d, centroid) is then a
+    *     per-ROW ascending fold over the integer sums, bit-identical
+    *     to the oracle.
+    *   - removal: d is removed iff some same-bucket partner p with
+    *     cos(d,p) ≥ 0.45 is strictly more keepable (k(p) < k(d), ties
+    *     to the lower vec_id) — a greedy pairwise form of the paper's
+    *     keep-one-per-duplicate-neighborhood rule with no iteration.
+    *
+    * Scale shape: the bucket is the parallel unit; the centroid is two
+    * partial aggregations over exploded dimensions (map-side
+    * combinable, 64·|buckets| rows); the pair join is q321's accepted
+    * Σ|bucket|² candidate carve-out; removal is two keyed joins on the
+    * pair relation. At 100 TB the same ledger runs over the ivf_cells
+    * ARTIFACT's k-means cells (build once, scan ever after) — the
+    * LSH-bucket form is the clustering that both engines can prove.
+    */
+  val q354 = oracled(
+    "q354_semdedup",
+    "SemDeDup per-cluster dedup ledger: keep the doc least similar to the exact-integer centroid",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       qn AS (SELECT b.bucket, g.i AS pos,
+           CAST(floor(CAST(b.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         FROM b, generate_series(1, 64) AS g(i)),
+       sm AS (SELECT bucket, pos, SUM(q) AS s FROM qn GROUP BY 1, 2),
+       mu AS (SELECT bucket, list(CAST(s AS DOUBLE) ORDER BY pos) AS mud
+         FROM sm GROUP BY 1),
+       kp AS (SELECT x.vec_id, x.bucket,
+           list_reduce(list_transform(range(1, 65),
+             i -> CAST(x.embedding[i] AS DOUBLE) * m.mud[i]), (u, v) -> u + v)
+           / (sqrt(${duckDot("x.embedding", "x.embedding")})
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                i -> m.mud[i] * m.mud[i]), (u, v) -> u + v))) AS keep
+         FROM b x JOIN mu m ON m.bucket = x.bucket),
+       pr AS (SELECT x.vec_id AS a, y.vec_id AS b2, x.bucket
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         WHERE ${duckCos("x", "y")} >= 0.45),
+       dup AS (SELECT a AS vec_id, b2 AS partner FROM pr
+               UNION ALL SELECT b2, a FROM pr),
+       rem AS (SELECT DISTINCT d.vec_id, kd.bucket
+         FROM dup d JOIN kp kd ON kd.vec_id = d.vec_id
+         JOIN kp kx ON kx.vec_id = d.partner
+         WHERE kx.keep < kd.keep
+            OR (kx.keep = kd.keep AND d.partner < d.vec_id)),
+       db AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY 1),
+       pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1),
+       rb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
+       SELECT CAST(d.bucket AS BIGINT) AS bucket, d.n_docs,
+         COALESCE(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+         COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+         CAST(((d.n_docs - COALESCE(r.n_removed, CAST(0 AS BIGINT))) * 1000000)
+           // d.n_docs AS BIGINT) AS kept_ppm
+       FROM db d LEFT JOIN pb p ON p.bucket = d.bucket
+       LEFT JOIN rb r ON r.bucket = d.bucket
+       ORDER BY bucket""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol)
+    // exact-integer quantization -> the per-bucket centroid sums are
+    // order-free BIGINTs (partial-agg-safe), never a double mean
+    val mu = e.select(col("bucket"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("bucket"), (col("pos0") + 1).as("pos"),
+        floor(col("v").cast("double") * lit(1000000)).cast("long").as("q"))
+      .groupBy(col("bucket"), col("pos")).agg(sum(col("q")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast("double")).as("mud"))
+      .select(col("bucket"), col("mud"), l2Norm(col("mud")).as("munrm"))
+    val kp = e.join(mu, Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        (dotF(col("embedding"), col("mud")) / (col("nrm") * col("munrm")))
+          .as("keep"))
+    val pr = e.alias("x").join(e.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b2"),
+        col("x.bucket").as("bucket"),
+        (dotF(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("cs"))
+      .filter(col("cs") >= 0.45)
+    val dup = pr.select(col("a").as("vec_id"), col("b2").as("partner"))
+      .unionAll(pr.select(col("b2").as("vec_id"), col("a").as("partner")))
+    val rem = dup
+      .join(kp.select(col("vec_id"), col("bucket").as("bucket_d"),
+        col("keep").as("keep_d")), Seq("vec_id"))
+      .join(kp.select(col("vec_id").as("partner"), col("keep").as("keep_p")),
+        Seq("partner"))
+      .filter(col("keep_p") < col("keep_d")
+        || (col("keep_p") === col("keep_d") && col("partner") < col("vec_id")))
+      .select(col("vec_id"), col("bucket_d").as("bucket")).distinct()
+    e.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .join(pr.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs")),
+        Seq("bucket"), "left")
+      .join(rem.groupBy(col("bucket")).agg(count(lit(1)).as("n_removed")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("kept_ppm",
+        expr("((n_docs - n_removed) * 1000000) div n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Panel pairs scored with the EXACT-INTEGER cosine c9 =
+    * floor(cos·1e9): floor of bit-identical doubles, so every
+    * downstream decision (kNN ranking, margin arithmetic) is integer
+    * math both engines reproduce exactly. Ties in c9 break on the
+    * neighbor id. Shared by q355 (panel) and q356 (bucket-confined).
+    */
+  private def c9(x: String, y: String): Column =
+    floor((dotF(col(s"$x.embedding"), col(s"$y.embedding"))
+      / (col(s"$x.nrm") * col(s"$y.nrm"))) * lit(1.0e9)).cast("long")
+
+  private def duckC9(x: String, y: String): String =
+    s"CAST(floor(${duckCos(x, y)} * 1000000000.0) AS BIGINT)"
+
+  /** q355 — margin-based mining candidates (Artetxe & Schwenk, ACL
+    * 2019; the CCMatrix scoring): a pair is interesting not when its
+    * raw cosine is high but when it is high RELATIVE to each side's
+    * neighborhood — margin(x,y) = cos(x,y) / (Σ_{z∈NN4(x)} cos(x,z) +
+    * Σ_{z∈NN4(y)} cos(y,z)) / (2·4)). Exact integer form: margin_ppm
+    * = (1e6 · 2·4 · c9(x,y)) div (s9(x) + s9(y)) where s9 is the
+    * exact BIGINT sum of the side's top-4 c9 scores — order-free, no
+    * double averaging. Runs on the deterministic [[CosinePanelVecs]]
+    * panel (q49's exact track); top-100 by (margin desc, ids), the
+    * mining shortlist a bitext/near-pair curation pass hands to
+    * review. Scale shape: panel-bounded quadratic (the exactness
+    * carve-out); [[q356]] is the full-corpus bucketed path.
+    */
+  val q355 = oracled(
+    "q355_margin_mining",
+    "margin-scored pair mining (CCMatrix): top-100 panel pairs by cos relative to both sides' top-4 neighborhoods",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id < $CosinePanelVecs),
+       sc AS (SELECT x.vec_id AS a, y.vec_id AS b2, ${duckC9("x", "y")} AS c9
+         FROM e x JOIN e y ON x.vec_id <> y.vec_id),
+       nn AS (SELECT a, SUM(c9) AS s9 FROM (
+           SELECT a, c9, ROW_NUMBER() OVER (PARTITION BY a
+             ORDER BY c9 DESC, b2) AS rn FROM sc) t
+         WHERE rn <= 4 GROUP BY a),
+       mg AS (SELECT s.a, s.b2,
+           CAST((1000000 * 8 * s.c9) // (nx.s9 + ny.s9) AS BIGINT) AS margin_ppm
+         FROM sc s JOIN nn nx ON nx.a = s.a JOIN nn ny ON ny.a = s.b2
+         WHERE s.a < s.b2 AND nx.s9 + ny.s9 > 0)
+       SELECT a AS vec_a, b2 AS vec_b, margin_ppm FROM (
+         SELECT a, b2, margin_ppm,
+           ROW_NUMBER() OVER (ORDER BY margin_ppm DESC, a, b2) AS rn FROM mg) t
+       WHERE rn <= 100
+       ORDER BY margin_ppm DESC, vec_a, vec_b""") { (s, dir) =>
+    val e = withNorm(Tables.embeddings(s, dir))
+      .filter(col("vec_id") < CosinePanelVecs)
+    val sc = e.alias("x").join(e.alias("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b2"),
+        c9("x", "y").as("c9"))
+    val w = Window.partitionBy(col("a")).orderBy(col("c9").desc, col("b2"))
+    val nn = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .groupBy(col("a")).agg(sum(col("c9")).as("s9"))
+    sc.filter(col("a") < col("b2"))
+      .join(nn.select(col("a"), col("s9").as("s9x")), Seq("a"))
+      .join(nn.select(col("a").as("b2"), col("s9").as("s9y")), Seq("b2"))
+      .filter(col("s9x") + col("s9y") > 0)
+      .select(col("a").as("vec_a"), col("b2").as("vec_b"),
+        expr("(1000000 * 8 * c9) div (s9x + s9y)").as("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  /** q356 — the full-corpus scale path of [[q355]]: candidates and
+    * neighborhoods CONFINED to the sign-LSH bucket (q321's Σ|bucket|²
+    * carve-out — no panel bound, no all-pairs anywhere). Buckets can
+    * hold fewer than 4 neighbors, so the margin generalizes to the
+    * unequal-k rational: margin = cos · 2·k_x·k_y / (s_x·k_y +
+    * s_y·k_x), all BIGINT (max |term| ≈ 3.2e16 ≪ 2^63). The
+    * denominator-positive guard and the a<b canonical orientation are
+    * shared with q355; top-100 by (margin desc, ids).
+    */
+  val q356 = oracled(
+    "q356_margin_lsh",
+    "full-corpus margin mining inside sign-LSH buckets: top-100 pairs by neighborhood-relative cosine",
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+           ${(0 until 8).map(duckBucketBit).mkString(" + ")} AS bucket
+         FROM embeddings),
+       sc AS (SELECT x.vec_id AS a, y.vec_id AS b2, ${duckC9("x", "y")} AS c9
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       nn AS (SELECT a, SUM(c9) AS s9, CAST(COUNT(*) AS BIGINT) AS k FROM (
+           SELECT a, c9, ROW_NUMBER() OVER (PARTITION BY a
+             ORDER BY c9 DESC, b2) AS rn FROM sc) t
+         WHERE rn <= 4 GROUP BY a),
+       mg AS (SELECT s.a, s.b2,
+           CAST((1000000 * 2 * nx.k * ny.k * s.c9)
+             // (nx.s9 * ny.k + ny.s9 * nx.k) AS BIGINT) AS margin_ppm
+         FROM sc s JOIN nn nx ON nx.a = s.a JOIN nn ny ON ny.a = s.b2
+         WHERE s.a < s.b2 AND nx.s9 * ny.k + ny.s9 * nx.k > 0)
+       SELECT a AS vec_a, b2 AS vec_b, margin_ppm FROM (
+         SELECT a, b2, margin_ppm,
+           ROW_NUMBER() OVER (ORDER BY margin_ppm DESC, a, b2) AS rn FROM mg) t
+       WHERE rn <= 100
+       ORDER BY margin_ppm DESC, vec_a, vec_b""") { (s, dir) =>
+    val b = withNorm(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol)
+    val sc = b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b2"),
+        c9("x", "y").as("c9"))
+    val w = Window.partitionBy(col("a")).orderBy(col("c9").desc, col("b2"))
+    val nn = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .groupBy(col("a")).agg(sum(col("c9")).as("s9"), count(lit(1)).as("k"))
+    sc.filter(col("a") < col("b2"))
+      .join(nn.select(col("a"), col("s9").as("s9x"), col("k").as("kx")), Seq("a"))
+      .join(nn.select(col("a").as("b2"), col("s9").as("s9y"), col("k").as("ky")),
+        Seq("b2"))
+      .filter(col("s9x") * col("ky") + col("s9y") * col("kx") > 0)
+      .select(col("a").as("vec_a"), col("b2").as("vec_b"),
+        expr("(1000000 * 2 * kx * ky * c9) div (s9x * ky + s9y * kx)")
+          .as("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
   val all: Seq[GQuery] = Seq(q49, q50, q51, q74, q150, q201, q209, q231,
     q249, q269, q305, q315, q316, q317, q318, q321, q325, q327, q330,
-    q335)
+    q335, q354, q355, q356)
 }

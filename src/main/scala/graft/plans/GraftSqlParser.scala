@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-introspection SQL statements, injected via the one
@@ -14,6 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   SHOW GRAFT QUERIES    -- (name, description, oracled) per registered query
   *   SHOW GRAFT FUNCTIONS  -- (name, usage) per native SQL function
+  *   SHOW GRAFT ARTIFACTS  -- on-disk state of the parquet artifact tier
+  *                            (dir, name, files, bytes, complete, locked,
+  *                            modified_ms) — the lifecycle lens an operator
+  *                            of a stable SPARK_GRAFT_ARTIFACT_DIR
+  *                            deployment retires from ([[graft.Memo
+  *                            .retireArtifact]]/[[graft.Memo.retireCorpus]];
+  *                            retirement itself stays Scala-API-only
+  *                            because a parse-time-executed statement must
+  *                            be side-effect-free — EXPLAIN parses too)
   *
   * The parser is a pure delegator: the two statements above parse to
   * [[LocalRelation]]s built from the engine's own registries (static
@@ -37,6 +46,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText.trim.stripSuffix(";").trim match {
       case ShowQueries()   => queriesRelation()
       case ShowFunctions() => functionsRelation()
+      case ShowArtifacts() => artifactsRelation()
       case _               => delegate.parsePlan(sqlText)
     }
 
@@ -63,6 +73,7 @@ object GraftSqlParser {
   // anchored, case-insensitive, whitespace-tolerant statement shapes
   private val ShowQueries = "(?i)SHOW\\s+GRAFT\\s+QUERIES".r
   private val ShowFunctions = "(?i)SHOW\\s+GRAFT\\s+FUNCTIONS".r
+  private val ShowArtifacts = "(?i)SHOW\\s+GRAFT\\s+ARTIFACTS".r
 
   private def str(name: String): Attribute =
     AttributeReference(name, StringType, nullable = false)()
@@ -78,6 +89,30 @@ object GraftSqlParser {
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(q.name), UTF8String.fromString(q.doc),
         q.oracle.isDefined))
+    }
+    LocalRelation(out, rows)
+  }
+
+  /** The artifact tier's on-disk state as a relation — a parse-time
+    * snapshot (like the other SHOWs), read through the active session's
+    * Hadoop conf so the listing sees whatever filesystem
+    * SPARK_GRAFT_ARTIFACT_DIR points at. Read-only: enumeration and
+    * marker/lock existence checks, no job, no mutation.
+    */
+  private def artifactsRelation(): LogicalPlan = {
+    val out = Seq(str("dir"), str("name"),
+      AttributeReference("files", LongType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)(),
+      AttributeReference("complete", BooleanType, nullable = false)(),
+      AttributeReference("locked", BooleanType, nullable = false)(),
+      AttributeReference("modified_ms", LongType, nullable = false)())
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val rows = graft.Memo.diskState(conf).map { r =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.dirSegment), UTF8String.fromString(r.name),
+        r.files, r.bytes, r.complete, r.locked, r.modifiedMs))
     }
     LocalRelation(out, rows)
   }

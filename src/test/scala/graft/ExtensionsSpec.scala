@@ -131,6 +131,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(oracled == SparkEntry.registry.count(_.oracle.isDefined))
       val fns = s2.sql("SHOW GRAFT FUNCTIONS ;").collect().map(_.getString(0))
       assert(fns.toSet == GraftExtensions.descriptions.map(_._1).toSet)
+      // SHOW GRAFT ARTIFACTS surfaces the tier's on-disk state — build
+      // one artifact, then find it in the listing, complete and unlocked
+      Memo.artifact(s2, "/extspec/show", "tshow") {
+        s2.range(12).toDF("id") }.count()
+      val arts = s2.sql("SHOW GRAFT ARTIFACTS")
+      assert(arts.columns.toSeq === Seq(
+        "dir", "name", "files", "bytes", "complete", "locked", "modified_ms"))
+      val mine = arts.filter(
+        s"dir = '${Memo.dirSegment("/extspec/show")}' AND name = 'tshow'").collect()
+      assert(mine.length == 1 && mine.head.getBoolean(4) && !mine.head.getBoolean(5)
+        && mine.head.getLong(3) > 0, arts.collect().mkString("\n"))
       // delegation: ordinary SQL (and deliberate syntax errors) behave as stock
       assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
       intercept[org.apache.spark.sql.catalyst.parser.ParseException] {

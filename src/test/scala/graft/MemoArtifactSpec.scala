@@ -156,6 +156,60 @@ class MemoArtifactSpec extends AnyFunSuite {
     assert(spark.read.parquet(got).count() === 9L)
   }
 
+  test("diskState lists the tier; retireArtifact deletes, evicts, and the next call rebuilds") {
+    val builds = new AtomicInteger(0)
+    def get() = Memo.artifact(spark, "/memoretire/one", "tr") {
+      builds.incrementAndGet()
+      spark.range(21).toDF("id")
+    }
+    assert(get().count() === 21L && builds.get() === 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = Memo.dirSegment("/memoretire/one")
+    val row = Memo.diskState(conf).find(r => r.dirSegment == seg && r.name == "tr")
+    assert(row.isDefined && row.get.complete && !row.get.locked
+      && row.get.bytes > 0 && row.get.files > 0, Memo.diskState(conf).toString)
+    // a LIVE foreign build lock must refuse retirement, disk untouched
+    val fs = new org.apache.hadoop.fs.Path(Memo.artifactRoot).getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(
+      Memo.artifactRoot + "/" + seg + "/tr.lock")
+    fs.create(lock, true).close()
+    assert(!Memo.retireArtifact(spark, "/memoretire/one", "tr"),
+      "retire must refuse under a live foreign lock")
+    assert(get().count() === 21L && builds.get() === 1, "refused retire must leave the artifact")
+    // a STALE lock (crashed writer) does not protect the artifact
+    new java.io.File(lock.toUri.getPath).setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    val prevStale = Memo.lockStaleMs
+    try {
+      Memo.lockStaleMs = 1000
+      assert(Memo.retireArtifact(spark, "/memoretire/one", "tr"))
+    } finally Memo.lockStaleMs = prevStale
+    assert(Memo.diskState(conf).forall(r => !(r.dirSegment == seg && r.name == "tr")),
+      "retired artifact must leave the disk listing")
+    assert(get().count() === 21L && builds.get() === 2,
+      "the session cache must be evicted so the next call rebuilds")
+  }
+
+  test("retireCorpus removes the whole dir segment unless a live build is in flight") {
+    Memo.artifact(spark, "/memoretire/corpus", "a") { spark.range(3).toDF("id") }.count()
+    Memo.artifact(spark, "/memoretire/corpus", "b") { spark.range(4).toDF("id") }.count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = Memo.dirSegment("/memoretire/corpus")
+    assert(Memo.diskState(conf).count(_.dirSegment == seg) === 2)
+    // live lock on ONE artifact blocks the whole-tree GC
+    val fs = new org.apache.hadoop.fs.Path(Memo.artifactRoot).getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(Memo.artifactRoot + "/" + seg + "/b.lock")
+    fs.create(lock, true).close()
+    assert(!Memo.retireCorpus(spark, "/memoretire/corpus"))
+    assert(Memo.diskState(conf).count(_.dirSegment == seg) === 2)
+    fs.delete(lock, false)
+    assert(Memo.retireCorpus(spark, "/memoretire/corpus"))
+    assert(Memo.diskState(conf).forall(_.dirSegment != seg), "segment tree must be gone")
+    // rebuild after corpus retirement works (cache evicted)
+    assert(Memo.artifact(spark, "/memoretire/corpus", "a") {
+      spark.range(6).toDF("id") }.count() === 6L)
+  }
+
   test("concurrent cold callers run exactly one build") {
     val builds = new AtomicInteger(0)
     def get() = Memo.artifact(spark, "/memoartifact/spec3", "t3") {
