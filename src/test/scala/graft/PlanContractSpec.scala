@@ -512,6 +512,27 @@ class PlanContractSpec extends AnyFunSuite {
       "fingerprint join degenerated to a cross product\n" + p)
   }
 
+  test("q354: semdedup pairs are a bucket equi-join; centroid sums partial-aggregate") {
+    val p = plan(operators.Similarity.q354)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semantic-dup candidate join degenerated to a cross product\n" + p)
+    // the exploded per-dim quantized sums must combine map-side, or the
+    // shuffle carries 64 rows per document instead of 64 per bucket
+    assert(p.contains("partial_sum"),
+      "centroid aggregation lost its map-side partial phase\n" + p)
+  }
+
+  test("q355/q356: margin mining tops out as TakeOrdered; q356 stays bucket-confined") {
+    val p5 = plan(operators.Similarity.q355)
+    assert(p5.contains("TakeOrderedAndProject"),
+      "panel top-100 must plan as TakeOrdered, not a global sort\n" + p5)
+    val p6 = plan(operators.Similarity.q356)
+    assert(p6.contains("TakeOrderedAndProject"),
+      "bucketed top-100 must plan as TakeOrdered, not a global sort\n" + p6)
+    assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoopJoin"),
+      "bucket-confined candidates degenerated to a cross product\n" + p6)
+  }
+
   test("q328: first-occurrence resolution is equi-joins + partial aggs, no window") {
     val p = plan(operators.TextOps.q328)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
