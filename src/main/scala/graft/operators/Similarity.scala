@@ -1939,7 +1939,13 @@ object Similarity {
     * panel (q49's exact track); top-100 by (margin desc, ids), the
     * mining shortlist a bitext/near-pair curation pass hands to
     * review. Scale shape: panel-bounded quadratic (the exactness
-    * carve-out); [[q356]] is the full-corpus bucketed path.
+    * carve-out); [[q356]] is the full-corpus bucketed path. The
+    * neighborhood stage is [[graft.functions.TopKAgg]] — the same
+    * (c9 desc, id asc) top-4 selection the oracle's window expresses,
+    * but as a fixed-state partial aggregate (≤4 pairs per group per
+    * partial; a window would sort the whole panel-squared relation) —
+    * and each cosine is computed once on the canonical a<b half, the
+    * mirror direction derived by swapping columns, not re-scoring.
     */
   val q355 = oracled(
     "q355_margin_mining",
@@ -1963,13 +1969,18 @@ object Similarity {
        ORDER BY margin_ppm DESC, vec_a, vec_b""") { (s, dir) =>
     val e = withNorm(Tables.embeddings(s, dir))
       .filter(col("vec_id") < CosinePanelVecs)
-    val sc = e.alias("x").join(e.alias("y"), col("x.vec_id") =!= col("y.vec_id"))
+    // score each unordered pair ONCE (a<b); mirror by column swap
+    val half = e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b2"),
         c9("x", "y").as("c9"))
-    val w = Window.partitionBy(col("a")).orderBy(col("c9").desc, col("b2"))
-    val nn = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-      .groupBy(col("a")).agg(sum(col("c9")).as("s9"))
-    sc.filter(col("a") < col("b2"))
+    val sym = half.unionAll(
+      half.select(col("b2").as("a"), col("a").as("b2"), col("c9")))
+    // top-4 neighborhood per side as a bounded aggregate, not a window
+    // (panel ≥ 5 members at every fixture scale, so tk has 4 entries)
+    val nn = sym.groupBy(col("a"))
+      .agg(graft.functions.TopKAgg.topKAgg(col("c9"), col("b2"), 4).as("tk"))
+      .select(col("a"), expr("tk[0] + tk[2] + tk[4] + tk[6]").as("s9"))
+    half
       .join(nn.select(col("a"), col("s9").as("s9x")), Seq("a"))
       .join(nn.select(col("a").as("b2"), col("s9").as("s9y")), Seq("b2"))
       .filter(col("s9x") + col("s9y") > 0)
@@ -1986,7 +1997,10 @@ object Similarity {
     * unequal-k rational: margin = cos · 2·k_x·k_y / (s_x·k_y +
     * s_y·k_x), all BIGINT (max |term| ≈ 3.2e16 ≪ 2^63). The
     * denominator-positive guard and the a<b canonical orientation are
-    * shared with q355; top-100 by (margin desc, ids).
+    * shared with q355, as is the bounded-aggregate neighborhood stage
+    * (TopKAgg over the mirrored half — k_a = size(tk)/2 recovers the
+    * per-side neighbor count the unequal-k rational needs); top-100
+    * by (margin desc, ids).
     */
   val q356 = oracled(
     "q356_margin_lsh",
@@ -2012,14 +2026,21 @@ object Similarity {
        WHERE rn <= 100
        ORDER BY margin_ppm DESC, vec_a, vec_b""") { (s, dir) =>
     val b = withNorm(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol)
-    val sc = b.alias("x").join(b.alias("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+    val half = b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b2"),
         c9("x", "y").as("c9"))
-    val w = Window.partitionBy(col("a")).orderBy(col("c9").desc, col("b2"))
-    val nn = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-      .groupBy(col("a")).agg(sum(col("c9")).as("s9"), count(lit(1)).as("k"))
-    sc.filter(col("a") < col("b2"))
+    val sym = half.unionAll(
+      half.select(col("b2").as("a"), col("a").as("b2"), col("c9")))
+    val nn = sym.groupBy(col("a"))
+      .agg(graft.functions.TopKAgg.topKAgg(col("c9"), col("b2"), 4).as("tk"))
+      .select(col("a"),
+        // sum of the ≤4 kept scores (even slots) + their count: a
+        // bucket-starved side keeps fewer than 4 neighbors
+        expr("""aggregate(sequence(0, CAST(size(tk) div 2 - 1 AS INT)),
+                 0L, (acc, i) -> acc + tk[i * 2])""").as("s9"),
+        expr("CAST(size(tk) div 2 AS BIGINT)").as("k"))
+    half
       .join(nn.select(col("a"), col("s9").as("s9x"), col("k").as("kx")), Seq("a"))
       .join(nn.select(col("a").as("b2"), col("s9").as("s9y"), col("k").as("ky")),
         Seq("b2"))

@@ -522,13 +522,18 @@ class PlanContractSpec extends AnyFunSuite {
       "centroid aggregation lost its map-side partial phase\n" + p)
   }
 
-  test("q355/q356: margin mining tops out as TakeOrdered; q356 stays bucket-confined") {
+  test("q355/q356: margin mining tops out as TakeOrdered; neighborhoods aggregate, never window-sort") {
     val p5 = plan(operators.Similarity.q355)
     assert(p5.contains("TakeOrderedAndProject"),
       "panel top-100 must plan as TakeOrdered, not a global sort\n" + p5)
+    assert(p5.contains("partial_top_k_agg") && !p5.contains("windowspecdefinition"),
+      "top-4 neighborhoods must be the bounded TopKAgg (≤4 pairs per " +
+        "group per partial), not a window sort of the squared relation\n" + p5)
     val p6 = plan(operators.Similarity.q356)
     assert(p6.contains("TakeOrderedAndProject"),
       "bucketed top-100 must plan as TakeOrdered, not a global sort\n" + p6)
+    assert(p6.contains("partial_top_k_agg") && !p6.contains("windowspecdefinition"),
+      "bucketed neighborhoods must be the bounded TopKAgg, not a window\n" + p6)
     assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoopJoin"),
       "bucket-confined candidates degenerated to a cross product\n" + p6)
   }
