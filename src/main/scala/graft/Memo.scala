@@ -324,6 +324,42 @@ object Memo {
     true
   }
 
+  /** Sweep incomplete artifact WRECKS: directories without [[OkMarker]],
+    * older than `olderThanMs`, holding no live build lock. A crashed
+    * writer's partial data is already invisible to the protocol (the
+    * next builder rebuilds over it, mode Overwrite) but holds disk
+    * until someone happens to rebuild that exact artifact — a
+    * stable-dir deployment sweeps on its own calendar instead. Each
+    * candidate is deleted UNDER the builder's advisory lock (acquire,
+    * re-check the marker — it may have appeared since the listing —
+    * delete, release), so a sweep can never race a live build: a
+    * builder that beat us to the lock keeps its wreck (and rebuilds
+    * over it); a marker that appeared means the artifact completed and
+    * is not touched. No cache eviction is needed: a frame is cached
+    * only after a marker-complete build, and wrecks have no marker.
+    * Returns the swept (dirSegment, name) pairs.
+    */
+  def sweepIncomplete(s: SparkSession, olderThanMs: Long = 0L): Seq[(String, String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val now = System.currentTimeMillis()
+    diskState(conf)
+      .filter(r => !r.complete && !r.locked && now - r.modifiedMs > olderThanMs)
+      .flatMap { r =>
+        val path = artifactRoot + "/" + r.dirSegment + "/" + r.name
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(conf)
+        val lp = lockPath(path)
+        val acquired =
+          try { fs.create(lp, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (!acquired) None // a builder appeared since the listing
+        else try {
+          if (fs.exists(new org.apache.hadoop.fs.Path(path + "/" + OkMarker))) None
+          else { fs.delete(hp, true); Some((r.dirSegment, r.name)) }
+        } finally fs.delete(lp, false)
+      }
+  }
+
   /** applicationId + startTime is unique per SparkContext for the life of
     * the JVM (identityHashCode is not: a GC'd context's hash can be
     * reused, which would serve dead localCheckpoint-backed artifacts to a

@@ -210,6 +210,33 @@ class MemoArtifactSpec extends AnyFunSuite {
       spark.range(6).toDF("id") }.count() === 6L)
   }
 
+  test("sweepIncomplete GCs only old, unlocked, marker-less wrecks") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = Memo.dirSegment("/memosweep/spec")
+    // a complete artifact (must survive any sweep)
+    Memo.artifact(spark, "/memosweep/spec", "keep") {
+      spark.range(4).toDF("id") }.count()
+    // a crashed writer's wreck: parquet parts, no _GRAFT_OK
+    val wreck = Memo.artifactRoot + "/" + seg + "/wreck"
+    spark.range(5).toDF("id").write.parquet(wreck)
+    new java.io.File(wreck + "/_SUCCESS").delete()
+    // a FRESH wreck is kept by an age-bounded sweep...
+    assert(Memo.sweepIncomplete(spark, olderThanMs = 60000L).isEmpty)
+    assert(Memo.diskState(conf).exists(r => r.dirSegment == seg && r.name == "wreck"))
+    // ...a LOCKED wreck is kept even by an immediate sweep...
+    val fs = new org.apache.hadoop.fs.Path(Memo.artifactRoot).getFileSystem(conf)
+    val lock = new org.apache.hadoop.fs.Path(wreck + ".lock")
+    fs.create(lock, true).close()
+    assert(Memo.sweepIncomplete(spark).isEmpty, "a building wreck must not be swept")
+    fs.delete(lock, false)
+    // ...and an old unlocked wreck goes, leaving the complete artifact
+    val swept = Memo.sweepIncomplete(spark)
+    assert(swept.contains((seg, "wreck")), swept.toString)
+    val after = Memo.diskState(conf).filter(_.dirSegment == seg)
+    assert(after.map(_.name) === Seq("keep") && after.head.complete,
+      "sweep must take the wreck and only the wreck\n" + after)
+  }
+
   test("concurrent cold callers run exactly one build") {
     val builds = new AtomicInteger(0)
     def get() = Memo.artifact(spark, "/memoartifact/spec3", "t3") {
