@@ -193,7 +193,65 @@ object Multimodal {
         }
       }
     }
+
+    /** 4×4 average-pool grid in one pixel walk ([[BmpCell]] rows):
+      * cell (⌊x·4/w⌋, ⌊y·4/h⌋) accumulates pixel count and the
+      * luminance proxy B + 2G + 3R — exact integers, so the downstream
+      * mean comparisons cross-multiply instead of dividing. ≤ 16 rows
+      * per image regardless of size: the decode carve-out's
+      * map-side-combine shape again (no per-pixel row ever leaves the
+      * decoder).
+      */
+    def pool4(mediaId: Long, bytes: Array[Byte]): Iterator[BmpCell] = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && buf.get(0) == 'B'.toByte &&
+        buf.get(1) == 'M'.toByte, s"media $mediaId: not a BMP")
+      val off = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        s"media $mediaId: only uncompressed 24 bpp supported")
+      require(w > 0 && h > 0 && off + stride(w).toLong * h <= bytes.length,
+        s"media $mediaId: truncated pixel array")
+      val st = stride(w)
+      val acc = Array.fill(16)(Array(0L, 0L)) // n, lum per (cy*4 + cx)
+      var y = 0
+      while (y < h) {
+        val rowOff = off + (h - 1 - y) * st // bottom-up storage
+        val cy = y * 4 / h
+        var x = 0
+        while (x < w) {
+          val i = rowOff + 3 * x
+          val b = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val r = bytes(i + 2) & 0xff
+          val a = acc(cy * 4 + x * 4 / w)
+          a(0) += 1
+          a(1) += b + 2L * g + 3L * r
+          x += 1
+        }
+        y += 1
+      }
+      (0 until 16).iterator.filter(c => acc(c)(0) > 0).map { c =>
+        BmpCell(mediaId, c % 4, c / 4, acc(c)(0), acc(c)(1))
+      }
+    }
   }
+
+  /** One cell of the FIXED 4×4 average-pooling grid
+    * ([[BmpCodec.pool4]]): unlike [[BmpPatch]]'s fixed-size P×P blocks
+    * over a variable image, the pool grid is a fixed-size SUMMARY of
+    * any image (cell (cx,cy) owns pixels with ⌊x·4/w⌋ = cx, ⌊y·4/h⌋ =
+    * cy) — the integer-exact area resize perceptual hashing starts
+    * from. `lum` is the summed luminance proxy B + 2G + 3R.
+    */
+  final case class BmpCell(
+      media_id: Long,
+      cx: Long,
+      cy: Long,
+      n_px: Long,
+      lum: Long)
 
   /** One ViT-style image patch ([[BmpCodec.patches]]): patch grid
     * coordinates, pixel count (edge patches are ragged — no padding),
@@ -702,5 +760,104 @@ object Multimodal {
       .orderBy(col("media_id"), col("py"), col("px"))
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257, q272)
+  /** q357 — perceptual image-duplicate ledger (dHash, Krawetz 2013 —
+    * the LAION-style image-dedup primitive): decode each REAL BMP,
+    * average-pool to the fixed 4×4 grid ([[BmpCodec.pool4]]), and set
+    * bit (cy·3+cx) iff cell (cx,cy) is brighter than its RIGHT
+    * neighbor, bit (12+cx·3+cy) iff brighter than the one BELOW — a
+    * ≤24-bit gradient signature invariant to absolute brightness.
+    * All decisions are exact integers: cell MEANS compare by
+    * cross-multiplication (lumA·nB > lumB·nA), never division.
+    * Images too small for a 4-column/4-row grid simply emit fewer
+    * bits (absent comparisons contribute 0) — shapes stay comparable,
+    * which is the point of a perceptual hash. Output: the top-100
+    * duplicate clusters (by size, ties on hash) with each cluster's
+    * Hamming≤2 NEIGHBOR mass over the distinct-hash relation — the
+    * review shortlist an image-dedup pass hands over, bounded because
+    * the fixture's planted pixel formulas make clusters heavily
+    * skewed (a pair listing would be the quadratic object: 140k pairs
+    * at sf0.1 already).
+    *
+    * Scale shape: decode emits ≤16 cells/image map-side; bits are two
+    * self-equi-joins on (media, cell) — 16-row groups; hashes and
+    * clusters are partial-aggregated groupBys; the Hamming probe is
+    * the ≤100-row TOP side broadcast against distinct hashes (linear,
+    * never hash²). The oracle recomputes every pixel from the planted
+    * closed forms, so the REAL byte-container round trip (header
+    * parse, stride, bottom-up rows, BGR order) is what the hash gate
+    * proves — q253's discipline on the image side.
+    */
+  val q357 = oracled(
+    "q357_image_dhash",
+    "perceptual dHash duplicate clusters over the real BMP decode: top-100 + hamming<=2 neighbor mass",
+    """WITH d AS (SELECT doc_id, n_chars,
+         CAST(n_chars % 13 + 3 AS BIGINT) AS w,
+         CAST(doc_id % 7 + 2 AS BIGINT) AS h
+       FROM documents),
+     px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y,
+         ((doc_id*7 + (y.i*w+x.i)) % 256)
+           + 2*(((y.i*w+x.i)*(y.i*w+x.i) + 3) % 256)
+           + 3*((n_chars + 5*(y.i*w+x.i)) % 256) AS lum
+       FROM d, generate_series(0, 14) AS x(i), generate_series(0, 7) AS y(i)
+       WHERE x.i < w AND y.i < h),
+     cells AS (SELECT doc_id AS media_id, (x*4)//w AS cx, (y*4)//h AS cy,
+         SUM(lum) AS lum, CAST(COUNT(*) AS BIGINT) AS n
+       FROM px GROUP BY 1, 2, 3),
+     hb AS (SELECT a.media_id, a.cy*3 + a.cx AS bi,
+         CASE WHEN a.lum * b.n > b.lum * a.n THEN 1 ELSE 0 END AS bit
+       FROM cells a JOIN cells b ON b.media_id = a.media_id
+         AND b.cy = a.cy AND b.cx = a.cx + 1),
+     vb AS (SELECT a.media_id, 12 + a.cx*3 + a.cy AS bi,
+         CASE WHEN a.lum * b.n > b.lum * a.n THEN 1 ELSE 0 END AS bit
+       FROM cells a JOIN cells b ON b.media_id = a.media_id
+         AND b.cx = a.cx AND b.cy = a.cy + 1),
+     hs AS (SELECT media_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << bi)) AS BIGINT) AS h24
+       FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb) GROUP BY 1),
+     cl AS (SELECT h24, CAST(COUNT(*) AS BIGINT) AS n_images,
+         MIN(media_id) AS min_media FROM hs GROUP BY 1),
+     top AS (SELECT * FROM cl ORDER BY n_images DESC, h24 LIMIT 100),
+     nr AS (SELECT t.h24, CAST(COUNT(*) AS BIGINT) AS ham2_hashes,
+         CAST(SUM(o.n_images) AS BIGINT) AS ham2_images
+       FROM top t JOIN cl o ON bit_count(xor(t.h24, o.h24)) BETWEEN 1 AND 2
+       GROUP BY 1)
+     SELECT t.h24, t.n_images, t.min_media,
+       COALESCE(n.ham2_hashes, CAST(0 AS BIGINT)) AS ham2_hashes,
+       COALESCE(n.ham2_images, CAST(0 AS BIGINT)) AS ham2_images
+     FROM top t LEFT JOIN nr n ON n.h24 = t.h24
+     ORDER BY t.n_images DESC, t.h24""") { (s, dir) =>
+    import s.implicits._
+    val cells = mediaTable(s, dir).as[MediaBlob].mapPartitions { it =>
+      it.flatMap(b => BmpCodec.pool4(b.media_id, b.payload))
+    }.toDF()
+    def bits(dcx: Int, dcy: Int, bi: org.apache.spark.sql.Column) =
+      cells.alias("a").join(cells.alias("b"),
+          col("b.media_id") === col("a.media_id")
+            && col("b.cx") === col("a.cx") + dcx
+            && col("b.cy") === col("a.cy") + dcy)
+        .select(col("a.media_id").as("media_id"), bi.as("bi"),
+          when(col("a.lum") * col("b.n_px") > col("b.lum") * col("a.n_px"),
+            lit(1L)).otherwise(lit(0L)).as("bit"))
+    val hs = bits(1, 0, col("a.cy") * 3 + col("a.cx"))
+      .unionAll(bits(0, 1, lit(12) + col("a.cx") * 3 + col("a.cy")))
+      .groupBy(col("media_id"))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(bi AS INT))"))
+        .as("h24"))
+    val cl = hs.groupBy(col("h24"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media"))
+    val top = cl.orderBy(col("n_images").desc, col("h24")).limit(100)
+    val nr = broadcast(top.select(col("h24"))).alias("t")
+      .join(cl.alias("o"),
+        expr("bit_count(t.h24 ^ o.h24) BETWEEN 1 AND 2"))
+      .groupBy(col("t.h24").as("h24"))
+      .agg(count(lit(1)).as("ham2_hashes"),
+        sum(col("o.n_images")).as("ham2_images"))
+    top.join(nr, Seq("h24"), "left")
+      .select(col("h24"), col("n_images"), col("min_media"),
+        coalesce(col("ham2_hashes"), lit(0L)).as("ham2_hashes"),
+        coalesce(col("ham2_images"), lit(0L)).as("ham2_images"))
+      .orderBy(col("n_images").desc, col("h24"))
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257, q272, q357)
 }

@@ -123,6 +123,14 @@ class PipelineSpec extends AnyFunSuite {
     assert((p0.sum_b, p0.sum_g, p0.sum_r) === (22L, 26L, 30L))
     // 1*(1+4+9) + 2*(4+10+18) + 5*(7+16+27) + 6*(10+22+36)
     assert(p0.proj_checksum === 14L + 64L + 250L + 408L)
+    // pool4 on the same hand image: w=h=2, so cx = 2x and cy = 2y —
+    // four singleton cells at the GAPPED grid coords {0,2}×{0,2}
+    // (q357's vertical/horizontal comparisons correctly find no
+    // adjacent neighbor here), lum = B + 2G + 3R per pixel
+    val c4 = Multimodal.BmpCodec.pool4(99L, bytes).toSeq
+    assert(c4.map(c => (c.cx, c.cy, c.n_px, c.lum)).toSet ===
+      Set((0L, 0L, 1L, 14L), (2L, 0L, 1L, 32L),
+          (0L, 2L, 1L, 50L), (2L, 2L, 1L, 68L)))
     // patch size 1: every pixel its own patch, projection weight 1 —
     // per-patch sums are the pixels themselves, 2x2 grid
     val p1 = Multimodal.BmpCodec.patches(99L, bytes, 1).toSeq
