@@ -423,7 +423,7 @@ object Dedup {
     * (q73, q83): SimHash pairs → bidirectional edges → label
     * reachability fixpoint → per-node component minimum.
     */
-  private def ccOracleCte: String =
+  private[operators] def ccOracleCte: String =
     s"""$simhashCte,
        pairs AS (
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -460,7 +460,7 @@ object Dedup {
     * Persisted as a 2-column parquet artifact (one row per doc): the
     * downstream ledgers (q331/q332/q339 …) are file scans over it.
     */
-  private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private[operators] def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.Memo.artifact(s, dir, "cc_labels")(
       connectedComponents(
         Tables.documents(s, dir).select(col("doc_id")),

@@ -787,10 +787,13 @@ object Multimodal {
     * parse, stride, bottom-up rows, BGR order) is what the hash gate
     * proves — q253's discipline on the image side.
     */
-  val q357 = oracled(
-    "q357_image_dhash",
-    "perceptual dHash duplicate clusters over the real BMP decode: top-100 + hamming<=2 neighbor mass",
-    """WITH d AS (SELECT doc_id, n_chars,
+  /** Shared oracle CTE chain (d → px → cells → hb/vb → hs): the planted
+    * closed-form pixels, 4×4 integer pooling, gradient bits, and the
+    * per-media ≤24-bit hash — q357's derivation, reused verbatim by
+    * q359 so both gates prove the SAME hash.
+    */
+  private def duckImageHashCtes: String =
+    """d AS (SELECT doc_id, n_chars,
          CAST(n_chars % 13 + 3 AS BIGINT) AS w,
          CAST(doc_id % 7 + 2 AS BIGINT) AS h
        FROM documents),
@@ -813,19 +816,14 @@ object Multimodal {
          AND b.cx = a.cx AND b.cy = a.cy + 1),
      hs AS (SELECT media_id,
          CAST(SUM(bit * (CAST(1 AS BIGINT) << bi)) AS BIGINT) AS h24
-       FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb) GROUP BY 1),
-     cl AS (SELECT h24, CAST(COUNT(*) AS BIGINT) AS n_images,
-         MIN(media_id) AS min_media FROM hs GROUP BY 1),
-     top AS (SELECT * FROM cl ORDER BY n_images DESC, h24 LIMIT 100),
-     nr AS (SELECT t.h24, CAST(COUNT(*) AS BIGINT) AS ham2_hashes,
-         CAST(SUM(o.n_images) AS BIGINT) AS ham2_images
-       FROM top t JOIN cl o ON bit_count(xor(t.h24, o.h24)) BETWEEN 1 AND 2
-       GROUP BY 1)
-     SELECT t.h24, t.n_images, t.min_media,
-       COALESCE(n.ham2_hashes, CAST(0 AS BIGINT)) AS ham2_hashes,
-       COALESCE(n.ham2_images, CAST(0 AS BIGINT)) AS ham2_images
-     FROM top t LEFT JOIN nr n ON n.h24 = t.h24
-     ORDER BY t.n_images DESC, t.h24""") { (s, dir) =>
+       FROM (SELECT * FROM hb UNION ALL SELECT * FROM vb) GROUP BY 1)"""
+
+  /** Per-media perceptual hash (media_id, h24) from the REAL decode:
+    * [[BmpCodec.pool4]] cells → two self-equi-joins for the gradient
+    * bits → partial-aggregated hash fold. Engine twin of
+    * [[duckImageHashCtes]]; shared by q357 and q359.
+    */
+  private[operators] def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cells = mediaTable(s, dir).as[MediaBlob].mapPartitions { it =>
       it.flatMap(b => BmpCodec.pool4(b.media_id, b.payload))
@@ -838,11 +836,30 @@ object Multimodal {
         .select(col("a.media_id").as("media_id"), bi.as("bi"),
           when(col("a.lum") * col("b.n_px") > col("b.lum") * col("a.n_px"),
             lit(1L)).otherwise(lit(0L)).as("bit"))
-    val hs = bits(1, 0, col("a.cy") * 3 + col("a.cx"))
+    bits(1, 0, col("a.cy") * 3 + col("a.cx"))
       .unionAll(bits(0, 1, lit(12) + col("a.cx") * 3 + col("a.cy")))
       .groupBy(col("media_id"))
       .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(bi AS INT))"))
         .as("h24"))
+  }
+
+  val q357 = oracled(
+    "q357_image_dhash",
+    "perceptual dHash duplicate clusters over the real BMP decode: top-100 + hamming<=2 neighbor mass",
+    s"""WITH $duckImageHashCtes,
+     cl AS (SELECT h24, CAST(COUNT(*) AS BIGINT) AS n_images,
+         MIN(media_id) AS min_media FROM hs GROUP BY 1),
+     top AS (SELECT * FROM cl ORDER BY n_images DESC, h24 LIMIT 100),
+     nr AS (SELECT t.h24, CAST(COUNT(*) AS BIGINT) AS ham2_hashes,
+         CAST(SUM(o.n_images) AS BIGINT) AS ham2_images
+       FROM top t JOIN cl o ON bit_count(xor(t.h24, o.h24)) BETWEEN 1 AND 2
+       GROUP BY 1)
+     SELECT t.h24, t.n_images, t.min_media,
+       COALESCE(n.ham2_hashes, CAST(0 AS BIGINT)) AS ham2_hashes,
+       COALESCE(n.ham2_images, CAST(0 AS BIGINT)) AS ham2_images
+     FROM top t LEFT JOIN nr n ON n.h24 = t.h24
+     ORDER BY t.n_images DESC, t.h24""") { (s, dir) =>
+    val hs = imageHashes(s, dir)
     val cl = hs.groupBy(col("h24"))
       .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media"))
     val top = cl.orderBy(col("n_images").desc, col("h24")).limit(100)
@@ -859,5 +876,52 @@ object Multimodal {
       .orderBy(col("n_images").desc, col("h24"))
   }
 
-  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257, q272, q357)
+  /** q358 — CROSS-MODAL duplicate-consistency audit: for each image
+    * duplicate cluster (shared [[imageHashes]] dHash, ≥2 members), how
+    * does the TEXT modality agree? Members are joined to the SimHash
+    * dedup clusters ([[Dedup.ccLabels]] — the persisted cc_labels
+    * artifact), and the ledger reports per image cluster its member
+    * count, the number of distinct text clusters those members span,
+    * the largest single text cluster's mass, and purity_ppm =
+    * top_mass·1e6 div members. High purity = the image dups are text
+    * dups too (true mirrors — safe to collapse); low purity = same
+    * template, different content (an image-only dedup would delete
+    * distinct documents) — the review signal a multimodal curation
+    * pass needs BEFORE acting on either modality alone.
+    *
+    * Scale shape: one keyed equi-join (hashes × cc_labels artifact
+    * scan) and two partial-aggregated groupBys — no pair object in
+    * any modality; top-100 by (members desc, hash) via TakeOrdered.
+    */
+  val q358 = oracled(
+    "q358_crossmodal_dup_audit",
+    "image-dup clusters vs text dedup clusters: member/text-cluster counts + purity ppm, top-100",
+    s"""WITH RECURSIVE ${graft.operators.Dedup.ccOracleCte},
+     $duckImageHashCtes,
+     jm AS (SELECT h.h24, c.cluster FROM hs h
+         JOIN cc c ON c.doc_id = h.media_id),
+     gm AS (SELECT h24, cluster, CAST(COUNT(*) AS BIGINT) AS m
+         FROM jm GROUP BY 1, 2),
+     ic AS (SELECT h24, CAST(SUM(m) AS BIGINT) AS n_members,
+         CAST(COUNT(*) AS BIGINT) AS n_text_clusters,
+         CAST(MAX(m) AS BIGINT) AS top_text_mass
+       FROM gm GROUP BY 1 HAVING SUM(m) >= 2),
+     top AS (SELECT * FROM ic ORDER BY n_members DESC, h24 LIMIT 100)
+     SELECT h24, n_members, n_text_clusters, top_text_mass,
+       CAST((top_text_mass * 1000000) // n_members AS BIGINT) AS purity_ppm
+     FROM top
+     ORDER BY n_members DESC, h24""") { (s, dir) =>
+    val gm = imageHashes(s, dir)
+      .join(Dedup.ccLabels(s, dir), col("media_id") === col("doc_id"))
+      .groupBy(col("h24"), col("cluster")).agg(count(lit(1)).as("m"))
+    gm.groupBy(col("h24"))
+      .agg(sum(col("m")).as("n_members"), count(lit(1)).as("n_text_clusters"),
+        max(col("m")).as("top_text_mass"))
+      .filter(col("n_members") >= 2)
+      .withColumn("purity_ppm", expr("(top_text_mass * 1000000) div n_members"))
+      .orderBy(col("n_members").desc, col("h24"))
+      .limit(100)
+  }
+
+  val all: Seq[GQuery] = Seq(q52, q53, q94, q95, q253, q257, q272, q357, q358)
 }
