@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch instrumentation main for the optimization round: times the
+  * phases of one query in isolation (not part of the driver contract).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic work counters: jobs / stages / tasks / summed task time
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          if (e.taskInfo != null) taskMs.addAndGet(e.taskInfo.duration)
+        }
+      })
+    def t[A](label: String)(f: => A): A = {
+      val (j0, s0, k0, m0) = (jobs.get, stages.get, tasks.get, taskMs.get)
+      val t0 = System.nanoTime(); val r = f
+      Thread.sleep(150) // let the listener bus drain
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%3d tasks=${tasks.get - k0}%5d taskTime=${(taskMs.get - m0) / 1e3}%8.2f s")
+      r
+    }
+    // warm the session like Bench does
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    graft.sources.Tables.names.foreach { n =>
+      try graft.sources.Tables(spark, dir, n).count() catch { case _: Throwable => () }
+    }
+    import graft.sources.Tables
+    import org.apache.spark.sql.expressions.Window
+    // ---- q285 phase decomposition ----
+    val cap = 1000L
+    for (rep <- 1 to 2) {
+      val bp = Tables.events(spark, dir)
+        .select(col("user_id"), (col("event_id") % 100).as("item"))
+        .distinct()
+      t(s"rep$rep bp distinct") { bp.write.format("noop").mode("overwrite").save() }
+      val wCap = Window.partitionBy(col("item"))
+        .orderBy(expr("(user_id % 100003) * 2654435761 % 1000000007"),
+          col("user_id"))
+      val bc = bp.withColumn("__rn", row_number().over(wCap))
+        .filter(col("__rn") <= cap).drop("__rn")
+      t(s"rep$rep bc capped") { bc.write.format("noop").mode("overwrite").save() }
+      val pw = bc.select(col("user_id").as("u"), col("item"))
+        .join(bc.select(col("user_id").as("v"), col("item")), Seq("item"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      t(s"rep$rep wedge join+agg") { pw.write.format("noop").mode("overwrite").save() }
+      val pb = t(s"rep$rep pb checkpoint") {
+        pw.filter(col("w") >= 2)
+          .select(col("u"), col("v"), expr("w * (w - 1) div 2").as("b"))
+          .localCheckpoint(false)
+      }
+      t(s"rep$rep full q285") {
+        SparkEntry.queries("q285_butterfly_count")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

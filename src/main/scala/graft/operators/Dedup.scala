@@ -487,7 +487,11 @@ object Dedup {
     // majority of a real corpus) never enter the loop state. Eagerly
     // checkpointed: the singleton anti-join below must not re-derive the
     // upstream pair pipeline after the caches are released.
-    val connected = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    // lazy (r16 optimization): round 1's convergence action materializes
+    // it — one fewer job barrier per cc call; the singleton anti-join
+    // still reads the pinned RDD, never the released caches
+    val connected = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(false)
     var labels = connected.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(false) // lazy: materialized by this round's sum action
     // coalesce: an edge-free corpus gives an EMPTY label table, where
@@ -531,6 +535,8 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds — " +
         "labels would be non-minimal; investigate the edge set")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $round rounds")
     val singletons = nodes
       .join(connected, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))

@@ -2099,8 +2099,21 @@ object Graph {
         col("user_id"))
     val bc = bp.withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= ButterflyCap).drop("__rn")
+    // r16 optimization (guide §2.5/§3.1): the wedge self-join EXPLODES
+    // (Σ min(deg,cap)² rows out of a capped, few-MB input), and AQE
+    // coalesces the pre-join shuffle by INPUT size — it cannot see the
+    // multiplication, so the explosion ran in 1-2 tasks (probe: 13.1 s
+    // of taskTime in a 13.3 s wall — zero parallelism). True at any
+    // scale: the capped projection is ≤ #items·cap rows even on a
+    // 100 TB corpus. Fix: BROADCAST one (cap-bounded) side and spread
+    // the probe side round-robin at the CONFIGURED parallelism (never
+    // a local constant; AQE keeps explicit-N repartitions) — the
+    // explosion is then evenly spread regardless of item skew, where
+    // an item-keyed shuffle join would still serialize a hot item.
+    val sp = bp.sparkSession.sessionState.conf.numShufflePartitions
     val pw = bc.select(col("user_id").as("u"), col("item"))
-      .join(bc.select(col("user_id").as("v"), col("item")),
+      .repartition(sp)
+      .join(broadcast(bc.select(col("user_id").as("v"), col("item"))),
         Seq("item"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))

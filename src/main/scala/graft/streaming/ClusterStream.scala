@@ -83,13 +83,27 @@ object ClusterStream {
       .select(col("doc_id").as("a"), col("gid").as("b"))
     val reps = Dedup.bandReps(sigs)
     // seen buckets: connect to the persisted hub; new buckets: star to
-    // the batch-bucket-min, which becomes the stored hub
-    val toOld = reps.join(hubs, Seq("band", "sig"))
-      .select(col("gid").as("a"), col("rep").as("b"))
-    val newReps = reps.join(hubs, Seq("band", "sig"), "left_anti")
-    val newHubs = newReps.groupBy(col("band"), col("sig"))
+    // the batch-bucket-min, which becomes the stored hub.
+    // r16 optimization (guide §2.4/§3): ONE left join against the hub
+    // store instead of inner + anti + groupBy + join-back — the anti
+    // join used to be COMPUTED TWICE (the newHubs branch and the toNew
+    // branch each re-ran it: DataFrame branches don't share subtrees),
+    // so one micro-batch paid 4 join executions against hubs; now it
+    // pays one, checkpointed lazily (materialized by the first
+    // consumer, reused by the rest). newHubs keeps the groupBy+join
+    // shape, NOT a window over (band, sig) — the round-6 rule: a hot
+    // bucket would serialize a window, while the aggregate stays
+    // partial/map-side.
+    val withHub = reps.join(hubs, Seq("band", "sig"), "left")
+      .localCheckpoint(false)
+    val newHubs = withHub.filter(col("rep").isNull)
+      .groupBy(col("band"), col("sig"))
       .agg(min(col("gid")).as("rep"))
-    val toNew = newReps.join(newHubs, Seq("band", "sig"))
+      .localCheckpoint(false)
+    val toOld = withHub.filter(col("rep").isNotNull)
+      .select(col("gid").as("a"), col("rep").as("b"))
+    val toNew = withHub.filter(col("rep").isNull).drop("rep")
+      .join(newHubs, Seq("band", "sig"))
       .filter(col("gid") =!= col("rep"))
       .select(col("gid").as("a"), col("rep").as("b"))
     val edges = starWithin.unionByName(toOld).unionByName(toNew).distinct()
@@ -106,7 +120,7 @@ object ClusterStream {
     val starts = sigs.select(col("doc_id"))
       .join(lmap.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("start"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r16)
     val contracted = edges
       .join(lmap.select(col("n").as("a"), col("l").as("la")), Seq("a"), "left")
       .join(lmap.select(col("n").as("b"), col("l").as("lb")), Seq("b"), "left")
@@ -117,7 +131,10 @@ object ClusterStream {
       .unionByName(contracted.select(col("a").as("node")))
       .unionByName(contracted.select(col("b").as("node")))
       .distinct()
-    val comp = Graph.cc(nodes, contracted).localCheckpoint()
+    // lazy (r16): cc's last round is already a materialized RDD; this
+    // checkpoint only pins the union-with-singletons, which the final
+    // labels action materializes once for both consumers below
+    val comp = Graph.cc(nodes, contracted).localCheckpoint(false)
     // relabel old components; batch docs adopt their start's component.
     // The anti-join keeps one row per doc under re-application.
     val remapOld = comp.select(col("node").as("cluster"), col("component"))
