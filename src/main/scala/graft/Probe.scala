@@ -26,8 +26,14 @@ object Probe {
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
-        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
+          if (sys.env.contains("GRAFT_STAGE_DEBUG")) {
+            val si = e.stageInfo
+            val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d wall=${ms}%5d ms  ${si.name.take(90)}")
+          }
+        }
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           tasks.incrementAndGet()
           if (e.taskInfo != null) taskMs.addAndGet(e.taskInfo.duration)
@@ -47,31 +53,37 @@ object Probe {
     }
     import graft.sources.Tables
     import org.apache.spark.sql.expressions.Window
-    // ---- q285 phase decomposition ----
-    val cap = 1000L
+    // ---- q263 phase decomposition ----
     for (rep <- 1 to 2) {
-      val bp = Tables.events(spark, dir)
-        .select(col("user_id"), (col("event_id") % 100).as("item"))
-        .distinct()
-      t(s"rep$rep bp distinct") { bp.write.format("noop").mode("overwrite").save() }
-      val wCap = Window.partitionBy(col("item"))
-        .orderBy(expr("(user_id % 100003) * 2654435761 % 1000000007"),
-          col("user_id"))
-      val bc = bp.withColumn("__rn", row_number().over(wCap))
-        .filter(col("__rn") <= cap).drop("__rn")
-      t(s"rep$rep bc capped") { bc.write.format("noop").mode("overwrite").save() }
-      val pw = bc.select(col("user_id").as("u"), col("item"))
-        .join(bc.select(col("user_id").as("v"), col("item")), Seq("item"))
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      t(s"rep$rep wedge join+agg") { pw.write.format("noop").mode("overwrite").save() }
-      val pb = t(s"rep$rep pb checkpoint") {
-        pw.filter(col("w") >= 2)
-          .select(col("u"), col("v"), expr("w * (w - 1) div 2").as("b"))
-          .localCheckpoint(false)
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), (col("event_id") % 100).as("item"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val und = ev.withColumn("b", lead(col("item"), 1).over(wu))
+        .withColumn("gap", lead(col("us"), 1).over(wu) - col("us"))
+        .filter(col("b").isNotNull && col("item") =!= col("b") &&
+          col("gap") <= 1800000000L)
+        .select(least(col("item"), col("b")).as("ua"),
+          greatest(col("item"), col("b")).as("ub"))
+        .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("cnt"))
+      t(s"rep$rep edge build") { und.write.format("noop").mode("overwrite").save() }
+      val (edges, nodes) = graft.operators.Graph.coRatingGraph(spark, dir)
+      t(s"rep$rep edges count") { println(s"[probe] EDGES=${edges.count()} NODES=${nodes.count()}") }
+      val ccOut = t(s"rep$rep q246 cc only") {
+        val c = graft.operators.Graph.cc(nodes.select(col("user_id")),
+          edges.filter(col("src") < col("dst")).select(col("src"), col("dst")))
+        c.write.format("noop").mode("overwrite").save()
+        c
       }
-      t(s"rep$rep full q285") {
-        SparkEntry.queries("q285_butterfly_count")(spark, dir).count()
+      t(s"rep$rep q246 window+sort") {
+        ccOut.withColumn("component_size",
+            count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+          .select(col("node").as("user_id"), col("component"), col("component_size"))
+          .orderBy(col("user_id")).count()
+      }
+      t(s"rep$rep q188") {
+        SparkEntry.queries("q188_hits")(spark, dir).count()
       }
       spark.catalog.clearCache()
     }
