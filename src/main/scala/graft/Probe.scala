@@ -51,39 +51,33 @@ object Probe {
     graft.sources.Tables.names.foreach { n =>
       try graft.sources.Tables(spark, dir, n).count() catch { case _: Throwable => () }
     }
-    import graft.sources.Tables
-    import org.apache.spark.sql.expressions.Window
-    // ---- q263 phase decomposition ----
+    // ---- r17: where does q256's 70 s of task time go? ----
+    // per-step decomposition through stepSigs with eager materialization
+    // of each intermediate (counts distort totals but attribute cost)
+    import graft.streaming.ClusterStream
     for (rep <- 1 to 2) {
-      val wu = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val ev = Tables.events(spark, dir)
-        .select(col("user_id"), (col("event_id") % 100).as("item"),
-          unix_micros(col("ts")).as("us"), col("event_id"))
-      val und = ev.withColumn("b", lead(col("item"), 1).over(wu))
-        .withColumn("gap", lead(col("us"), 1).over(wu) - col("us"))
-        .filter(col("b").isNotNull && col("item") =!= col("b") &&
-          col("gap") <= 1800000000L)
-        .select(least(col("item"), col("b")).as("ua"),
-          greatest(col("item"), col("b")).as("ub"))
-        .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("cnt"))
-      t(s"rep$rep edge build") { und.write.format("noop").mode("overwrite").save() }
-      val (edges, nodes) = graft.operators.Graph.coRatingGraph(spark, dir)
-      t(s"rep$rep edges count") { println(s"[probe] EDGES=${edges.count()} NODES=${nodes.count()}") }
-      val ccOut = t(s"rep$rep q246 cc only") {
-        val c = graft.operators.Graph.cc(nodes.select(col("user_id")),
-          edges.filter(col("src") < col("dst")).select(col("src"), col("dst")))
-        c.write.format("noop").mode("overwrite").save()
-        c
+      t(s"rep$rep q256 warm") {
+        SparkEntry.queries("q256_incremental_clustering")(spark, dir).count()
       }
-      t(s"rep$rep q246 window+sort") {
-        ccOut.withColumn("component_size",
-            count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
-          .select(col("node").as("user_id"), col("component"), col("component_size"))
-          .orderBy(col("user_id")).count()
+      spark.catalog.clearCache()
+      val sigsAll = t(s"rep$rep artifact read") {
+        val x = SparkEntry.queries("q45_dedup_minhash_lsh")(spark, dir)
+        x.count() // warm the artifact
+        graft.operators.Dedup.labeledSignatures(spark, dir)
+          .select(col("doc_id"), col("mh"))
       }
-      t(s"rep$rep q188") {
-        SparkEntry.queries("q188_hits")(spark, dir).count()
+      val mx = sigsAll.agg(max(col("doc_id")).as("mxd"))
+      val staged = sigsAll.crossJoin(broadcast(mx))
+        .withColumn("bk", expr("doc_id * 4 div (mxd + 1)"))
+        .localCheckpoint()
+      var st = (ClusterStream.emptyLabels(spark), ClusterStream.emptyHubs(spark))
+      for (k <- 0 to 3) {
+        val b = staged.filter(col("bk") === k)
+        st = t(s"rep$rep step $k") {
+          ClusterStream.stepSigs(st._1, st._2,
+            b.select(col("doc_id"), col("mh")), b.select(col("doc_id")))
+        }
+        t(s"rep$rep   step $k labels count") { st._1.count() }
       }
       spark.catalog.clearCache()
     }

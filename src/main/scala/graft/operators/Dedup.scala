@@ -136,7 +136,7 @@ object Dedup {
     * gid = min doc_id sharing its full signature). Shared by q45 (pair
     * listing) and q255 (pair-free clustering).
     */
-  private def labeledSignatures(s: org.apache.spark.sql.SparkSession,
+  private[graft] def labeledSignatures(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.Memo.artifact(s, dir, "minhash_groups")( {
       val sigs = minhashSignatures(tokenized(s, dir))
@@ -484,15 +484,25 @@ object Dedup {
       .repartition(col("src"))
       .cache()
     // only nodes that appear in an edge iterate; singletons (the vast
-    // majority of a real corpus) never enter the loop state. Eagerly
-    // checkpointed: the singleton anti-join below must not re-derive the
-    // upstream pair pipeline after the caches are released.
+    // majority of a real corpus) never enter the loop state.
+    // r17 (guide §2.4 — share the exchange): the initial label is
+    // min(self, direct neighbors), computed by the SAME src-keyed
+    // aggregate that previously only built the distinct node set — the
+    // first propagation round rides the `connected` shuffle for free,
+    // and every cc call converges one full round (≈5 stage-jobs)
+    // earlier. Correctness: any start label that is (a) the id of a
+    // node in the same component and (b) ≤ the node's own id keeps the
+    // loop's invariants (monotone min-propagation from ids within the
+    // component ⇒ same fixpoint = component min; the strictly
+    // decreasing label sum still detects convergence).
     // lazy (r16 optimization): round 1's convergence action materializes
     // it — one fewer job barrier per cc call; the singleton anti-join
     // still reads the pinned RDD, never the released caches
-    val connected = edges.select(col("src").as("doc_id")).distinct()
+    val connected = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .select(col("src").as("doc_id"), col("cluster"))
       .localCheckpoint(false)
-    var labels = connected.select(col("doc_id"), col("doc_id").as("cluster"))
+    var labels = connected
       .localCheckpoint(false) // lazy: materialized by this round's sum action
     // coalesce: an edge-free corpus gives an EMPTY label table, where
     // sum() is null — the loop must converge on 0, not NPE
@@ -1486,17 +1496,26 @@ object Dedup {
     "4-batch incremental replay via ClusterStream.step fold == from-scratch q255 closure",
     pairFreeClosureSql) { (s, dir) =>
     import graft.streaming.ClusterStream
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    val mx = docs.agg(max(col("doc_id")).as("mxd"))
-    val staged = docs.crossJoin(broadcast(mx))
+    // r17 (guide §2.3/§6): the replay batches feed the corpus signature
+    // ARTIFACT (`minhash_groups` — the same per-doc (doc_id, mh) rows
+    // q45/q255 consume; the signature is a pure per-doc function, so
+    // the artifact slice is bit-identical to re-minhashing the batch
+    // text) instead of tokenizing + rolling-hashing + minhash-agging a
+    // quarter of the corpus per step. The staged frame also shrinks
+    // from (doc_id, lang, source, text) to (doc_id, mh). The per-batch
+    // gid is still recomputed inside the step (the artifact's gid spans
+    // the full corpus).
+    val sigsAll = labeledSignatures(s, dir).select(col("doc_id"), col("mh"))
+    val mx = sigsAll.agg(max(col("doc_id")).as("mxd"))
+    val staged = sigsAll.crossJoin(broadcast(mx))
       .withColumn("bk", expr("doc_id * 4 div (mxd + 1)"))
       .localCheckpoint() // four filtered scans below, one materialization
     var st = (ClusterStream.emptyLabels(s), ClusterStream.emptyHubs(s))
-    for (k <- 0 to 3)
-      st = ClusterStream.step(st._1, st._2,
-        staged.filter(col("bk") === k)
-          .select(col("doc_id"), col("lang"), col("source"), col("text")))
+    for (k <- 0 to 3) {
+      val b = staged.filter(col("bk") === k)
+      st = ClusterStream.stepSigs(st._1, st._2,
+        b.select(col("doc_id"), col("mh")), b.select(col("doc_id")))
+    }
     st._1
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -70,43 +70,69 @@ object ClusterStream {
     * updated (labels, hubs) — both fully materialized frames.
     */
   private[graft] def step(labels: DataFrame, hubs: DataFrame,
-      batch: DataFrame): (DataFrame, DataFrame) = {
-    val rawSigs = Dedup.minhashSignatures(Dedup.tokensOf(batch))
+      batch: DataFrame): (DataFrame, DataFrame) =
+    stepSigs(labels, hubs,
+      Dedup.minhashSignatures(Dedup.tokensOf(batch)),
+      batch.select(col("doc_id")))
+
+  /** [[step]] with the per-doc MinHash signatures ALREADY computed —
+    * (doc_id, mh) with exactly one row per batch doc. The signature is
+    * a pure per-doc function, so a batch replay whose corpus signatures
+    * are a persisted artifact (q256 over `minhash_groups`) feeds the
+    * artifact slice instead of re-tokenizing + re-hashing the text per
+    * batch (guide §2.3/§6 — don't recompute what an artifact already
+    * holds); the streaming sink, whose docs arrive as text, goes
+    * through [[step]] and computes them. `batchIds`: the batch's doc
+    * ids (one row per doc), used for the keep-labels anti-join.
+    */
+  private[graft] def stepSigs(labels: DataFrame, hubs: DataFrame,
+      rawSigs: DataFrame, batchIds: DataFrame): (DataFrame, DataFrame) = {
     // groupBy+join rep labeling (same shape as Dedup.labeledSignatures:
     // the signature key is low-cardinality, so an aggregate window over
     // it would be one task per signature group on a large replay batch)
     val sigs = rawSigs
       .join(rawSigs.groupBy(col("mh")).agg(min(col("doc_id")).as("gid")),
         Seq("mh"))
-      .localCheckpoint() // feeds stars, reps, and the relabel below
+      // lazy (r17): the contraction's first action materializes it in
+      // the same DAG; stars/reps/relabel then read the pinned RDD —
+      // one fewer driver barrier per step (guide §2 — the 4-step replay
+      // is barrier-bound at fixture scale)
+      .localCheckpoint(false)
     val starWithin = sigs.filter(col("doc_id") =!= col("gid"))
       .select(col("doc_id").as("a"), col("gid").as("b"))
     val reps = Dedup.bandReps(sigs)
     // seen buckets: connect to the persisted hub; new buckets: star to
     // the batch-bucket-min, which becomes the stored hub.
-    // r16 optimization (guide §2.4/§3): ONE left join against the hub
-    // store instead of inner + anti + groupBy + join-back — the anti
-    // join used to be COMPUTED TWICE (the newHubs branch and the toNew
-    // branch each re-ran it: DataFrame branches don't share subtrees),
-    // so one micro-batch paid 4 join executions against hubs; now it
-    // pays one, checkpointed lazily (materialized by the first
-    // consumer, reused by the rest). newHubs keeps the groupBy+join
-    // shape, NOT a window over (band, sig) — the round-6 rule: a hot
-    // bucket would serialize a window, while the aggregate stays
-    // partial/map-side.
-    val withHub = reps.join(hubs, Seq("band", "sig"), "left")
+    // r17 (guide §2.4 — fewer exchanges per step): ONE per-bucket
+    // aggregate (bmin = batch-bucket-min gid) left-joined once against
+    // the hub store serves BOTH bucket classes — the star target is
+    // coalesce(rep, bmin) (the persisted hub when seen, the batch min
+    // when new), and newHubs is the rep-null slice of the same frame.
+    // The r16 shape paid a member-level hub join (reps ⋈ hubs) plus a
+    // groupBy plus a join-back (toNew ⋈ newHubs); this pays one
+    // bucket-level groupBy + one bucket-level hub join, and the reps
+    // exchange on (band, sig) is shared by the aggregate and the
+    // star-edge join (ReusedExchange). Still a groupBy, NOT a window
+    // over (band, sig) — the round-6 hot-bucket rule.
+    val bktHub = reps.groupBy(col("band"), col("sig"))
+      .agg(min(col("gid")).as("bmin"))
+      .join(hubs, Seq("band", "sig"), "left")
+      .select(col("band"), col("sig"), col("bmin"),
+        coalesce(col("rep"), col("bmin")).as("target"),
+        col("rep").isNull.as("isnew"))
       .localCheckpoint(false)
-    val newHubs = withHub.filter(col("rep").isNull)
-      .groupBy(col("band"), col("sig"))
-      .agg(min(col("gid")).as("rep"))
-      .localCheckpoint(false)
-    val toOld = withHub.filter(col("rep").isNotNull)
-      .select(col("gid").as("a"), col("rep").as("b"))
-    val toNew = withHub.filter(col("rep").isNull).drop("rep")
-      .join(newHubs, Seq("band", "sig"))
-      .filter(col("gid") =!= col("rep"))
-      .select(col("gid").as("a"), col("rep").as("b"))
-    val edges = starWithin.unionByName(toOld).unionByName(toNew).distinct()
+    val newHubs = bktHub.filter(col("isnew"))
+      .select(col("band"), col("sig"), col("bmin").as("rep"))
+    val across = reps
+      .join(bktHub.select(col("band"), col("sig"), col("target")),
+        Seq("band", "sig"))
+      .filter(col("gid") =!= col("target"))
+      .select(col("gid").as("a"), col("target").as("b"))
+    // no .distinct() (r17): [[Graph.cc]]'s min-label propagation is
+    // insensitive to duplicate edges (a gid meets the same target in at
+    // most NumBands buckets — bounded dup factor), and the distinct
+    // cost a full exchange per step
+    val edges = starWithin.unionByName(across)
     // q251 contraction: EVERY endpoint — including the batch docs
     // themselves — enters the component computation as its current
     // label (`start`). On first delivery a batch doc is absent from
@@ -127,10 +153,12 @@ object ClusterStream {
       .select(coalesce(col("la"), col("a")).as("a"),
         coalesce(col("lb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    val nodes = starts.select(col("start").as("node"))
-      .unionByName(contracted.select(col("a").as("node")))
-      .unionByName(contracted.select(col("b").as("node")))
-      .distinct()
+    // r17: the node set passed to cc only matters for its SINGLETON
+    // path (nodes with no edge) — every contracted endpoint appears in
+    // an edge and is labeled by the propagation loop regardless, so
+    // unioning the endpoints in only enlarged the distinct for nothing
+    // (cc output row set is identical either way)
+    val nodes = starts.select(col("start").as("node")).distinct()
     // lazy (r16): cc's last round is already a materialized RDD; this
     // checkpoint only pins the union-with-singletons, which the final
     // labels action materializes once for both consumers below
@@ -139,7 +167,7 @@ object ClusterStream {
     // The anti-join keeps one row per doc under re-application.
     val remapOld = comp.select(col("node").as("cluster"), col("component"))
     val keptOld = labels
-      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(batchIds, Seq("doc_id"), "left_anti")
       .join(remapOld, Seq("cluster"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("cluster")).as("cluster"))
