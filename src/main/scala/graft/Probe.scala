@@ -51,35 +51,12 @@ object Probe {
     graft.sources.Tables.names.foreach { n =>
       try graft.sources.Tables(spark, dir, n).count() catch { case _: Throwable => () }
     }
-    // ---- r17: where does q256's 70 s of task time go? ----
-    // per-step decomposition through stepSigs with eager materialization
-    // of each intermediate (counts distort totals but attribute cost)
-    import graft.streaming.ClusterStream
     for (rep <- 1 to 2) {
-      t(s"rep$rep q256 warm") {
-        SparkEntry.queries("q256_incremental_clustering")(spark, dir).count()
+      for (q <- Seq("q263_boruvka_msf", "q188_hits",
+          "q246_graph_components", "q259_cluster_delete_maintenance")) {
+        t(s"rep$rep $q") { SparkEntry.queries(q)(spark, dir).count() }
+        spark.catalog.clearCache()
       }
-      spark.catalog.clearCache()
-      val sigsAll = t(s"rep$rep artifact read") {
-        val x = SparkEntry.queries("q45_dedup_minhash_lsh")(spark, dir)
-        x.count() // warm the artifact
-        graft.operators.Dedup.labeledSignatures(spark, dir)
-          .select(col("doc_id"), col("mh"))
-      }
-      val mx = sigsAll.agg(max(col("doc_id")).as("mxd"))
-      val staged = sigsAll.crossJoin(broadcast(mx))
-        .withColumn("bk", expr("doc_id * 4 div (mxd + 1)"))
-        .localCheckpoint()
-      var st = (ClusterStream.emptyLabels(spark), ClusterStream.emptyHubs(spark))
-      for (k <- 0 to 3) {
-        val b = staged.filter(col("bk") === k)
-        st = t(s"rep$rep step $k") {
-          ClusterStream.stepSigs(st._1, st._2,
-            b.select(col("doc_id"), col("mh")), b.select(col("doc_id")))
-        }
-        t(s"rep$rep   step $k labels count") { st._1.count() }
-      }
-      spark.catalog.clearCache()
     }
     spark.stop()
   }

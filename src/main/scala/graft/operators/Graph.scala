@@ -1915,7 +1915,7 @@ object Graph {
           col("ub").as("kb")).as("k"))
       .localCheckpoint() // scanned once per round; lineage stays O(1)
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy (r17): round 1's chosen action pins it
     // accumulated msf: a union of per-round CHECKPOINTED chosen frames,
     // so the lineage stays one shallow union node — no per-round msf
     // re-checkpoint (rounds are ≤ ⌈log₂ V⌉, the union stays small)
@@ -1952,7 +1952,10 @@ object Graph {
           .select(col("la"), col("lb"))
         val l2 = cc(lbl.select(col("lbl")).distinct(), ce).toDF("lbl", "nl")
         lbl = lbl.join(l2, Seq("lbl"))
-          .select(col("node"), col("nl").as("lbl")).localCheckpoint()
+          .select(col("node"), col("nl").as("lbl"))
+          // lazy (r17): the next round's chosen action (or the final
+          // msf consumer) pins it — one fewer barrier per round
+          .localCheckpoint(false)
       }
     }
     msf
