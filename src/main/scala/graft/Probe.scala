@@ -52,8 +52,8 @@ object Probe {
       try graft.sources.Tables(spark, dir, n).count() catch { case _: Throwable => () }
     }
     for (rep <- 1 to 2) {
-      for (q <- Seq("q263_boruvka_msf", "q188_hits",
-          "q246_graph_components", "q259_cluster_delete_maintenance")) {
+      for (q <- Seq("q236_association_rules", "q334_drift_stream_replay",
+          "q322_similarity_join", "q256_incremental_clustering")) {
         t(s"rep$rep $q") { SparkEntry.queries(q)(spark, dir).count() }
         spark.catalog.clearCache()
       }

@@ -1475,15 +1475,33 @@ object Analytics {
        FROM top t JOIN n1 sa ON sa.pk = t.a JOIN n1 sb ON sb.pk = t.b2
        CROSS JOIN nn
        ORDER BY t.nab DESC, t.a, t.b2""") { (s, dir) =>
-    val b = Tables.lineitem(s, dir)
+    // r17 (guide §2.4 — remove shuffles outright): ONE order-keyed
+    // aggregate builds each basket as a sorted distinct array, and the
+    // a<b pairs explode ARRAY-SIDE inside the scan of that table — the
+    // r16 shape paid a (ok, pk) distinct exchange plus a self-join that
+    // re-shuffled the basket table twice more on ok. Singles (n1) and
+    // the basket count (nn) read the same checkpointed basket table.
+    // The pair fan-out Σ(basket choose 2) — the Apriori floor — is
+    // unchanged, it just happens map-side before the (a, b) aggregate.
+    val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n1 = b.groupBy(col("pk")).agg(count(lit(1)).as("na"))
-    val nn = b.agg(countDistinct(col("ok")).as("n"))
-    val pairs = b.alias("x").join(b.alias("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .localCheckpoint(false) // pairs, singles, and the count share it
+    val n1 = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("na"))
+    val nn = baskets.agg(count(lit(1)).as("n"))
+    // explicit spread at the configured parallelism before the
+    // quadratic explode (the q285 butterfly rule: AQE sizes stages by
+    // INPUT bytes, so the small basket table coalesces to a couple of
+    // partitions and the Σ(basket choose 2) fan-out would serialize)
+    val pairs = baskets
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+             transform(slice(pks, i + 2, size(pks)),
+               y -> struct(x AS a, y AS b))))""")).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
       .agg(count(lit(1)).as("nab"))
       .orderBy(col("nab").desc, col("a"), col("b")).limit(100)
     pairs

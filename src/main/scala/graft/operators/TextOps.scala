@@ -1303,7 +1303,8 @@ object TextOps {
     * BPE/phrase-mining trainer. Returns (next stream, 1-row stats).
     */
   private[graft] def mergeRound(st: org.apache.spark.sql.DataFrame,
-      round: Int)
+      round: Int,
+      lenBefore: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -1315,18 +1316,39 @@ object TextOps {
       .withColumn("nxt", lead(col("tok"), 1).over(wdoc))
       .withColumn("prev", lag(col("tok"), 1).over(wdoc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17 (guide §1.2/§2.3): the 1-row argmax is CHECKPOINTED — it used
+    // to be a lazy subtree that both the rewrite's broadcast and the
+    // stats crossJoin re-executed, i.e. TWO full aggregate passes over
+    // the stream per round for one argmax
     val top = nx.filter(col("nxt").isNotNull)
       .groupBy(col("tok").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("a"), col("b")).limit(1)
-    val v = nx.crossJoin(broadcast(top))
-      // run offset: p − last run start (a running max — no extra shuffle)
-      .withColumn("off", col("p") -
-        max(when(not(col("tok") <=> col("prev")), col("p"))).over(wrun))
-      .withColumn("valid",
+      .localCheckpoint()
+    // bounded 1-row driver scalar (the q211 nodes-count discipline):
+    // when the chosen pair's tokens DIFFER — the common case — the
+    // greedy-left rule never consults the equal-run offset, so the
+    // running-max window pass over the whole stream is skipped. An
+    // empty top (pair-free stream) takes the full formula, whose
+    // crossJoin with the empty frame yields the same empty result as
+    // before.
+    val pairSelfEqual = top.collect().headOption
+      .forall(r => r.getString(0) == r.getString(1))
+    val vbase = nx.crossJoin(broadcast(top))
+    val v = if (pairSelfEqual) {
+      vbase
+        // run offset: p − last run start (a running max — no extra shuffle)
+        .withColumn("off", col("p") -
+          max(when(not(col("tok") <=> col("prev")), col("p"))).over(wrun))
+        .withColumn("valid",
+          coalesce(col("tok") === col("a") && col("nxt") === col("b"),
+            lit(false)) &&
+            (col("a") =!= col("b") || col("off") % 2 === 0))
+    } else {
+      vbase.withColumn("valid",
         coalesce(col("tok") === col("a") && col("nxt") === col("b"),
-          lit(false)) &&
-          (col("a") =!= col("b") || col("off") % 2 === 0))
+          lit(false)))
+    }
     val cs = v.withColumn("consumed",
       coalesce(lag(col("valid"), 1).over(wdoc), lit(false)))
     val out = cs.filter(!col("consumed"))
@@ -1336,9 +1358,11 @@ object TextOps {
           .otherwise(col("tok")).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every merge removes exactly one token, so n_merged is the length
-    // delta — no second pass over the window chain needed
+    // delta — no second pass over the window chain needed. r17: rounds
+    // after the first pass the PREVIOUS round's len_after in as
+    // len_before (a 1-row frame) instead of re-counting the stream.
     val stats = top
-      .crossJoin(nx.agg(count(lit(1)).as("len_before")))
+      .crossJoin(lenBefore.getOrElse(nx.agg(count(lit(1)).as("len_before"))))
       .crossJoin(out.agg(count(lit(1)).as("len_after"),
         countDistinct(col("tok")).as("vocab_after")))
       .select(lit(round.toLong).as("round"),
@@ -1416,11 +1440,20 @@ object TextOps {
         posexplode(split(trim(col("text")), " ")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
         col("tok"))
-    val (st2, m1, nx1) = mergeRound(st1, 1)
-    val (st3, m2, nx2) = mergeRound(st2, 2)
-    val (st4, m3, nx3) = mergeRound(st3, 3)
+    // r17: each round's 1-row stats is eagerly checkpointed and its
+    // len_after threads into the next round as len_before — the next
+    // round reads a pinned 1-row RDD instead of re-counting the stream
+    // (and without the checkpoint the chained references would re-run
+    // earlier rounds' aggregate subtrees quadratically)
+    val (st2, m1l, nx1) = mergeRound(st1, 1)
+    val m1 = m1l.localCheckpoint()
+    val (st3, m2l, nx2) = mergeRound(st2, 2,
+      Some(m1.select(col("len_after").as("len_before"))))
+    val m2 = m2l.localCheckpoint()
+    val (st4, m3l, nx3) = mergeRound(st3, 3,
+      Some(m2.select(col("len_after").as("len_before"))))
+    val m3 = m3l.localCheckpoint()
     val res = m1.unionByName(m2).unionByName(m3).orderBy(col("round"))
-      .localCheckpoint() // materialize before unpersisting the streams
     Seq(st2, st3, st4, nx1, nx2, nx3).foreach(_.unpersist())
     res
   }

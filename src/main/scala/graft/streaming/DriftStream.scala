@@ -81,7 +81,10 @@ object DriftStream {
       .crossJoin(broadcast(w1))
       .withColumn("is_fresh",
         col("wm_id").isNull || col("doc_id") > col("wm_id"))
-      .localCheckpoint()
+      // lazy (r17): the data-loss-guard count right below is the
+      // materializing action — the eager checkpoint was a second
+      // driver barrier per batch for the same materialization
+      .localCheckpoint(false)
     // observable data-loss guard (SeasonalStream's, verbatim): sound
     // only under monotone doc_id delivery — replays only
     val nDropped = marked.filter(!col("is_fresh")).count()
@@ -99,7 +102,12 @@ object DriftStream {
       .unionByName(fresh.select(col("doc_id").as("wm_id")))
       .agg(max(col("wm_id")).as("wm_id"))
       .filter(col("wm_id").isNotNull)
-    (merged.localCheckpoint(), wm2.localCheckpoint())
+    // lazy (r17): the consumer's first action pins each output — the
+    // next step's guard count (replay fold) or the versioned parquet
+    // write (stream). Laziness is SAFE for the stream because
+    // processBatch writes a FRESH v<N+1> directory and its GC never
+    // deletes the v<N> it read — nothing is overwritten mid-read.
+    (merged.localCheckpoint(false), wm2.localCheckpoint(false))
   }
 
   /** Start the streaming intake: both stores maintained atomically
@@ -179,8 +187,10 @@ object DriftStream {
     val prev = committedVersion(s, stateDir)
     val (hist2, wm2) = step(
       readHist(s, stateDir), readWm(s, stateDir), batch.localCheckpoint())
-    // step fully materializes both outputs (localCheckpoint), so the
-    // writes below cannot re-read the version they replace
+    // step's outputs are LAZY checkpoints (r17) — the parquet writes
+    // below materialize them while reading from v<prev>, which this
+    // cycle never deletes (fresh v<next> dir + one-version GC
+    // retention), so there is no overwrite-while-reading window
     val next = prev + 1
     val fs = fsOf(s, stateDir)
     val vdir = s"$stateDir/v$next"
