@@ -2130,10 +2130,12 @@ object Graph {
     val pu = pb.select(col("u").as("user_id"), col("b"))
       .union(pb.select(col("v").as("user_id"), col("b")))
       .groupBy(col("user_id")).agg(sum(col("b")).as("bfly"))
-    pu.withColumn("rank",
+    // r17 (§2.1): top-20 via orderBy+limit — no vertex-sized
+    // single-partition rank window
+    pu.orderBy(col("bfly").desc, col("user_id")).limit(20)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("bfly").desc,
           col("user_id"))).cast("long"))
-      .filter(col("rank") <= 20)
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("user_id"), col("bfly"),
         col("total_bflies"))

@@ -927,10 +927,12 @@ object Relational {
       .select(col("id_a"), col("id_b"), d2.as("dist2"))
       .localCheckpoint(false)
     val tot = pr.agg(count(lit(1)).as("total_pairs"))
-    pr.withColumn("rank",
+    // r17 (§2.1): top-20 via orderBy+limit — no pair-table-sized
+    // single-partition rank window
+    pr.orderBy(col("dist2"), col("id_a"), col("id_b")).limit(20)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("dist2"), col("id_a"),
           col("id_b"))).cast("long"))
-      .filter(col("rank") <= 20)
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("id_a"), col("id_b"), col("dist2"),
         col("total_pairs"))

@@ -1857,10 +1857,13 @@ object TextOps {
     val mi = grid.select(col("tok"), col("df"), term.as("term"))
       .groupBy(col("tok"), col("df"))
       .agg(sum(col("term")).as("mi_x20n"))
-    mi.withColumn("rank",
+    // r17 (§2.1 window sweep): top-k via orderBy+limit
+    // (TakeOrderedAndProject — per-partition top-k, no vocabulary-sized
+    // single-partition window); the rank window then runs on ≤30 rows
+    mi.orderBy(col("mi_x20n").desc, col("tok")).limit(30)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("mi_x20n").desc, col("tok")))
           .cast("long"))
-      .filter(col("rank") <= 30)
       .select(col("rank"), col("tok"), col("df"), col("mi_x20n"))
       .orderBy(col("rank"))
   }
@@ -1965,10 +1968,12 @@ object TextOps {
        WHERE rank <= 10 ORDER BY rank""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val (tot, dl) = bm25IntScores(s, dir)
-    tot.withColumn("rank",
+    // r17 (§2.1 window sweep): top-k via orderBy+limit instead of a
+    // corpus-sized single-partition rank window; rank assigned on ≤10 rows
+    tot.orderBy(col("score_x20").desc, col("doc_id")).limit(10)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("score_x20").desc,
           col("doc_id"))).cast("long"))
-      .filter(col("rank") <= 10)
       .join(dl, Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("score_x20"),
         col("n_terms"), col("dl"))
@@ -2032,10 +2037,12 @@ object TextOps {
       .join(rb.select(col("doc_id"), col("rank_b")), Seq("doc_id"))
       .withColumn("rrf_x1e6", expr(
         "1000000 div (60 + rank_a) + 1000000 div (60 + rank_b)"))
+      // r17 (§2.1): the FUSED top-15 via orderBy+limit (the two full
+      // rank windows above are inherent — RRF consumes complete ranks)
+      .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(15)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("rrf_x1e6").desc,
           col("doc_id"))).cast("long"))
-      .filter(col("rank") <= 15)
       .select(col("rank"), col("doc_id"), col("rrf_x1e6"),
         col("rank_a"), col("rank_b"))
       .orderBy(col("rank"))
@@ -2131,10 +2138,12 @@ object TextOps {
       .select(col("ta"), col("tb"), col("c_ab"),
         (l2s("c_ab") + lit(2L) * l2s("n_tok") - l2s("n_pairs")
           - l2s("ca") - l2s("cb")).as("pmi_x20"))
-    sc.withColumn("rank",
+    // r17 (§2.1): top-30 via orderBy+limit — the rank window no longer
+    // drags the pair-vocabulary through one partition
+    sc.orderBy(col("pmi_x20").desc, col("ta"), col("tb")).limit(30)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("pmi_x20").desc,
           col("ta"), col("tb"))).cast("long"))
-      .filter(col("rank") <= 30)
       .select(col("rank"), col("ta"), col("tb"), col("c_ab"),
         col("pmi_x20"))
       .orderBy(col("rank"))
