@@ -63,7 +63,11 @@ object IndexStream {
     val fresh = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
       .join(seen, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // feeds the delta and the seen update
+      // lazy (r17): the merged-stats eager checkpoint below is the
+      // materializing action, BEFORE any state-path overwrite — one
+      // fewer driver barrier per batch; the seen update then reads the
+      // pinned RDD
+      .localCheckpoint(false) // feeds the delta and the seen update
     val delta = fresh
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .groupBy(col("token"))

@@ -73,7 +73,10 @@ object SeasonalStream {
       .withColumn("is_fresh", col("wm_ts").isNull
         || col("ts") > col("wm_ts")
         || (col("ts") === col("wm_ts") && col("event_id") > col("wm_id")))
-      .localCheckpoint() // feeds the delta, the mark update, and the guard
+      // lazy (r17): the guard count right below is the materializing
+      // action (before any state-path overwrite) — one fewer driver
+      // barrier per batch
+      .localCheckpoint(false) // feeds the delta, the mark update, and the guard
     // DATA-LOSS GUARD (r13 ADVICE): rows at-or-below the mark are
     // DROPPED as replays. That is sound ONLY under the documented
     // monotone (ts, event_id) delivery contract — the mark cannot
