@@ -1514,7 +1514,8 @@ object Dedup {
     for (k <- 0 to 3) {
       val b = staged.filter(col("bk") === k)
       st = ClusterStream.stepSigs(st._1, st._2,
-        b.select(col("doc_id"), col("mh")), b.select(col("doc_id")))
+        b.select(col("doc_id"), col("mh")), b.select(col("doc_id")),
+        eagerOutputs = false) // in-memory fold: next step materializes
     }
     st._1
       .withColumn("cluster_size",

@@ -842,7 +842,10 @@ object Graph {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
-        .localCheckpoint()
+        // lazy (r17): the convergence count right below materializes
+        // it — one fewer barrier per peel round; the next round's two
+        // endpoint joins then read the pinned RDD
+        .localCheckpoint(false)
       val c = alive.count()
       converged = c == prevCount
       prevCount = c

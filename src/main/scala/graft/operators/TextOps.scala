@@ -1273,7 +1273,9 @@ object TextOps {
       .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .localCheckpoint()
     val sw = d.groupBy(col("src")).agg(sum(col("w")).cast("long").as("sw"))
-    val nodes = d.select(col("src").as("tok")).distinct().localCheckpoint()
+    // lazy (r17): the count right below is the materializing action
+    // (count touches every partition, so the pinned blocks are complete)
+    val nodes = d.select(col("src").as("tok")).distinct().localCheckpoint(false)
     val n = nodes.count()
     var pr = nodes.select(col("tok"), lit(TrScale / n).as("rnk"))
     (1 to TrIters).foreach { _ =>

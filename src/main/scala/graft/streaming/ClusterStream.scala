@@ -85,8 +85,16 @@ object ClusterStream {
     * through [[step]] and computes them. `batchIds`: the batch's doc
     * ids (one row per doc), used for the keep-labels anti-join.
     */
+  /** @param eagerOutputs when true (the streaming path), both returned
+    *  frames are EAGER checkpoints — processBatch overwrites the
+    *  parquet paths they were read from, so they must be materialized
+    *  before the write. The in-memory replay fold (q256) passes false:
+    *  the next step's contraction actions (or the final consumer)
+    *  materialize them, saving two driver barriers per step (r17).
+    */
   private[graft] def stepSigs(labels: DataFrame, hubs: DataFrame,
-      rawSigs: DataFrame, batchIds: DataFrame): (DataFrame, DataFrame) = {
+      rawSigs: DataFrame, batchIds: DataFrame,
+      eagerOutputs: Boolean = true): (DataFrame, DataFrame) = {
     // groupBy+join rep labeling (same shape as Dedup.labeledSignatures:
     // the signature key is low-cardinality, so an aggregate window over
     // it would be one task per signature group on a large replay batch)
@@ -176,8 +184,8 @@ object ClusterStream {
         Seq("start"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("start")).as("cluster"))
-    (keptOld.unionByName(newLabels).localCheckpoint(),
-      hubs.unionByName(newHubs).localCheckpoint())
+    (keptOld.unionByName(newLabels).localCheckpoint(eagerOutputs),
+      hubs.unionByName(newHubs).localCheckpoint(eagerOutputs))
   }
 
   /** Start the streaming intake: cluster labels maintained at
