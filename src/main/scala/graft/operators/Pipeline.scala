@@ -619,6 +619,13 @@ object Pipeline {
         sequence(lit(1), greatest(size(col("toks")) - 19, lit(1))),
         p => array_join(slice(col("toks"), p, lit(20)), " "))).as("win"))
       .filter(rollingHash(col("win")) % 8 === 0) // content-defined anchor selection
+      // lazy pin (r17, guide §1.2): the plan consumed the anchor table
+      // twice (the broadcast dw build and the probe side are separate
+      // subtrees), re-running tokenize + explode + rolling-hash over the
+      // corpus per consumer. The anchor table is the 1/8-sampled window
+      // set — a bounded fraction of corpus bytes — so pinning it beats
+      // the second full scan pass at any scale.
+      .localCheckpoint(false)
     val dw = w.groupBy(col("win")).agg(countDistinct(col("doc_id")).as("nd"))
     w.join(dw, "win")
       .groupBy(col("doc_id"))
